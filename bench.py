@@ -1,0 +1,72 @@
+"""Benchmark harness: times headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is executed as a real action (count of the final plan) after a
+warm-up of the session; per-query time includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from spotify_tags_etl_spark.plans import registry
+from spotify_tags_etl_spark.session import get_spark
+
+#: Headline queries: one per operator family — scan+filter, 3-way join,
+#: group-agg, window, outer-join agg, event-time bucketing.
+HEADLINE = [
+    "q05_equality_filter",
+    "q06_join3_theta_sort",
+    "q13_groupby_agg",
+    "q14_argmax_window",
+    "q23_outer_join_agg",
+    "q25_cumulative_window",
+    "q26_time_bucket_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("spotify-tags-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries] + [
+        n for n in sorted(queries) if n.startswith("bench_") and n not in HEADLINE
+    ]
+
+    # warm up the JVM + parquet footer caches with a trivial action
+    queries[names[0]](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

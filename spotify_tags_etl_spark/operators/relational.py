@@ -1,0 +1,624 @@
+"""Relational operator inventory (SURVEY.md §2.2–§2.8) on the test star schema.
+
+Each query re-expresses one operator shape from the reference's query
+surface (``/root/reference/src/spotify_tags_etl/sql/params_queries.py:7-54``
+and the client-side operators of ``spotify_client.py`` /
+``postgres_media.py``) against the driver's TPC-H-ish tables, as an
+idiomatic Catalyst-optimizable DataFrame plan plus a DuckDB oracle.
+
+Scale stance: every plan here is declarative — filters sit directly on
+scans (parquet pushdown), projections prune columns, joins are equi-joins
+Catalyst can broadcast or sort-merge, aggregations get map-side partial
+apply, and AQE handles skew. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# The reference's 8 canned query shapes (params_queries.py:7-35), re-keyed
+# onto the star schema. Q1-Q5: projection + IN / equality filters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_project_in_filter",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_mktsegment IN ('BUILDING')
+    """,
+    doc="ARTIST_SELECT shape (reference sql/params_queries.py:7): project + single-key IN.",
+    tags=("projection", "filter"),
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment").isin("BUILDING"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "q02_project_in_filter_multi",
+    oracle="""
+    SELECT p_partkey, p_name, p_size, p_retailprice
+    FROM part WHERE p_brand IN ('Brand#1', 'Brand#2')
+    """,
+    doc="ALBUM_SELECT shape (params_queries.py:9): project + IN over two values.",
+    tags=("projection", "filter"),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin("Brand#1", "Brand#2"))
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
+@register(
+    "q03_project_in_filter_wide",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    doc="TRACK_SELECT shape (params_queries.py:11): wider projection + IN.",
+    tags=("projection", "filter"),
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "q04_two_key_in",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_name IN ('NATION_3', 'NATION_7')
+    """,
+    doc="GENRE_SELECT shape (params_queries.py:31): IN with exactly two keys.",
+    tags=("projection", "filter"),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin("NATION_3", "NATION_7"))
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register(
+    "q05_equality_filter",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events WHERE event_type = 'click'
+    """,
+    doc="FILE_SELECT shape (params_queries.py:33): single equality predicate, pushed to scan.",
+    tags=("projection", "filter"),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "q06_join3_theta_sort",
+    oracle="""
+    SELECT o_orderkey, c_name, n_name, o_totalprice
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_totalprice < 5000.0
+    ORDER BY o_totalprice DESC
+    """,
+    doc=(
+        "GAIN_SELECT shape (params_queries.py:13-20): 3-way equi-join + theta filter "
+        "+ ORDER BY DESC. Nation is a broadcast dim; the theta filter pushes below the join."
+    ),
+    tags=("join", "filter", "sort"),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") < 5000.0)
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .orderBy(F.desc("o_totalprice"))
+        .select("o_orderkey", "c_name", "n_name", "o_totalprice")
+    )
+
+
+@register(
+    "q07_join3_in_sort",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('EUROPE')
+    ORDER BY c_name
+    """,
+    doc="JOIN_SELECT shape (params_queries.py:22-29): dim-dim-fact join chain + IN + ASC sort.",
+    tags=("join", "filter", "sort"),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name").isin("EUROPE"))
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .orderBy("c_name")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "q08_scalar_agg_round",
+    oracle="""
+    SELECT ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) / 1000.0, 2) AS avg_kprice
+    FROM orders
+    """,
+    doc=(
+        "AVG_SIZE_SELECT shape (params_queries.py:35): whole-table scalar aggregate + "
+        "arithmetic + round. Sum flows through DECIMAL so the value is accumulation-order "
+        "independent (float sums differ between engines/partitionings)."
+    ),
+    tags=("aggregate",),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+            / 1000.0,
+            2,
+        ).alias("avg_kprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-Q13: dynamic IN expansion, projections, validity predicates.
+# ---------------------------------------------------------------------------
+
+
+def dynamic_in_filter(df: DataFrame, column: str, values: list) -> DataFrame:
+    """Q9 ``build_placeholders`` analog (params_queries.py:38-54): the SQL
+    string-building machinery collapses to ``isin(*values)``."""
+    return df.where(F.col(column).isin(*values))
+
+
+@register(
+    "q09_dynamic_in",
+    oracle="""
+    SELECT p_partkey, p_type, p_size
+    FROM part WHERE p_type IN ('ECONOMY', 'PROMO', 'STANDARD') AND p_size >= 25
+    """,
+    doc="build_placeholders shape (params_queries.py:38-54): param-count-driven IN expansion.",
+    tags=("filter",),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") >= 25)
+    return dynamic_in_filter(part, "p_type", ["ECONOMY", "PROMO", "STANDARD"]).select(
+        "p_partkey", "p_type", "p_size"
+    )
+
+
+@register(
+    "q10_column_subset",
+    oracle="SELECT s_suppkey, s_name FROM supplier",
+    doc="Per-table column-subset projection (postgres_media.py:270): catalog-driven select.",
+    tags=("projection",),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+
+@register(
+    "q11_drop_column",
+    oracle="SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+    doc="Drop-column projection (postgres_media.py:225): remove surrogate columns pre-write.",
+    tags=("projection",),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "supplier").drop("s_acctbal")
+
+
+@register(
+    "q12_validity_filter",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE value BETWEEN 1.0 AND 100.0
+      AND event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+    """,
+    doc=(
+        "Row-validity predicates (reference models.py:46,50,120-144 pydantic ranges + "
+        "type whitelist models.py:17-25): constraints as filters, invalid rows quarantined "
+        "rather than failing the job."
+    ),
+    tags=("filter", "validation"),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    valid = F.col("value").between(1.0, 100.0) & F.col("event_type").isin(
+        "click", "view", "purchase", "signup", "error"
+    )
+    return events.where(valid).select("event_id", "event_type", "value")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (§2.4) and windows (§2.5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_groupby_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "Pricing-summary group-by (TPC-H Q1 shape; beyond-reference core agg). Partial "
+        "map-side aggregation + decimal-exact sums; filter pushed to parquet scan."
+    ),
+    tags=("aggregate", "groupby"),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q14_argmax_window",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Argmax / top-1-per-group (reference find_closest_match argmax, "
+        "spotify_client.py:171-175): window row_number with total-order tiebreak."
+    ),
+    tags=("window", "argmax"),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "q15_max_by",
+    oracle="""
+    SELECT n_regionkey, MAX_BY(n_name, n_nationkey) AS max_nation, MAX(n_nationkey) AS max_key
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="max_by aggregate (A2/A6, spotify_client.py:171-175): argmax on a unique key.",
+    tags=("aggregate", "argmax"),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.max_by("n_name", "n_nationkey").alias("max_nation"),
+            F.max("n_nationkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "q16_dedup_exact_keyed",
+    oracle="""
+    SELECT user_id, MIN(event_id) AS first_event_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc=(
+        "Distinct accumulation / keep-first dedup (A3, spotify_client.py:545-546): "
+        "deterministic keep-first = groupBy + min, not dropDuplicates (which keeps an "
+        "arbitrary row per partition ordering)."
+    ),
+    tags=("aggregate", "dedup"),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("first_event_id"), F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "q17_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="Count / count-distinct (A4, spotify_client.py:550-551).",
+    tags=("aggregate",),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q18_every_fold",
+    oracle="""
+    SELECT l_orderkey,
+           BOOL_AND(l_discount > 0.02) AS all_discounted,
+           BOOL_OR(l_tax > 0.05) AS any_taxed
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    doc=(
+        "Boolean all-success fold (A5, postgres_media.py:272-283 — the reference's fold "
+        "is buggy, returning only the first status; this implements the intended "
+        "every-semantics with bool_and)."
+    ),
+    tags=("aggregate",),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.every(F.col("l_discount") > 0.02).alias("all_discounted"),
+        F.some(F.col("l_tax") > 0.05).alias("any_taxed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (§2.6), set ops (§2.7), join variants (§2.3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q19_union_all",
+    oracle="""
+    SELECT event_id, event_type, value, 'hot' AS bucket FROM events WHERE value > 400.0
+    UNION ALL
+    SELECT event_id, event_type, value, 'cold' AS bucket FROM events WHERE value < 1.0
+    """,
+    doc="UNION ALL (§2.7: the reference's multi-file ingest loop, postgres_media.py:297).",
+    tags=("setop",),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hot = ev.where(F.col("value") > 400.0).select("event_id", "event_type", "value", F.lit("hot").alias("bucket"))
+    cold = ev.where(F.col("value") < 1.0).select("event_id", "event_type", "value", F.lit("cold").alias("bucket"))
+    return hot.unionByName(cold)
+
+
+@register(
+    "q20_topk_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc=(
+        "Top-k with deterministic total order (O4/O6, postgres_media.py:238-239, "
+        "spotify_client.py:530-532). Spark executes as TakeOrderedAndProject — no full sort."
+    ),
+    tags=("sort", "limit"),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q21_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+    """,
+    doc="Left-semi join (§2.3 'not present in reference' — exposed as engine built-in).",
+    tags=("join",),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000.0)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q22_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (§2.3): customers with no orders.",
+    tags=("join",),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q23_outer_join_agg",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Left-outer join + per-key aggregate with zero-fill (§2.3 built-in exposure).",
+    tags=("join", "aggregate"),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics beyond top-1 (§2.5 exposure) + event-time bucketing
+# (§2.9 streaming analog, expressed in batch).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_window_rank_topk",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranking window (§2.5; generalizes the reference's top-1).",
+    tags=("window",),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@register(
+    "q25_cumulative_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    doc=(
+        "Cumulative sum per key in event-time order (§2.5/§2.9). Decimal accumulator "
+        "keeps the running sum exact regardless of frame evaluation strategy."
+    ),
+    tags=("window",),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("running_value", F.sum(F.col("value").cast("decimal(14,2)")).over(w).cast("double"))
+        .select("event_id", "user_id", "running_value")
+    )
+
+
+@register(
+    "q26_time_bucket_agg",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Tumbling event-time window aggregate in batch (§2.9 streaming analog; the "
+        "streaming module runs the same logical shape with a watermark)."
+    ),
+    tags=("aggregate", "eventtime"),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q27_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+    doc="Nested JSON extraction (F12/F13, spotify_client.py:393-429): get_json_object path.",
+    tags=("json", "function"),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("prop_k")).where(F.col("prop_k") >= 50)
+
+
+@register(
+    "q28_sorted_list_agg",
+    oracle="""
+    SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    doc="Deterministic list aggregation (K3 NDJSON-export shape): collect + sort + join.",
+    tags=("aggregate",),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )

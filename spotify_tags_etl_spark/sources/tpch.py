@@ -1,0 +1,69 @@
+"""Parquet warehouse source layer for the driver-generated test tables.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under an
+``sf*/`` directory.
+
+Scale notes (100 TB design point):
+
+* ``spark.read.parquet`` is the only scan primitive — predicate pushdown,
+  column pruning, and partition pruning all flow from declaring the read
+  here and filtering lazily downstream. Never ``.cache()`` inside the
+  loader; callers decide materialization.
+* At cluster scale these would be directory-partitioned datasets
+  (``orders/o_orderdate=.../``); the loader takes any path, so swapping a
+  partitioned root in requires no call-site change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that are always sensible broadcast candidates.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TPCH_TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long via spark.sql.legacy.parquet.nanosAsLong:
+        # keep full-precision ns for ordering, expose a usec timestamp for
+        # event-time ops (window/date_trunc are usec-stable).
+        from pyspark.sql import functions as F
+
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load every test table lazily; nothing is scanned until an action."""
+    return {name: load_table(spark, sf_dir, name) for name in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register each table as a temp view for ``spark.sql`` queries."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
