@@ -62,6 +62,7 @@ def _load_all() -> None:
     import spotify_tags_etl_spark.operators.relational  # noqa: F401
 
     for mod in (
+        "spotify_tags_etl_spark.operators.canned",
         "spotify_tags_etl_spark.operators.dedup",
         "spotify_tags_etl_spark.operators.similarity",
         "spotify_tags_etl_spark.operators.textops",
