@@ -1,0 +1,327 @@
+"""Deduplication operator family for large-scale training-data pipelines.
+
+Four levels, all pure DataFrame algebra (no UDFs), each with a DuckDB
+oracle:
+
+* exact — content-hash groupBy (the only dedup the reference has, A3
+  ``spotify_client.py:545-546``, generalized from keyed to content);
+* MinHash + LSH — shingle → minhash signature → banded bucket join →
+  candidate pairs → exact-jaccard verify. The scale path: candidate
+  generation is a shuffle on band keys (tiny), never an all-pairs join;
+* SimHash — 32-bit fingerprint from token hashes, banded bucket join,
+  Hamming-distance verify;
+* n-gram Jaccard — exact all-pairs within a blocking key (for bounded
+  blocks only; the honest quadratic baseline the LSH paths approximate).
+
+Cross-engine determinism: hashes are md5 hex (identical in Spark and
+DuckDB); minhash = lexicographic min of md5 strings (a valid 128-bit
+min-hash); similarity thresholds compare *integers* (permille) — no
+float rounding can diverge between engines.
+
+At 100 TB: shingling explodes ~100× rows but is map-side only; the
+signature frame is 1 row/doc × k hashes; band join shuffles k_band
+small keys; only verified candidate pairs (rare) touch the shingle
+frame again — via a shuffle join on doc_id, pruned to candidate docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+N_HASHES = 8
+BAND_ROWS = 2  # 8 hashes / 2 rows = 4 bands
+SIMHASH_BITS = 32
+SIMHASH_BAND_CHARS = 8  # 4 bands of 8 bits
+
+
+# ---------------------------------------------------------------------------
+# shared shingle / token frames
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, s)."""
+    toks = docs.select("doc_id", F.split("text", " ").alias("t")).where(F.size("t") >= n)
+    grams = F.expr(
+        f"transform(sequence(1, size(t) - {n - 1}), "
+        f"i -> concat_ws(' ', {', '.join(f'element_at(t, i + {j})' for j in range(n))}))"
+    )
+    return toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("s"))
+
+
+_SHINGLE_SQL = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t)-1)]) AS s
+  FROM toks WHERE len(t) >= 3
+)"""
+
+
+def distinct_tokens(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("s"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd01_exact_hash",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    doc=(
+        "Exact content dedup: hash-groupBy with deterministic keep-first. "
+        "Generalizes reference A3 (spotify_client.py:545-546) from keyed to "
+        "content-addressed. Map-side partial agg; shuffle on the hash."
+    ),
+    tags=("dedup",),
+)
+def dd01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """One row per doc: m0..m{k-1} = min(md5(seed || shingle)).
+
+    Lexicographic min over salted md5 hex is a valid min-hash family
+    (each salt permutes the shingle universe); identical across engines.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"m{i}") for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Band the signature, bucket-join per band, union, distinct pairs."""
+    n_bands = N_HASHES // band_rows
+    pairs = None
+    for b in range(n_bands):
+        cols = [f"m{b * band_rows + r}" for r in range(band_rows)]
+        banded = sig.select("doc_id", F.concat(*[F.col(c) for c in cols]).alias("bk"))
+        left = banded.alias("l")
+        right = banded.alias("r")
+        p = left.join(right, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.doc_id") < F.col("r.doc_id"))).select(
+            F.col("l.doc_id").alias("d1"), F.col("r.doc_id").alias("d2")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold_permille: int) -> DataFrame:
+    """Exact jaccard on candidate pairs; integer-permille threshold."""
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = shingles.withColumnsRenamed({"doc_id": "d1", "s": "s1"})
+    s2 = shingles.withColumnsRenamed({"doc_id": "d2r", "s": "s2"})
+    inter = (
+        pairs.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("d2r")) & (F.col("s1") == F.col("s2")))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .withColumn("u", F.col("n1") + F.col("n2") - F.col("n_inter"))
+        .where(F.lit(1000) * F.col("n_inter") >= F.lit(threshold_permille) * F.col("u"))
+        .select("d1", "d2", F.expr("CAST((1000 * n_inter) DIV u AS BIGINT)").alias("jaccard_permille"))
+    )
+
+
+def _minhash_oracle(threshold_permille: int) -> str:
+    mins = ",\n         ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(N_HASHES))
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT l.doc_id AS d1, r.doc_id AS d2 FROM sig l JOIN sig r"
+        f" ON l.m{b * BAND_ROWS} || l.m{b * BAND_ROWS + 1} = r.m{b * BAND_ROWS} || r.m{b * BAND_ROWS + 1}"
+        f" AND l.doc_id < r.doc_id"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL.lstrip()},
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT d1, d2 FROM (
+{bands}
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
+      GROUP BY c.d1, c.d2
+    )
+    SELECT i.d1, i.d2,
+           (1000 * i.n_inter) // (sa.n + sb.n - i.n_inter) AS jaccard_permille
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.d1
+    JOIN sizes sb ON sb.doc_id = i.d2
+    WHERE 1000 * i.n_inter >= {threshold_permille} * (sa.n + sb.n - i.n_inter)
+    """
+
+
+@register(
+    "dd02_minhash_lsh",
+    oracle=_minhash_oracle(800),
+    doc=(
+        "MinHash+LSH near-dup pairs: word-3-gram shingles → 8 salted-md5 "
+        "minhashes → 4 bands of 2 → bucket join → exact-jaccard verify at "
+        "0.800. Candidate generation never does an all-pairs join."
+    ),
+    tags=("dedup", "lsh"),
+)
+def dd02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    return jaccard_verify(pairs, sh, threshold_permille=800)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+_HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_fingerprints(tokens: DataFrame) -> DataFrame:
+    """32-bit simhash as a '0'/'1' string: bit j = sign of Σ ±1 over tokens,
+    where token bit j = high bit of md5 hex digit j."""
+    bit_exprs = []
+    for j in range(1, SIMHASH_BITS + 1):
+        vote = F.when(F.substring(F.md5("s"), j, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
+        bit_exprs.append(F.when(F.sum(vote) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return tokens.groupBy("doc_id").agg(F.concat(*bit_exprs).alias("fp"))
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    high = ",".join(f"'{h}'" for h in _HIGH_HEX)
+    bits = ",\n             ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(md5(s), {j}, 1) IN ({high}) THEN 1 ELSE -1 END) >= 0"
+        f" THEN '1' ELSE '0' END"
+        for j in range(1, SIMHASH_BITS + 1)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT l.doc_id AS d1, r.doc_id AS d2, l.fp AS fp1, r.fp AS fp2 FROM fps l JOIN fps r"
+        f" ON substr(l.fp, {1 + b * SIMHASH_BAND_CHARS}, {SIMHASH_BAND_CHARS})"
+        f" = substr(r.fp, {1 + b * SIMHASH_BAND_CHARS}, {SIMHASH_BAND_CHARS})"
+        f" AND l.doc_id < r.doc_id"
+        for b in range(SIMHASH_BITS // SIMHASH_BAND_CHARS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS s FROM documents
+    ),
+    fps AS (
+      SELECT doc_id, concat({bits}) AS fp
+      FROM toks GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT d1, d2, fp1, fp2 FROM (
+{bands}
+      )
+    )
+    SELECT d1, d2, hamming(fp1, fp2) AS hamming_dist
+    FROM cand WHERE hamming(fp1, fp2) <= {max_hamming}
+    """
+
+
+@register(
+    "dd03_simhash",
+    oracle=_simhash_oracle(6),
+    doc=(
+        "SimHash near-dup pairs: 32-bit token-vote fingerprint, 4 bands of "
+        "8 bits bucket-join candidates, Hamming ≤ 6 verify. Fingerprint is "
+        "1 row/doc — the scale-friendly single-pass sketch."
+    ),
+    tags=("dedup", "sketch"),
+)
+def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(distinct_tokens(docs))
+    left = fps.withColumnsRenamed({"doc_id": "d1", "fp": "fp1"})
+    right = fps.withColumnsRenamed({"doc_id": "d2", "fp": "fp2"})
+    pairs = None
+    for b in range(SIMHASH_BITS // SIMHASH_BAND_CHARS):
+        lo = 1 + b * SIMHASH_BAND_CHARS
+        p = left.join(
+            right,
+            (F.substring("fp1", lo, SIMHASH_BAND_CHARS) == F.substring("fp2", lo, SIMHASH_BAND_CHARS))
+            & (F.col("d1") < F.col("d2")),
+        ).select("d1", "d2", "fp1", "fp2")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    hamming = F.expr(
+        "aggregate(sequence(1, 32), 0, (acc, i) -> acc + IF(substring(fp1, i, 1) = substring(fp2, i, 1), 0, 1))"
+    )
+    return (
+        pairs.distinct()
+        .withColumn("hamming_dist", hamming)
+        .where(F.col("hamming_dist") <= 6)
+        .select("d1", "d2", "hamming_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard within blocks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dd04_ngram_jaccard_block",
+    oracle=f"""
+    WITH {_SHINGLE_SQL.lstrip()},
+    blocked AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.d1, p.d2, COUNT(*) AS n_inter
+      FROM blocked p
+      JOIN sh a ON a.doc_id = p.d1
+      JOIN sh b ON b.doc_id = p.d2 AND a.s = b.s
+      GROUP BY p.d1, p.d2
+    )
+    SELECT i.d1, i.d2,
+           (1000 * i.n_inter) // (sa.n + sb.n - i.n_inter) AS jaccard_permille
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.d1
+    JOIN sizes sb ON sb.doc_id = i.d2
+    WHERE 1000 * i.n_inter >= 500 * (sa.n + sb.n - i.n_inter)
+    """,
+    doc=(
+        "Exact n-gram Jaccard dedup within a blocking key (source): the "
+        "quadratic-per-block baseline. Blocks bound the pair explosion; "
+        "at scale the block key must keep groups « executor memory."
+    ),
+    tags=("dedup",),
+)
+def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    a = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    b = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    blocked = a.join(b, (F.col("src1") == F.col("src2")) & (F.col("d1") < F.col("d2"))).select("d1", "d2")
+    return jaccard_verify(blocked, sh, threshold_permille=500)

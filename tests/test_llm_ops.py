@@ -1,0 +1,130 @@
+"""Behavioral tests for the LLM-pipeline operator families (dedup,
+similarity, text analysis, multimodal) beyond oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators import dedup, multimodal, similarity, textops
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """The corpus has planted near-duplicate docs (shared long prefixes);
+    MinHash+LSH at 0.8 must find pairs, and every pair must truly be
+    near-identical."""
+    pairs = dedup.dd02(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    assert all(p.jaccard_permille >= 800 for p in pairs)
+
+
+def test_lsh_candidates_superset_sanity(spark, sf_dir):
+    """Every ≥0.9-jaccard pair found by exact blocked comparison within
+    source-blocks must also be caught by the LSH path (banding with 4
+    bands of 2 at j=0.9 has detection prob ~1 - (1-0.81)^4 ≈ 0.9987)."""
+    exact = {
+        (r.d1, r.d2)
+        for r in dedup.dd04(spark, sf_dir).where(F.col("jaccard_permille") >= 900).collect()
+    }
+    lsh = {(r.d1, r.d2) for r in dedup.dd02(spark, sf_dir).collect()}
+    assert exact <= lsh
+
+
+def test_simhash_fingerprint_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(dedup.distinct_tokens(docs))
+    rows = fps.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r.fp) == 32 and set(r.fp) <= {"0", "1"} for r in rows)
+
+
+def test_exact_dedup_finds_injected_duplicate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = (
+        docs.unionByName(dup)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("keep"))
+        .where(F.col("n") > 1)
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0].keep < 1_000_000  # keep-first is the original
+
+
+def test_bruteforce_topk_ordering(spark, sf_dir):
+    rows = similarity.ss01(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert len(rs) == 10
+        sims = [r.cosine_r for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.c_id != q for r in rs)
+
+
+def test_lsh_ann_top1_mostly_agrees_with_bruteforce(spark, sf_dir):
+    """ANN recall sanity: with 4 OR-amplified tables the bucketed top-1
+    matches exact top-1 well above the single-table ~13% collision rate
+    (measured 87.5% on this deterministic corpus; assert a safe floor)."""
+    exact = {r.q_id: r.c_id for r in similarity.ss01(spark, sf_dir).where("rank = 1").collect()}
+    ann = {r.q_id: r.c_id for r in similarity.ss02(spark, sf_dir).where("rank = 1").collect()}
+    common = [q for q in exact if q in ann]
+    assert common
+    recall = sum(exact[q] == ann[q] for q in common) / len(common)
+    assert recall >= 0.5
+
+
+def test_lang_id_on_real_language_samples(spark):
+    samples = [
+        (1, "the cat and the dog is on the mat of the house"),
+        (2, "der hund und das kind ist der beste und das haus"),
+        (3, "le chat et les chiens est dans le jardin et les arbres"),
+        (4, "el perro y los gatos es el mejor y los arboles"),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string")
+    got = {r.doc_id: r.pred_lang for r in textops.lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(1, "the cat, and dog.")], "doc_id long, text string")
+    r = textops.quality_features(df).collect()[0]
+    assert r.n_words == 4
+    assert r.n_punct == 2
+    assert r.n_stopwords == 2  # 'the', 'and'
+    assert r.n_chars_obs == 17
+
+
+def test_fingerprint_stability_under_distant_edit(spark):
+    base = "abcdefgh" * 10
+    edited = base[:-1] + "Z"  # tail edit; minimizing 8-gram is elsewhere
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    grams = F.expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))")
+    fps = [r.fp for r in df.select(F.array_min(grams).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_decode_stub_deterministic(spark, sf_dir):
+    out1 = multimodal.mm02(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    out2 = multimodal.mm02(spark, sf_dir).orderBy("doc_id").limit(5).collect()
+    assert [r.asDict() for r in out1] == [r.asDict() for r in out2]
+    r = out1[0]
+    assert r.width >= 16 and r.height >= 16 and r.n_frames >= 1
+    assert len(r.feature_hash) == 16
+
+
+def test_multimodal_real_decode_raises(spark, sf_dir):
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_batch(pd.Series([b"abc"]), fake=False)
+
+
+def test_multimodal_metadata_prunes_payload(spark, sf_dir):
+    plan = multimodal.mm01(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # binary column never materialized
