@@ -1,0 +1,534 @@
+"""Advanced relational + temporal operators beyond the reference surface.
+
+The reference (SURVEY.md §2.4-2.7) has no grouping sets, percentiles,
+pivots, as-of/range joins, sessionization, or sketches — all of which a
+large-scale analytics engine must expose. Everything here is pure
+DataFrame algebra over the built-in functions (JVM-side, codegen'd), each
+with a DuckDB oracle.
+
+Cross-engine determinism (registry rules): measure sums go through
+``DECIMAL(14,2)``; percentile/ratio doubles are rounded; every window
+has a total-order tiebreak; timestamps are formatted to strings.
+
+Scale notes per operator are on the individual docstrings; the common
+themes at 100 TB:
+
+* rollup/cube are partial-agg friendly (map-side combine per grouping
+  set) — no extra shuffle vs. a flat groupBy;
+* the as-of join is the union+window merge pattern: ONE shuffle on the
+  key, no per-row subquery, no broadcast of the big side;
+* the range join buckets time so candidate pairs are per-(key, bucket)
+  — never an unbounded theta join;
+* sessionization is lag+cumsum over (user, ts) — single shuffle, state
+  bounded by partition, the same shape Structured Streaming uses for
+  session windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _dec_sum(col: str = "value"):
+    return F.sum(F.col(col).cast("decimal(14,2)")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "av01_rollup_agg",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), '(all)') AS user_band,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(user_id % 10) AS INT) AS g_band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, user_id % 10)
+    """,
+    doc=(
+        "ROLLUP hierarchy (event_type → user band → grand total) with "
+        "GROUPING disambiguation. Partial-aggregable: one shuffle, "
+        "map-side combine covers all grouping sets."
+    ),
+    tags=("aggregate", "groupingsets"),
+)
+def av01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ev(spark, sf_dir).createOrReplaceTempView("_av01_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(CAST(user_id % 10 AS STRING), '(all)') AS user_band,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(user_id % 10) AS INT) AS g_band,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        FROM _av01_events
+        GROUP BY ROLLUP(event_type, user_id % 10)
+        """
+    )
+
+
+@register(
+    "av02_cube_agg",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(EXTRACT(hour FROM ts) AS VARCHAR), '(all)') AS hr,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(EXTRACT(hour FROM ts)) AS INT) AS g_hr,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE(event_type, EXTRACT(hour FROM ts))
+    """,
+    doc="CUBE over (event_type, hour-of-day): all 4 grouping sets in one shuffle.",
+    tags=("aggregate", "groupingsets"),
+)
+def av02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ev(spark, sf_dir).createOrReplaceTempView("_av02_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(CAST(HOUR(ts) AS STRING), '(all)') AS hr,
+               CAST(GROUPING(event_type) AS INT) AS g_type,
+               CAST(GROUPING(HOUR(ts)) AS INT) AS g_hr,
+               COUNT(*) AS n
+        FROM _av02_events
+        GROUP BY CUBE(event_type, HOUR(ts))
+        """
+    )
+
+
+@register(
+    "av03_grouping_sets",
+    oracle="""
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), '(all)') AS user_band,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10))
+    """,
+    doc="Explicit GROUPING SETS ((type), (band)) — two independent aggregates in one pass.",
+    tags=("aggregate", "groupingsets"),
+)
+def av03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    ev.createOrReplaceTempView("_av03_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, '(all)') AS event_type,
+               COALESCE(CAST(user_id % 10 AS STRING), '(all)') AS user_band,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+        FROM _av03_events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "av04_pivot",
+    oracle=f"""
+    SELECT user_id % 10 AS user_band,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_{t}"
+               for t in EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id % 10
+    """,
+    doc=(
+        "Pivot event_type → columns (explicit value list so no extra "
+        "distinct-values job; one shuffle, conditional map-side partials)."
+    ),
+    tags=("aggregate", "pivot"),
+)
+def av04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _ev(spark, sf_dir)
+        .groupBy((F.col("user_id") % 10).alias("user_band"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(_dec_sum())
+        .withColumnsRenamed({t: f"sum_{t}" for t in EVENT_TYPES})
+    )
+
+
+# ---------------------------------------------------------------------------
+# percentiles / distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "av05_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Exact linear-interpolation percentiles per group. At 100 TB exact "
+        "percentile needs a full sort per group — av11's KMV / "
+        "approx_percentile is the scale path; this is the truth baseline."
+    ),
+    tags=("aggregate", "percentile"),
+)
+def av05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = F.percentile(F.col("value"), F.array(*[F.lit(x) for x in (0.25, 0.50, 0.75, 0.95)]))
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(pc.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p95"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (union + window merge pattern)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: dict[str, str],
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` on the same key.
+
+    Implementation is the sort-merge pattern Spark lacks as a primitive:
+    union both sides tagged, window ``last(right_struct, ignoreNulls)``
+    over (key) ordered by (ts, side) — right rows sort before left rows
+    at equal ts so '<=' semantics hold. ONE shuffle on the key; no
+    per-row subquery, no candidate explosion; state per partition is a
+    single struct (the running latest right row). This is exactly how
+    an interval-state streaming as-of would behave.
+    """
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        F.col(key),
+        F.col(ts),
+        F.struct(*[F.col(c).alias(a) for c, a in right_cols.items()]).alias("_rstruct"),
+    ).withColumn("_side", F.lit(0))
+    lt = lt.withColumn("_rstruct", F.lit(None).cast(rt.schema["_rstruct"].dataType))
+    both = lt.select(rt.columns + [c for c in lt.columns if c not in rt.columns]).unionByName(
+        rt, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.withColumn("_m", F.last("_rstruct", ignorenulls=True).over(w))
+    out = matched.where(F.col("_side") == 1).drop("_side", "_rstruct")
+    for _, a in right_cols.items():
+        out = out.withColumn(a, F.col("_m")[a])
+    return out.drop("_m")
+
+
+@register(
+    "av06_asof_join",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+      SELECT event_id AS err_event_id, user_id, ts, value AS err_value
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id,
+           c.user_id,
+           STRFTIME(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+           e.err_event_id,
+           e.err_value
+    FROM clicks c
+    ASOF LEFT JOIN errors e
+      ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+    doc=(
+        "Backward as-of join: each click paired with the user's latest "
+        "error at-or-before it. Union+window merge — one shuffle on "
+        "user_id (DuckDB oracle uses its native ASOF JOIN)."
+    ),
+    tags=("join", "asof", "eventtime"),
+)
+def av06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts", "value")
+    joined = asof_join(
+        clicks,
+        errors,
+        key="user_id",
+        ts="ts",
+        right_cols={"event_id": "err_event_id", "value": "err_value"},
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+        "err_event_id",
+        "err_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# range (interval) join with time-bucket pruning
+# ---------------------------------------------------------------------------
+
+_RANGE_S = 3600  # click within 1h after an error (per-user event cadence ~min gap 6-7 min)
+
+
+@register(
+    "av07_range_join",
+    oracle=f"""
+    SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
+           CAST((epoch_us(c.ts) - epoch_us(e.ts)) // 1000 AS BIGINT) AS lag_ms
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts > e.ts
+     AND epoch_us(c.ts) - epoch_us(e.ts) <= CAST({_RANGE_S} AS BIGINT) * 1000000
+    """,
+    doc=(
+        "Range/interval join: clicks within 1h after an error, same user. "
+        "Scale path: equi-join on (user_id, 60s time bucket) with the "
+        "error side exploded to its two candidate buckets, exact range as "
+        "post-filter — candidate pairs are per-(key,bucket), never an "
+        "unbounded theta join (which Spark would execute as BNLJ)."
+    ),
+    tags=("join", "range", "eventtime"),
+)
+def av07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn("us", F.expr("ts_ns DIV 1000"))
+    bucket_us = _RANGE_S * 1_000_000
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), "user_id", F.col("us").alias("e_us"))
+        .withColumn("bk", F.explode(F.array(F.expr(f"e_us DIV {bucket_us}"), F.expr(f"e_us DIV {bucket_us} + 1"))))
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("us").alias("c_us"),
+        F.expr(f"us DIV {bucket_us}").alias("bk"),
+    )
+    return (
+        err.join(clk, ["user_id", "bk"])
+        .where((F.col("c_us") > F.col("e_us")) & (F.col("c_us") - F.col("e_us") <= bucket_us))
+        .select("err_id", "click_id", "user_id", ((F.col("c_us") - F.col("e_us")) / F.lit(1000)).cast("bigint").alias("lag_ms"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization (gap-based)
+# ---------------------------------------------------------------------------
+
+_GAP_MIN = 30
+
+
+@register(
+    "av08_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_GAP_MIN} * 60 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           STRFTIME(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           STRFTIME(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+    doc=(
+        "Gap-based sessionization (30-min inactivity): lag → new-session "
+        "flag → running sum = session id → per-session rollup. One "
+        "shuffle on user_id; per-partition state is O(1). Streaming "
+        "equivalent: session_window/applyInPandasWithState (st03)."
+    ),
+    tags=("window", "session", "eventtime"),
+)
+def av08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    prev = F.lag(F.expr("ts_ns DIV 1000")).over(w)
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (F.expr("ts_ns DIV 1000") - prev > gap_us), 1).otherwise(0),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = flagged.withColumn("session_seq", F.sum("is_new").over(run))
+    return sessioned.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
+        F.count("*").alias("n_events"),
+        _dec_sum().alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lead/lag gap analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "av09_lead_lag_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts))) // 1000000
+               AS gap_s
+      FROM events
+    )
+    SELECT user_id, COUNT(gap_s) AS n_gaps,
+           MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+    FROM gaps GROUP BY user_id
+    """,
+    doc="Inter-event gap stats per user via lag(): integer-second gaps, exact sums.",
+    tags=("window",),
+)
+def av09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.expr("ts_ns DIV 1000")
+    gap = ((us - F.lag(us).over(w)) / F.lit(1_000_000)).cast("bigint")
+    return (
+        ev.withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+        )
+    )
+
+
+@register(
+    "av10_rank_family",
+    oracle="""
+    SELECT event_id, event_type,
+           NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile,
+           CAST(DENSE_RANK() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS drank,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value), 6) AS prank
+    FROM events WHERE user_id < 10
+    """,
+    doc=(
+        "Ranking family (ntile/dense_rank/percent_rank) with total-order "
+        "tiebreaks where assignment is order-dependent (ntile)."
+    ),
+    tags=("window", "rank"),
+)
+def av10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).where(F.col("user_id") < 10)
+    w_total = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_val = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.dense_rank().over(w_val).cast("bigint").alias("drank"),
+        F.round(F.percent_rank().over(w_val), 6).alias("prank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic distinct-count sketch (KMV)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+
+@register(
+    "av11_kmv_sketch",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM hashed
+    )
+    SELECT event_type, n_exact,
+           CASE WHEN n_exact <= {_KMV_K} THEN CAST(n_exact AS BIGINT)
+                ELSE CAST(ROUND(({_KMV_K} - 1) /
+                     (CAST(('0x' || substr(MAX(CASE WHEN rn = {_KMV_K} THEN h END), 1, 8))::UBIGINT AS DOUBLE)
+                      / 4294967296.0), 0) AS BIGINT)
+           END AS approx_distinct
+    FROM ranked GROUP BY event_type, n_exact
+    """,
+    doc=(
+        "KMV (k-minimum-values) distinct-user sketch, k=32: estimate = "
+        "(k-1)/u_k where u_k is the k-th smallest normalized md5. A "
+        "DETERMINISTIC sketch — identical in any engine, mergeable "
+        "(union = min-merge of value sets), the oracle-able stand-in for "
+        "HLL/approx_count_distinct at 100 TB. Exact count carried for "
+        "error inspection."
+    ),
+    tags=("aggregate", "sketch"),
+)
+def av11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = (
+        _ev(spark, sf_dir)
+        .select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_exact", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    u_k = F.conv(F.substring(F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    return ranked.groupBy("event_type", "n_exact").agg(
+        F.when(F.col("n_exact") <= _KMV_K, F.col("n_exact").cast("bigint"))
+        .otherwise(F.round((_KMV_K - 1) / u_k, 0).cast("bigint"))
+        .alias("approx_distinct")
+    )

@@ -325,3 +325,51 @@ def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
     blocked = a.join(b, (F.col("src1") == F.col("src2")) & (F.col("d1") < F.col("d2"))).select("d1", "d2")
     return jaccard_verify(blocked, sh, threshold_permille=500)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+_COS_DOT_DUCK = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+_COS_THRESH = 0.30  # synthetic 64-dim cluster embeddings: within-label max ≈ 0.47, p99 ≈ 0.295
+
+
+@register(
+    "dd05_embedding_cosine_neardup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_COS_DOT_DUCK.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND({_COS_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+             AS cosine_r
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_COS_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= {_COS_THRESH}
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs, blocked by label (cluster id): "
+        "equi-join on the blocking key bounds the quadratic to per-block; "
+        "in-order double-fold dot product matches DuckDB bit-for-bit. For "
+        "unblocked corpora the scale path is hyperplane-LSH bucketing "
+        "(ss02's signature machinery) instead of a label key."
+    ),
+    tags=("dedup", "similarity"),
+)
+def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.expr(_COS_DOT.format(a="embedding", b="embedding")))
+    e = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    a = e.select(F.col("vec_id").alias("d1"), F.col("label").alias("lbl"), F.col("embedding").alias("v1"), F.col("nrm").alias("n1"))
+    b = e.select(F.col("vec_id").alias("d2"), F.col("label").alias("lbl"), F.col("embedding").alias("v2"), F.col("nrm").alias("n2"))
+    cos = F.expr(_COS_DOT.format(a="v1", b="v2")) / (F.col("n1") * F.col("n2"))
+    return (
+        a.join(b, "lbl")
+        .where(F.col("d1") < F.col("d2"))
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= _COS_THRESH)
+        .select("d1", "d2", F.round("cosine", 6).alias("cosine_r"))
+    )

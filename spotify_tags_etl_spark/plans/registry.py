@@ -62,6 +62,7 @@ def _load_all() -> None:
     import spotify_tags_etl_spark.operators.relational  # noqa: F401
 
     for mod in (
+        "spotify_tags_etl_spark.operators.advanced",
         "spotify_tags_etl_spark.operators.canned",
         "spotify_tags_etl_spark.operators.dedup",
         "spotify_tags_etl_spark.operators.similarity",
@@ -69,10 +70,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.fuzzy",
         "spotify_tags_etl_spark.operators.multimodal",
     ):
-        try:
-            __import__(mod)
-        except ImportError:
-            pass
+        __import__(mod)  # mandatory: a broken module must fail loudly, not drop its queries
 
 
 def all_queries() -> dict[str, Builder]:

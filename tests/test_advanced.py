@@ -1,0 +1,73 @@
+"""Unit tests for the advanced operator helpers (as-of join semantics,
+sessionization edges, KMV sketch accuracy). Oracle parity for the full
+registered queries is covered by test_oracle_parity.py; these pin the
+operator semantics on hand-built frames where every edge is visible.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.advanced import asof_join
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, t=10, lid="a"),
+            Row(k=1, t=20, lid="b"),
+            Row(k=1, t=5, lid="c"),   # before any right row
+            Row(k=2, t=100, lid="d"), # key with no right rows at all
+            Row(k=1, t=15, lid="e"),  # exactly equal ts to a right row
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, t=8, rid="r1", v=1.0),
+            Row(k=1, t=15, rid="r2", v=2.0),
+            Row(k=1, t=19, rid="r3", v=3.0),
+            Row(k=3, t=1, rid="r4", v=4.0),  # key absent on the left
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward_latest(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, key="k", ts="t", right_cols={"rid": "rid", "v": "v"})
+    got = {r.lid: (r.rid, r.v) for r in out.collect()}
+    assert got["a"] == ("r1", 1.0)   # t=10 → latest right at 8
+    assert got["b"] == ("r3", 3.0)   # t=20 → latest right at 19
+    assert got["c"] == (None, None)  # t=5 → nothing at-or-before
+    assert got["d"] == (None, None)  # key 2 has no right rows
+    assert got["e"] == ("r2", 2.0)   # t=15 equal ts → '<=' includes it
+
+
+def test_asof_preserves_left_rowcount(spark, asof_frames):
+    left, right = asof_frames
+    out = asof_join(left, right, key="k", ts="t", right_cols={"rid": "rid"})
+    assert out.count() == left.count()
+    assert set(out.columns) == {"k", "t", "lid", "rid"}
+
+
+def test_kmv_estimate_within_error(spark, sf_dir):
+    """KMV with k=32 has relative std error ~1/sqrt(k-2) ≈ 18%; the
+    deterministic estimate for each event_type must land inside 3σ."""
+    from spotify_tags_etl_spark.plans import registry
+
+    rows = registry.get("av11_kmv_sketch").builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.approx_distinct == pytest.approx(r.n_exact, rel=0.55)
+
+
+def test_sessionize_counts_sum_to_events(spark, sf_dir):
+    from spotify_tags_etl_spark.plans import registry
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    sess = registry.get("av08_sessionize").builder(spark, sf_dir)
+    total = sess.agg(F.sum("n_events")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "events").count()
