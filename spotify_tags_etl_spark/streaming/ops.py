@@ -1,0 +1,301 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The reference is batch-only; its nearest stream is the paginated,
+rate-limited API pull (``spotify_client.py:136-138,222-245``) with
+cross-page dedup (``:545-546``). This module provides the streaming
+analogs as first-class operators:
+
+* st01 — watermarked tumbling event-time window aggregate;
+* st02 — streaming dedup with state (the cross-page track_id dedup);
+* st03 — custom stateful sessionizer via ``applyInPandasWithState``
+  (GroupState: last-seen timestamp + running session counter per user).
+
+Each runs as a real streaming query (``readStream`` → transform →
+``writeStream`` to a memory sink, ``Trigger.AvailableNow``) and returns
+the materialized result, so the driver's oracle gate applies to the
+*streaming* execution path, not a batch stand-in. With a single input
+file the run is one micro-batch, so watermark-driven late-data drops
+cannot fire and results are deterministic = the batch equivalent; the
+multi-batch behavior (state carry-over, watermark eviction) is
+exercised in tests/test_streaming.py with maxFilesPerTrigger=1 over a
+multi-file copy.
+
+Scale notes (1000-executor design point):
+
+* state stores shard by ``spark.sql.shuffle.partitions`` at first run —
+  size it for the *key* cardinality (users), not event volume;
+* the watermark bounds every state store: window state evicts at
+  watermark - lateness, dedup state at the dedup watermark;
+* ``applyInPandasWithState`` state is per-key and Arrow-batched; keep
+  per-key state O(1) (we store 3 scalars) — never a growing list.
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from spotify_tags_etl_spark.plans.registry import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming scan of the events table: file-source micro-batches.
+
+    Schema comes from one batch footer read (streaming sources require
+    an explicit schema); the TIMESTAMP(NANOS) column arrives as long ns
+    (session sets nanosAsLong) and a usec ``ts`` is derived exactly as
+    the batch loader does (sources/tpch.py).
+    """
+    import hashlib
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # The file stream source requires a *directory* to monitor; the test
+    # tables are single files (read-only), so stage a symlink dir. At
+    # cluster scale the source would watch a real landing directory.
+    stream_dir = os.path.join(
+        "/tmp/spark_graft_stream", hashlib.md5(sf_dir.encode()).hexdigest()[:12], "events"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stream_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    return df
+
+
+def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming frame to completion (AvailableNow) into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    name = f"st_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return stream.sparkSession.table(name)
+
+
+def windowed_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour event-time windows with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st01_stream_windowed_agg",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Structured Streaming tumbling-window aggregate with watermark, "
+        "run to completion via AvailableNow into a memory sink (complete "
+        "mode). Single-batch input ⇒ no late drops ⇒ equals the batch "
+        "window agg (q26) — which is the oracle. Multi-batch watermark "
+        "eviction is pinned in tests/test_streaming.py."
+    ),
+    tags=("streaming", "window", "eventtime"),
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(windowed_agg(read_events_stream(spark, sf_dir)), "complete")
+
+
+def stream_dedup_keys(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming distinct on (user_id, event_type): stateful dedup whose
+    state is bounded by the watermark. Output = keys only (the kept
+    'first' row is arrival-order-dependent; keys are deterministic)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+@register(
+    "st02_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc=(
+        "Streaming stateful dedup (the reference's cross-page track_id "
+        "dedup, spotify_client.py:545-546, generalized): dropDuplicates "
+        "with watermark-bounded state, append mode. Emits each key once "
+        "on first arrival."
+    ),
+    tags=("streaming", "dedup"),
+)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(stream_dedup_keys(read_events_stream(spark, sf_dir)), "append")
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: gap-based sessionizer
+# ---------------------------------------------------------------------------
+
+_GAP_MIN = 30
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("session_seq", LongType(), False),
+        StructField("session_start", StringType(), True),
+        StructField("session_end", StringType(), True),
+        StructField("n_events", LongType(), False),
+        StructField("sum_value", DoubleType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType(), True),       # last event time seen
+        StructField("session_seq", LongType(), True),   # current session ordinal
+        StructField("start_us", LongType(), True),      # current session start
+        StructField("n_events", LongType(), True),
+        StructField("sum_cents", LongType(), True),     # exact integer money
+    ]
+)
+
+
+def _fmt_us(us: int) -> str:
+    return str(pd.Timestamp(us * 1000))  # 'YYYY-MM-DD HH:MM:SS.ffffff'
+
+
+def _sessionize_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer. State = (last ts, session ordinal, open
+    session accumulators) — O(1) per key. Emits every session touched in
+    this batch (closed ones finally; the open one with its running
+    totals, re-emitted/extended next batch — last-write-wins on
+    (user_id, session_seq))."""
+    (user_id,) = key
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    if state.exists:
+        last_us, seq, start_us, n_ev, cents = state.get
+    else:
+        last_us, seq, start_us, n_ev, cents = None, 0, None, 0, 0
+
+    out = []
+
+    def emit(end_us: int) -> None:
+        out.append(
+            (
+                user_id,
+                seq,
+                _fmt_us(start_us),
+                _fmt_us(end_us),
+                n_ev,
+                cents / 100.0,
+            )
+        )
+
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("us")
+    for us, cents_v in zip(rows["us"], rows["cents"]):
+        us = int(us)
+        if last_us is None or us - last_us > gap_us:
+            if last_us is not None:
+                emit(last_us)
+            seq += 1
+            start_us, n_ev, cents = us, 0, 0
+        n_ev += 1
+        cents += int(cents_v)
+        last_us = us
+    if last_us is not None:
+        emit(last_us)
+    state.update((last_us, seq, start_us, n_ev, cents))
+    yield pd.DataFrame(out, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+
+def stateful_sessions(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionizer over the event stream."""
+    prepped = events.select(
+        "user_id",
+        F.expr("ts_ns DIV 1000").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "st03_stream_sessions",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_GAP_MIN} * 60 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM ordered
+    )
+    SELECT user_id, session_seq,
+           STRFTIME(MIN(ts), '{_TS_FMT_DUCK}') AS session_start,
+           STRFTIME(MAX(ts), '{_TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+    doc=(
+        "Custom stateful streaming operator: applyInPandasWithState "
+        "gap-sessionizer (30 min), O(1) state per user (last ts + open-"
+        "session accumulators as integer cents). Single-batch run equals "
+        "batch sessionization (the oracle); incremental state carry-over "
+        "across micro-batches is pinned in tests/test_streaming.py."
+    ),
+    tags=("streaming", "session", "stateful", "udf"),
+)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(stateful_sessions(read_events_stream(spark, sf_dir)), "update")

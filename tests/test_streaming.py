@@ -1,0 +1,94 @@
+"""Multi-micro-batch behavior of the streaming operators.
+
+Oracle parity (single-batch AvailableNow run == batch semantics) is in
+test_oracle_parity.py; here we split the events table into time-ordered
+files and run one file per trigger, pinning what single-batch runs can't
+see: dedup state across batches and sessionizer state carry-over
+(sessions spanning a batch boundary keep their ordinal and extend).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans import registry
+from spotify_tags_etl_spark.sources.tpch import load_table
+from spotify_tags_etl_spark.streaming.ops import (
+    run_to_memory,
+    stateful_sessions,
+    stream_dedup_keys,
+)
+
+
+@pytest.fixture(scope="module")
+def multi_file_events(spark, sf_dir, tmp_path_factory):
+    """Events split into 3 event-time-ordered files (mtime-ordered too,
+    so the file source discovers them in event-time order)."""
+    root = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+    bounds = ev.select(
+        F.expr("percentile(ts_ns, array(0.34, 0.67))").alias("p")
+    ).collect()[0]["p"]
+    parts = [
+        ev.where(F.col("ts_ns") <= bounds[0]),
+        ev.where((F.col("ts_ns") > bounds[0]) & (F.col("ts_ns") <= bounds[1])),
+        ev.where(F.col("ts_ns") > bounds[1]),
+    ]
+    for i, part in enumerate(parts):
+        pdf = part.toPandas()
+        pdf.to_parquet(os.path.join(root, f"part-{i}.parquet"), index=False)
+        now = time.time() + i  # strictly increasing mtimes
+        os.utime(os.path.join(root, f"part-{i}.parquet"), (now, now))
+    return root
+
+
+def _read_stream_dir(spark, root):
+    schema = spark.read.parquet(root).schema
+    df = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000")))
+
+
+def test_stream_dedup_across_batches(spark, sf_dir, multi_file_events):
+    """Keys seen in an earlier micro-batch must not re-emit later."""
+    stream = _read_stream_dir(spark, multi_file_events)
+    got = run_to_memory(stream_dedup_keys(stream), "append")
+    rows = got.collect()
+    keys = [(r.user_id, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys)), "a key was emitted by more than one micro-batch"
+    expected = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert set(keys) == expected
+
+
+def test_stateful_sessions_span_batches(spark, sf_dir, multi_file_events):
+    """Sessions crossing a file boundary keep their ordinal and extend;
+    the last emission per (user, seq) equals the batch sessionization."""
+    stream = _read_stream_dir(spark, multi_file_events)
+    got = run_to_memory(stateful_sessions(stream), "update")
+    # update-mode memory sink accumulates every emission; the final state
+    # of a session is its row with the largest n_events.
+    final = (
+        got.groupBy("user_id", "session_seq")
+        .agg(F.max_by(F.struct("session_start", "session_end", "n_events", "sum_value"), "n_events").alias("s"))
+        .select("user_id", "session_seq", "s.*")
+    )
+    batch = registry.get("av08_sessionize").builder(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end", "n_events", "sum_value"
+    )
+    f = {tuple(r) for r in final.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert f == b
+    # and at least one session must actually have been extended across batches
+    multi_emitted = got.groupBy("user_id", "session_seq").count().where(F.col("count") > 1)
+    assert multi_emitted.count() > 0
