@@ -69,6 +69,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.textops",
         "spotify_tags_etl_spark.operators.fuzzy",
         "spotify_tags_etl_spark.operators.multimodal",
+        "spotify_tags_etl_spark.sources.paged_api",
         "spotify_tags_etl_spark.streaming.ops",
     ):
         __import__(mod)  # mandatory: a broken module must fail loudly, not drop its queries

@@ -1,0 +1,245 @@
+"""Paginated API source family (SURVEY.md §2.1 S4-S6) as Spark-native
+distributed sources.
+
+The reference consumes the Spotify REST API as driver-side paged loops:
+
+* S4 ``query_all`` — search pages until an empty page
+  (``spotify_client.py:204-245``);
+* S5 ``extract_favorite_tracks`` — probe the total with a ``limit=1``
+  request, then page by offset (``spotify_client.py:506-553``);
+* S6 ``query_audio_features`` — chunk ids into ≤50 per request
+  (``spotify_client.py:431-467``).
+
+Here the same shapes are *executor-parallel*:
+
+* ``PagedSearchDataSource`` — a Spark 4 Python DataSource whose reader
+  probes the collection size up front (S5's probe) and plans one input
+  partition per offset range; each executor pulls its own pages with the
+  reference's page size (≤50/request) and optional inter-request delay
+  (``api_timeout`` analog). 1000 executors ⇒ 1000 concurrent page
+  cursors, not one driver loop.
+* ``batched_feature_lookup`` — S6 as ``mapInPandas``: each Arrow batch
+  is re-chunked to the API batch limit and looked up per chunk; the
+  Arrow batch size (session ``maxRecordsPerBatch``) controls
+  request granularity, exactly the §2.10 mapping.
+
+Determinism/test seam: the "remote" catalog is simulated by pure
+functions of the item index built on md5 (``_track_row``) — the same
+trick the reference's ``offline_ids.py`` uses to cut the network out of
+tests, but still executed *through* the full source machinery
+(partition planning, page loops, batch chunking). Being md5-derived,
+a DuckDB oracle reproduces the collection exactly via ``range()``
+(see sp01/sp02) — the source path itself is hash-checked, not just
+row-counted. A real deployment swaps ``_fetch_page`` for an HTTP call;
+nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+API_PAGE_LIMIT = 50  # Spotify max page size (reference api_limit, toml:31-32)
+
+SEARCH_SCHEMA_DDL = (
+    "idx BIGINT, track_id STRING, track_name STRING, artist_name STRING, "
+    "popularity INT, duration_ms BIGINT"
+)
+
+FEATURE_SCHEMA_DDL = "track_idx BIGINT, danceability_millis INT, energy_millis INT, tempo_centi INT"
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def _track_row(i: int) -> tuple:
+    """The simulated remote catalog: a pure md5-derived function of the
+    item index (reproducible in any engine; see the sp01 oracle)."""
+    h = _md5_hex(str(i))
+    return (
+        i,
+        h[:22],
+        f"track {i:06d}",
+        f"artist {i % 97:03d}",
+        int(h[:4], 16) % 101,            # popularity 0-100
+        30000 + int(h[4:9], 16) % 300000,  # 30s..330s
+    )
+
+
+def _fetch_page(offset: int, limit: int, total: int) -> list[tuple]:
+    """One simulated API request: items [offset, offset+limit) ∩ [0, total)."""
+    return [_track_row(i) for i in range(offset, min(offset + limit, total))]
+
+
+class _OffsetRange(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class PagedSearchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.total = int(options.get("total", "1000"))  # S5 probe result
+        self.page_delay_s = float(options.get("page_delay_s", "0"))
+        self.pages_per_partition = int(options.get("pages_per_partition", "4"))
+
+    def partitions(self) -> list[InputPartition]:
+        """Plan: contiguous offset ranges of N pages each (the probe+page
+        strategy of spotify_client.py:527-539, parallelized)."""
+        step = API_PAGE_LIMIT * self.pages_per_partition
+        return [_OffsetRange(o, min(o + step, self.total)) for o in range(0, self.total, step)]
+
+    def read(self, partition: _OffsetRange) -> Iterator[tuple]:
+        offset = partition.start
+        while offset < partition.end:
+            if self.page_delay_s:
+                time.sleep(self.page_delay_s)  # api_timeout analog — per executor cursor
+            page = _fetch_page(offset, min(API_PAGE_LIMIT, partition.end - offset), self.total)
+            if not page:
+                break  # S4 semantics: empty page terminates the cursor
+            yield from page
+            offset += API_PAGE_LIMIT
+
+
+class PagedSearchDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "paged_search"
+
+    def schema(self) -> str:
+        return SEARCH_SCHEMA_DDL
+
+    def reader(self, schema) -> PagedSearchReader:
+        return PagedSearchReader(self.options)
+
+
+_REGISTERED: set[int] = set()
+
+
+def register_paged_source(spark: SparkSession) -> None:
+    if id(spark) not in _REGISTERED:
+        spark.dataSource.register(PagedSearchDataSource)
+        _REGISTERED.add(id(spark))
+
+
+def read_paged_search(spark: SparkSession, total: int, pages_per_partition: int = 4) -> DataFrame:
+    register_paged_source(spark)
+    return (
+        spark.read.format("paged_search")
+        .option("total", str(total))
+        .option("pages_per_partition", str(pages_per_partition))
+        .load()
+    )
+
+
+# ---------------------------------------------------------------------------
+# S6: batched keyed lookup as mapInPandas
+# ---------------------------------------------------------------------------
+
+
+def _feature_lookup_batch(ids: list[int]) -> list[tuple]:
+    """One simulated audio-features request (≤50 ids). Integer-milli
+    features derived from md5 so the oracle is exact (no float parsing)."""
+    assert len(ids) <= API_PAGE_LIMIT, "API contract: at most 50 ids per request"
+    out = []
+    for i in ids:
+        h = _md5_hex(f"feat|{i}")
+        out.append(
+            (
+                i,
+                int(h[:4], 16) % 1001,        # danceability 0.000-1.000 (millis)
+                int(h[4:8], 16) % 1001,       # energy
+                int(h[8:12], 16) % 20000,     # tempo 0.00-200.00 (centi)
+            )
+        )
+    return out
+
+
+def batched_feature_lookup(ids_df: DataFrame, id_col: str = "track_idx") -> DataFrame:
+    """S6 (spotify_client.py:431-467) Spark-side: every Arrow batch is
+    re-chunked to the ≤50-id API limit; requests run on executors, one
+    cursor per partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["track_idx", "danceability_millis", "energy_millis", "tempo_centi"]
+        for batch in batches:
+            ids = batch[id_col].tolist()
+            rows: list[tuple] = []
+            for j in range(0, len(ids), API_PAGE_LIMIT):
+                rows.extend(_feature_lookup_batch(ids[j : j + API_PAGE_LIMIT]))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return ids_df.mapInPandas(run, schema=FEATURE_SCHEMA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# registered queries
+# ---------------------------------------------------------------------------
+
+_SP01_TOTAL = 730  # deliberately not a multiple of the page size
+
+
+@register(
+    "sp01_paged_source",
+    oracle=f"""
+    SELECT i AS idx,
+           substr(md5(CAST(i AS VARCHAR)), 1, 22) AS track_id,
+           'track ' || lpad(CAST(i AS VARCHAR), 6, '0') AS track_name,
+           'artist ' || lpad(CAST(i % 97 AS VARCHAR), 3, '0') AS artist_name,
+           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT % 101 AS INT) AS popularity,
+           30000 + ('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 5))::BIGINT % 300000 AS duration_ms
+    FROM range(0, {_SP01_TOTAL}) t(i)
+    """,
+    doc=(
+        "Spark 4 Python DataSource for the paginated search API (S4/S5, "
+        "spotify_client.py:204-245,506-553): probe total → plan offset-"
+        "range partitions → executor-side page cursors (≤50/page). The "
+        "simulated catalog is md5-derived, so the oracle reproduces the "
+        "whole collection via range() — full value-hash over the source "
+        "path."
+    ),
+    tags=("source", "paged"),
+)
+def sp01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_paged_search(spark, total=_SP01_TOTAL)
+
+
+@register(
+    "sp02_batched_lookup",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT l_partkey AS track_idx FROM lineitem WHERE l_partkey <= 300)
+    SELECT track_idx,
+           CAST(('0x' || substr(md5('feat|' || CAST(track_idx AS VARCHAR)), 1, 4))::INT % 1001 AS INT)
+             AS danceability_millis,
+           CAST(('0x' || substr(md5('feat|' || CAST(track_idx AS VARCHAR)), 5, 4))::INT % 1001 AS INT)
+             AS energy_millis,
+           CAST(('0x' || substr(md5('feat|' || CAST(track_idx AS VARCHAR)), 9, 4))::INT % 20000 AS INT)
+             AS tempo_centi
+    FROM ids
+    """,
+    doc=(
+        "Batched keyed enrichment (S6, spotify_client.py:431-467) as "
+        "mapInPandas: distinct keys, Arrow batches re-chunked to the ≤50-"
+        "id API limit, executor-parallel lookups. Features are integer "
+        "milli-units (exact cross-engine)."
+    ),
+    tags=("source", "udf", "enrichment"),
+)
+def sp02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("track_idx"))
+        .where(F.col("track_idx") <= 300)
+        .distinct()
+    )
+    return batched_feature_lookup(ids)

@@ -1,0 +1,42 @@
+"""Paginated-source plumbing: partition planning, page-size contract,
+chunked lookup. Value correctness vs DuckDB is in test_oracle_parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.sources.paged_api import (
+    API_PAGE_LIMIT,
+    PagedSearchReader,
+    batched_feature_lookup,
+    read_paged_search,
+)
+
+
+def test_partition_planning_covers_range_without_overlap():
+    reader = PagedSearchReader({"total": "730", "pages_per_partition": "4"})
+    parts = reader.partitions()
+    # 730 items / (50*4) per partition → 4 ranges
+    assert [(p.start, p.end) for p in parts] == [(0, 200), (200, 400), (400, 600), (600, 730)]
+    seen = []
+    for p in parts:
+        seen.extend(r[0] for r in reader.read(p))
+    assert sorted(seen) == list(range(730))  # every idx exactly once
+
+
+def test_source_is_executor_partitioned(spark):
+    df = read_paged_search(spark, total=730, pages_per_partition=2)
+    assert df.rdd.getNumPartitions() == 8  # 730 / (50*2) → 8 ranges
+    assert df.count() == 730
+    assert df.select(F.countDistinct("idx")).collect()[0][0] == 730
+
+
+def test_batched_lookup_respects_api_limit(spark):
+    # 3 partitions × >50 ids each: every request chunk must be ≤ 50
+    ids = spark.range(0, 240).select(F.col("id").alias("track_idx")).repartition(3)
+    out = batched_feature_lookup(ids)
+    assert out.count() == 240
+    assert out.select(F.countDistinct("track_idx")).collect()[0][0] == 240
+    row = out.where(F.col("track_idx") == 0).collect()[0]
+    assert 0 <= row.danceability_millis <= 1000
+    assert API_PAGE_LIMIT == 50
