@@ -215,6 +215,42 @@ def sp01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sp03_udtf_pages",
+    oracle=f"""
+    SELECT i AS idx,
+           substr(md5(CAST(i AS VARCHAR)), 1, 22) AS track_id,
+           'track ' || lpad(CAST(i AS VARCHAR), 6, '0') AS track_name,
+           'artist ' || lpad(CAST(i % 97 AS VARCHAR), 3, '0') AS artist_name,
+           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT % 101 AS INT) AS popularity,
+           30000 + ('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 5))::BIGINT % 300000 AS duration_ms
+    FROM range(0, {_SP01_TOTAL}) t(i)
+    """,
+    doc=(
+        "Pagination generator as a Python UDTF (SURVEY §2.10, the "
+        "row→N-rows shape of query_all, spotify_client.py:204-245): a "
+        "frame of page offsets LATERAL-joined to fetch_page(offset) — "
+        "each offset expands to its ≤50-item page on the executors. "
+        "Same md5 catalog as sp01, so the full-collection oracle applies."
+    ),
+    tags=("source", "paged", "udtf"),
+)
+def sp03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=SEARCH_SCHEMA_DDL)
+    class FetchPage:
+        def eval(self, offset: int, total: int):
+            yield from _fetch_page(int(offset), API_PAGE_LIMIT, int(total))
+
+    spark.udtf.register("fetch_page", FetchPage)
+    offsets = spark.range(0, _SP01_TOTAL, API_PAGE_LIMIT).withColumnRenamed("id", "page_offset")
+    offsets.createOrReplaceTempView("_sp03_offsets")
+    return spark.sql(
+        f"SELECT p.* FROM _sp03_offsets o, LATERAL fetch_page(o.page_offset, {_SP01_TOTAL}) p"
+    )
+
+
+@register(
     "sp02_batched_lookup",
     oracle="""
     WITH ids AS (SELECT DISTINCT l_partkey AS track_idx FROM lineitem WHERE l_partkey <= 300)
