@@ -33,10 +33,25 @@ def test_lsh_candidates_superset_sanity(spark, sf_dir):
 
 def test_simhash_fingerprint_shape(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
-    fps = dedup.simhash_fingerprints(dedup.distinct_tokens(docs))
+    fps = dedup.simhash_fingerprints(dedup.word_shingles(docs))
     rows = fps.collect()
-    assert len(rows) == docs.count()
-    assert all(len(r.fp) == 32 and set(r.fp) <= {"0", "1"} for r in rows)
+    assert len(rows) == docs.where(F.size(F.split("text", " ")) >= 3).count()
+    assert all(0 <= r.fp < (1 << 60) for r in rows)  # positive 60-bit BIGINT
+
+
+def test_simhash_identical_docs_collapse_not_pair(spark):
+    """Exact dups share a fingerprint → same group (n=2), never a pair row;
+    a one-word edit lands within Hamming ≤ 3 → a group pair."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    edited = text.replace("iota", "omega", 1)
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, edited)], "doc_id long, text string"
+    )
+    fps = dedup.simhash_fingerprints(dedup.word_shingles(df))
+    groups = {r.doc_id: r.fp for r in fps.collect()}
+    assert groups[1] == groups[2]
+    pairs = dedup.simhash_pairs(fps, max_hamming=30).collect()
+    assert [(p.r1, p.r2, p.n1, p.n2) for p in pairs] == [(1, 3, 2, 1)]
 
 
 def test_exact_dedup_finds_injected_duplicate(spark, sf_dir):
