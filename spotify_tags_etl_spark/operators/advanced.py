@@ -532,3 +532,32 @@ def av11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round((_KMV_K - 1) / u_k, 0).cast("bigint"))
         .alias("approx_distinct")
     )
+
+
+@register(
+    "av12_approx_percentile",
+    oracle=None,  # sketch-based: algorithm-specific results, rows-only gate
+    doc=(
+        "approx_percentile (KLL/GK sketch): the 100 TB scale path for "
+        "av05's exact percentiles — single pass, mergeable partials, no "
+        "per-group sort. Accuracy vs the exact quantiles is pinned in "
+        "tests/test_advanced.py (1% relative accuracy at 10k-row groups)."
+    ),
+    tags=("aggregate", "percentile", "sketch"),
+)
+def av12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pc = F.percentile_approx(
+        F.col("value"), F.array(*[F.lit(x) for x in (0.25, 0.50, 0.75, 0.95)]), F.lit(10000)
+    )
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(pc.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p95"),
+        )
+    )

@@ -622,3 +622,28 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_regionkey")
         .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
     )
+
+
+@register(
+    "q32_intersect_except",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995),
+    y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+    SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT o_custkey, 'only_1995' AS cohort FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    """,
+    doc=(
+        "Set operations (SURVEY §2.7 — absent in the reference, built-in "
+        "here): INTERSECT / EXCEPT cohorts of customers by order year. "
+        "Both compile to aggregate + join — one shuffle each on the key."
+    ),
+    tags=("setop",),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
+    only95 = y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995"))
+    return both.unionByName(only95)

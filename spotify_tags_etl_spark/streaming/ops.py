@@ -299,3 +299,48 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
 )
 def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(stateful_sessions(read_events_stream(spark, sf_dir)), "update")
+
+
+# ---------------------------------------------------------------------------
+# stream-static join
+# ---------------------------------------------------------------------------
+
+
+def stream_static_enrich(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch hash-joins against the static
+    dimension (re-broadcast per batch; at scale, a broadcast of the dim
+    or a bucketed static side). Aggregation keys on the dim attribute."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "st04_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Stream-static broadcast join + windowless agg (complete mode): "
+        "the streaming enrichment shape — every micro-batch joins the "
+        "static customer dim without state; only the aggregate is "
+        "stateful."
+    ),
+    tags=("streaming", "join"),
+)
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    customers = load_table(spark, sf_dir, "customer")
+    return run_to_memory(stream_static_enrich(read_events_stream(spark, sf_dir), customers), "complete")
