@@ -24,13 +24,20 @@ from pyspark.sql import functions as F
 from spotify_tags_etl_spark.schemas import MEDIA_CONFORMED_CASTS, MEDIA_RAW_SCHEMA, WAREHOUSE_TABLES
 
 
-def read_media_json(spark: SparkSession, path: str) -> DataFrame:
+def read_media_json(spark: SparkSession, path: str, with_source_file: bool = False) -> DataFrame:
     """S1/S2/S3: NDJSON scan with explicit schema (postgres_media.py:285-300).
 
     Glob patterns work directly (``data/*local*.json``); blank lines are
     skipped by the reader; the mixed-type ``album_gain`` lands as string.
+    ``with_source_file`` exposes the O3 observable scan provenance
+    (postgres_media.py:291's sorted file list) as a ``source_file``
+    column via ``input_file_name()`` — ordering by it reproduces the
+    reference's deterministic per-file processing order.
     """
-    return spark.read.schema(MEDIA_RAW_SCHEMA).json(path)
+    df = spark.read.schema(MEDIA_RAW_SCHEMA).json(path)
+    if with_source_file:
+        df = df.withColumn("source_file", F.input_file_name())
+    return df
 
 
 def conform(raw: DataFrame) -> DataFrame:

@@ -647,3 +647,62 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = y95.intersect(y96).withColumn("cohort", F.lit("both"))
     only95 = y95.exceptAll(y96).withColumn("cohort", F.lit("only_1995"))
     return both.unionByName(only95)
+
+
+@register(
+    "q33_track_tag_format",
+    oracle="""
+    SELECT printf('%03d | %s | %s | %02d-%s',
+                  CAST(s_suppkey % 1000 AS INT), s_name, n_name,
+                  CAST(s_nationkey % 100 AS INT), s_name) AS track_tag
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    doc=(
+        "F18 (postgres_media.py:256-260): printf-style key formatting via "
+        "format_string over a broadcast dim join."
+    ),
+    tags=("function", "format"),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.functions.format import track_tag
+
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    return sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey).select(
+        track_tag(
+            (F.col("s_suppkey") % 1000).cast("int"),
+            F.col("s_name"),
+            F.col("n_name"),
+            (F.col("s_nationkey") % 100).cast("int"),
+            F.col("s_name"),
+        ).alias("track_tag")
+    )
+
+
+@register(
+    "q34_readable_size",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN b < 1024.0 THEN printf('%.2f B', round(b, 2))
+                WHEN b < 1048576.0 THEN printf('%.2f KiB', round(b / 1024.0, 2))
+                WHEN b < 1073741824.0 THEN printf('%.2f MiB', round(b / 1048576.0, 2))
+                ELSE printf('%.2f GiB', round(b / 1073741824.0, 2))
+           END AS readable
+    FROM (SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DOUBLE) AS b
+          FROM orders)
+    """,
+    doc=(
+        "F14 (util/logger.py:11-20): bytes → human-readable size as a "
+        "codegen'd when-ladder (binary 1024 units; the reference's loop "
+        "divides by 1000 while printing binary labels — fixed here)."
+    ),
+    tags=("function", "format"),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.functions.format import readable_size
+
+    # exact integer "bytes": decimal route — double→bigint casts TRUNCATE in
+    # Spark but ROUND in DuckDB, so never integer-cast a double directly
+    b = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("double")
+    return _t(spark, sf_dir, "orders").select("o_orderkey", readable_size(b).alias("readable"))

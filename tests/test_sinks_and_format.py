@@ -1,0 +1,85 @@
+"""Side-output/remote sinks (K4/K9) and formatting functions (F14/F16/
+F18), plus O3 scan provenance."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.etl.media import read_media_json
+from spotify_tags_etl_spark.functions.format import build_search_url, readable_size, track_tag
+from spotify_tags_etl_spark.sinks import foreach_partition_sink, save_debug_json
+
+_DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+def test_readable_size_bands(spark):
+    df = spark.createDataFrame(
+        [(0,), (512,), (2048,), (1048576,), (5_368_709_120,)], "n long"
+    )
+    got = [r.s for r in df.select(readable_size("n").alias("s")).collect()]
+    assert got == ["0.00 B", "512.00 B", "2.00 KiB", "1.00 MiB", "5.00 GiB"]
+
+
+def test_track_tag_format(spark):
+    df = spark.createDataFrame([(7, "Mazzy Star", "So Tonight", 2, "Fade Into You")],
+                               "i int, artist string, album string, num int, title string")
+    got = df.select(track_tag("i", "artist", "album", "num", "title").alias("t")).collect()[0].t
+    assert got == "007 | Mazzy Star | So Tonight | 02-Fade Into You"
+
+
+def test_build_search_url_deterministic():
+    url = build_search_url("https://api.example.com/v1/search", {"q": "artist:Beck", "limit": 50, "type": "track"})
+    assert url == "https://api.example.com/v1/search?limit=50&q=artist%3ABeck&type=track"
+
+
+def test_save_debug_json_dated_path(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    path = save_debug_json(df, str(tmp_path), "search_results", date=datetime.date(2026, 8, 13))
+    assert path == str(tmp_path / "api" / "2026-08-13" / "search_results")
+    rows = []
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".json"):
+                with open(os.path.join(root, f)) as fh:
+                    rows += [json.loads(line) for line in fh if line.strip()]
+    assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_foreach_partition_sink_batches(spark, tmp_path):
+    """Every row delivered exactly once; no request exceeds the API batch
+    contract. The recording client writes per-batch files (executor-side,
+    local[*] shares the FS)."""
+    outdir = str(tmp_path / "api_calls")
+    os.makedirs(outdir, exist_ok=True)
+
+    def client_factory():
+        import os as _os
+        import uuid as _uuid
+
+        def send(batch):
+            assert len(batch) <= 50
+            with open(_os.path.join(outdir, f"req-{_uuid.uuid4().hex}.json"), "w") as fh:
+                json.dump([row.track_id for row in batch], fh)
+
+        return send
+
+    df = spark.range(0, 230).select(F.concat(F.lit("t"), F.col("id")).alias("track_id")).repartition(3)
+    foreach_partition_sink(df, client_factory)
+    sent = []
+    for f in os.listdir(outdir):
+        with open(os.path.join(outdir, f)) as fh:
+            batch = json.load(fh)
+        assert len(batch) <= 50
+        sent += batch
+    assert sorted(sent) == sorted(f"t{i}" for i in range(230))
+
+
+def test_scan_provenance_column(spark):
+    df = read_media_json(spark, os.path.join(_DATA, "*local*.json"), with_source_file=True)
+    files = {r.source_file for r in df.select("source_file").distinct().collect()}
+    assert len(files) == 1
+    assert next(iter(files)).endswith("local_media_sample.json")
