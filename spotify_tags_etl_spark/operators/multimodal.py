@@ -145,3 +145,124 @@ def mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm02(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_multimodal(to_multimodal(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 224
+FRAME_STEP = 10
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("new_width", IntegerType(), True),
+        StructField("new_height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_hash", StringType(), True),
+    ]
+)
+
+
+def resize_multimodal(mm: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Aspect-preserving resize stage (mapInPandas; the real PIL/opencv
+    call is what the stub's integer math stands in for). Pure integer
+    arithmetic — ``new = dim * target // max(w, h)`` — so the plumbing is
+    oracle-checkable and no float rounding can diverge."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = decode_image_batch(batch["payload"], fake=True)
+            w, h = feats["width"], feats["height"]
+            mx = pd.concat([w, h], axis=1).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"].reset_index(drop=True),
+                    "width": w,
+                    "height": h,
+                    "new_width": (w * target // mx).clip(lower=1),
+                    "new_height": (h * target // mx).clip(lower=1),
+                }
+            )
+
+    return mm.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(mm: DataFrame, step: int = FRAME_STEP) -> DataFrame:
+    """Frame-sampling stage for video payloads: every ``step``-th frame of
+    the decoded stream, one output row per sampled frame (1→N explode
+    inside mapInPandas — the ffmpeg-shaped batch contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = decode_image_batch(batch["payload"], fake=True)
+            out_doc, out_idx, out_hash = [], [], []
+            for doc_id, sha_hex, n_frames in zip(
+                batch["doc_id"], batch["sha256_hex"], feats["n_frames"]
+            ):
+                for i in range(0, int(n_frames), step):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_hash.append(hashlib.md5(f"{sha_hex}:{i}".encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx, "frame_hash": out_hash})
+
+    return mm.where(F.col("modality") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@register(
+    "mm03_resize_stub",
+    oracle=f"""
+    SELECT doc_id,
+           ('0x' || substr(sha256(text), 1, 2))::INT * 16 + 16 AS width,
+           ('0x' || substr(sha256(text), 3, 2))::INT * 16 + 16 AS height,
+           greatest(1, (('0x' || substr(sha256(text), 1, 2))::INT * 16 + 16) * {RESIZE_TARGET}
+             // greatest(('0x' || substr(sha256(text), 1, 2))::INT * 16 + 16,
+                         ('0x' || substr(sha256(text), 3, 2))::INT * 16 + 16)) AS new_width,
+           greatest(1, (('0x' || substr(sha256(text), 3, 2))::INT * 16 + 16) * {RESIZE_TARGET}
+             // greatest(('0x' || substr(sha256(text), 1, 2))::INT * 16 + 16,
+                         ('0x' || substr(sha256(text), 3, 2))::INT * 16 + 16)) AS new_height
+    FROM documents
+    """,
+    doc=(
+        "Aspect-preserving resize plumbing (mapInPandas, stubbed codec): "
+        "integer-exact target-box math, payload never shuffled. The "
+        "oracle reproduces the fake decoder's sha256-derived dimensions."
+    ),
+    tags=("multimodal", "udf"),
+)
+def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_multimodal(to_multimodal(docs))
+
+
+@register(
+    "mm04_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, sha256(text) AS sha_hex,
+             ('0x' || substr(sha256(text), 5, 2))::INT + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           md5(sha_hex || ':' || CAST(f AS VARCHAR)) AS frame_hash
+    FROM (SELECT doc_id, sha_hex, unnest(range(0, n_frames, {FRAME_STEP})) AS f FROM v)
+    """,
+    doc=(
+        "Frame sampling for video payloads: every 10th frame, 1→N row "
+        "explode inside mapInPandas (the ffmpeg batch shape). Oracle "
+        "replays the sha256-derived frame count and md5 frame ids."
+    ),
+    tags=("multimodal", "udf"),
+)
+def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(to_multimodal(docs))
