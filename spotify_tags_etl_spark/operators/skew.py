@@ -1,0 +1,83 @@
+"""Skew- and shuffle-management helpers: salting and bucketing.
+
+Neither changes query *semantics* — they change the physical exchange
+plan, so they are exposed as helpers (not registry queries) and pinned
+by plan-shape tests (tests/test_scale_physical.py) rather than oracles.
+
+* **Salted aggregation** — two-phase agg for skewed keys: key → (key,
+  salt) partial agg (spreads one hot key over N reducers) → final agg on
+  key. Works for any algebraic aggregate (sum/count/min/max); the same
+  decomposition Spark uses internally for partial aggregation, made
+  explicit when one key dominates a partition.
+* **Salted broadcast-backed skew join** — replicate the small side N×
+  with a salt column, salt the big side randomly-but-deterministically
+  (hash of a row id % N), equi-join on (key, salt). Turns one hot
+  reducer into N. AQE's skew-join split does this adaptively at runtime;
+  the explicit form is for engines/paths where AQE can't see the skew
+  (e.g. custom bucket joins).
+* **Bucketed co-located join** — ``bucketBy(k, key).sortBy(key)`` both
+  sides at write time → sort-merge join with ZERO Exchange at read time.
+  The write-once/join-many pattern: at 100 TB re-shuffling a fact table
+  per query is the dominant cost; bucketing amortizes it to ingest time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_sum(
+    df: DataFrame, key: str, value_col, out: str, n_salts: int = 16
+) -> DataFrame:
+    """Two-phase salted aggregation: SUM(value) per key with the partial
+    phase spread over ``n_salts`` reducers per key."""
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
+    partial = (
+        df.select(F.col(key), value_col.alias("_v"), salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum("_v").alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salts: int = 16
+) -> DataFrame:
+    """Skew-safe equi-join: small side replicated ``n_salts``×, big side
+    salted deterministically; join on (key, salt). Inner join semantics
+    identical to ``big.join(small, key)``."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    small_rep = small.select("*", salts)
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    )
+    return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, sort: bool = True
+) -> None:
+    """Write a table bucketed (and sorted) by the join key — the
+    co-location contract later joins rely on."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str, force_sort_merge: bool = False
+) -> DataFrame:
+    """Join two co-bucketed tables: Catalyst sees matching bucket specs
+    and plans a sort-merge join with no Exchange on either side.
+
+    ``force_sort_merge`` adds a MERGE hint — at toy scale Catalyst
+    correctly prefers broadcasting the small side (which ignores the
+    bucket layout); the hint pins the plan shape the bucketing exists
+    for, i.e. what a 100 TB fact-fact join would pick on its own.
+    """
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), key)

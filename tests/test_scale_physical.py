@@ -1,0 +1,101 @@
+"""Physical-plan assertions for the scale helpers: bucketing must remove
+exchanges, salting must preserve semantics while spreading keys, and the
+headline scans must keep pushdown + pruning (the .explain contract the
+engine promises in README/SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.skew import (
+    bucketed_join,
+    salted_join,
+    salted_sum,
+    write_bucketed,
+)
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+def _executed_plan(df) -> str:
+    df.count()  # force AQE final plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_sum_matches_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r.event_type: r.s
+        for r in ev.groupBy("event_type").agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("s")).collect()
+    }
+    salted = {
+        r.event_type: r.s
+        for r in salted_sum(ev, "event_type", F.col("value").cast("decimal(14,2)"), out="s").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(customer, "o_custkey").groupBy("o_custkey").count()
+    salted = salted_join(orders, customer, "o_custkey").groupBy("o_custkey").count()
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucket_test")
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "bucket_test.orders_b", "o_custkey",
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+        "bucket_test.customer_b", "o_custkey",
+    )
+    yield
+    spark.sql("DROP DATABASE IF EXISTS bucket_test CASCADE")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    joined = bucketed_join(
+        spark, "bucket_test.orders_b", "bucket_test.customer_b", "o_custkey", force_sort_merge=True
+    )
+    plan = _executed_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # co-located: zero shuffle on either side
+    assert "Bucketed: true" in plan
+
+
+def test_unbucketed_same_join_shuffles(spark, sf_dir):
+    """Control: the same sort-merge join over plain parquet needs an
+    Exchange on both sides — the shuffle bucketing eliminates."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    plan = _executed_plan(orders.hint("merge").join(customer, "o_custkey"))
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_headline_scan_pushdown_and_pruning(spark, sf_dir):
+    """The q13 contract: the shipdate filter reaches the parquet scan and
+    only the 6 needed columns are read (of 10+)."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("q13_groupby_agg").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_comment" not in read_schema and "l_orderkey" not in read_schema
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir):
+    from spotify_tags_etl_spark.plans import registry
+
+    plan = _executed_plan(registry.get("q06_join3_theta_sort").builder(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
