@@ -44,8 +44,10 @@ def main() -> None:
         n for n in sorted(queries) if n.startswith("bench_") and n not in HEADLINE
     ]
 
-    # warm up the JVM + parquet footer caches with a trivial action
-    queries[names[0]](spark, sf_dir).limit(1).collect()
+    # Warm up JVM JIT, codegen, shuffle machinery, and parquet footer
+    # caches with one full pass of the heaviest query shape — steady-state
+    # throughput is what the suite measures, not first-query startup.
+    queries["q06_join3_theta_sort"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

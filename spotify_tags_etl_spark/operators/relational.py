@@ -273,28 +273,34 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q13_groupby_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))) / 1000000.0 AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc=(
-        "Pricing-summary group-by (TPC-H Q1 shape; beyond-reference core agg). Partial "
-        "map-side aggregation + decimal-exact sums; filter pushed to parquet scan."
+        "Pricing-summary group-by (TPC-H Q1 shape; beyond-reference core agg). "
+        "Exact sums via integer cents (2dp measures ×100, discount factor ×10⁴): "
+        "order-independent like DECIMAL but ~3× faster in codegen (long adds vs "
+        "decimal adds). Exact while Σ(price_cents × 10⁴) < 2⁶³ ≈ 9×10¹² currency "
+        "units — fine through SF~10³; beyond that switch the final agg to "
+        "DECIMAL(38,4) (partials stay long). Filter pushed to parquet scan."
     ),
     tags=("aggregate", "groupby"),
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cents = lambda c, s=100: F.round(F.col(c) * s).cast("bigint")  # noqa: E731
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("sum_disc_price"),
+        (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+        (F.sum(cents("l_extendedprice") * (F.lit(10000) - cents("l_discount", 10000))) / 1000000.0).alias(
+            "sum_disc_price"
+        ),
         F.count("*").alias("count_order"),
     )
 
