@@ -344,3 +344,24 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customers = load_table(spark, sf_dir, "customer")
     return run_to_memory(stream_static_enrich(read_events_stream(spark, sf_dir), customers), "complete")
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch sink
+# ---------------------------------------------------------------------------
+
+
+def run_foreach_batch(stream: DataFrame, batch_fn, max_files_per_trigger: int | None = None) -> None:
+    """§2.9's batch-of-50 keyed enrichment analog: ``foreachBatch`` hands
+    each micro-batch to arbitrary batch-DataFrame logic (enrichment
+    joins, idempotent upserts, multi-sink writes) with the batch id for
+    exactly-once bookkeeping."""
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()

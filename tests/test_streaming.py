@@ -92,3 +92,28 @@ def test_stateful_sessions_span_batches(spark, sf_dir, multi_file_events):
     # and at least one session must actually have been extended across batches
     multi_emitted = got.groupBy("user_id", "session_seq").count().where(F.col("count") > 1)
     assert multi_emitted.count() > 0
+
+
+def test_foreach_batch_enrichment_sink(spark, sf_dir, multi_file_events, tmp_path):
+    """foreachBatch: each micro-batch runs batch logic (a broadcast
+    enrichment join) and lands in its own idempotent output; batch ids
+    are consecutive and all rows are delivered exactly once."""
+    from spotify_tags_etl_spark.streaming.ops import run_foreach_batch
+
+    out = str(tmp_path / "enriched")
+    seen_batches = []
+
+    def handle(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        dim = batch_df.sparkSession.createDataFrame(
+            [(t, t.upper()) for t in ("click", "error", "purchase", "signup", "view")],
+            "event_type string, event_type_uc string",
+        )
+        (batch_df.join(F.broadcast(dim), "event_type")
+         .write.mode("overwrite").parquet(f"{out}/batch={batch_id}"))
+
+    stream = _read_stream_dir(spark, multi_file_events)
+    run_foreach_batch(stream, handle)
+    assert sorted(seen_batches) == [0, 1, 2]  # one per file (maxFilesPerTrigger=1)
+    total = spark.read.parquet(f"{out}/batch=*").count()
+    assert total == load_table(spark, sf_dir, "events").count()
