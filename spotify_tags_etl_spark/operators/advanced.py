@@ -561,3 +561,59 @@ def av12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[3], 6).alias("p95"),
         )
     )
+
+
+@register(
+    "av13_moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS sc,
+             SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS sc2,
+             SUM(user_id) AS su,
+             SUM(user_id * user_id) AS su2,
+             SUM(CAST(round(value * 100) AS BIGINT) * user_id) AS scu
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(sc / 100.0 / n, 6) AS mean_value,
+           ROUND((sc2 - CAST(sc AS DOUBLE) * sc / n) / 10000.0 / (n - 1), 6) AS var_value,
+           ROUND((scu - CAST(sc AS DOUBLE) * su / n)
+                 / sqrt((sc2 - CAST(sc AS DOUBLE) * sc / n) * (su2 - CAST(su AS DOUBLE) * su / n)), 6)
+             AS corr_value_user
+    FROM s
+    """,
+    doc=(
+        "Statistical moments (mean / sample variance / Pearson corr) from "
+        "EXACT integer sufficient statistics: Σc, Σc², Σu, Σu², Σcu over "
+        "integer cents — order-independent partial aggregation (unlike "
+        "float Welford merges, which differ run-to-run and engine-to-"
+        "engine), final moments derived in one double expression. The "
+        "only cross-engine-deterministic way to oracle-check stddev/corr."
+    ),
+    tags=("aggregate", "statistics"),
+)
+def av13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.round(F.col("value") * 100).cast("bigint")
+    u = F.col("user_id")
+    s = _ev(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(c).alias("sc"),
+        F.sum(c * c).alias("sc2"),
+        F.sum(u).alias("su"),
+        F.sum(u * u).alias("su2"),
+        F.sum(c * u).alias("scu"),
+    )
+    n, sc, sc2, su, su2, scu = [F.col(x) for x in ("n", "sc", "sc2", "su", "su2", "scu")]
+    return s.select(
+        "event_type",
+        "n",
+        F.round(sc / 100.0 / n, 6).alias("mean_value"),
+        F.round((sc2 - sc.cast("double") * sc / n) / 10000.0 / (n - 1), 6).alias("var_value"),
+        F.round(
+            (scu - sc.cast("double") * su / n)
+            / F.sqrt((sc2 - sc.cast("double") * sc / n) * (su2 - su.cast("double") * su / n)),
+            6,
+        ).alias("corr_value_user"),
+    )

@@ -71,3 +71,22 @@ def test_sessionize_counts_sum_to_events(spark, sf_dir):
     sess = registry.get("av08_sessionize").builder(spark, sf_dir)
     total = sess.agg(F.sum("n_events")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_moments_match_builtin_stats(spark, sf_dir):
+    """The exact-integer-sum moments must agree with Spark's float
+    var_samp/corr to float precision (the builtins are the semantics;
+    the integer path is the deterministic implementation)."""
+    from spotify_tags_etl_spark.plans import registry
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    ours = {r.event_type: (r.var_value, r.corr_value_user)
+            for r in registry.get("av13_moments").builder(spark, sf_dir).collect()}
+    ref = {r.event_type: (r.v, r.c)
+           for r in load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+               F.var_samp("value").alias("v"),
+               F.corr("value", F.col("user_id").cast("double")).alias("c")).collect()}
+    assert set(ours) == set(ref)
+    for et in ours:
+        assert ours[et][0] == pytest.approx(ref[et][0], rel=1e-6)
+        assert ours[et][1] == pytest.approx(ref[et][1], rel=1e-4)
