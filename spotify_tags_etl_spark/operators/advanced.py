@@ -285,13 +285,18 @@ def asof_join(
 )
 def av06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    errors = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts", "value")
+    # Merge on ts_ns (full nanosecond precision), matching the oracle's
+    # native ASOF comparison — ordering by the derived usec ts would tie
+    # (and mis-order) events that differ only below the microsecond.
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts", "ts_ns")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_ns", "value"
+    )
     joined = asof_join(
         clicks,
         errors,
         key="user_id",
-        ts="ts",
+        ts="ts_ns",
         right_cols={"event_id": "err_event_id", "value": "err_value"},
     )
     return joined.select(
@@ -392,14 +397,16 @@ _GAP_MIN = 30
 )
 def av08(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # Order by ts_ns: the oracle's windows compare full ns precision, and
+    # usec-tied events must not reorder between engines.
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
     gap_us = _GAP_MIN * 60 * 1_000_000
     prev = F.lag(F.expr("ts_ns DIV 1000")).over(w)
     flagged = ev.withColumn(
         "is_new",
         F.when(prev.isNull() | (F.expr("ts_ns DIV 1000") - prev > gap_us), 1).otherwise(0),
     )
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = Window.partitionBy("user_id").orderBy("ts_ns").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessioned = flagged.withColumn("session_seq", F.sum("is_new").over(run))
     return sessioned.groupBy("user_id", "session_seq").agg(
         F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),

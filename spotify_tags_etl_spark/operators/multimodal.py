@@ -135,10 +135,22 @@ def mm01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm02_decode_stub",
-    oracle=None,  # pandas-UDF decode stage → rows-only (unit-tested for determinism)
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS modality,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           ('0x' || substr(sha256(text), 1, 2))::INT * 16 + 16 AS width,
+           ('0x' || substr(sha256(text), 3, 2))::INT * 16 + 16 AS height,
+           ('0x' || substr(sha256(text), 5, 2))::INT + 1 AS n_frames,
+           substr(sha256(text), 1, 16) AS feature_hash
+    FROM documents
+    """,
     doc=(
         "mapInPandas decode stage over binary payloads with the deterministic "
-        "fake decoder (real codecs stubbed behind NotImplementedError)."
+        "fake decoder (real codecs stubbed behind NotImplementedError). The "
+        "oracle replays the sha256-derived fake dimensions and feature hash."
     ),
     tags=("multimodal", "udf"),
 )

@@ -43,6 +43,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TPCH_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS); vanilla Spark rejects the
+        # physical type outright (PARQUET_TYPE_ILLEGAL) unless this runtime
+        # SQL conf is on. Set it here so the loader is self-sufficient on ANY
+        # session it is handed (driver harness, notebooks), not only sessions
+        # built by our session.py factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via spark.sql.legacy.parquet.nanosAsLong:

@@ -75,6 +75,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     link = os.path.join(stream_dir, "events.parquet")
     if not os.path.exists(link):
         os.symlink(path, link)
+    # Same vanilla-session guard as sources/tpch.py:load_table — the
+    # TIMESTAMP(NANOS) physical type needs this runtime conf on ANY session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -146,12 +149,19 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup_keys(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming distinct on (user_id, event_type): stateful dedup whose
-    state is bounded by the watermark. Output = keys only (the kept
-    'first' row is arrival-order-dependent; keys are deterministic)."""
+    state IS bounded by the watermark — dropDuplicatesWithinWatermark
+    evicts a key's state once the watermark passes its event time, so a
+    long-running stream holds state only for keys seen within the last
+    `watermark` of event time (plain dropDuplicates on a subset without
+    the event-time column would grow state forever). Output = keys only
+    (the kept 'first' row is arrival-order-dependent; keys are
+    deterministic). A key re-appearing after a >watermark quiet period
+    re-emits — acceptable for the cross-page dedup semantics (pages of
+    one extract arrive well within the watermark)."""
     return (
         events.withWatermark("ts", watermark)
         .select("user_id", "event_type", "ts")
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
 
@@ -200,7 +210,10 @@ _STATE_SCHEMA = StructType(
 
 
 def _fmt_us(us: int) -> str:
-    return str(pd.Timestamp(us * 1000))  # 'YYYY-MM-DD HH:MM:SS.ffffff'
+    # Explicit %f: str(pd.Timestamp) drops the fractional part entirely on
+    # whole-second values, but the DuckDB oracle's STRFTIME '%f' always
+    # emits 6 digits — format must match for second-boundary timestamps.
+    return pd.Timestamp(us * 1000).strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
 def _sessionize_group(
