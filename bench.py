@@ -40,19 +40,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = registry.all_queries()
-    names = [n for n in HEADLINE if n in queries] + [
-        n for n in sorted(queries) if n.startswith("bench_") and n not in HEADLINE
-    ]
+    names = [n for n in HEADLINE if registry.resolve(n) in queries]
 
-    # Warm up JVM JIT, codegen, shuffle machinery, and parquet footer
-    # caches with one full pass of the heaviest query shape — steady-state
-    # throughput is what the suite measures, not first-query startup.
-    queries["q06_join3_theta_sort"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up: one untimed pass of EVERY headline query, so each timed run
+    # measures steady-state execution (JIT, codegen per operator shape,
+    # parquet footer + page cache all paid up front for all seven shapes —
+    # warming only one shape would leave the others' first-run codegen in
+    # their timed numbers).
+    for name in names:
+        queries[registry.resolve(name)](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = queries[name](spark, sf_dir)
+        df = queries[registry.resolve(name)](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 

@@ -31,7 +31,14 @@ def salted_sum(
     df: DataFrame, key: str, value_col, out: str, n_salts: int = 16
 ) -> DataFrame:
     """Two-phase salted aggregation: SUM(value) per key with the partial
-    phase spread over ``n_salts`` reducers per key."""
+    phase spread over ``n_salts`` reducers per key.
+
+    Salt derivation: ``hash(monotonically_increasing_id())`` depends on
+    the physical partition layout — any spread over reducers is equally
+    correct for aggregation, but do NOT sample or filter on the salt and
+    expect stability across repartitions/reruns; derive the salt from a
+    real column (e.g. ``F.hash(row_key)``) where reproducible assignment
+    matters."""
     salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
     partial = (
         df.select(F.col(key), value_col.alias("_v"), salt)

@@ -51,6 +51,15 @@ def get_spark(app_name: str = "spotify-tags-etl-spark", master: str | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # S9 TOML settings source: a settings file supplies session confs
+    # (timezone today; the dataclasses carry db/api settings for the
+    # sinks and the paged REST source). Env vars still win when unset.
+    settings_path = os.environ.get("SPARK_GRAFT_SETTINGS")
+    if settings_path:
+        from spotify_tags_etl_spark.settings import load_project_config, open_toml, spark_confs
+
+        for key, value in spark_confs(load_project_config(open_toml(settings_path))).items():
+            builder = builder.config(key, value)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_GRAFT_NO_MASTER"):

@@ -63,3 +63,27 @@ def foreach_partition_sink(
             send(batch)
 
     df.foreachPartition(run)
+
+
+def jdbc_writer(df: DataFrame, table: str, db_config, mode: str = "append"):
+    """K1/K2 letter-parity: relational sink as a JDBC option pass-through
+    (reference ``postgres_media.py:264-270`` INSERTs row-by-row; Spark
+    writes set-oriented, one connection per partition, ``batchsize`` rows
+    per round trip).
+
+    Returns the configured ``DataFrameWriter`` — callers ``.save()`` it.
+    Split this way because the test container has no Postgres server (and
+    no JDBC driver jar); the option mapping and writer construction are
+    the testable engine surface, the ``.save()`` is deployment.
+    """
+    from spotify_tags_etl_spark.settings import jdbc_options
+
+    opts = jdbc_options(db_config)
+    return (
+        df.write.format("jdbc")
+        .mode(mode)
+        .options(**opts)
+        .option("dbtable", table)
+        .option("batchsize", "10000")
+        .option("isolationLevel", "READ_COMMITTED")
+    )

@@ -99,3 +99,20 @@ def test_broadcast_join_for_small_dim(spark, sf_dir):
 
     plan = _executed_plan(registry.get("q06_join3_theta_sort").builder(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q23_preaggregates_below_join(spark, sf_dir):
+    """The outer-join aggregate must aggregate orders BEFORE the join —
+    shuffling per-customer partials, never full order rows. In the plan:
+    the HashAggregate over o_custkey sits below the join, and no aggregate
+    over the join output remains above it."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("q23_outer_join_agg").builder(spark, sf_dir)
+    plan = _executed_plan(df)
+    join_pos = plan.find("Join")
+    assert join_pos != -1
+    below = plan[join_pos:]
+    assert "HashAggregate" in below, "orders aggregation should be below (after in text) the join"
+    above = plan[:join_pos]
+    assert "HashAggregate" not in above, "no re-aggregation above the join"

@@ -83,3 +83,21 @@ def test_scan_provenance_column(spark):
     files = {r.source_file for r in df.select("source_file").distinct().collect()}
     assert len(files) == 1
     assert next(iter(files)).endswith("local_media_sample.json")
+
+
+def test_jdbc_writer_option_passthrough(spark):
+    """K1 JDBC sink: settings → writer options (no PG server in the test
+    container; the option mapping + writer construction is the engine
+    surface, .save() is deployment)."""
+    from spotify_tags_etl_spark.settings import load_db_config, open_toml
+    from spotify_tags_etl_spark.sinks import jdbc_writer
+
+    cfg = open_toml(os.path.join(os.path.dirname(_DATA), "config", "settings_example.toml"))
+    db = load_db_config(cfg)
+    df = spark.range(3).select(F.col("id").alias("k"))
+    writer = jdbc_writer(df, "warehouse.artist", db)
+    # DataFrameWriter keeps options in a scala CaseInsensitiveMap
+    opts = writer._jwrite.extraOptions()
+    assert opts.apply("url") == "jdbc:postgresql://localhost:5432/media_db"
+    assert opts.apply("dbtable") == "warehouse.artist"
+    assert opts.apply("batchsize") == "10000"

@@ -58,9 +58,10 @@ def _read_stream_dir(spark, root):
 
 
 def test_stream_dedup_across_batches(spark, sf_dir, multi_file_events):
-    """Keys seen in an earlier micro-batch must not re-emit later."""
+    """With a watermark covering the data's whole time span, dedup state
+    survives every batch boundary: keys emit exactly once."""
     stream = _read_stream_dir(spark, multi_file_events)
-    got = run_to_memory(stream_dedup_keys(stream), "append")
+    got = run_to_memory(stream_dedup_keys(stream, watermark="3650 days"), "append")
     rows = got.collect()
     keys = [(r.user_id, r.event_type) for r in rows]
     assert len(keys) == len(set(keys)), "a key was emitted by more than one micro-batch"
@@ -69,6 +70,25 @@ def test_stream_dedup_across_batches(spark, sf_dir, multi_file_events):
         for r in load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
     }
     assert set(keys) == expected
+
+
+def test_stream_dedup_state_eviction(spark, sf_dir, multi_file_events):
+    """With a short watermark, per-key state is EVICTED once the watermark
+    passes it (the bounded-state property that makes the operator safe on
+    an unbounded stream): a key recurring after eviction re-emits, and no
+    keys are lost."""
+    stream = _read_stream_dir(spark, multi_file_events)
+    got = run_to_memory(stream_dedup_keys(stream, watermark="1 hour"), "append")
+    keys = [(r.user_id, r.event_type) for r in got.collect()]
+    expected = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert set(keys) == expected  # completeness: every key still surfaces
+    assert len(keys) > len(set(keys)), (
+        "state was never evicted — with batches spanning >1h of event time "
+        "a 1h watermark must drop old keys and re-emit recurrences"
+    )
 
 
 def test_stateful_sessions_span_batches(spark, sf_dir, multi_file_events):
