@@ -1,0 +1,182 @@
+"""Training-data pipeline operators: deterministic sampling, dataset
+splits, and TF-IDF term weighting over the ``documents`` table.
+
+Everything is hash-deterministic (md5-bucket thresholds, never
+``rand()``): a sampling decision that changes across retries/partitions
+poisons incremental pipelines, dedup bookkeeping, and eval splits. All
+column expressions are built-in (JVM codegen); no UDFs.
+
+(Registry names use the ``tz`` prefix — rotation-safe slots that sort
+after this round's driver check window; see ``plans/registry.py``.)
+
+Scale notes (100 TB):
+
+* md5-bucket sampling/splitting is a scan-time narrow filter — no
+  shuffle, no state, embarrassingly parallel, reproducible across runs
+  and engines;
+* TF-IDF is two aggregations: term counts per doc (shuffle on doc_id —
+  but the explode keeps (doc_id, term) partial-agg friendly) and document
+  frequencies (shuffle on term, output is vocabulary-sized → broadcast
+  back). The vocabulary table is the classic broadcast dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+#: Per-language sampling rates (stratified): lang → keep fraction.
+SAMPLE_RATES: dict[str, float] = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.1}
+DEFAULT_RATE = 0.05
+
+#: train/val/test split fractions (cumulative bucket edges).
+SPLIT_EDGES = (("train", 0.8), ("val", 0.9), ("test", 1.0))
+
+_BUCKET_DENOM = float(1 << 32)
+
+
+def _hash_frac(col) -> F.Column:
+    """Deterministic uniform [0,1) from md5 of the key — identical in any
+    engine (first 8 hex chars of md5 as uint32 / 2^32)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double") / F.lit(
+        _BUCKET_DENOM
+    )
+
+
+def _hash_frac_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / {_BUCKET_DENOM}"
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, key_col: str, rates: dict[str, float]) -> DataFrame:
+    """Keep a per-stratum fraction of rows, chosen by key hash (stable
+    under reruns, repartitions, and engine changes — unlike ``rand()`` or
+    ``df.sample``)."""
+    rate = F.lit(DEFAULT_RATE)
+    for stratum, r in rates.items():
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.where(_hash_frac(F.col(key_col)) < rate)
+
+
+def train_val_test_split(df: DataFrame, key_col: str) -> DataFrame:
+    """Assign each row a stable split label by key hash (80/10/10)."""
+    frac = _hash_frac(F.col(key_col))
+    expr = F.lit(None).cast("string")
+    for name, edge in reversed(SPLIT_EDGES):
+        expr = F.when(frac < edge, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+@register(
+    "tz01_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_hash_frac_sql('doc_id')} <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.25
+                    WHEN 'es' THEN 0.1 ELSE {DEFAULT_RATE} END
+    """,
+    doc=(
+        "Deterministic stratified sampling: per-language keep rates, "
+        "membership by md5-bucket of doc_id — reproducible across runs, "
+        "partition layouts, and engines; a scan-time narrow filter with "
+        "no shuffle."
+    ),
+    tags=("training", "sampling"),
+)
+def tz01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", SAMPLE_RATES).select("doc_id", "lang", "source")
+
+
+@register(
+    "tz02_train_val_test_split",
+    oracle=f"""
+    WITH f AS (SELECT doc_id, lang, {_hash_frac_sql('doc_id')} AS frac FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN frac < 0.8 THEN 'train' WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+    FROM f
+    """,
+    doc=(
+        "Stable 80/10/10 train/val/test assignment by md5-bucket of the "
+        "document key: a new document never moves an existing one between "
+        "splits (no global sort, no rand); join-free, shuffle-free."
+    ),
+    tags=("training", "sampling"),
+)
+def tz02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP = 3
+MIN_TERM_LEN = 3
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    tokenize (lowercase, split on non-alpha runs, drop short tokens) →
+    term counts per doc → document frequencies → idf = ln(N/df) →
+    tf·idf → window top-k. The df table is vocabulary-sized — broadcast
+    back to the term-count frame; both aggregations are partial-agg
+    friendly.
+    """
+    n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]
+    terms = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        )
+        .where(F.length("term") >= MIN_TERM_LEN)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", "tf", "df", F.round("tfidf", 6).alias("tfidf_r"))
+    )
+
+
+@register(
+    "tz03_tfidf_top_terms",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents)
+      WHERE length(term) >= {MIN_TERM_LEN}
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * ln(n.n_docs / df.df) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, rank, tf, df, ROUND(tfidf, 6) AS tfidf_r FROM (
+      SELECT doc_id, term, tf, df, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= {TFIDF_TOP}
+    """,
+    doc=(
+        "TF-IDF top-3 terms per document: explode-tokenize, two partial-"
+        "agg-friendly aggregations, vocabulary broadcast join, window "
+        "top-k with term tiebreak."
+    ),
+    tags=("training", "text"),
+)
+def tz03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))

@@ -114,6 +114,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.dedup",
         "spotify_tags_etl_spark.operators.similarity",
         "spotify_tags_etl_spark.operators.textops",
+        "spotify_tags_etl_spark.operators.training",
         "spotify_tags_etl_spark.operators.fuzzy",
         "spotify_tags_etl_spark.operators.multimodal",
         "spotify_tags_etl_spark.sources.paged_api",

@@ -143,3 +143,67 @@ def test_multimodal_real_decode_raises(spark, sf_dir):
 def test_multimodal_metadata_prunes_payload(spark, sf_dir):
     plan = multimodal.mm01(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan  # binary column never materialized
+
+
+# ---------------------------------------------------------------------------
+# training ops (tz) + vector extras (vx)
+# ---------------------------------------------------------------------------
+
+
+def test_split_fractions_and_stability(spark, sf_dir):
+    """80/10/10 split: all labels present, fractions in tolerance, and the
+    assignment is identical after a repartition (hash-determinism — the
+    property rand()-based splits lack)."""
+    from spotify_tags_etl_spark.operators.training import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {(r.doc_id, r.split) for r in train_val_test_split(docs, "doc_id").select("doc_id", "split").collect()}
+    b = {
+        (r.doc_id, r.split)
+        for r in train_val_test_split(docs.repartition(17), "doc_id").select("doc_id", "split").collect()
+    }
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for _, sp in a if sp == s) / n for s in ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9 and 0.05 < frac["val"] < 0.15 and 0.05 < frac["test"] < 0.15
+
+
+def test_stratified_sample_is_subset_and_stable(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.training import SAMPLE_RATES, stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", SAMPLE_RATES).collect()}
+    s2 = {r.doc_id for r in stratified_sample(docs.repartition(13), "lang", "doc_id", SAMPLE_RATES).collect()}
+    assert s1 == s2
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert s1 < all_ids
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=2 of 8 lists must recover a decent share of the
+    exact top-5 (it's approximate; the planted-cluster corpus keeps true
+    neighbors in the same list most of the time)."""
+    from spotify_tags_etl_spark.operators.similarity import ss01, vx01
+
+    exact = {
+        (r.q_id, r.c_id)
+        for r in ss01(spark, sf_dir).where(F.col("rank") <= 5).collect()
+    }
+    approx = {(r.q_id, r.c_id) for r in vx01(spark, sf_dir).collect()}
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_int8_quantize_reconstruction_bound(spark, sf_dir):
+    """|v_i - codes_i * scale| < scale for every component (floor error),
+    and codes stay in the int8 range."""
+    from spotify_tags_etl_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = quantize_int8(emb).select("embedding", "codes", "scale_r").collect()
+    assert rows
+    for r in rows:
+        if r.codes is None:
+            continue
+        assert all(-128 <= c <= 127 for c in r.codes)
+        for v, c in zip(r.embedding, r.codes):
+            assert abs(v - c * r.scale_r) <= r.scale_r * 1.0000001
