@@ -143,7 +143,9 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame, threshold_permille: in
     )
 
 
-def _minhash_oracle(threshold_permille: int) -> str:
+def _minhash_ctes(threshold_permille: int) -> str:
+    """Shared CTE prefix ending in ``verified(d1, d2, jaccard_permille)``
+    — reused by the dd02 oracle and the vz01 component-closure oracle."""
     mins = ",\n         ".join(f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(N_HASHES))
     bands = "\n  UNION ALL\n".join(
         f"  SELECT l.doc_id AS d1, r.doc_id AS d2 FROM sig l JOIN sig r"
@@ -151,8 +153,7 @@ def _minhash_oracle(threshold_permille: int) -> str:
         f" AND l.doc_id < r.doc_id"
         for b in range(N_HASHES // BAND_ROWS)
     )
-    return f"""
-    WITH {_SHINGLE_SQL.lstrip()},
+    return f"""{_SHINGLE_SQL.lstrip()},
     sig AS (
       SELECT doc_id, {mins}
       FROM sh GROUP BY doc_id
@@ -169,13 +170,21 @@ def _minhash_oracle(threshold_permille: int) -> str:
       JOIN sh a ON a.doc_id = c.d1
       JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
       GROUP BY c.d1, c.d2
-    )
-    SELECT i.d1, i.d2,
-           (1000 * i.n_inter) // (sa.n + sb.n - i.n_inter) AS jaccard_permille
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.d1
-    JOIN sizes sb ON sb.doc_id = i.d2
-    WHERE 1000 * i.n_inter >= {threshold_permille} * (sa.n + sb.n - i.n_inter)
+    ),
+    verified AS (
+      SELECT i.d1, i.d2,
+             (1000 * i.n_inter) // (sa.n + sb.n - i.n_inter) AS jaccard_permille
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.d1
+      JOIN sizes sb ON sb.doc_id = i.d2
+      WHERE 1000 * i.n_inter >= {threshold_permille} * (sa.n + sb.n - i.n_inter)
+    )"""
+
+
+def _minhash_oracle(threshold_permille: int) -> str:
+    return f"""
+    WITH {_minhash_ctes(threshold_permille)}
+    SELECT d1, d2, jaccard_permille FROM verified
     """
 
 
@@ -401,3 +410,85 @@ def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine") >= _COS_THRESH)
         .select("d1", "d2", F.round("cosine", 6).alias("cosine_r"))
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs — dedup cluster assignment
+# ---------------------------------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Component id (= min member id) for every node of an undirected
+    edge list ``(d1, d2)`` via iterative min-label propagation.
+
+    The iterative-algorithm shape on Spark: a driver loop over pure
+    DataFrame steps, ``localCheckpoint`` per round to cut lineage growth
+    (without it the plan doubles each iteration), terminating when a
+    round changes no label. Simple propagation converges in O(diameter)
+    rounds — near-dup clusters are tiny and dense, so 2-4 rounds in
+    practice; for adversarial long-chain graphs at 100 TB the same loop
+    runs the alternating large-star/small-star variant (each round still
+    one join + one aggregate on the same key partitioning).
+    """
+    sym = edges.select(F.col("d1").alias("a"), F.col("d2").alias("b")).unionByName(
+        edges.select(F.col("d2").alias("a"), F.col("d1").alias("b"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # pair generation runs once, not per round
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                labels["id"],
+                F.least(labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+@register(
+    "vz01_dup_components",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes(800)},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM verified
+      UNION ALL
+      SELECT d2, d1 FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+    doc=(
+        "Near-dup cluster assignment: connected components over the dd02 "
+        "MinHash+LSH verified pair graph — iterative min-label propagation "
+        "(driver loop, localCheckpoint per round) against a recursive-CTE "
+        "transitive-closure oracle. The canonical-doc-per-cluster step of "
+        "a dedup pipeline: keep doc_id == component, drop the rest."
+    ),
+    tags=("dedup", "graph", "iterative"),
+)
+def vz01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    pairs = jaccard_verify(lsh_candidate_pairs(minhash_signatures(sh)), sh, threshold_permille=800)
+    return connected_components(pairs.select("d1", "d2"))

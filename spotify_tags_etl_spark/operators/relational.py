@@ -475,15 +475,20 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
     """,
-    doc="Left-anti join (§2.3): customers with no orders.",
+    doc=(
+        "Left-anti join (§2.3): customers with no high-value order. (The "
+        "filter keeps the result non-empty at every test SF — an all-"
+        "customers-have-orders dataset would make a bare anti-join a "
+        "vacuous 0=0 correctness check.)"
+    ),
     tags=("join",),
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select("c_custkey", "c_name")
+    big = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 350000.0)
+    return customer.join(big, customer.c_custkey == big.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 @register(

@@ -315,6 +315,61 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sliding (overlapping) event-time windows
+# ---------------------------------------------------------------------------
+
+_SLIDE_MIN = 20  # 1h windows sliding every 20 min → each event in 3 windows
+
+
+def sliding_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """1-hour windows sliding every 20 minutes: each event contributes to
+    size/slide = 3 overlapping windows. State is (windows × keys); the
+    watermark evicts each window at its end + lateness, so open state is
+    always ≤ 3 window generations per key."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", f"{_SLIDE_MIN} minutes"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st05_stream_sliding_window",
+    oracle=f"""
+    WITH ev AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+    w AS (
+      SELECT ((us // {_SLIDE_MIN * 60 * 1_000_000}) - o) * {_SLIDE_MIN * 60 * 1_000_000}
+               AS wstart_us,
+             event_type, value
+      FROM ev, (SELECT unnest([0, 1, 2]) AS o)
+    )
+    SELECT STRFTIME(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding event-time windows (1h size, 20min slide): overlapping-"
+        "window assignment (3 windows per event), watermark-bounded state. "
+        "The oracle replays Spark's window math (floor to slide grid, 3 "
+        "offsets) in SQL."
+    ),
+    tags=("streaming", "window", "eventtime"),
+)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(sliding_agg(read_events_stream(spark, sf_dir)), "complete")
+
+
+# ---------------------------------------------------------------------------
 # stream-static join
 # ---------------------------------------------------------------------------
 

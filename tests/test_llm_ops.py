@@ -207,3 +207,29 @@ def test_int8_quantize_reconstruction_bound(spark, sf_dir):
         assert all(-128 <= c <= 127 for c in r.codes)
         for v, c in zip(r.embedding, r.codes):
             assert abs(v - c * r.scale_r) <= r.scale_r * 1.0000001
+
+
+def test_connected_components_valid_partition(spark, sf_dir):
+    """Every edge's endpoints share a component; every component id is the
+    min doc_id of its members (the canonical-keeper contract)."""
+    from spotify_tags_etl_spark.operators.dedup import (
+        connected_components,
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    pairs = jaccard_verify(lsh_candidate_pairs(minhash_signatures(sh)), sh, 800).select("d1", "d2")
+    comp = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    edges = [(r.d1, r.d2) for r in pairs.collect()]
+    assert edges
+    for a, b in edges:
+        assert comp[a] == comp[b]
+    members: dict = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    for c, ms in members.items():
+        assert c == min(ms)

@@ -116,3 +116,21 @@ def test_q23_preaggregates_below_join(spark, sf_dir):
     assert "HashAggregate" in below, "orders aggregation should be below (after in text) the join"
     above = plan[:join_pos]
     assert "HashAggregate" not in above, "no re-aggregation above the join"
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """The 100 TB layout contract: a dataset written partitionBy(lang)
+    prunes non-matching partitions at scan — the one-lang query reads one
+    directory, visible as PartitionFilters in the scan node."""
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    df = spark.read.parquet(out).where(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "isnotnull(lang" in plan or "lang#" in plan
+    # and the result only touches the en partition
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert df.count() == n_en
