@@ -1,0 +1,215 @@
+"""Dataset maintenance operators: CDC upsert/merge and table profiling.
+
+The training-data warehouse jobs around the analytics: applying a change
+batch to a dimension (the engine-level primitive beneath lakehouse MERGE
+INTO) and single-pass column profiling (the stats a pipeline checks
+before trusting an input drop).
+
+(``uz`` registry prefix = rotation-safe slot; see ``plans/registry.py``.)
+
+Scale notes (100 TB):
+
+* upsert = full-outer join on the key + coalesce precedence. Both sides
+  hash-partition on the merge key — with the base table bucketed/
+  pre-partitioned by key (operators/skew.py), only the (small) change
+  batch shuffles; this is exactly merge-on-read compaction's shape.
+* profiling is ONE global aggregate: every metric is algebraic
+  (count/min/max/sum) or sketchable, so the scan is single-pass with
+  map-side partials and a 1-row result — never per-column jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+_NEW_KEY_OFFSET = 1_000_000
+
+
+def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Type-1 (overwrite) upsert: rows in ``changes`` replace same-key
+    rows of ``base``; new keys append; other base rows pass through.
+    Adds ``_op`` (update/insert/keep) for audit/verification.
+
+    Column precedence is change-side coalesce over base-side — the
+    deterministic full-outer-join formulation of MERGE INTO.
+    """
+    b = base.select([F.col(c).alias(f"_b_{c}") for c in base.columns])
+    c = changes.select([F.col(col).alias(f"_c_{col}") for col in changes.columns])
+    joined = b.join(c, b[f"_b_{key}"] == c[f"_c_{key}"], "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"_c_{col}"), F.col(f"_b_{col}")).alias(col) for col in base.columns
+    ]
+    op = (
+        F.when(F.col(f"_c_{key}").isNull(), F.lit("keep"))
+        .when(F.col(f"_b_{key}").isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return joined.select(*out_cols, op.alias("_op"))
+
+
+def _change_batch(customer: DataFrame) -> DataFrame:
+    """Deterministic synthetic CDC batch: every 7th customer gets a new
+    account balance; every 997th spawns a brand-new customer row."""
+    updates = customer.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal").cast("decimal(12,2)") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = customer.where(F.col("c_custkey") % 997 == 0).select(
+        (F.col("c_custkey") + _NEW_KEY_OFFSET).alias("c_custkey"),
+        F.concat(F.lit("NEW Customer#"), (F.col("c_custkey") + _NEW_KEY_OFFSET).cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0).cast("decimal(12,2)").alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    return updates.unionByName(inserts)
+
+
+@register(
+    "uz01_upsert_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal, c_mktsegment
+      FROM customer
+    ),
+    changes AS (
+      SELECT c_custkey, c_name, c_acctbal + 100 AS c_acctbal, c_mktsegment
+      FROM base WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + {_NEW_KEY_OFFSET},
+             'NEW Customer#' || CAST(c_custkey + {_NEW_KEY_OFFSET} AS VARCHAR),
+             CAST(0 AS DECIMAL(12,2)), 'BUILDING'
+      FROM base WHERE c_custkey % 997 = 0
+    )
+    SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(c.c_name, b.c_name) AS c_name,
+           CAST(COALESCE(c.c_acctbal, b.c_acctbal) AS DOUBLE) AS acctbal,
+           COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+           CASE WHEN c.c_custkey IS NULL THEN 'keep'
+                WHEN b.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS _op
+    FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.c_custkey
+    """,
+    doc=(
+        "CDC upsert (MERGE INTO primitive): deterministic change batch "
+        "(balance updates + new keys) applied to the customer dimension "
+        "via full-outer join + change-side coalesce, with an _op audit "
+        "column. At scale the base side is bucketed by the key so only "
+        "the change batch shuffles."
+    ),
+    tags=("maintenance", "upsert", "join"),
+)
+def uz01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"), "c_mktsegment"
+    )
+    merged = upsert(customer, _change_batch(customer), "c_custkey")
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment",
+        "_op",
+    )
+
+
+@register(
+    "uz02_profile_table",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+           STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           STRFTIME(MAX(o_orderdate), '%Y-%m-%d') AS max_date,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           CAST(SUM(length(o_orderpriority)) AS BIGINT) AS total_priority_chars
+    FROM orders
+    """,
+    doc=(
+        "Single-pass table profile of orders: row/null/distinct counts, "
+        "min/max of measures and dates, total string length — ONE global "
+        "aggregate (map-side partials, 1-row result), never per-column "
+        "scan jobs. The input-validation stats step of a data pipeline."
+    ),
+    tags=("maintenance", "profile", "aggregate"),
+)
+def uz02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)).alias("null_status"),
+        F.min(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("min_price"),
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.sum(F.length("o_orderpriority")).cast("bigint").alias("total_priority_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key — multi-dimensional clustering for file skip
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def _z_terms(xe: str, ye: str, div: str) -> str:
+    """Bit-interleave arithmetic (engine-portable: integer div + mod only).
+    ``div`` is the engine's integer-division operator."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({xe}) {div} {1 << i}) % 2 * {1 << (2 * i)}")
+        terms.append(f"(({ye}) {div} {1 << i}) % 2 * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def with_zorder(df: DataFrame, x_col, y_col) -> DataFrame:
+    """Attach the Morton key ``zval`` of two 8-bit dimensions (pure
+    integer div/mod arithmetic — codegen'd, engine-portable); callers lay
+    data out with ``repartitionByRange('zval').sortWithinPartitions('zval')``
+    at write time so min/max file stats prune BOTH dimensions at scan."""
+    return (
+        df.withColumn("_zx", x_col)
+        .withColumn("_zy", y_col)
+        .withColumn("zval", F.expr(_z_terms("_zx", "_zy", "DIV")))
+        .drop("_zx", "_zy")
+    )
+
+
+@register(
+    "uz03_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(o_custkey % 256 AS BIGINT) AS zx,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS zy,
+           CAST({_z_terms('o_custkey % 256', "EXTRACT(day FROM o_orderdate)", '//')} AS BIGINT) AS zval
+    FROM orders
+    """,
+    doc=(
+        "Z-order (Morton) layout key over (custkey mod 256, day-of-month): "
+        "bit interleaving as pure integer div/mod arithmetic, identical in "
+        "any engine. Writing sorted by zval clusters BOTH dimensions into "
+        "each file, so parquet min/max stats skip files for either "
+        "predicate — the multi-dimensional answer to single-column "
+        "partitionBy at 100 TB."
+    ),
+    tags=("maintenance", "layout"),
+)
+def uz03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    zx = (F.col("o_custkey") % 256).cast("bigint")
+    zy = F.dayofmonth("o_orderdate").cast("bigint")
+    out = with_zorder(orders.select("o_orderkey", "o_custkey", "o_orderdate"), zx, zy)
+    return out.select(
+        "o_orderkey", zx.alias("zx"), zy.alias("zy"), F.col("zval").cast("bigint").alias("zval")
+    )

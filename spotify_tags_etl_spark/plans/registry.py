@@ -116,6 +116,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.textops",
         "spotify_tags_etl_spark.operators.training",
         "spotify_tags_etl_spark.operators.fuzzy",
+        "spotify_tags_etl_spark.operators.maintenance",
         "spotify_tags_etl_spark.operators.multimodal",
         "spotify_tags_etl_spark.sources.paged_api",
         "spotify_tags_etl_spark.streaming.ops",

@@ -233,3 +233,18 @@ def test_connected_components_valid_partition(spark, sf_dir):
         members.setdefault(c, []).append(node)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+def test_zorder_key_bijective(spark, sf_dir):
+    """The Morton key uniquely encodes (zx, zy): decoding the interleave
+    recovers both dimensions for every row."""
+    from spotify_tags_etl_spark.operators.maintenance import uz03
+
+    rows = uz03(spark, sf_dir).limit(2000).collect()
+    assert rows
+    for r in rows:
+        x = y = 0
+        for i in range(8):
+            x |= ((r.zval >> (2 * i)) & 1) << i
+            y |= ((r.zval >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r.zx, r.zy)

@@ -28,14 +28,21 @@ import __spark_entry__ as e
 
 qs = e.queries()
 # q05 touches events.parquet (TIMESTAMP(NANOS)) — the round-1 failure mode.
-df = qs["q05_equality_filter"](spark, {sf_dir!r})
-n = df.count()
-assert n > 0, f"expected rows, got {{n}}"
-# streaming path reads events with its own scan — exercise it too.
-df2 = qs["st02_stream_dedup"](spark, {sf_dir!r})
-n2 = df2.count()
-assert n2 > 0, f"expected rows from streaming dedup, got {{n2}}"
-print("VANILLA_OK", n, n2)
+# st02 exercises the streaming scan path; vx01/tz03/vz01 exercise the
+# newest families (ANSI-on vanilla sessions must not break their casts,
+# higher-order functions, or the iterative-checkpoint loop).
+counts = []
+for name in (
+    "q05_equality_filter",
+    "st02_stream_dedup",
+    "vx01_ivf_ann",
+    "tz03_tfidf_top_terms",
+    "vz01_dup_components",
+):
+    n = qs[name](spark, {sf_dir!r}).count()
+    assert n > 0, f"{{name}}: expected rows, got {{n}}"
+    counts.append(n)
+print("VANILLA_OK", counts)
 spark.stop()
 """
 
