@@ -415,6 +415,73 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stream-stream interval join
+# ---------------------------------------------------------------------------
+
+_JOIN_RANGE_S = 3600
+
+
+def stream_stream_interval_join(events: DataFrame) -> DataFrame:
+    """Errors joined to the same user's clicks within 1 hour after — as a
+    STREAM-STREAM join: both sides watermarked, the join condition bounds
+    event time on both sides, so each side's buffered state evicts once
+    the other stream's watermark passes the range. The batch equivalent
+    is av07's bucketed range join (same oracle shape); here the interval
+    bound is what makes unbounded-stream state finite.
+    """
+    err = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.expr("ts_ns DIV 1000").alias("e_us"),
+    ).withWatermark("e_ts", "30 minutes")
+    clk = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.expr("ts_ns DIV 1000").alias("c_us"),
+    ).withWatermark("c_ts", "30 minutes")
+    joined = err.join(
+        clk,
+        F.expr(
+            f"e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL {_JOIN_RANGE_S} SECONDS"
+        ),
+    )
+    return joined.select(
+        "err_id",
+        "click_id",
+        F.col("e_user").alias("user_id"),
+        ((F.col("c_us") - F.col("e_us")) / F.lit(1000)).cast("bigint").alias("lag_ms"),
+    )
+
+
+@register(
+    "st06_stream_stream_join",
+    oracle=f"""
+    SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
+           CAST((epoch_us(c.ts) - epoch_us(e.ts)) // 1000 AS BIGINT) AS lag_ms
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND c.ts > e.ts
+     AND epoch_us(c.ts) - epoch_us(e.ts) <= CAST({_JOIN_RANGE_S} AS BIGINT) * 1000000
+    """,
+    doc=(
+        "Stream-stream interval join (errors ⋈ clicks within 1h, same "
+        "user): both sides watermarked, event-time-bounded condition ⇒ "
+        "finite buffered state on an unbounded stream. Single-batch "
+        "AvailableNow run equals the batch range join (av07's oracle)."
+    ),
+    tags=("streaming", "join", "eventtime"),
+)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        stream_stream_interval_join(read_events_stream(spark, sf_dir)), "append"
+    )
+
+
+# ---------------------------------------------------------------------------
 # foreachBatch sink
 # ---------------------------------------------------------------------------
 

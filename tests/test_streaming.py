@@ -137,3 +137,23 @@ def test_foreach_batch_enrichment_sink(spark, sf_dir, multi_file_events, tmp_pat
     assert sorted(seen_batches) == [0, 1, 2]  # one per file (maxFilesPerTrigger=1)
     total = spark.read.parquet(f"{out}/batch=*").count()
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_join_across_batches(spark, sf_dir, multi_file_events):
+    """Stream-stream interval join over time-ordered micro-batches equals
+    the batch range join: pairs spanning a batch boundary (error in one
+    file, click in the next) must be buffered and matched, and watermark
+    eviction must only drop state whose match window already closed."""
+    from spotify_tags_etl_spark.streaming.ops import stream_stream_interval_join
+
+    stream = _read_stream_dir(spark, multi_file_events).withColumn(
+        "ts_ns", F.col("ts_ns").cast("long")
+    )
+    got = run_to_memory(stream_stream_interval_join(stream), "append")
+    streamed = {tuple(r) for r in got.collect()}
+    batch = registry.get("av07_range_join").builder(spark, sf_dir)
+    expected = {
+        (r.err_id, r.click_id, r.user_id, r.lag_ms)
+        for r in batch.select("err_id", "click_id", "user_id", "lag_ms").collect()
+    }
+    assert streamed == expected

@@ -1,0 +1,109 @@
+"""Emulate the driver's correctness gate locally.
+
+The driver builds a VANILLA SparkSession (none of our session.py confs),
+takes the first 50 registry names in sort order, and for each runs the
+Spark builder and the DuckDB oracle at sf0.01, comparing row count +
+schema + order-insensitive value hash. This script reproduces that gate
+so CORRECTNESS_r{N}.json is predictable before the round ends.
+
+Differences from the driver (both strictly safe):
+* one shared vanilla session instead of a fresh JVM per query — temp
+  views are dropped and runtime-set confs unset between queries so no
+  query can lean on another's session state;
+* exact value equality instead of a hash — stricter, so a pass here
+  implies a hash match there.
+
+Usage:
+    python tools/driver_emu.py [--sf-dir /root/testdata/sf0.01] [--window 50] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("names", nargs="*", help="explicit query names (overrides --window)")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # Vanilla, like the driver: no repo session factory, no extra confs.
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("driver-emu")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as entry
+    from oracle_harness import compare_frames, duckdb_connect
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    names = args.names or sorted(queries)[: args.window]
+
+    results: dict[str, dict] = {}
+    for name in names:
+        t0 = time.time()
+        rec: dict = {"ok": None, "err": None, "secs": None, "rows": None}
+        try:
+            spark_pdf = queries[name](spark, args.sf_dir).toPandas()
+            rec["rows"] = len(spark_pdf)
+            if name in oracles:
+                con = duckdb_connect(args.sf_dir)
+                try:
+                    oracle_pdf = con.execute(oracles[name]).fetchdf()
+                finally:
+                    con.close()
+                compare_frames(spark_pdf, oracle_pdf, name)
+                rec["ok"] = True
+            else:
+                rec["ok"] = rec["rows"] >= 0
+                rec["err"] = "no_oracle"
+        except Exception:
+            rec["ok"] = False
+            rec["err"] = traceback.format_exc(limit=3)
+        rec["secs"] = round(time.time() - t0, 2)
+        results[name] = rec
+        status = "PASS" if rec["ok"] else "FAIL"
+        tag = " (no_oracle)" if rec["err"] == "no_oracle" else ""
+        print(f"{status}{tag} {name} rows={rec['rows']} {rec['secs']}s", flush=True)
+        if not rec["ok"]:
+            print(rec["err"], flush=True)
+        # Driver isolation: each driver query gets a fresh session. Drop any
+        # temp views and runtime confs a builder registered so the next
+        # query cannot depend on them.
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
+        try:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        except Exception:
+            pass
+
+    n_pass = sum(1 for r in results.values() if r["ok"] and r["err"] is None)
+    n_no_oracle = sum(1 for r in results.values() if r["err"] == "no_oracle")
+    n_fail = sum(1 for r in results.values() if not r["ok"])
+    print(f"\n{n_pass} pass / {n_no_oracle} no_oracle / {n_fail} FAIL of {len(results)}")
+    out = os.path.join(_REPO, "tools", "driver_emu_last.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1, default=str)
+    print(f"wrote {out}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
