@@ -161,6 +161,208 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: Patterns kept to the regex subset where Java (Spark) and RE2 (DuckDB)
+#: agree: character classes, bounded/unbounded repetition — no lookaround,
+#: no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{7,}"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and long digit runs (phone/account-number
+    shaped) from ``text_col``; adds per-row match counts and the redacted
+    text. Narrow per-row transform — no shuffle, no UDF, scan-parallel at
+    any scale; the regexes compile once per task, not per row."""
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)),
+            "n_longnums": F.regexp_count(t, F.lit(LONGNUM_RE)),
+            "redacted": red,
+        }
+    )
+
+
+@register(
+    "tx05_redact_pii",
+    oracle=rf"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call '
+                  || lpad(CAST((doc_id * 37) % 10000000 AS VARCHAR), 9, '7') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{LONGNUM_RE}')) AS INT) AS n_longnums,
+           length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{LONGNUM_RE}', '<NUM>', 'g')) AS redacted_len,
+           md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{LONGNUM_RE}', '<NUM>', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+    doc=(
+        "PII redaction: emails + 7-plus-digit runs replaced by typed "
+        "placeholders, with per-row match counts. The fixture seeds one "
+        "deterministic email + phone per row so both patterns are "
+        "exercised; parity is checked on counts, redacted length, and "
+        "md5 of the redacted text."
+    ),
+    tags=("text", "privacy"),
+)
+def tx05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call "),
+            F.lpad(((F.col("doc_id") * 37) % 10000000).cast("string"), 9, "7"),
+        ),
+    )
+    out = redact_pii(seeded)
+    return out.select(
+        "doc_id",
+        "n_emails",
+        "n_longnums",
+        F.length("redacted").alias("redacted_len"),
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 8
+CHUNK_STEP = 6  # overlap = CHUNK_TOKENS - CHUNK_STEP = 2 tokens
+
+
+def chunk_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping ``CHUNK_TOKENS``-token windows
+    every ``CHUNK_STEP`` tokens — the standard pre-embedding chunker for
+    RAG / training pipelines. Pure narrow transform: tokenize once, build
+    the start-offset array, posexplode — the 1→N row fan-out happens
+    inside the scan stage, no shuffle; at 100 TB the output is written
+    straight back out partition-local."""
+    return (
+        df.select("doc_id", F.split(F.col(text_col), " ").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(CHUNK_STEP))
+            ).alias("chunk_idx", "st"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("st") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.array_join(F.slice("toks", F.col("st"), F.lit(CHUNK_TOKENS)), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@register(
+    "tx06_chunk_tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks), {CHUNK_STEP})) AS st
+               FROM t)
+    SELECT doc_id,
+           CAST((st - 1) // {CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           CAST(least({CHUNK_TOKENS}, len(toks) - st + 1) AS BIGINT) AS n_tokens,
+           array_to_string(toks[st : st + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
+    FROM s
+    """,
+    doc=(
+        f"Overlapping token-window chunking ({CHUNK_TOKENS}-token windows, "
+        f"stride {CHUNK_STEP}): tokenize → start-offset array → posexplode. "
+        "1→N fan-out stays inside the scan stage (no shuffle)."
+    ),
+    tags=("text", "chunking"),
+)
+def tx06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_tokens(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# repetition-ratio quality filter
+# ---------------------------------------------------------------------------
+
+REPETITION_FLAG_RATIO = 0.2
+
+
+def repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filter: fraction of all word-bigrams taken
+    by the single most frequent bigram. Boilerplate/spam scores high;
+    clean prose low. Two partial-agg-friendly aggregations keyed on
+    doc_id — the explode fan-out combines map-side before the shuffle, so
+    shuffled bytes are O(distinct bigrams), not O(tokens)."""
+    toks = df.select("doc_id", F.split(F.col(text_col), " ").alias("toks")).where(
+        F.size("toks") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.max("n").alias("top_bigram_n"), F.sum("n").alias("n_bigrams"))
+        .withColumn("rep_ratio", F.col("top_bigram_n") / F.col("n_bigrams"))
+        .withColumn("flagged", F.col("rep_ratio") > REPETITION_FLAG_RATIO)
+    )
+
+
+@register(
+    "tx07_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT doc_id,
+                      unnest([toks[i] || ' ' || toks[i + 1]
+                              for i in generate_series(1, len(toks) - 1)]) AS bg
+               FROM t WHERE len(toks) >= 2),
+         c AS (SELECT doc_id, bg, COUNT(*) AS n FROM b GROUP BY doc_id, bg)
+    SELECT doc_id, MAX(n) AS top_bigram_n, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) AS rep_ratio,
+           CAST(MAX(n) AS DOUBLE) / SUM(n) > {REPETITION_FLAG_RATIO} AS flagged
+    FROM c GROUP BY doc_id
+    """,
+    doc=(
+        "Repetition-ratio quality filter: top-bigram share of all word "
+        "bigrams per document, flagged above "
+        f"{REPETITION_FLAG_RATIO}. Map-side combine keeps the shuffle "
+        "O(distinct bigrams)."
+    ),
+    tags=("text", "quality"),
+)
+def tx07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_ratio(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "top_bigram_n", "n_bigrams", "rep_ratio", "flagged"
+    )
+
+
 @register(
     "tx04_fingerprint",
     oracle="""

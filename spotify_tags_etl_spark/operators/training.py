@@ -180,3 +180,54 @@ def tfidf_top_terms(docs: DataFrame, k: int = TFIDF_TOP) -> DataFrame:
 )
 def tz03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic shard planning
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 16
+#: Knuth multiplicative constant — pure 64-bit integer math, so the shard
+#: assignment is identical in any engine (no engine hash function).
+_KNUTH = 2654435761
+_MOD32 = 1 << 32
+
+
+def shard_of(key) -> F.Column:
+    """Deterministic shard id in [0, N_SHARDS) from an integer key."""
+    return ((key * F.lit(_KNUTH)) % F.lit(_MOD32) % F.lit(N_SHARDS)).cast("bigint")
+
+
+def shard_plan(docs: DataFrame) -> DataFrame:
+    """Training-export shard layout: assign every document a stable shard
+    by multiplicative hash of its key and report per-shard row/byte
+    totals. The assignment column is what a writer would pass to
+    ``repartition(N_SHARDS, col)`` + ``write.partitionBy`` — shards are
+    balanced (multiplicative hashing scatters sequential ids), stable
+    across runs, and engine-independent. The plan query itself is one
+    partial-agg shuffle with N_SHARDS groups — negligible at any scale."""
+    return (
+        docs.groupBy(shard_of(F.col("doc_id")).alias("shard"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("shard")
+    )
+
+
+@register(
+    "tz04_shard_plan",
+    oracle=f"""
+    SELECT (doc_id * {_KNUTH}) % {_MOD32} % {N_SHARDS} AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY shard ORDER BY shard
+    """,
+    doc=(
+        f"Deterministic {N_SHARDS}-way shard plan for training export: "
+        "Knuth-multiplicative hash of doc_id (engine-independent integer "
+        "math), per-shard row and byte totals; the layout key for "
+        "repartition + partitionBy writes."
+    ),
+    tags=("training", "layout"),
+)
+def tz04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_plan(load_table(spark, sf_dir, "documents"))

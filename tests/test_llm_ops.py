@@ -248,3 +248,53 @@ def test_zorder_key_bijective(spark, sf_dir):
             x |= ((r.zval >> (2 * i)) & 1) << i
             y |= ((r.zval >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r.zx, r.zy)
+
+
+def test_redact_removes_seeded_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b-c_1@foo-bar.co.uk now or at 12345678901"),
+         (2, "clean text with no pii at all"),
+         (3, "short num 123456 stays; 1234567 goes")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.redact_pii(df).collect()}
+    assert rows[1].redacted == "mail me at <EMAIL> now or at <NUM>"
+    assert (rows[1].n_emails, rows[1].n_longnums) == (1, 1)
+    assert rows[2].redacted == rows[2].text and rows[2].n_emails == 0
+    assert rows[3].redacted == "short num 123456 stays; <NUM> goes"
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(20))  # 20 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(textops.chunk_tokens(df).collect(), key=lambda r: r.chunk_idx)
+    # starts at 1,7,13,19 → 4 chunks; sizes 8,8,8,2
+    assert [c.n_tokens for c in chunks] == [8, 8, 8, 2]
+    assert chunks[0].chunk_text.startswith("w0 w1")
+    # stride-6 overlap: chunk i's last 2 tokens == chunk i+1's first 2
+    for a, b in zip(chunks, chunks[1:]):
+        if a.n_tokens == textops.CHUNK_TOKENS:
+            assert a.chunk_text.split()[textops.CHUNK_STEP:] == b.chunk_text.split()[: textops.CHUNK_TOKENS - textops.CHUNK_STEP]
+    # every token appears in at least one chunk
+    seen = {t for c in chunks for t in c.chunk_text.split()}
+    assert seen == set(text.split())
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    spam = "buy now " * 30  # one bigram dominates
+    prose = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame([(1, spam.strip()), (2, prose)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in textops.repetition_ratio(df).collect()}
+    assert rows[1].flagged and rows[1].rep_ratio > 0.4
+    assert not rows[2].flagged
+
+
+def test_shard_plan_balanced_and_total(spark, sf_dir):
+    from spotify_tags_etl_spark.operators import training
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = training.shard_plan(docs).collect()
+    assert {r.shard for r in plan} <= set(range(training.N_SHARDS))
+    assert sum(r.n_docs for r in plan) == docs.count()
+    counts = [r.n_docs for r in plan]
+    assert max(counts) <= 2 * min(counts)  # multiplicative hash scatters seq ids
