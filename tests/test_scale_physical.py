@@ -134,3 +134,74 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     # and the result only touches the en partition
     n_en = docs.where(F.col("lang") == "en").count()
     assert df.count() == n_en
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """tx06's 1→N chunk fan-out must stay inside the scan stage: a narrow
+    tokenize → posexplode pipeline with zero Exchanges — at 100 TB the
+    chunker reads and emits partition-local, nothing crosses the wire."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("tx06_chunk_tokens").builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode node
+
+
+def test_redaction_is_shuffle_free_and_jvm_side(spark, sf_dir):
+    """tx05 is a pure per-row regexp pipeline: no Exchange, no Python
+    eval nodes — everything stays in JVM codegen."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("tx05_redact_pii").builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_ratio_two_shuffles_with_partial_agg(spark, sf_dir):
+    """tx07 shuffles exactly twice — once per aggregation level
+    ((doc_id,bigram) then doc_id) — and both have map-side partial
+    aggregates, so shuffled bytes are O(distinct bigrams), not O(tokens)."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("tx07_repetition_ratio").builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 2, f"expected 2 hash exchanges, plan has {n_shuffles}"
+    # partial (merge-side) aggregates below each exchange
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_shard_plan_single_agg_shuffle(spark, sf_dir):
+    """tz04 reduces to one hash-agg shuffle of N_SHARDS groups plus the
+    final tiny range exchange for the ORDER BY."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("tz04_shard_plan").builder(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") <= 1
+
+
+def test_ivf_broadcast_side_is_centroids_only(spark, sf_dir):
+    """vx01's only nested-loop join is the deliberate 8-row centroid
+    broadcast (probe assignment); the corpus-side join must be a hash or
+    sort-merge equi-join on the centroid id, never a cartesian."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("vx01_ivf_ann").builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            pass  # allowed: centroid broadcast; corpus join checked next
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
