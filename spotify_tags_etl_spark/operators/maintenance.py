@@ -213,3 +213,74 @@ def uz03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", zx.alias("zx"), zy.alias("zy"), F.col("zval").cast("bigint").alias("zval")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental rollup maintenance (continuous aggregate / hypertable rollup)
+# ---------------------------------------------------------------------------
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """The materialized shape: hourly (bucket, event_type) counts + exact
+    decimal value sums. COUNT and SUM are algebraic — partials merge, so
+    the rollup itself can be maintained by merging, never recomputed."""
+    return events.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00:00").alias(
+            "hour_bucket"
+        ),
+        F.col("event_type"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("_sum_dec"),
+    )
+
+
+def rollup_incremental(events: DataFrame) -> DataFrame:
+    """Continuous-aggregate maintenance: the rollup over a time-partitioned
+    events table is refreshed by aggregating ONLY the newest partition and
+    merging its partial aggregates into the standing rollup — the
+    timescale-style hypertable refresh, in Spark algebra.
+
+    Here the "late batch" is the max event-hour (discovered with a 1-row
+    aggregate — the partition-boundary lookup a real table gets from its
+    metadata); base and delta are aggregated separately and merged by
+    re-aggregating the union of PARTIALS. The merge input is
+    O(buckets), not O(events): at 100 TB the standing rollup is a few
+    million rows and the delta scan touches one partition — this is why
+    partition pruning + algebraic aggregates make continuous aggregates
+    cheap. Correctness oracle: full recompute over all events.
+    """
+    cutoff = events.select(F.max(F.date_trunc("hour", F.col("ts"))).alias("m")).collect()[0]["m"]
+    base = hourly_rollup(events.where(F.date_trunc("hour", F.col("ts")) < F.lit(cutoff)))
+    delta = hourly_rollup(events.where(F.date_trunc("hour", F.col("ts")) >= F.lit(cutoff)))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("_sum_dec").alias("_sum_dec"))
+    )
+    return merged.select(
+        "hour_bucket",
+        "event_type",
+        "n",
+        F.col("_sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "uz04_rollup_incremental",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Hypertable-style continuous aggregate: hourly rollup refreshed by "
+        "aggregating only the newest hour partition and merging partial "
+        "aggregates into the standing rollup (merge input O(buckets), not "
+        "O(events)); oracle is the full recompute."
+    ),
+    tags=("maintenance", "eventtime", "incremental"),
+)
+def uz04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup_incremental(load_table(spark, sf_dir, "events"))

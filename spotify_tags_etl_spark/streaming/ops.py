@@ -78,6 +78,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     # Same vanilla-session guard as sources/tpch.py:load_table — the
     # TIMESTAMP(NANOS) physical type needs this runtime conf on ANY session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # State-store partition count is frozen from shuffle.partitions at
+    # query start; a vanilla session's 200 means 200 state partitions per
+    # stateful operator per micro-batch — pure overhead at this scale.
+    # Pin to the engine default so streaming runs the same on any session
+    # (at cluster scale this is sized to executor count, not left at 200).
+    import os as _os
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    )
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -479,6 +490,105 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         stream_stream_interval_join(read_events_stream(spark, sf_dir)), "append"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream LEFT OUTER interval join
+# ---------------------------------------------------------------------------
+
+#: Unmatched-row emission boundary: an error's null row emits once the
+#: click watermark passes its join window. Final watermark = max event
+#: time - 30 min delay; window = _JOIN_RANGE_S; plus a 60 s margin to
+#: absorb the engine's ms-truncated watermark bookkeeping. Rows inside
+#: the margin band are excluded deterministically on BOTH engine and
+#: oracle sides, so the compare never rides the eviction boundary.
+_OUTER_SAFETY_S = _JOIN_RANGE_S + 1800 + 60
+
+
+def stream_stream_outer_join(events: DataFrame) -> DataFrame:
+    """st06's interval join as LEFT OUTER: errors with no click within 1h
+    emit a null-click row — but only once the click-side watermark passes
+    the error's join window (that is what bounds the buffered state; a
+    batch outer join has no such notion). ``e_ts`` is kept in the output
+    so the caller can apply the deterministic emission cutoff."""
+    err = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        F.expr("ts_ns DIV 1000").alias("e_us"),
+    ).withWatermark("e_ts", "30 minutes")
+    clk = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.expr("ts_ns DIV 1000").alias("c_us"),
+    ).withWatermark("c_ts", "30 minutes")
+    joined = err.join(
+        clk,
+        F.expr(
+            f"e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL {_JOIN_RANGE_S} SECONDS"
+        ),
+        "left_outer",
+    )
+    return joined.select(
+        "err_id",
+        "click_id",
+        F.col("e_user").alias("user_id"),
+        ((F.col("c_us") - F.col("e_us")) / F.lit(1000)).cast("bigint").alias("lag_ms"),
+        "e_ts",
+    )
+
+
+@register(
+    "st07_stream_outer_join",
+    oracle=f"""
+    WITH m AS (SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'error'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'click')) AS mx),
+         j AS (
+           SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
+                  CAST((epoch_us(c.ts) - epoch_us(e.ts)) // 1000 AS BIGINT) AS lag_ms,
+                  e.ts AS e_ts
+           FROM (SELECT * FROM events WHERE event_type = 'error') e
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             ON c.user_id = e.user_id
+            AND c.ts > e.ts
+            AND epoch_us(c.ts) - epoch_us(e.ts) <= CAST({_JOIN_RANGE_S} AS BIGINT) * 1000000
+         )
+    SELECT err_id, click_id, user_id, lag_ms
+    FROM j, m
+    WHERE click_id IS NOT NULL OR e_ts < mx - INTERVAL {_OUTER_SAFETY_S} SECONDS
+    """,
+    doc=(
+        "LEFT OUTER stream-stream interval join: matched rows emit "
+        "immediately; null rows emit on watermark-driven state eviction. "
+        "Both engine and oracle exclude the 60 s eviction-boundary band, "
+        "making the unmatched set deterministic."
+    ),
+    tags=("streaming", "join", "eventtime"),
+)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    res = run_to_memory(
+        stream_stream_outer_join(read_events_stream(spark, sf_dir)), "append"
+    )
+    # Global watermark = min over both inputs of (side max event time -
+    # delay); reconstruct it from the batch table for the cutoff.
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = (
+        ev.where(F.col("event_type").isin("error", "click"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .select(F.min("m"))
+        .collect()[0][0]
+    )
+    cutoff = max_ts - datetime.timedelta(seconds=_OUTER_SAFETY_S)
+    return res.where(
+        F.col("click_id").isNotNull() | (F.col("e_ts") < F.lit(cutoff))
+    ).select("err_id", "click_id", "user_id", "lag_ms")
 
 
 # ---------------------------------------------------------------------------

@@ -157,3 +157,42 @@ def test_stream_stream_join_across_batches(spark, sf_dir, multi_file_events):
         for r in batch.select("err_id", "click_id", "user_id", "lag_ms").collect()
     }
     assert streamed == expected
+
+
+def test_stream_outer_join_batch_invariant(spark, sf_dir, multi_file_events):
+    """st07's post-cutoff result must not depend on micro-batch layout:
+    running the outer join over time-ordered multi-file batches and
+    applying the same emission cutoff yields exactly the single-batch
+    registry result — matched rows plus safely-evicted null rows."""
+    import datetime
+
+    from spotify_tags_etl_spark.streaming.ops import (
+        _OUTER_SAFETY_S,
+        stream_stream_outer_join,
+    )
+
+    stream = _read_stream_dir(spark, multi_file_events).withColumn(
+        "ts_ns", F.col("ts_ns").cast("long")
+    )
+    got = run_to_memory(stream_stream_outer_join(stream), "append")
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = (
+        ev.where(F.col("event_type").isin("error", "click"))
+        .groupBy("event_type").agg(F.max("ts").alias("m"))
+        .select(F.min("m")).collect()[0][0]
+    )
+    cutoff = max_ts - datetime.timedelta(seconds=_OUTER_SAFETY_S)
+    multi = {
+        tuple(r)
+        for r in got.where(
+            F.col("click_id").isNotNull() | (F.col("e_ts") < F.lit(cutoff))
+        ).select("err_id", "click_id", "user_id", "lag_ms").collect()
+    }
+    single = {
+        tuple(r) for r in registry.get("st07_stream_outer_join").builder(spark, sf_dir).collect()
+    }
+    assert multi == single
+    # sanity: some nulls survive the cutoff, and every matched pair is there
+    assert any(c is None for _, c, _, _ in multi)
+    inner = {tuple(r) for r in registry.get("st06_stream_stream_join").builder(spark, sf_dir).collect()}
+    assert inner <= multi
