@@ -129,13 +129,24 @@ def lsh_bucketed_ann(corpus: DataFrame, planes: DataFrame, k: int) -> DataFrame:
         "embedding",
         *[_signature("embedding", t).alias(f"bucket_{t}") for t in range(N_TABLES)],
     )
-    cand = None
-    for t in range(N_TABLES):
-        left = sig.select(F.col("vec_id").alias("q_id"), F.col(f"bucket_{t}").alias("bk"))
-        right = sig.select(F.col("vec_id").alias("c_id"), F.col(f"bucket_{t}").alias("bk"))
-        p = left.join(right, "bk").where(F.col("q_id") != F.col("c_id")).select("q_id", "c_id")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.distinct()
+    # All L tables in ONE banded frame + one self-join on (table, bucket)
+    # — a join per table would recompute the signature projection (L × b
+    # dot products per row) 2 × L times; the posexplode form computes it
+    # once and shuffles once. Same candidate union (OR-amplification is
+    # "bucket-equal in ANY table" = "equal on (t, bk) for some t").
+    banded = sig.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"bucket_{t}") for t in range(N_TABLES)])).alias(
+            "t", "bk"
+        ),
+    )
+    cand = (
+        banded.select(F.col("vec_id").alias("q_id"), "t", "bk")
+        .join(banded.select(F.col("vec_id").alias("c_id"), "t", "bk"), ["t", "bk"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
 
     q = with_norm(corpus.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")), "q_vec").withColumnRenamed("_norm", "q_norm")
     c = with_norm(corpus.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")), "c_vec").withColumnRenamed("_norm", "c_norm")

@@ -88,3 +88,39 @@ def bucketed_join(
     if force_sort_merge:
         left = left.hint("merge")
     return left.join(spark.table(right_table), key)
+
+
+# One registry row pins the salting path to the correctness gate: the
+# salted two-phase aggregate must equal the plain aggregate (the oracle
+# is the plain SQL agg — salting is semantics-neutral by construction).
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+@register(
+    "wz01_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Skew-safe two-phase salted aggregation over the hot event_type "
+        "key: partial agg on (key, salt) spreads each hot key over 16 "
+        "reducers, final agg merges partials. Result provably equals the "
+        "plain aggregate (the oracle) — salting only reshapes the "
+        "exchange."
+    ),
+    tags=("aggregate", "skew"),
+)
+def wz01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(16)).alias("_salt")
+    partial = (
+        ev.select("event_type", F.col("value").cast("decimal(14,2)").alias("_v"), salt)
+        .groupBy("event_type", "_salt")
+        .agg(F.count("*").alias("_n"), F.sum("_v").alias("_s"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n"), F.sum("_s").cast("double").alias("sum_value")
+    )

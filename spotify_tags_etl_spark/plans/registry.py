@@ -118,6 +118,8 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.fuzzy",
         "spotify_tags_etl_spark.operators.maintenance",
         "spotify_tags_etl_spark.operators.multimodal",
+        "spotify_tags_etl_spark.operators.pipeline",
+        "spotify_tags_etl_spark.operators.skew",
         "spotify_tags_etl_spark.sources.paged_api",
         "spotify_tags_etl_spark.streaming.ops",
     ):
