@@ -231,3 +231,137 @@ def shard_plan(docs: DataFrame) -> DataFrame:
 )
 def tz04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chop)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Concat-and-chop sequence packing: within each shard, documents are
+    laid end-to-end in stable doc_id order; a document's bin is its start
+    offset DIV budget — the standard LLM pretraining packing, made
+    distributed: ONE window cumsum per shard partition (running state
+    O(1)), no driver loop, deterministic across engines and reruns.
+
+    At 100 TB each shard's prefix-sum is independent — the shard key IS
+    the parallelism unit, and packing never shuffles document text, only
+    the (id, token-count) manifest."""
+    toks = docs.select(
+        "doc_id",
+        shard_of(F.col("doc_id")).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.withColumn("end_off", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        ((F.col("end_off") - F.col("n_tokens")) / budget).cast("bigint").alias("bin"),
+    )
+
+
+@register(
+    "tz05_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 % 16 AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           end_off - n_tokens AS start_off,
+           (end_off - n_tokens) // {PACK_BUDGET} AS bin
+    FROM offs
+    """,
+    doc=(
+        "Concat-and-chop sequence packing: per-shard prefix sum of token "
+        "counts in stable doc order; bin = start offset DIV budget. One "
+        "window shuffle on the shard key; only the manifest moves, never "
+        "document text."
+    ),
+    tags=("training", "layout"),
+)
+def tz05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 5
+
+
+def decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """Flag train-split documents sharing any ``n``-word-gram with a
+    test-split document — eval decontamination, the check every serious
+    pretraining corpus runs.
+
+    The eval side's distinct gram set is the small side (eval sets are
+    orders of magnitude smaller than the corpus) → broadcast it; the
+    train side streams through the join gram-at-a-time. Output is
+    per-contaminated-doc with distinct offending-gram counts, so the
+    downstream filter is a broadcast semi-join on doc_id."""
+    frac = _hash_frac(F.col("doc_id"))
+    grams = docs.select(
+        "doc_id",
+        frac.alias("frac"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+            )
+        ).alias("g"),
+    )
+    train = grams.where(F.col("frac") < 0.8).select("doc_id", "g").distinct()
+    test = grams.where(F.col("frac") >= 0.9).select(F.col("g").alias("tg")).distinct()
+    return (
+        train.join(F.broadcast(test), train["g"] == test["tg"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tz06_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_hash_frac_sql('doc_id')} AS frac,
+             unnest([array_to_string(toks[i : i + {DECON_NGRAM} - 1], ' ')
+                     for i in generate_series(1, greatest(len(toks) - {DECON_NGRAM - 1}, 0))]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    train AS (SELECT DISTINCT doc_id, gram FROM g WHERE frac < 0.8),
+    test AS (SELECT DISTINCT gram FROM g WHERE frac >= 0.9)
+    SELECT train.doc_id, COUNT(*) AS n_shared_grams
+    FROM train JOIN test USING (gram)
+    GROUP BY train.doc_id ORDER BY train.doc_id
+    """,
+    doc=(
+        f"Eval decontamination: train-split docs sharing any {DECON_NGRAM}-"
+        "word-gram with the test split, with distinct shared-gram counts. "
+        "Test-side gram set broadcast (the eval set is always the small "
+        "side); train side streams through the join."
+    ),
+    tags=("training", "quality"),
+)
+def tz06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate(load_table(spark, sf_dir, "documents"))

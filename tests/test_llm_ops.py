@@ -298,3 +298,48 @@ def test_shard_plan_balanced_and_total(spark, sf_dir):
     assert sum(r.n_docs for r in plan) == docs.count()
     counts = [r.n_docs for r in plan]
     assert max(counts) <= 2 * min(counts)  # multiplicative hash scatters seq ids
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    from spotify_tags_etl_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(64)], "doc_id long, text string"
+    )
+    packed = training.pack_sequences(docs, budget=256).collect()
+    by_shard: dict = {}
+    for r in sorted(packed, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        off = 0
+        for r in rows:  # contiguous concat layout, chop every 256
+            assert r.start_off == off
+            assert r.bin == off // 256
+            off += r.n_tokens
+    assert any(r.bin > 0 for r in packed)  # chopping actually happened
+
+
+def test_decontaminate_flags_cross_split_overlap(spark):
+    from spotify_tags_etl_spark.operators import training
+
+    # pick ids whose md5-bucket puts them in train (<0.8) / test (>=0.9)
+    probe = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    fracs = {
+        r.doc_id: r.f
+        for r in probe.select("doc_id", training._hash_frac(F.col("doc_id")).alias("f")).collect()
+    }
+    train_id = next(i for i, f in fracs.items() if f < 0.8)
+    test_id = next(i for i, f in fracs.items() if f >= 0.9)
+    clean_id = next(i for i, f in fracs.items() if f < 0.8 and i != train_id)
+    shared = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [
+            (train_id, f"unique prefix {shared} unique suffix here"),
+            (test_id, f"totally different head {shared} tail words"),
+            (clean_id, "nothing in common with anything else at all truly"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_shared_grams for r in training.decontaminate(docs).collect()}
+    assert train_id in got and got[train_id] >= 1
+    assert clean_id not in got
