@@ -279,3 +279,117 @@ def sp02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return batched_feature_lookup(ids)
+
+
+# ---------------------------------------------------------------------------
+# streaming variant: the paged API as an unbounded source
+# ---------------------------------------------------------------------------
+
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class PagedSearchStreamReader(SimpleDataSourceStreamReader):
+    """Streaming cursor over the paged API (Spark 4
+    ``SimpleDataSourceStreamReader``): the offset IS the stream offset,
+    so micro-batches are exactly page ranges, replay
+    (``readBetweenOffsets``) is a deterministic re-fetch of [start, end),
+    and a restart resumes from the checkpointed offset — the polling
+    analog of the reference's driver-side page loop
+    (spotify_client.py:204-245), with exactly-once page accounting.
+
+    A real deployment keeps polling past ``total`` as the collection
+    grows; the fixture's fixed total makes the stream's steady state
+    (empty batches) testable."""
+
+    def __init__(self, options: dict):
+        self.total = int(options.get("total", "1000"))
+        self.pages_per_batch = int(options.get("pages_per_batch", "2"))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _fetch_range(self, start: int, end: int) -> list[tuple]:
+        rows: list[tuple] = []
+        off = start
+        while off < end:
+            rows.extend(_fetch_page(off, min(API_PAGE_LIMIT, end - off), self.total))
+            off += API_PAGE_LIMIT
+        return rows
+
+    def read(self, start: dict):
+        o = start["offset"]
+        end = min(o + API_PAGE_LIMIT * self.pages_per_batch, self.total)
+        return iter(self._fetch_range(o, end)), {"offset": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._fetch_range(start["offset"], end["offset"]))
+
+
+class PagedSearchStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "paged_search_stream"
+
+    def schema(self) -> str:
+        return SEARCH_SCHEMA_DDL
+
+    def simpleStreamReader(self, schema) -> PagedSearchStreamReader:
+        return PagedSearchStreamReader(self.options)
+
+
+def read_paged_search_stream(spark: SparkSession, total: int, pages_per_batch: int = 2) -> DataFrame:
+    if (id(spark), "stream") not in _REGISTERED:
+        spark.dataSource.register(PagedSearchStreamSource)
+        _REGISTERED.add((id(spark), "stream"))
+    return (
+        spark.readStream.format("paged_search_stream")
+        .option("total", str(total))
+        .option("pages_per_batch", str(pages_per_batch))
+        .load()
+    )
+
+
+@register(
+    "sz01_stream_paged_source",
+    oracle=f"""
+    SELECT i AS idx,
+           substr(md5(CAST(i AS VARCHAR)), 1, 22) AS track_id,
+           'track ' || lpad(CAST(i AS VARCHAR), 6, '0') AS track_name,
+           'artist ' || lpad(CAST(i % 97 AS VARCHAR), 3, '0') AS artist_name,
+           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT % 101 AS INT) AS popularity,
+           30000 + ('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 5))::BIGINT % 300000 AS duration_ms
+    FROM range(0, {_SP01_TOTAL}) t(i)
+    """,
+    doc=(
+        "The paged API as a STREAMING source (Spark 4 Python "
+        "SimpleDataSourceStreamReader): page offset = stream offset, "
+        "micro-batch = page range, deterministic replay between "
+        "checkpointed offsets. Drained to a memory sink; the full "
+        "collection must hash-match the same range() oracle as sp01."
+    ),
+    tags=("source", "paged", "streaming"),
+)
+def sz01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    stream = read_paged_search_stream(spark, total=_SP01_TOTAL)
+    name = f"sz01_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        # The cursor reaches `total` in total/(pages_per_batch*50) batches;
+        # after that read() returns empty batches — stop once drained.
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= _SP01_TOTAL:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name)
