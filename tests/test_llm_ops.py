@@ -343,3 +343,31 @@ def test_decontaminate_flags_cross_split_overlap(spark):
     got = {r.doc_id: r.n_shared_grams for r in training.decontaminate(docs).collect()}
     assert train_id in got and got[train_id] >= 1
     assert clean_id not in got
+
+
+def test_text_ops_edge_cases(spark):
+    """Empty / single-token / punctuation-only documents must not crash
+    or drop rows in the narrow text pipeline ops."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "!!! ... ???"), (4, "a b")],
+        "doc_id long, text string",
+    )
+    chunks = textops.chunk_tokens(df).collect()
+    assert {r.doc_id for r in chunks} == {1, 2, 3, 4}  # every doc chunks
+    assert all(r.n_tokens >= 1 for r in chunks)
+    red = {r.doc_id: r for r in textops.redact_pii(df).collect()}
+    assert red[1].redacted == "" and red[1].n_emails == 0
+    rep = {r.doc_id for r in textops.repetition_ratio(df).collect()}
+    assert rep == {3, 4}  # <2 tokens → excluded, matching the oracle
+
+
+def test_redaction_idempotent(spark):
+    """Redacting already-redacted text is a no-op: placeholders contain
+    no digits or @-patterns, so the pipeline can safely re-run."""
+    df = spark.createDataFrame(
+        [(1, "mail x9@y.io call 99887766554 end")], "doc_id long, text string"
+    )
+    once = textops.redact_pii(df).select(F.col("redacted").alias("text"), F.lit(1).alias("doc_id"))
+    twice = textops.redact_pii(once).collect()[0]
+    assert twice.redacted == twice.text
+    assert twice.n_emails == 0 and twice.n_longnums == 0
