@@ -8,7 +8,11 @@ analogs as first-class operators:
 * st01 — watermarked tumbling event-time window aggregate;
 * st02 — streaming dedup with state (the cross-page track_id dedup);
 * st03 — custom stateful sessionizer via ``applyInPandasWithState``
-  (GroupState: last-seen timestamp + running session counter per user).
+  (GroupState: last-seen timestamp + running session counter per user);
+* st04 — stream-static broadcast enrichment join;
+* st05 — sliding (overlapping) window aggregate;
+* st06/st07 — stream-stream interval joins, inner and left-outer
+  (watermark-evicted null rows behind a deterministic cutoff).
 
 Each runs as a real streaming query (``readStream`` → transform →
 ``writeStream`` to a memory sink, ``Trigger.AvailableNow``) and returns
