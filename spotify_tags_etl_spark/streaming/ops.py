@@ -40,7 +40,7 @@ import uuid
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -614,3 +614,87 @@ def run_foreach_batch(stream: DataFrame, batch_fn, max_files_per_trigger: int | 
         q.awaitTermination()
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC upsert via foreachBatch (merge-into pattern)
+# ---------------------------------------------------------------------------
+
+
+def streaming_upsert(stream: DataFrame, max_files_per_trigger: int | None = None) -> "pd.DataFrame":
+    """Streaming MERGE INTO: every micro-batch is reduced to one
+    last-write-wins row per key and merged into the standing keyed table
+    — the foreachBatch + upsert shape that maintains a serving table
+    from a CDC stream.
+
+    Layout-invariance: "keep the row with the larger (ts_ns, event_id)"
+    is associative and commutative, so any micro-batch partitioning of
+    the same events yields the same final table (proved in
+    tests/test_streaming.py against a differently-batched run and the
+    batch oracle).
+
+    The standing table here is a driver-side dict — honest for a state
+    that is key-cardinality-sized (users, not events); at 100 TB this
+    exact code shape targets a lakehouse MERGE INTO (uz01 is the engine-
+    level primitive) with the same per-batch argmax pre-reduction, which
+    is what keeps the merge input O(keys-in-batch)."""
+    state: dict[int, tuple] = {}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # Order on (usec, event_id): DuckDB reads the NANOS column at
+        # microsecond precision, so the merge relation must not depend
+        # on sub-usec digits the oracle cannot see.
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+        latest = (
+            batch.withColumn("ts_us", F.expr("ts_ns DIV 1000"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "event_id", "ts_us", "value")
+            .collect()
+        )
+        for r in latest:
+            cur = state.get(r.user_id)
+            if cur is None or (r.ts_us, r.event_id) > (cur[1], cur[0]):
+                state[r.user_id] = (r.event_id, r.ts_us, r.value)
+
+    q = (
+        stream.select("user_id", "event_id", "ts_ns", "value")
+        .writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return pd.DataFrame(
+        [(uid, eid, ts, val) for uid, (eid, ts, val) in sorted(state.items())],
+        columns=["user_id", "last_event_id", "last_ts_us", "last_value"],
+    )
+
+
+@register(
+    "st08_stream_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id,
+           epoch_us(ts) AS last_ts_us, value AS last_value
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    doc=(
+        "Streaming CDC upsert: foreachBatch reduces each micro-batch to "
+        "last-write-wins per key and merges into the standing keyed "
+        "table. Merge relation is associative+commutative, so the final "
+        "table is micro-batch-layout invariant; oracle is the batch "
+        "argmax per key."
+    ),
+    tags=("streaming", "upsert", "cdc"),
+)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pdf = streaming_upsert(read_events_stream(spark, sf_dir))
+    return spark.createDataFrame(pdf)

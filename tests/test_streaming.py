@@ -196,3 +196,19 @@ def test_stream_outer_join_batch_invariant(spark, sf_dir, multi_file_events):
     assert any(c is None for _, c, _, _ in multi)
     inner = {tuple(r) for r in registry.get("st06_stream_stream_join").builder(spark, sf_dir).collect()}
     assert inner <= multi
+
+
+def test_stream_upsert_layout_invariant(spark, sf_dir, multi_file_events):
+    """The foreachBatch CDC merge must yield the same standing table for
+    any micro-batch layout: a 3-file run (one file per trigger) equals
+    the single-batch registry run and the batch argmax oracle."""
+    from spotify_tags_etl_spark.streaming.ops import streaming_upsert
+
+    stream = _read_stream_dir(spark, multi_file_events).withColumn(
+        "ts_ns", F.col("ts_ns").cast("long")
+    )
+    multi = streaming_upsert(stream)
+    single = registry.get("st08_stream_upsert").builder(spark, sf_dir).toPandas()
+    multi_s = multi.rename(columns={}).sort_values("user_id").reset_index(drop=True)
+    single_s = single.sort_values("user_id").reset_index(drop=True)
+    assert multi_s.equals(single_s)
