@@ -278,3 +278,79 @@ def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(to_multimodal(docs))
+
+
+# ---------------------------------------------------------------------------
+# audio windowed-energy stage
+# ---------------------------------------------------------------------------
+
+AUDIO_WINDOW = 256  # samples per analysis window
+
+ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("window_idx", IntegerType(), False),
+        StructField("n_samples", IntegerType(), False),
+        StructField("energy", LongType(), False),
+    ]
+)
+
+
+def audio_energy(mm: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Windowed signal energy for audio payloads: the payload byte stream
+    is treated as the decoded PCM sample stream (the torchaudio/ffmpeg
+    call the stub stands in for), cut into fixed windows, Σ sample² per
+    window — the feature-extraction shape of VAD / loudness filtering.
+
+    Integer sums of byte values: exact in any engine. 1→N window fan-out
+    happens inside mapInPandas (Arrow-batched); the payload never
+    shuffles — at 100 TB the audio bytes stay in the scan stage and only
+    (doc, window, energy) rows leave it."""
+
+    def run(batches):
+        for batch in batches:
+            d, w, n, e = [], [], [], []
+            for doc_id, p in zip(batch["doc_id"], batch["payload"]):
+                b = bytes(p)
+                for off in range(0, len(b), window):
+                    win = b[off : off + window]
+                    d.append(doc_id)
+                    w.append(off // window)
+                    n.append(len(win))
+                    e.append(sum(x * x for x in win))
+            yield pd.DataFrame({"doc_id": d, "window_idx": w, "n_samples": n, "energy": e})
+
+    return mm.where(F.col("modality") == "audio").mapInPandas(run, schema=ENERGY_SCHEMA)
+
+
+@register(
+    "mm05_audio_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    w AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, strlen(text), {AUDIO_WINDOW})) AS st
+      FROM a
+    )
+    SELECT doc_id,
+           CAST((st - 1) // {AUDIO_WINDOW} AS INT) AS window_idx,
+           CAST(least({AUDIO_WINDOW}, strlen(text) - st + 1) AS INT) AS n_samples,
+           CAST(list_sum([ascii(substr(text, i, 1)) * ascii(substr(text, i, 1))
+                          for i in generate_series(st, least(st + {AUDIO_WINDOW} - 1, strlen(text)))])
+                AS BIGINT) AS energy
+    FROM w
+    """,
+    doc=(
+        f"Audio windowed-energy stage ({AUDIO_WINDOW}-sample windows, "
+        "Σ sample² per window) over the stubbed PCM stream — mapInPandas "
+        "fan-out inside the scan stage, payload never shuffled. Oracle "
+        "reproduces the byte math character-wise (corpus is ASCII, so "
+        "byte == char)."
+    ),
+    tags=("multimodal", "udf", "audio"),
+)
+def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy(to_multimodal(docs))
