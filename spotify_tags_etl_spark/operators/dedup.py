@@ -484,6 +484,18 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Never return silently-wrong component ids: a label still moving
+        # after max_iter rounds means some component (diameter > max_iter)
+        # is split across ids, and downstream keep-one-per-component
+        # dedup would keep duplicates. Fail loudly; the fix for genuinely
+        # long-chain graphs is the large-star/small-star variant, not a
+        # bigger iteration cap.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); graph diameter exceeds "
+            "the iteration cap"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 

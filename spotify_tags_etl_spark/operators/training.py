@@ -319,15 +319,24 @@ def decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
     per-contaminated-doc with distinct offending-gram counts, so the
     downstream filter is a broadcast semi-join on doc_id."""
     frac = _hash_frac(F.col("doc_id"))
-    grams = docs.select(
-        "doc_id",
-        frac.alias("frac"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
-                f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
-            )
-        ).alias("g"),
+    # Docs with < n tokens contribute no grams. The pre-filter is load-
+    # bearing: sequence(1, 0) in Spark is the DESCENDING [1, 0] (step
+    # defaults to -1), so without it a short doc feeds slice(..., 0, n)
+    # and the whole job dies with INVALID_PARAMETER_VALUE — while the
+    # oracle's generate_series(1, 0) is empty. Filtering on both sides
+    # makes the semantics identical and total.
+    grams = (
+        docs.where(F.size(F.split("text", " ")) >= n)
+        .select(
+            "doc_id",
+            frac.alias("frac"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+                )
+            ).alias("g"),
+        )
     )
     train = grams.where(F.col("frac") < 0.8).select("doc_id", "g").distinct()
     test = grams.where(F.col("frac") >= 0.9).select(F.col("g").alias("tg")).distinct()

@@ -56,7 +56,9 @@ class ProjectConfig:
 class DatabaseConfig:
     """[<backend>.<env>] table (reference ``DatabaseConfig``, :58-80).
 
-    Port constrained to the registered range, timeout to (1, 10) —
+    Port constrained to (1024, 49151) EXCLUSIVE — matching the
+    reference's ``conint(gt=1024, lt=49151)`` exactly, which itself
+    excludes the boundary ports — timeout to (1, 10) —
     the reference's ``conint`` bounds.
     """
 

@@ -386,9 +386,15 @@ def sz01(spark: SparkSession, sf_dir: str) -> DataFrame:
         # The cursor reaches `total` in total/(pages_per_batch*50) batches;
         # after that read() returns empty batches — stop once drained.
         deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= _SP01_TOTAL:
-                break
+        while spark.table(name).count() < _SP01_TOTAL:
+            if time.time() >= deadline:
+                # Never hand back a silently-truncated collection — a
+                # partial table would surface downstream as a value-hash
+                # mismatch pointing at the operator, not the timeout.
+                raise TimeoutError(
+                    f"sz01 drained only {spark.table(name).count()} of "
+                    f"{_SP01_TOTAL} rows within 120s"
+                )
             time.sleep(0.2)
     finally:
         q.stop()

@@ -434,6 +434,37 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JOIN_RANGE_S = 3600
+_JOIN_WATERMARK = "30 minutes"
+_JOIN_COND = (
+    f"e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL {_JOIN_RANGE_S} SECONDS"
+)
+
+
+def _interval_join_sides(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared err/clk sides of the st06/st07 interval joins: one
+    definition so watermark delay and column shapes cannot drift between
+    the inner and outer variants."""
+    err = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.expr("ts_ns DIV 1000").alias("e_us"),
+        )
+        .withWatermark("e_ts", _JOIN_WATERMARK)
+    )
+    clk = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.expr("ts_ns DIV 1000").alias("c_us"),
+        )
+        .withWatermark("c_ts", _JOIN_WATERMARK)
+    )
+    return err, clk
 
 
 def stream_stream_interval_join(events: DataFrame) -> DataFrame:
@@ -444,25 +475,8 @@ def stream_stream_interval_join(events: DataFrame) -> DataFrame:
     is av07's bucketed range join (same oracle shape); here the interval
     bound is what makes unbounded-stream state finite.
     """
-    err = events.where(F.col("event_type") == "error").select(
-        F.col("event_id").alias("err_id"),
-        F.col("user_id").alias("e_user"),
-        F.col("ts").alias("e_ts"),
-        F.expr("ts_ns DIV 1000").alias("e_us"),
-    ).withWatermark("e_ts", "30 minutes")
-    clk = events.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        F.expr("ts_ns DIV 1000").alias("c_us"),
-    ).withWatermark("c_ts", "30 minutes")
-    joined = err.join(
-        clk,
-        F.expr(
-            f"e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL {_JOIN_RANGE_S} SECONDS"
-        ),
-    )
-    return joined.select(
+    err, clk = _interval_join_sides(events)
+    return err.join(clk, F.expr(_JOIN_COND)).select(
         "err_id",
         "click_id",
         F.col("e_user").alias("user_id"),
@@ -515,25 +529,8 @@ def stream_stream_outer_join(events: DataFrame) -> DataFrame:
     the error's join window (that is what bounds the buffered state; a
     batch outer join has no such notion). ``e_ts`` is kept in the output
     so the caller can apply the deterministic emission cutoff."""
-    err = events.where(F.col("event_type") == "error").select(
-        F.col("event_id").alias("err_id"),
-        F.col("user_id").alias("e_user"),
-        F.col("ts").alias("e_ts"),
-        F.expr("ts_ns DIV 1000").alias("e_us"),
-    ).withWatermark("e_ts", "30 minutes")
-    clk = events.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        F.expr("ts_ns DIV 1000").alias("c_us"),
-    ).withWatermark("c_ts", "30 minutes")
-    joined = err.join(
-        clk,
-        F.expr(
-            f"e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL {_JOIN_RANGE_S} SECONDS"
-        ),
-        "left_outer",
-    )
+    err, clk = _interval_join_sides(events)
+    joined = err.join(clk, F.expr(_JOIN_COND), "left_outer")
     return joined.select(
         "err_id",
         "click_id",

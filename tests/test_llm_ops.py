@@ -371,3 +371,17 @@ def test_redaction_idempotent(spark):
     twice = textops.redact_pii(once).collect()[0]
     assert twice.redacted == twice.text
     assert twice.n_emails == 0 and twice.n_longnums == 0
+
+
+def test_decontaminate_survives_short_docs(spark):
+    """Docs with fewer tokens than the n-gram width must contribute no
+    grams — not crash the job (Spark's sequence(1, 0) is the descending
+    [1, 0], which would feed slice() an illegal 0 start)."""
+    from spotify_tags_etl_spark.operators import training
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "solo"), (3, ""),
+         (4, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    assert training.decontaminate(docs).count() == 0  # no overlap, no crash

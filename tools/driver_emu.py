@@ -88,10 +88,14 @@ def main() -> int:
         for t in spark.catalog.listTables():
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
-        try:
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-        except Exception:
-            pass
+        for key in (
+            "spark.sql.legacy.parquet.nanosAsLong",
+            "spark.sql.shuffle.partitions",  # streaming builders pin it
+        ):
+            try:
+                spark.conf.unset(key)
+            except Exception:
+                pass
 
     n_pass = sum(1 for r in results.values() if r["ok"] and r["err"] is None)
     n_no_oracle = sum(1 for r in results.values() if r["err"] == "no_oracle")
