@@ -46,11 +46,18 @@ def conform(raw: DataFrame) -> DataFrame:
     String-shipped numerics cast to their DDL types; ``encoder`` trailing
     control chars trimmed; ``extract_date`` stamped once per batch.
     """
+    import datetime as _dt
+
     df = raw
     for col, dtype in MEDIA_CONFORMED_CASTS.items():
         df = df.withColumn(col, F.col(col).cast(dtype))
+    # Literal stamp, resolved ONCE on the driver: current_timestamp() is
+    # re-evaluated per action, so a pipeline that writes the same batch
+    # to several sinks would stamp each sink differently — breaking any
+    # cross-table batch reconciliation on extract_date.
+    stamp = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     return df.withColumn("encoder", F.regexp_replace("encoder", r"[\r\n\t]+$", "")).withColumn(
-        "extract_date", F.current_timestamp()
+        "extract_date", F.lit(stamp).cast("timestamp")
     )
 
 
@@ -91,6 +98,7 @@ def enrich_offline_ids(spark: SparkSession, conformed: DataFrame) -> DataFrame:
     Deterministic stand-in for the fuzzy API enrichment
     (postgres_media.py:242-255); unmatched names → 'not_found'.
     """
+    from spotify_tags_etl_spark.operators.fuzzy import offline_lookup
     from spotify_tags_etl_spark.sources.offline_ids import ALBUM_IDS, ARTIST_IDS, TRACK_IDS, lookup_frame
 
     df = conformed
@@ -99,12 +107,7 @@ def enrich_offline_ids(spark: SparkSession, conformed: DataFrame) -> DataFrame:
         ("album_id", "album_title", ALBUM_IDS),
         ("track_id", "track_title", TRACK_IDS),
     ):
-        ids = lookup_frame(spark, mapping).withColumnsRenamed({"name": f"_n_{col}", "id": f"_i_{col}"})
-        df = (
-            df.join(F.broadcast(ids), df[name_col] == ids[f"_n_{col}"], "left")
-            .withColumn(col, F.coalesce(F.col(f"_i_{col}"), F.lit("not_found")))
-            .drop(f"_n_{col}", f"_i_{col}")
-        )
+        df = offline_lookup(df, lookup_frame(spark, mapping), name_col, out_col=col)
     return df
 
 
@@ -129,8 +132,14 @@ def write_warehouse(
     (e.g. ``{"metadata": ["file_ext"]}``).
     """
     partition_by = partition_by or {}
-    for table, df in vertical_split(conformed).items():
-        writer = df.write.mode(mode)
-        if table in partition_by:
-            writer = writer.partitionBy(*partition_by[table])
-        writer.parquet(f"{out_dir}/{table}")
+    # One materialization feeds all five projections — without the cache
+    # each table write re-reads and re-conforms the NDJSON source.
+    conformed = conformed.cache()
+    try:
+        for table, df in vertical_split(conformed).items():
+            writer = df.write.mode(mode)
+            if table in partition_by:
+                writer = writer.partitionBy(*partition_by[table])
+            writer.parquet(f"{out_dir}/{table}")
+    finally:
+        conformed.unpersist()

@@ -47,8 +47,19 @@ from spotify_tags_etl_spark.functions.decode import (
     decode_pitch_class,
 )
 
-#: IANA spotify URI types (reference models.py:16-25).
-VALID_TYPES = ("track", "artist", "album", "playlist", "show", "episode", "audio_features")
+from spotify_tags_etl_spark.schemas import VALID_TYPES  # single source (models.py:16-25)
+
+
+def _batch_stamp() -> "F.Column":
+    """Literal batch timestamp, resolved once on the driver.
+
+    current_timestamp() re-evaluates per ACTION: a frame written to two
+    sinks (NDJSON export + warehouse parquet) would carry two different
+    stamps for the same rows. A driver-side literal makes every sink of
+    one batch agree."""
+    import datetime as _dt
+
+    return F.lit(_dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)).cast("timestamp")
 
 #: Raw saved-tracks API item (get-users-saved-tracks): explicit schema —
 #: nested structs, optional linked_from. Inference is banned on dirty
@@ -139,7 +150,7 @@ def parse_favorites(raw: DataFrame) -> DataFrame:
         F.col("track.popularity").cast("int").alias("popularity"),
         F.date_format(convert_added_at("added_at"), "yyyy-MM-dd HH:mm:ss").alias("added_at"),
         F.col("track.external_urls.spotify").alias("external_url"),
-        F.current_timestamp().alias("extract_date"),
+        _batch_stamp().alias("extract_date"),
     )
 
 
@@ -197,7 +208,7 @@ def conform_audio_features(raw: DataFrame) -> DataFrame:
         unit("valence").alias("valence"),
         F.col("track_href"),
         F.col("analysis_url"),
-        F.current_timestamp().alias("extract_date"),
+        _batch_stamp().alias("extract_date"),
     )
 
 
@@ -244,16 +255,24 @@ def run_playlist_pipeline(
     warehouse load (parquet; swap for JDBC for PG parity)."""
     parsed = parse_favorites(read_liked_songs_json(spark, liked_src))
     liked_ok, liked_bad = split_favorites(parsed)
-    liked = dedup_favorites(liked_ok).withColumn("load_date", F.current_timestamp())
+    # Literal load_date + cache: each frame feeds two sinks (NDJSON +
+    # parquet); without both, the sinks would re-run the pipeline and
+    # stamp different load_dates on identical rows (and an exact dedup
+    # tie could even pick a different survivor per sink).
+    liked = dedup_favorites(liked_ok).withColumn("load_date", _batch_stamp()).cache()
 
     feats = conform_audio_features(read_audio_features_json(spark, features_src))
     feats_ok, feats_bad = split_audio_features(feats)
-    feats_ok = feats_ok.withColumn("load_date", F.current_timestamp())
+    feats_ok = feats_ok.withColumn("load_date", _batch_stamp()).cache()
 
-    export_ndjson(liked, f"{out_dir}/liked_song_records")
-    export_ndjson(feats_ok, f"{out_dir}/audio_feature_records")
-    liked.write.mode("overwrite").parquet(f"{out_dir}/warehouse/liked_song")
-    feats_ok.write.mode("overwrite").parquet(f"{out_dir}/warehouse/audio_feature")
+    try:
+        export_ndjson(liked, f"{out_dir}/liked_song_records")
+        export_ndjson(feats_ok, f"{out_dir}/audio_feature_records")
+        liked.write.mode("overwrite").parquet(f"{out_dir}/warehouse/liked_song")
+        feats_ok.write.mode("overwrite").parquet(f"{out_dir}/warehouse/audio_feature")
+    finally:
+        liked.unpersist()
+        feats_ok.unpersist()
     return {
         "liked_song": liked,
         "liked_quarantine": liked_bad,

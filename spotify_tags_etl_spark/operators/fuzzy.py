@@ -53,19 +53,31 @@ def fuzzy_top_match(
     cand = candidates.withColumn("_norm_cand", _norm_key(F.col(candidate_name)))
 
     if block:
+        # LEFT join with the blocking predicate IN the join condition:
+        # a local row whose block has no candidate must still surface (as
+        # an audit row with score 0), never silently vanish — blocking may
+        # degrade the best match, not delete keywords.
         loc = loc.withColumn("_blk", F.substring("_norm_local", 1, 1))
         cand = cand.withColumn("_blk", F.substring("_norm_cand", 1, 1))
-        paired = loc.join(F.broadcast(cand), "_blk").where(
-            F.length("_norm_cand").between(
-                (F.length("_norm_local") * 0.5).cast("int"),
-                (F.length("_norm_local") * 1.5).cast("int") + 1,
-            )
+        cond = (
+            (loc["_blk"] == cand["_blk"])
+            & (F.length(cand["_norm_cand"]) >= (F.length(loc["_norm_local"]) * 0.5).cast("int"))
+            & (F.length(cand["_norm_cand"]) <= (F.length(loc["_norm_local"]) * 1.5).cast("int") + 1)
         )
+        paired = loc.join(F.broadcast(cand), cond, "left")
     else:
         paired = loc.crossJoin(F.broadcast(cand))
 
-    scored = paired.withColumn("score", ratio_udf(F.col("_norm_local"), F.col("_norm_cand")))
-    w = Window.partitionBy(local_key).orderBy(F.desc("score"), F.asc(candidate_name))
+    scored = paired.withColumn(
+        "score", F.coalesce(ratio_udf(F.col("_norm_local"), F.col("_norm_cand")), F.lit(0.0))
+    )
+    # Argmax per LOCAL ROW, not per keyword value: partitioning on the
+    # keyword column alone collapses distinct local rows that share a
+    # keyword into one arbitrary survivor. All local columns form the
+    # per-row identity (the reference loops rows, not distinct names).
+    w = Window.partitionBy(*[loc[c] for c in local.columns]).orderBy(
+        F.desc("score"), F.asc(candidate_name)
+    )
     best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -75,14 +87,28 @@ def fuzzy_top_match(
     return best.where(F.col("score") >= threshold), best.where(F.col("score") < threshold)
 
 
-def offline_lookup(local: DataFrame, ids: DataFrame, key: str, default: str = "not_found") -> DataFrame:
+def offline_lookup(
+    local: DataFrame,
+    ids: DataFrame,
+    key: str,
+    default: str = "not_found",
+    out_col: str = "matched_id",
+) -> DataFrame:
     """J4 (sql/offline_ids.py:3-46): broadcast lookup join with default.
 
     ``ids`` must have columns (``name``, ``id``); unmatched keys get
     ``default`` — the deterministic test seam replacing the live API.
-    """
-    joined = local.join(F.broadcast(ids), local[key] == ids["name"], "left")
-    return joined.withColumn("matched_id", F.coalesce(F.col("id"), F.lit(default))).drop("name", "id")
+    The lookup columns are aliased to collision-proof private names so a
+    local frame that itself has ``name``/``id`` columns passes through
+    untouched (a bare drop("name", "id") would delete the caller's own
+    columns)."""
+    lk = F.broadcast(
+        ids.select(F.col("name").alias("_ol_name"), F.col("id").alias("_ol_id"))
+    )
+    joined = local.join(lk, local[key] == F.col("_ol_name"), "left")
+    return joined.withColumn(
+        out_col, F.coalesce(F.col("_ol_id"), F.lit(default))
+    ).drop("_ol_name", "_ol_id")
 
 
 # ---------------------------------------------------------------------------

@@ -127,23 +127,8 @@ AUDIO_FEATURE_SCHEMA = StructType(
     + _string_fields("extract_date", "load_date")
 )
 
-#: Pitch-class decode map (models.py:76-90): key '0'..'11' → pitch class,
-#: '-1'/unknown → ''.
-PITCH_CLASS = {
-    "0": "C",
-    "1": "C#,Db",
-    "2": "D",
-    "3": "D#,Eb",
-    "4": "E",
-    "5": "F",
-    "6": "F#,Gb",
-    "7": "G",
-    "8": "G#,Ab",
-    "9": "A",
-    "10": "A#,Bb",
-    "11": "B",
-    "-1": "",
-}
-
-#: Mode decode map (models.py:93-97).
-MODE_NAME = {"0": "minor", "1": "Major"}
+# Pitch-class / mode decode maps live in functions/decode.py (the copy
+# used by the decode expressions and golden tests); re-exported here for
+# schema-adjacent callers. A second literal copy had already drifted
+# from the reference's unicode-flat spellings (models.py:76-97).
+from spotify_tags_etl_spark.functions.decode import MODE, PITCH_CLASS  # noqa: E402,F401

@@ -38,8 +38,16 @@ def drop_database(spark: SparkSession, name: str) -> None:
 
 
 def show_tables(spark: SparkSession, database: str | None = None) -> list[str]:
-    """S7 (postgres_media.py:74-81): user tables from the catalog."""
-    return sorted(t.name for t in spark.catalog.listTables(database))
+    """S7 (postgres_media.py:74-81): user tables from the catalog.
+
+    Session-scoped temp views are excluded: listTables(database) returns
+    them alongside the database's real tables, but they don't live in
+    the database — qualifying one as ``db.view`` (as
+    insertable_projection does) is unresolvable and the reference's
+    pg_tables scan never saw views either."""
+    return sorted(
+        t.name for t in spark.catalog.listTables(database) if t.tableType != "TEMPORARY"
+    )
 
 
 def table_columns(

@@ -78,3 +78,20 @@ def test_approx_percentile_accuracy(spark):
     for et in exact:
         for e, a in zip(exact[et], approx[et]):
             assert a == pytest.approx(e, rel=0.02, abs=1.0)  # within 2% at accuracy=10000
+
+
+def test_show_tables_excludes_temp_views(spark):
+    """Temp views leak into listTables(db); qualifying one as db.view is
+    unresolvable — show_tables/insertable_projection must skip them."""
+    from spotify_tags_etl_spark.sources import catalog
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tvleak_db")
+    try:
+        spark.createDataFrame([(1,)], "x int").write.mode("overwrite").saveAsTable("tvleak_db.realtbl")
+        spark.createDataFrame([(2,)], "y int").createOrReplaceTempView("leaky_view")
+        assert catalog.show_tables(spark, "tvleak_db") == ["realtbl"]
+        proj = catalog.insertable_projection(spark, "tvleak_db", exclude=())
+        assert proj == {"realtbl": ["x"]}
+    finally:
+        spark.catalog.dropTempView("leaky_view")
+        spark.sql("DROP DATABASE IF EXISTS tvleak_db CASCADE")

@@ -66,3 +66,42 @@ def test_normalize_udf_matches_python(spark):
     vals = ["Björk", "A & B  (c)", None, "  x   y "]
     df = spark.createDataFrame([(v,) for v in vals], "s string").select(normalize_udf(F.col("s")).alias("n"))
     assert [r.n for r in df.collect()] == [normalize_text(v) for v in vals]
+
+
+def test_duplicate_keywords_keep_one_row_each(spark, frames):
+    """Two distinct local rows sharing a keyword must BOTH survive the
+    argmax (the window partitions per local row, not per keyword value —
+    the reference loops rows)."""
+    _, candidates = frames
+    local = spark.createDataFrame(
+        [(1, "Velvet Harbor"), (2, "Velvet Harbor"), (3, "Quiet Atlas")],
+        "pk long, keyword string",
+    )
+    matches, audit = fuzzy_top_match(local, candidates, "keyword", "cand_name", threshold=0.0)
+    rows = matches.unionByName(audit).collect()
+    assert sorted(r.pk for r in rows) == [1, 2, 3]
+    by_pk = {r.pk: r for r in rows}
+    assert by_pk[1].best_name == by_pk[2].best_name  # same keyword, same best
+
+
+def test_blocked_unmatched_local_reaches_audit(spark, frames):
+    """A local row whose block contains no candidate must surface in the
+    audit frame with score 0 — blocking may degrade the match, never
+    silently delete the keyword."""
+    _, candidates = frames
+    local = spark.createDataFrame([("Zebra Crossing",)], "keyword string")
+    matches, audit = fuzzy_top_match(local, candidates, "keyword", "cand_name", threshold=70.0)
+    assert matches.count() == 0
+    rows = audit.collect()
+    assert len(rows) == 1 and rows[0].keyword == "Zebra Crossing"
+    assert rows[0].score == 0.0 and rows[0].best_name is None
+
+
+def test_offline_lookup_survives_name_id_collision(spark):
+    """A local frame with its own 'name'/'id' columns keeps them."""
+    local = spark.createDataFrame(
+        [("x9", "Velvet Harbor", "local-name")], "id string, artist string, name string"
+    )
+    ids = spark.createDataFrame([("Velvet Harbor", "a1")], "name string, id string")
+    row = offline_lookup(local, ids, "artist").collect()[0]
+    assert (row.id, row.name, row.matched_id) == ("x9", "local-name", "a1")
