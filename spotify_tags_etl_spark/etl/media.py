@@ -111,10 +111,18 @@ def enrich_offline_ids(spark: SparkSession, conformed: DataFrame) -> DataFrame:
     return df
 
 
-def register_media_views(spark: SparkSession, path: str) -> dict[str, DataFrame]:
-    """Ingest → conform → enrich → split → temp views for the query layer."""
+def media_tables(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """Ingest → conform → enrich → split: the five warehouse frames,
+    with NO catalog side effects (the canned query builders consume the
+    dict directly; registering five temp views per query call would
+    mutate the shared session catalog dozens of times per run)."""
     conformed, _quarantined = split_valid(conform(read_media_json(spark, path)))
-    tables = vertical_split(enrich_offline_ids(spark, conformed))
+    return vertical_split(enrich_offline_ids(spark, conformed))
+
+
+def register_media_views(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+    """media_tables + temp views, for the spark.sql query layer."""
+    tables = media_tables(spark, path)
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables

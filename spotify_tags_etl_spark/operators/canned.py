@@ -117,7 +117,7 @@ def avg_size_select(tables: dict[str, DataFrame]) -> DataFrame:
 
 import os as _os
 
-from spotify_tags_etl_spark.etl.media import register_media_views
+from spotify_tags_etl_spark.etl.media import media_tables
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.offline_ids import ALBUM_IDS, ARTIST_IDS, TRACK_IDS
 
@@ -234,8 +234,7 @@ _MEDIA_QUERIES = {
 
 def _make_media_builder(fn):
     def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
-        tables = register_media_views(spark, FIXTURE_PATH)
-        return fn(tables, spark)
+        return fn(media_tables(spark, FIXTURE_PATH), spark)
 
     return builder
 

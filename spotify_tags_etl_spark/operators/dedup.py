@@ -60,10 +60,6 @@ sh AS (
 )"""
 
 
-def distinct_tokens(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("s"))
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -233,18 +229,33 @@ _SH_BAND_BITS = 15     # 4 bands of 15 bits
 _SH_MAX_HAMMING = 3    # < n_bands ⇒ pigeonhole guarantees a band match
 
 
+def _sh_digit(j: int):
+    """(salt, hex-digit-index) sourcing bit j: md5 hex has only 32
+    digits, so bits ≥ 32 come from a SECOND salted md5 — sampling digit
+    j+1 of a single md5 for j in 32..59 silently reads '' (always a -1
+    vote), zeroing bits 32-59 and collapsing the top band to one bucket
+    (= an all-pairs join)."""
+    return j // 32, j % 32
+
+
 def simhash_fingerprints(features: DataFrame) -> DataFrame:
     """60-bit simhash as a BIGINT: bit j = sign of Σ ±1 votes over the
-    doc's features (bit j of a feature = high bit of md5 hex digit j).
+    doc's features (bit j of a feature = high bit of hex digit j%32 of
+    md5((j//32) || '|' || feature) — two salted md5s cover all 60 bits).
 
     Integer fingerprints (not bit-strings) so candidate banding is an
     int equi-join and verification is ``bit_count(fp1 ^ fp2)`` — a JVM
     popcount intrinsic, ~100× cheaper than per-character comparison.
     """
-    votes = [
-        F.sum(F.when(F.substring(F.md5("s"), j + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)).alias(f"v{j}")
-        for j in range(_SH_BITS)
-    ]
+    votes = []
+    for j in range(_SH_BITS):
+        salt, digit = _sh_digit(j)
+        h = F.md5(F.concat(F.lit(f"{salt}|"), F.col("s")))
+        votes.append(
+            F.sum(
+                F.when(F.substring(h, digit + 1, 1).isin(*_HIGH_HEX), 1).otherwise(-1)
+            ).alias(f"v{j}")
+        )
     agg = features.groupBy("doc_id").agg(*votes)
     fp = sum(F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(_SH_BITS))
     return agg.select("doc_id", fp.cast("bigint").alias("fp"))
@@ -292,7 +303,8 @@ def simhash_pairs(fps: DataFrame, max_hamming: int = _SH_MAX_HAMMING) -> DataFra
 def _simhash_oracle(max_hamming: int) -> str:
     high = ",".join(f"'{h}'" for h in _HIGH_HEX)
     votes = ",\n             ".join(
-        f"SUM(CASE WHEN substr(md5(s), {j + 1}, 1) IN ({high}) THEN 1 ELSE -1 END) AS v{j}"
+        f"SUM(CASE WHEN substr(md5('{_sh_digit(j)[0]}|' || s), {_sh_digit(j)[1] + 1}, 1)"
+        f" IN ({high}) THEN 1 ELSE -1 END) AS v{j}"
         for j in range(_SH_BITS)
     )
     fp = " + ".join(f"CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(_SH_BITS))
@@ -394,8 +406,11 @@ def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-_COS_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-_COS_DOT_DUCK = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+# One definition of the cross-engine in-order dot product (see
+# operators/similarity.py) — a drifting second copy would silently break
+# the other family's bit-exact parity guarantee.
+from spotify_tags_etl_spark.operators.similarity import _DOT as _COS_DOT  # noqa: E402
+from spotify_tags_etl_spark.operators.similarity import _ORACLE_DOT as _COS_DOT_DUCK  # noqa: E402
 _COS_THRESH = 0.30  # synthetic 64-dim cluster embeddings: within-label max ≈ 0.47, p99 ≈ 0.295
 
 

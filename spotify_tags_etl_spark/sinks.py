@@ -33,7 +33,9 @@ API_BATCH = 50
 
 def save_debug_json(df: DataFrame, root: str, name: str, date: _dt.date | None = None) -> str:
     """K4: dated debug side-output ``<root>/api/YYYY-MM-DD/<name>/``."""
-    d = (date or _dt.date.today()).isoformat()
+    # UTC, matching the pipeline's batch stamps — date.today() is host-
+    # local and misdates dumps near midnight.
+    d = (date or _dt.datetime.now(_dt.timezone.utc).date()).isoformat()
     path = os.path.join(root, "api", d, name)
     df.write.mode("overwrite").json(path)
     return path
