@@ -5,7 +5,9 @@ batch to a dimension (the engine-level primitive beneath lakehouse MERGE
 INTO) and single-pass column profiling (the stats a pipeline checks
 before trusting an input drop).
 
-(``uz`` registry prefix = rotation-safe slot; see ``plans/registry.py``.)
+(``uz`` registry prefix = late-sorting slot queued for the next
+driver-window rotation, oracle-checked locally meanwhile; see
+``plans/registry.py``.)
 
 Scale notes (100 TB):
 
@@ -26,7 +28,10 @@ from pyspark.sql import functions as F
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.tpch import load_table
 
-_NEW_KEY_OFFSET = 1_000_000
+# far above max c_custkey at any plausible SF (150k x SF): a small
+# offset collides with REAL keys as SF grows (1e6 collides at SF>=7),
+# silently turning synthetic inserts into duplicate-key updates.
+_NEW_KEY_OFFSET = 10_000_000_000
 
 
 def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
@@ -34,14 +39,21 @@ def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     rows of ``base``; new keys append; other base rows pass through.
     Adds ``_op`` (update/insert/keep) for audit/verification.
 
-    Column precedence is change-side coalesce over base-side — the
-    deterministic full-outer-join formulation of MERGE INTO.
+    Precondition: ``changes`` has at most one row per key (like MERGE
+    INTO); duplicate change keys fan the full-outer join out to multiple
+    output rows per key.
     """
     b = base.select([F.col(c).alias(f"_b_{c}") for c in base.columns])
     c = changes.select([F.col(col).alias(f"_c_{col}") for col in changes.columns])
     joined = b.join(c, b[f"_b_{key}"] == c[f"_c_{key}"], "full_outer")
+    # True type-1 overwrite keyed on change-row PRESENCE, not per-column
+    # coalesce: a change row legitimately setting a column to NULL must
+    # win (coalesce would silently keep the stale base value).
     out_cols = [
-        F.coalesce(F.col(f"_c_{col}"), F.col(f"_b_{col}")).alias(col) for col in base.columns
+        F.when(F.col(f"_c_{key}").isNotNull(), F.col(f"_c_{col}"))
+        .otherwise(F.col(f"_b_{col}"))
+        .alias(col)
+        for col in base.columns
     ]
     op = (
         F.when(F.col(f"_c_{key}").isNull(), F.lit("keep"))
@@ -88,9 +100,9 @@ def _change_batch(customer: DataFrame) -> DataFrame:
       FROM base WHERE c_custkey % 997 = 0
     )
     SELECT COALESCE(c.c_custkey, b.c_custkey) AS c_custkey,
-           COALESCE(c.c_name, b.c_name) AS c_name,
-           CAST(COALESCE(c.c_acctbal, b.c_acctbal) AS DOUBLE) AS acctbal,
-           COALESCE(c.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE b.c_name END AS c_name,
+           CAST(CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal ELSE b.c_acctbal END AS DOUBLE) AS acctbal,
+           CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
            CASE WHEN c.c_custkey IS NULL THEN 'keep'
                 WHEN b.c_custkey IS NULL THEN 'insert'
                 ELSE 'update' END AS _op
@@ -99,7 +111,7 @@ def _change_batch(customer: DataFrame) -> DataFrame:
     doc=(
         "CDC upsert (MERGE INTO primitive): deterministic change batch "
         "(balance updates + new keys) applied to the customer dimension "
-        "via full-outer join + change-side coalesce, with an _op audit "
+        "via full-outer join + change-row-presence overwrite, with an _op audit "
         "column. At scale the base side is bucketed by the key so only "
         "the change batch shuffles."
     ),
@@ -178,9 +190,14 @@ def with_zorder(df: DataFrame, x_col, y_col) -> DataFrame:
     integer div/mod arithmetic — codegen'd, engine-portable); callers lay
     data out with ``repartitionByRange('zval').sortWithinPartitions('zval')``
     at write time so min/max file stats prune BOTH dimensions at scan."""
+    # Clamp into the 8-bit domain: interleaving only reads the low
+    # _Z_BITS bits, so out-of-range inputs would silently alias (300
+    # clusters like 44) and negatives would produce garbage keys (% in
+    # Spark follows the dividend's sign). pmod is the identity for
+    # in-range inputs, so clamping never changes a correct caller.
     return (
-        df.withColumn("_zx", x_col)
-        .withColumn("_zy", y_col)
+        df.withColumn("_zx", F.pmod(x_col, F.lit(1 << _Z_BITS)))
+        .withColumn("_zy", F.pmod(y_col, F.lit(1 << _Z_BITS)))
         .withColumn("zval", F.expr(_z_terms("_zx", "_zy", "DIV")))
         .drop("_zx", "_zy")
     )

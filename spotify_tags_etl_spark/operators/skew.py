@@ -27,21 +27,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _row_salt(df: DataFrame, n_salts: int):
+    """Deterministic per-row salt: hash of the FULL row content.
+
+    Never salt a shuffle key from monotonically_increasing_id()/rand():
+    those re-evaluate differently when a map task is retried, so
+    recomputed rows land in different reduce partitions than the output
+    other reducers already fetched — rows double-count or vanish (the
+    classic repartition-by-rand hazard; retries are routine at the
+    1000-executor design point). Content-hash salts are retry-stable;
+    the only tradeoff is that fully-identical rows share a salt, which
+    merely caps the spread for exact-duplicate rows."""
+    return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+
+
 def salted_sum(
     df: DataFrame, key: str, value_col, out: str, n_salts: int = 16
 ) -> DataFrame:
     """Two-phase salted aggregation: SUM(value) per key with the partial
-    phase spread over ``n_salts`` reducers per key.
-
-    Salt derivation: ``hash(monotonically_increasing_id())`` depends on
-    the physical partition layout — any spread over reducers is equally
-    correct for aggregation, but do NOT sample or filter on the salt and
-    expect stability across repartitions/reruns; derive the salt from a
-    real column (e.g. ``F.hash(row_key)``) where reproducible assignment
-    matters."""
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)).alias("_salt")
+    phase spread over ``n_salts`` reducers per key (retry-deterministic
+    content-hash salt — see _row_salt)."""
     partial = (
-        df.select(F.col(key), value_col.alias("_v"), salt)
+        df.select(F.col(key), value_col.alias("_v"), _row_salt(df, n_salts).alias("_salt"))
         .groupBy(key, "_salt")
         .agg(F.sum("_v").alias("_partial"))
     )
@@ -56,9 +63,7 @@ def salted_join(
     identical to ``big.join(small, key)``."""
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     small_rep = small.select("*", salts)
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
-    )
+    big_salted = big.withColumn("_salt", _row_salt(big, n_salts))
     return big_salted.join(small_rep, [key, "_salt"]).drop("_salt")
 
 
@@ -115,9 +120,12 @@ from spotify_tags_etl_spark.sources.tpch import load_table
 )
 def wz01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(16)).alias("_salt")
     partial = (
-        ev.select("event_type", F.col("value").cast("decimal(14,2)").alias("_v"), salt)
+        ev.select(
+            "event_type",
+            F.col("value").cast("decimal(14,2)").alias("_v"),
+            _row_salt(ev, 16).alias("_salt"),
+        )
         .groupBy("event_type", "_salt")
         .agg(F.count("*").alias("_n"), F.sum("_v").alias("_s"))
     )

@@ -6,8 +6,10 @@ Everything is hash-deterministic (md5-bucket thresholds, never
 poisons incremental pipelines, dedup bookkeeping, and eval splits. All
 column expressions are built-in (JVM codegen); no UDFs.
 
-(Registry names use the ``tz`` prefix — rotation-safe slots that sort
-after this round's driver check window; see ``plans/registry.py``.)
+(Registry names use the ``tz`` prefix — late-sorting slots that queue
+for the next driver-window rotation instead of displacing the queries
+currently under verification; oracle-checked locally meanwhile. See
+``plans/registry.py``.)
 
 Scale notes (100 TB):
 
@@ -61,10 +63,15 @@ def stratified_sample(df: DataFrame, stratum_col: str, key_col: str, rates: dict
 
 
 def train_val_test_split(df: DataFrame, key_col: str) -> DataFrame:
-    """Assign each row a stable split label by key hash (80/10/10)."""
+    """Assign each row a stable split label by key hash (80/10/10).
+
+    The fallback is the LAST split, matching the oracle's CASE ELSE: a
+    NULL key hashes to NULL frac, every `<` is NULL-false, and a
+    NULL-default would leave such rows in NO split — silently lost from
+    train, val, and test alike."""
     frac = _hash_frac(F.col(key_col))
-    expr = F.lit(None).cast("string")
-    for name, edge in reversed(SPLIT_EDGES):
+    expr = F.lit(SPLIT_EDGES[-1][0])
+    for name, edge in reversed(SPLIT_EDGES[:-1]):
         expr = F.when(frac < edge, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
 
@@ -313,11 +320,12 @@ def decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
     test-split document — eval decontamination, the check every serious
     pretraining corpus runs.
 
-    The eval side's distinct gram set is the small side (eval sets are
-    orders of magnitude smaller than the corpus) → broadcast it; the
-    train side streams through the join gram-at-a-time. Output is
+    Join strategy is left to AQE: a REAL eval set is tiny and
+    auto-broadcasts, but this self-contained fixture derives "test"
+    from a hash bucket — O(corpus) grams, which must never be force-
+    broadcast (terabytes at the 100 TB design point). Output is
     per-contaminated-doc with distinct offending-gram counts, so the
-    downstream filter is a broadcast semi-join on doc_id."""
+    downstream filter is a semi-join on doc_id."""
     frac = _hash_frac(F.col("doc_id"))
     # Docs with < n tokens contribute no grams. The pre-filter is load-
     # bearing: sequence(1, 0) in Spark is the DESCENDING [1, 0] (step
@@ -338,10 +346,11 @@ def decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
             ).alias("g"),
         )
     )
-    train = grams.where(F.col("frac") < 0.8).select("doc_id", "g").distinct()
-    test = grams.where(F.col("frac") >= 0.9).select(F.col("g").alias("tg")).distinct()
+    train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
+    train = grams.where(F.col("frac") < train_edge).select("doc_id", "g").distinct()
+    test = grams.where(F.col("frac") >= test_edge).select(F.col("g").alias("tg")).distinct()
     return (
-        train.join(F.broadcast(test), train["g"] == test["tg"])
+        train.join(test, train["g"] == test["tg"])
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
         .orderBy("doc_id")
