@@ -385,3 +385,48 @@ def test_decontaminate_survives_short_docs(spark):
         "doc_id long, text string",
     )
     assert training.decontaminate(docs).count() == 0  # no overlap, no crash
+
+
+def test_split_null_key_lands_in_last_split(spark):
+    """A NULL key hashes to NULL frac; every `<` comparison is NULL-false,
+    so the fallback must be a real split (the last one) — a NULL default
+    would silently drop the row from train, val, AND test."""
+    from spotify_tags_etl_spark.operators.training import SPLIT_EDGES, train_val_test_split
+
+    df = spark.createDataFrame([("k1",), (None,)], "doc_key string")
+    got = {r.doc_key: r.split for r in train_val_test_split(df, "doc_key").collect()}
+    assert got[None] == SPLIT_EDGES[-1][0]
+    assert got["k1"] in {name for name, _ in SPLIT_EDGES}
+
+
+def test_zorder_clamps_out_of_domain_inputs(spark):
+    """Interleaving reads only the low 8 bits per dimension; inputs outside
+    [0, 256) must be pmod-clamped (not silently aliased through raw bit
+    truncation of negatives, where Spark's % follows the dividend sign)."""
+    from spotify_tags_etl_spark.operators.maintenance import with_zorder
+
+    df = spark.createDataFrame([(300, -1), (44, 255), (0, 0)], "x long, y long")
+    rows = {(r.x, r.y): r.zval for r in with_zorder(df, F.col("x"), F.col("y")).collect()}
+    # 300 pmod 256 == 44, so the two rows' x-contributions coincide by design…
+    assert rows[(300, -1)] != rows[(44, 255)] or (300 % 256, (-1) % 256) == (44, 255)
+    # …and -1 pmod 256 == 255 (never a negative remainder).
+    assert rows[(300, -1)] == rows[(44, 255)]
+    assert rows[(0, 0)] == 0
+    assert all(0 <= v < (1 << 16) for v in rows.values())
+
+
+def test_upsert_null_change_value_overwrites(spark):
+    """MERGE semantics: a change row that sets a column to NULL must WIN
+    over the stale base value (per-column coalesce would keep it)."""
+    from spotify_tags_etl_spark.operators.maintenance import upsert
+
+    base = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], "k long, name string, bal double"
+    )
+    changes = spark.createDataFrame(
+        [(1, None, 99.0), (3, "carol", 30.0)], "k long, name string, bal double"
+    )
+    got = {r.k: r for r in upsert(base, changes, "k").collect()}
+    assert got[1].name is None and got[1].bal == 99.0 and got[1]._op == "update"
+    assert got[2].name == "bob" and got[2]._op == "keep"
+    assert got[3].name == "carol" and got[3]._op == "insert"

@@ -210,3 +210,17 @@ def test_ivf_broadcast_side_is_centroids_only(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_salt_is_retry_and_layout_stable(spark, sf_dir):
+    """The shuffle salt must be a pure function of row CONTENT: a map-task
+    retry (simulated here by a different physical layout) must assign every
+    row the same salt, or retried rows land in reduce partitions whose
+    output other reducers already fetched (rows double-count or vanish)."""
+    from spotify_tags_etl_spark.operators.skew import _row_salt
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    a = {tuple(r) for r in ev.select("event_id", _row_salt(ev, 16).alias("s")).collect()}
+    ev2 = ev.repartition(7)
+    b = {tuple(r) for r in ev2.select("event_id", _row_salt(ev2, 16).alias("s")).collect()}
+    assert a == b
