@@ -423,3 +423,151 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 def vx02(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_int8(emb).select("vec_id", "codes", "scale_r")
+
+
+# ---------------------------------------------------------------------------
+# vx03 — deterministic quantized k-means (semantic clustering)
+# ---------------------------------------------------------------------------
+#
+# The training-data use case is data mixing / semantic dedup: cluster the
+# corpus embeddings, then sample or cap per cluster. The catch with naive
+# k-means on a cluster is REPRODUCIBILITY: float centroid sums depend on
+# partition layout and task retry order, so two runs over the same 100 TB
+# can emit different clusterings. Fix: quantize embeddings to integer
+# units once (exact bigint sums in ANY aggregation order), keep centroids
+# as exact sum/count ratios, and break assignment ties by cluster id —
+# the whole algorithm is then a pure function of the data, bit-identical
+# across layouts, retries, and engines (the DuckDB oracle reproduces it
+# exactly; same trick as av13's integer sufficient statistics).
+
+_KM_K = 8          #: seed count (vec_id < _KM_K are the seeds)
+_KM_ITERS = 2      #: fixed unrolled Lloyd iterations (driver-side loop)
+_KM_QSCALE = 1_000_000  #: quantization: round(x * 1e6) per component
+
+
+def _km_vectors(emb: DataFrame) -> DataFrame:
+    """vec_id, qv (exact bigint units), qvd (qv as double), dvv = qv·qv.
+
+    dvv is double-EXACT: components ≤ 1e6 in magnitude, squares ≤ 1e12,
+    64-dim sums ≤ 6.4e13 < 2^53."""
+    return (
+        emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_KM_QSCALE}) AS BIGINT))"
+            ).alias("qv"),
+        )
+        .withColumn("qvd", F.expr("transform(qv, x -> CAST(x AS DOUBLE))"))
+        .withColumn("dvv", dot("qvd", "qvd"))
+    )
+
+
+def _km_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: d2 = (dvv - 2*qv·c) + c·c, ties to the
+    lowest cluster id. Centroids broadcast (k·dim doubles — tiny at any k
+    a training pipeline uses), so assignment is a narrow map stage."""
+    d2 = F.col("dvv") - F.lit(2.0) * dot("qvd", "cvec") + F.col("dcc")
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _km_centroids(assigned: DataFrame) -> DataFrame:
+    """Recompute centroids from exact integer sufficient statistics:
+    posexplode → per-(cluster, dim) bigint sum + count (map-side combined;
+    shuffle is O(k·dim) partials per task, NOT O(rows)), mean in double.
+    Clusters that lost every member drop out, exactly as in the oracle."""
+    ex = assigned.select("cluster", F.posexplode("qv").alias("pos", "x"))
+    stats = ex.groupBy("cluster", "pos").agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+    return (
+        stats.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s", "n"))).alias("arr"))
+        .select("cluster", F.expr("transform(arr, t -> CAST(t.s AS DOUBLE) / t.n)").alias("cvec"))
+        .withColumn("dcc", dot("cvec", "cvec"))
+    )
+
+
+def kmeans_quantized(emb: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
+    """Lloyd's k-means over ``embedding`` with deterministic seeds
+    (vec_id < k) and exact integer accumulation; returns one row per
+    vector: vec_id, cluster, d2_r (squared distance in original units)."""
+    v = _km_vectors(emb)
+    cents = (
+        v.where(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("qvd").alias("cvec"), F.col("dvv").alias("dcc"))
+    )
+    for _ in range(iters):
+        cents = _km_centroids(_km_assign(v, cents))
+    return (
+        _km_assign(v, cents)
+        .select(
+            "vec_id",
+            "cluster",
+            F.round(F.col("d2") / F.lit(1e12), 6).alias("d2_r"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _km_oracle() -> str:
+    """Unrolled CTE chain mirroring kmeans_quantized step for step."""
+    q = _KM_QSCALE
+    k = _KM_K
+    dvc = _ORACLE_DOT.format(a="v.qvd", b="c.cvec")
+    assign = (
+        "SELECT vec_id, qv, qvd, dvv, cluster, d2 FROM ("
+        "  SELECT v.vec_id, v.qv, v.qvd, v.dvv, c.cluster,"
+        f"        v.dvv - 2.0 * {dvc} + c.dcc AS d2,"
+        f"        ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY v.dvv - 2.0 * {dvc} + c.dcc, c.cluster) AS rn"
+        "  FROM v, {cents} c"
+        ") WHERE rn = 1"
+    )
+    recompute = (
+        "SELECT cluster, list(CAST(s AS DOUBLE) / n ORDER BY pos) AS cvec FROM ("
+        "  SELECT cluster, pos, SUM(x) AS s, COUNT(*) AS n FROM ("
+        "    SELECT cluster, unnest(qv) AS x, unnest(range(len(qv))) AS pos FROM {a}"
+        "  ) GROUP BY cluster, pos"
+        ") GROUP BY cluster"
+    )
+    sql = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS qv,
+             CAST(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS DOUBLE[]) AS qvd,
+             {_ORACLE_DOT.format(a='list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ' + str(q) + ') AS BIGINT))',
+                                 b='list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * ' + str(q) + ') AS BIGINT))')} AS dvv
+      FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qvd AS cvec, dvv AS dcc FROM v WHERE vec_id < {k}),
+    a1 AS ({assign.format(cents='c0')}),
+    c1 AS ({recompute.format(a='a1')}),
+    c1d AS (SELECT cluster, cvec, list_dot_product(cvec, cvec) AS dcc FROM c1),
+    a2 AS ({assign.format(cents='c1d')}),
+    c2 AS ({recompute.format(a='a2')}),
+    c2d AS (SELECT cluster, cvec, list_dot_product(cvec, cvec) AS dcc FROM c2),
+    af AS ({assign.format(cents='c2d')})
+    SELECT vec_id, cluster, ROUND(d2 / 1e12, 6) AS d2_r FROM af ORDER BY vec_id
+    """
+    return sql
+
+
+@register(
+    "vx03_kmeans_clusters",
+    oracle=_km_oracle(),
+    doc=(
+        "Deterministic quantized k-means (Lloyd, fixed seeds + 2 "
+        "iterations) over the embeddings corpus — the semantic-clustering "
+        "primitive behind data mixing and cluster-capped sampling. "
+        "Integer sufficient statistics make the result independent of "
+        "partition layout / retry order; centroids broadcast; the only "
+        "shuffles are the O(k*dim) partial-sum exchanges per iteration."
+    ),
+    tags=("similarity", "clustering", "training"),
+)
+def vx03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_quantized(load_table(spark, sf_dir, "embeddings"))

@@ -430,3 +430,23 @@ def test_upsert_null_change_value_overwrites(spark):
     assert got[1].name is None and got[1].bal == 99.0 and got[1]._op == "update"
     assert got[2].name == "bob" and got[2]._op == "keep"
     assert got[3].name == "carol" and got[3]._op == "insert"
+
+
+def test_kmeans_deterministic_and_sse_monotone(spark, sf_dir):
+    """Quantized k-means: (a) bit-identical assignment after a repartition
+    (the integer-sufficient-statistics guarantee); (b) Lloyd's invariant —
+    total within-cluster SSE never increases with more iterations (labels
+    in this corpus carry no global geometry, so SSE monotonicity is the
+    honest quality check); (c) every vector assigned exactly once."""
+    from spotify_tags_etl_spark.operators.similarity import kmeans_quantized
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out2 = kmeans_quantized(emb).collect()
+    a = {(r.vec_id, r.cluster) for r in out2}
+    b = {(r.vec_id, r.cluster) for r in kmeans_quantized(emb.repartition(13)).collect()}
+    assert a == b
+    assert len(a) == emb.count()  # one assignment per vector
+    sse1 = sum(r.d2_r for r in kmeans_quantized(emb, iters=1).collect())
+    sse2 = sum(r.d2_r for r in out2)
+    sse3 = sum(r.d2_r for r in kmeans_quantized(emb, iters=3).collect())
+    assert sse2 <= sse1 + 1e-6 and sse3 <= sse2 + 1e-6
