@@ -381,3 +381,80 @@ def tx04(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").where(F.length("text") >= 8)
     grams = F.expr("transform(sequence(1, length(text) - 7), i -> md5(substring(text, i, 8)))")
     return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# tx08 — corpus-frequency quality score (perplexity proxy)
+# ---------------------------------------------------------------------------
+#
+# A document stuffed with tokens the corpus has never seen (mojibake,
+# hashes, boilerplate IDs) scores badly under any LM; the cheap in-engine
+# proxy is the MEAN CORPUS FREQUENCY of the document's tokens. Everything
+# stays integer-exact until one final division, so the score is identical
+# in any engine / partition order — no log(), whose libm low bits differ
+# across runtimes.
+
+
+def mean_token_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc mean corpus frequency of its tokens (BPE-ish segmentation,
+    shared with tx03) + a rare-heavy flag: mean below HALF the global
+    mean token frequency, decided on cross-multiplied bigints so the
+    flag is exact.
+
+    Scale: the token→vocab join shuffles on the token key — zipfian-hot
+    ("the") by construction; AQE skew-join splits those reducers. The
+    vocab side is count(*) per token (map-combined). Flag cross-products
+    fit bigint through ~1e9-token corpora; beyond that move the flag
+    comparison to DECIMAL(38,0)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.regexp_extract_all(text_col, F.lit(TOKEN_PATTERN), F.lit(0))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("_s"), F.count("*").alias("n_toks"))
+    )
+    glob = per_doc.agg(F.sum("_s").alias("_gs"), F.sum("n_toks").alias("_gn"))
+    return (
+        per_doc.crossJoin(F.broadcast(glob))
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("_s").cast("double") / F.col("n_toks"), 6).alias("mean_freq_r"),
+            (F.lit(2) * F.col("_s") * F.col("_gn") < F.col("_gs") * F.col("n_toks")).alias("rare_heavy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tx08_mean_token_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT doc_id, SUM(cnt) AS s, COUNT(*) AS n_toks
+      FROM toks JOIN vocab USING (tok) GROUP BY doc_id
+    ),
+    gtot AS (SELECT SUM(s) AS gs, SUM(n_toks) AS gn FROM per_doc)
+    SELECT doc_id, n_toks,
+           ROUND(CAST(s AS DOUBLE) / n_toks, 6) AS mean_freq_r,
+           2 * s * gn < gs * n_toks AS rare_heavy
+    FROM per_doc, gtot
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Perplexity-proxy quality score: per-doc mean corpus frequency "
+        "of its BPE-ish tokens, with an exact cross-multiplied "
+        "rare-heavy flag (mean < half the global mean). Integer "
+        "sufficient statistics end-to-end; one skew-prone shuffle on "
+        "the token key (AQE skew-join)."
+    ),
+    tags=("text", "quality"),
+)
+def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mean_token_freq(load_table(spark, sf_dir, "documents"))

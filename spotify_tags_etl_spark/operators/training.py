@@ -383,3 +383,100 @@ def decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
 )
 def tz06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# tz07 — target-mixture sampling (data mixing)
+# ---------------------------------------------------------------------------
+#
+# Training corpora are blended to a TARGET mixture over domains ("3 parts
+# web : 2 parts books : 1 part everything else"), not sampled at the raw
+# corpus proportions. Given integer relative weights per source, compute
+# per-source accept rates against a global budget and keep a row iff its
+# key-hash fraction clears the rate — fully deterministic, no rand().
+# Integer weights keep the weight total exact; every double op after that
+# is a single same-order IEEE expression in both engines.
+
+#: relative mixture weights (integers — exact total in any sum order);
+#: sources not listed get weight 1.
+MIX_WEIGHTS: dict[str, int] = {"src0": 4, "src1": 3, "src2": 2}
+#: overall sampling budget as a fraction of the corpus
+MIX_BUDGET_FRAC = 0.4
+
+
+def _mix_weight(col) -> F.Column:
+    expr = F.lit(1)
+    for s, w in sorted(MIX_WEIGHTS.items()):
+        expr = F.when(col == s, F.lit(w)).otherwise(expr)
+    return expr
+
+
+def mixture_sample(docs: DataFrame, stratum_col: str = "source", key_col: str = "doc_id") -> DataFrame:
+    """Deterministic mixture sampler: accept rate per stratum is
+    ``least(1, (w_s * N / W) / count_s)`` with N = floor(budget_frac *
+    total). Two tiny aggregates (per-stratum counts, global totals) are
+    broadcast back onto the scan — at 100 TB the data makes ONE pass and
+    only O(#strata) rows move."""
+    counts = (
+        docs.groupBy(stratum_col)
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_w", _mix_weight(F.col(stratum_col)))
+    )
+    totals = counts.agg(
+        F.sum("_c").alias("_n_total"), F.sum("_w").alias("_w_total")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.col("_w").cast("double")
+                * F.floor(F.lit(MIX_BUDGET_FRAC) * F.col("_n_total")).cast("double")
+                / F.col("_w_total")
+                / F.col("_c"),
+            ).alias("_rate"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), stratum_col)
+        .where(_hash_frac(F.col(key_col)) < F.col("_rate"))
+        .select(key_col, stratum_col, F.round("_rate", 6).alias("rate_r"))
+        .orderBy(key_col)
+    )
+
+
+def _mix_weight_sql(expr: str) -> str:
+    cases = " ".join(f"WHEN '{s}' THEN {w}" for s, w in sorted(MIX_WEIGHTS.items()))
+    return f"CASE {expr} {cases} ELSE 1 END"
+
+
+@register(
+    "tz07_mixture_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS c, {_mix_weight_sql('source')} AS w
+      FROM documents GROUP BY source
+    ),
+    totals AS (SELECT SUM(c) AS n_total, SUM(w) AS w_total FROM counts),
+    rates AS (
+      SELECT source,
+             LEAST(1.0, CAST(w AS DOUBLE) * CAST(FLOOR({MIX_BUDGET_FRAC} * n_total) AS DOUBLE)
+                        / w_total / c) AS rate
+      FROM counts, totals
+    )
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate_r
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_hash_frac_sql('d.doc_id')} < r.rate
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "Data mixing: deterministic per-source sampling to a target "
+        "mixture (integer relative weights, hash-threshold accept, "
+        "global budget = 40% of corpus). The mixture spec and rates are "
+        "O(#sources) broadcasts; the corpus scans once."
+    ),
+    tags=("training", "sampling"),
+)
+def tz07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_sample(load_table(spark, sf_dir, "documents"))

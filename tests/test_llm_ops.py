@@ -450,3 +450,37 @@ def test_kmeans_deterministic_and_sse_monotone(spark, sf_dir):
     sse2 = sum(r.d2_r for r in out2)
     sse3 = sum(r.d2_r for r in kmeans_quantized(emb, iters=3).collect())
     assert sse2 <= sse1 + 1e-6 and sse3 <= sse2 + 1e-6
+
+
+def test_mixture_sample_hits_target_and_stable(spark, sf_dir):
+    """Weighted sources are over-represented relative to unweighted ones
+    by roughly their weight ratio, the global budget is respected, and
+    the sample is repartition-stable (hash-threshold, no rand())."""
+    from spotify_tags_etl_spark.operators.training import MIX_BUDGET_FRAC, MIX_WEIGHTS, mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    a = {(r.doc_id, r.source) for r in mixture_sample(docs).collect()}
+    b = {(r.doc_id, r.source) for r in mixture_sample(docs.repartition(11)).collect()}
+    assert a == b
+    assert len(a) <= MIX_BUDGET_FRAC * total * 1.2  # budget respected (hash noise margin)
+    from collections import Counter
+
+    by_src = Counter(s for _, s in a)
+    heavy = MIX_WEIGHTS and max(MIX_WEIGHTS, key=MIX_WEIGHTS.get)
+    if by_src.get(heavy):  # heaviest source sampled at > its uniform share
+        assert by_src[heavy] > len(a) / len(by_src) * 1.5
+
+
+def test_mean_token_freq_flags_rare_junk(spark):
+    """A doc of corpus-unique junk tokens must be flagged rare_heavy; docs
+    of repeated common tokens must not."""
+    from spotify_tags_etl_spark.operators.textops import mean_token_freq
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "qzxv jkwp mmzt hqrw zzkv"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in mean_token_freq(df).collect()}
+    assert got[99].rare_heavy is True
+    assert all(not got[i].rare_heavy for i in range(20))
+    assert got[0].n_toks == 6 and got[0].mean_freq_r > got[99].mean_freq_r
