@@ -571,3 +571,59 @@ def _km_oracle() -> str:
 )
 def vx03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_quantized(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# vx04 — cluster-capped sampling (semantic dedup / diversity balancing)
+# ---------------------------------------------------------------------------
+
+_CAP_PER_CLUSTER = 40  #: keep at most this many vectors per semantic cluster
+
+
+def cluster_cap(assignments: DataFrame, cap: int = _CAP_PER_CLUSTER) -> DataFrame:
+    """Cap each semantic cluster at ``cap`` members, chosen by key-hash
+    rank (deterministic, layout-independent — no rand()). This is the
+    standard semantic-dedup / diversity-balancing step after clustering:
+    over-represented modes get down-sampled, rare modes keep everything.
+
+    Scale: one window shuffle keyed by cluster; skewed giant clusters are
+    exactly the ones being capped, and AQE splits their reducers."""
+    frac = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    w = Window.partitionBy("cluster").orderBy(frac.asc(), F.col("vec_id").asc())
+    return (
+        assignments.withColumn("keep_rank", F.row_number().over(w))
+        .where(F.col("keep_rank") <= cap)
+        .select("vec_id", "cluster", "keep_rank")
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "vx04_cluster_capped_sample",
+    oracle=f"""
+    WITH km AS ({_km_oracle()})
+    SELECT vec_id, cluster, keep_rank FROM (
+      SELECT vec_id, cluster,
+             ROW_NUMBER() OVER (
+               PARTITION BY cluster
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / {float(1 << 32)},
+                        vec_id
+             ) AS keep_rank
+      FROM km
+    ) WHERE keep_rank <= {_CAP_PER_CLUSTER}
+    ORDER BY vec_id
+    """,
+    doc=(
+        "Semantic dedup by cluster capping: vx03's k-means assignment, "
+        "then keep at most N vectors per cluster by deterministic "
+        "key-hash rank. Down-samples over-represented semantic modes "
+        "while rare modes keep every member — the diversity-balancing "
+        "pass of a training-data pipeline."
+    ),
+    tags=("similarity", "clustering", "training", "sampling"),
+)
+def vx04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_cap(kmeans_quantized(load_table(spark, sf_dir, "embeddings")))

@@ -484,3 +484,18 @@ def test_mean_token_freq_flags_rare_junk(spark):
     assert got[99].rare_heavy is True
     assert all(not got[i].rare_heavy for i in range(20))
     assert got[0].n_toks == 6 and got[0].mean_freq_r > got[99].mean_freq_r
+
+
+def test_cluster_cap_keeps_small_clusters_whole(spark):
+    """Capping must down-sample only clusters above the cap; an under-cap
+    cluster keeps every member, and kept ranks are 1..min(size, cap)."""
+    from spotify_tags_etl_spark.operators.similarity import cluster_cap
+
+    rows = [(i, 0) for i in range(10)] + [(100 + i, 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, cluster int")
+    out = cluster_cap(df, cap=5).collect()
+    by_c: dict = {}
+    for r in out:
+        by_c.setdefault(r.cluster, []).append(r.keep_rank)
+    assert len(by_c[0]) == 5 and sorted(by_c[0]) == [1, 2, 3, 4, 5]
+    assert len(by_c[1]) == 3 and sorted(by_c[1]) == [1, 2, 3]

@@ -224,3 +224,35 @@ def test_salt_is_retry_and_layout_stable(spark, sf_dir):
     ev2 = ev.repartition(7)
     b = {tuple(r) for r in ev2.select("event_id", _row_salt(ev2, 16).alias("s")).collect()}
     assert a == b
+
+
+def test_kmeans_plan_jvm_only_broadcast_centroids(spark, sf_dir):
+    """vx03: centroids reach the assignment stage via broadcast (never a
+    full shuffle of the corpus against k rows) and the whole pipeline
+    stays JVM-side — no Python eval nodes."""
+    from spotify_tags_etl_spark.operators.similarity import kmeans_quantized
+
+    df = kmeans_quantized(load_table(spark, sf_dir, "embeddings"))
+    plan = _executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_single_corpus_pass(spark, sf_dir):
+    """tz07: the corpus-side scan feeds ONE broadcast join (rates) — the
+    docs table itself is never hash-exchanged; only O(#sources) aggregate
+    partials move."""
+    from spotify_tags_etl_spark.operators.training import mixture_sample
+
+    df = mixture_sample(load_table(spark, sf_dir, "documents"))
+    plan = _executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    # every hash exchange in the plan is an aggregate-partial exchange
+    # (source-count / totals), never a repartition of the full doc rows:
+    # doc-side rows flow scan -> broadcast-join -> filter -> (range) sort.
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    for keys in hash_exchanges:
+        assert "doc_id" not in keys
