@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from spotify_tags_etl_spark.functions.hashing import hash_frac, hash_frac_sql
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.tpch import load_table
 
@@ -462,18 +463,42 @@ def _km_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
+#: per-row argmin over the (sorted) centroid array: d2 computed once per
+#: centroid via transform, then an in-order fold keeps the first strict
+#: minimum — ties resolve to the LOWEST cluster id because the array is
+#: sorted by cluster and `<` is strict. Matches the oracle's
+#: ROW_NUMBER() OVER (ORDER BY d2, cluster) exactly.
+_KM_ARGMIN = (
+    "aggregate("
+    " transform(cs, c -> named_struct("
+    "   'd2', dvv - 2.0D * {dot} + c.dcc, 'cluster', c.cluster)),"
+    " named_struct('d2', CAST('Infinity' AS DOUBLE), 'cluster', -1),"
+    " (acc, s) -> IF(s.d2 < acc.d2, s, acc)"
+    ")"
+).format(dot=_DOT.format(a="qvd", b="c.cvec"))
+
+
 def _km_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector: d2 = (dvv - 2*qv·c) + c·c, ties to the
-    lowest cluster id. Centroids broadcast (k·dim doubles — tiny at any k
-    a training pipeline uses), so assignment is a narrow map stage."""
-    d2 = F.col("dvv") - F.lit(2.0) * dot("qvd", "cvec") + F.col("dcc")
-    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    lowest cluster id.
+
+    The centroid set collapses to ONE broadcast row holding a
+    cluster-sorted array, and the argmin is a per-row array fold — the
+    assignment stage is fully narrow: NO exchange of corpus rows (the
+    window/row_number formulation re-shuffles corpus×k rows on vec_id
+    per iteration; plan test pins its absence)."""
+    cs = cents.agg(F.array_sort(F.collect_list(F.struct("cluster", "cvec", "dcc"))).alias("cs"))
     return (
-        v.crossJoin(F.broadcast(cents))
-        .withColumn("d2", d2)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        v.crossJoin(F.broadcast(cs))
+        .withColumn("_a", F.expr(_KM_ARGMIN))
+        .select(
+            "vec_id",
+            "qv",
+            "qvd",
+            "dvv",
+            F.col("_a.cluster").alias("cluster"),
+            F.col("_a.d2").alias("d2"),
+        )
     )
 
 
@@ -492,10 +517,12 @@ def _km_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_quantized(emb: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
+def kmeans_assignments(emb: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
     """Lloyd's k-means over ``embedding`` with deterministic seeds
-    (vec_id < k) and exact integer accumulation; returns one row per
-    vector: vec_id, cluster, d2_r (squared distance in original units)."""
+    (vec_id < k) and exact integer accumulation; returns the UNSORTED
+    raw assignment (vec_id, cluster, d2, …) for downstream composition —
+    consumers that re-partition (e.g. cluster_cap's window) must not pay
+    a dead global sort here."""
     v = _km_vectors(emb)
     cents = (
         v.where(F.col("vec_id") < k)
@@ -503,8 +530,15 @@ def kmeans_quantized(emb: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> 
     )
     for _ in range(iters):
         cents = _km_centroids(_km_assign(v, cents))
+    return _km_assign(v, cents)
+
+
+def kmeans_quantized(emb: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS) -> DataFrame:
+    """Presentation form of :func:`kmeans_assignments`: one row per
+    vector — vec_id, cluster, d2_r (squared distance in original
+    units) — sorted by vec_id."""
     return (
-        _km_assign(v, cents)
+        kmeans_assignments(emb, k, iters)
         .select(
             "vec_id",
             "cluster",
@@ -588,10 +622,7 @@ def cluster_cap(assignments: DataFrame, cap: int = _CAP_PER_CLUSTER) -> DataFram
 
     Scale: one window shuffle keyed by cluster; skewed giant clusters are
     exactly the ones being capped, and AQE splits their reducers."""
-    frac = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10).cast("double")
-        / F.lit(float(1 << 32))
-    )
+    frac = hash_frac(F.col("vec_id"))
     w = Window.partitionBy("cluster").orderBy(frac.asc(), F.col("vec_id").asc())
     return (
         assignments.withColumn("keep_rank", F.row_number().over(w))
@@ -609,7 +640,7 @@ def cluster_cap(assignments: DataFrame, cap: int = _CAP_PER_CLUSTER) -> DataFram
       SELECT vec_id, cluster,
              ROW_NUMBER() OVER (
                PARTITION BY cluster
-               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / {float(1 << 32)},
+               ORDER BY {hash_frac_sql('vec_id')},
                         vec_id
              ) AS keep_rank
       FROM km
@@ -626,4 +657,4 @@ def cluster_cap(assignments: DataFrame, cap: int = _CAP_PER_CLUSTER) -> DataFram
     tags=("similarity", "clustering", "training", "sampling"),
 )
 def vx04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cluster_cap(kmeans_quantized(load_table(spark, sf_dir, "embeddings")))
+    return cluster_cap(kmeans_assignments(load_table(spark, sf_dir, "embeddings")))

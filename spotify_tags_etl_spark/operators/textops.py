@@ -398,14 +398,23 @@ def tx04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mean_token_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc mean corpus frequency of its tokens (BPE-ish segmentation,
     shared with tx03) + a rare-heavy flag: mean below HALF the global
-    mean token frequency, decided on cross-multiplied bigints so the
-    flag is exact.
+    mean token frequency.
+
+    Zero-token docs (empty / whitespace-only / NULL text) produce no
+    exploded rows, so they are re-attached with a LEFT join and flagged
+    rare_heavy outright — they are the degenerate documents the quality
+    proxy most needs to surface, and silently dropping them would wave
+    them through every downstream quality filter.
+
+    The flag comparison runs on DECIMAL(38,0) cross-products (DuckDB
+    sums bigints into HUGEINT, so the oracle is exact too): exact while
+    2·s·gn stays under 10^38, i.e. corpora through ~10^15 tokens —
+    int64 would already wrap near 3·10^7 tokens for a long doc heavy in
+    the hottest zipfian token.
 
     Scale: the token→vocab join shuffles on the token key — zipfian-hot
     ("the") by construction; AQE skew-join splits those reducers. The
-    vocab side is count(*) per token (map-combined). Flag cross-products
-    fit bigint through ~1e9-token corpora; beyond that move the flag
-    comparison to DECIMAL(38,0)."""
+    vocab side is count(*) per token (map-combined)."""
     toks = docs.select(
         "doc_id", F.explode(F.regexp_extract_all(text_col, F.lit(TOKEN_PATTERN), F.lit(0))).alias("tok")
     )
@@ -413,16 +422,21 @@ def mean_token_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per_doc = (
         toks.join(vocab, "tok")
         .groupBy("doc_id")
-        .agg(F.sum("cnt").alias("_s"), F.count("*").alias("n_toks"))
+        .agg(F.sum("cnt").alias("_s"), F.count("*").alias("_n"))
     )
-    glob = per_doc.agg(F.sum("_s").alias("_gs"), F.sum("n_toks").alias("_gn"))
+    glob = per_doc.agg(F.sum("_s").alias("_gs"), F.sum("_n").alias("_gn"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     return (
-        per_doc.crossJoin(F.broadcast(glob))
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .crossJoin(F.broadcast(glob))
         .select(
             "doc_id",
-            "n_toks",
-            F.round(F.col("_s").cast("double") / F.col("n_toks"), 6).alias("mean_freq_r"),
-            (F.lit(2) * F.col("_s") * F.col("_gn") < F.col("_gs") * F.col("n_toks")).alias("rare_heavy"),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("n_toks"),
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("mean_freq_r"),
+            F.when(F.col("_s").isNull(), F.lit(True))
+            .otherwise(F.lit(2).cast("decimal(38,0)") * dec("_s") * dec("_gn") < dec("_gs") * dec("_n"))
+            .alias("rare_heavy"),
         )
         .orderBy("doc_id")
     )
@@ -437,15 +451,16 @@ def mean_token_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ),
     vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
     per_doc AS (
-      SELECT doc_id, SUM(cnt) AS s, COUNT(*) AS n_toks
+      SELECT doc_id, SUM(cnt) AS s, COUNT(*) AS n
       FROM toks JOIN vocab USING (tok) GROUP BY doc_id
     ),
-    gtot AS (SELECT SUM(s) AS gs, SUM(n_toks) AS gn FROM per_doc)
-    SELECT doc_id, n_toks,
-           ROUND(CAST(s AS DOUBLE) / n_toks, 6) AS mean_freq_r,
-           2 * s * gn < gs * n_toks AS rare_heavy
-    FROM per_doc, gtot
-    ORDER BY doc_id
+    gtot AS (SELECT SUM(s) AS gs, SUM(n) AS gn FROM per_doc)
+    SELECT d.doc_id, COALESCE(p.n, 0) AS n_toks,
+           ROUND(CAST(p.s AS DOUBLE) / p.n, 6) AS mean_freq_r,
+           CASE WHEN p.s IS NULL THEN TRUE
+                ELSE 2 * p.s * gn < gs * p.n END AS rare_heavy
+    FROM documents d LEFT JOIN per_doc p USING (doc_id), gtot
+    ORDER BY d.doc_id
     """,
     doc=(
         "Perplexity-proxy quality score: per-doc mean corpus frequency "

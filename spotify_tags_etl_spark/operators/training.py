@@ -37,19 +37,9 @@ DEFAULT_RATE = 0.05
 #: train/val/test split fractions (cumulative bucket edges).
 SPLIT_EDGES = (("train", 0.8), ("val", 0.9), ("test", 1.0))
 
-_BUCKET_DENOM = float(1 << 32)
-
-
-def _hash_frac(col) -> F.Column:
-    """Deterministic uniform [0,1) from md5 of the key — identical in any
-    engine (first 8 hex chars of md5 as uint32 / 2^32)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("double") / F.lit(
-        _BUCKET_DENOM
-    )
-
-
-def _hash_frac_sql(expr: str) -> str:
-    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE) / {_BUCKET_DENOM}"
+from spotify_tags_etl_spark.functions.hashing import BUCKET_DENOM as _BUCKET_DENOM  # noqa: F401
+from spotify_tags_etl_spark.functions.hashing import hash_frac as _hash_frac
+from spotify_tags_etl_spark.functions.hashing import hash_frac_sql as _hash_frac_sql
 
 
 def stratified_sample(df: DataFrame, stratum_col: str, key_col: str, rates: dict[str, float]) -> DataFrame:
@@ -414,32 +404,32 @@ def _mix_weight(col) -> F.Column:
 def mixture_sample(docs: DataFrame, stratum_col: str = "source", key_col: str = "doc_id") -> DataFrame:
     """Deterministic mixture sampler: accept rate per stratum is
     ``least(1, (w_s * N / W) / count_s)`` with N = floor(budget_frac *
-    total). Two tiny aggregates (per-stratum counts, global totals) are
-    broadcast back onto the scan — at 100 TB the data makes ONE pass and
-    only O(#strata) rows move."""
-    counts = (
-        docs.groupBy(stratum_col)
-        .agg(F.count("*").alias("_c"))
-        .withColumn("_w", _mix_weight(F.col(stratum_col)))
-    )
-    totals = counts.agg(
-        F.sum("_c").alias("_n_total"), F.sum("_w").alias("_w_total")
-    )
-    rates = (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            stratum_col,
-            F.least(
-                F.lit(1.0),
-                F.col("_w").cast("double")
-                * F.floor(F.lit(MIX_BUDGET_FRAC) * F.col("_n_total")).cast("double")
-                / F.col("_w_total")
-                / F.col("_c"),
-            ).alias("_rate"),
-        )
-    )
+    total).
+
+    The per-stratum counts are an O(#strata) aggregate collected to the
+    driver (the Spark-idiomatic "small stats feed the plan" move — same
+    shape as AQE's runtime stats), and the rates come back as a literal
+    when-ladder fused into the scan. The corpus therefore makes exactly
+    ONE pass, with zero exchanges of doc rows (pinned by the plan test;
+    the naive all-DataFrame formulation re-evaluates the counts subtree
+    and scans the corpus three times). Rate arithmetic is the same
+    single left-associated IEEE expression the oracle uses, on exact
+    integer inputs, so driver-side Python doubles match DuckDB's."""
+    import math
+
+    counts = {
+        r[0]: r[1] for r in docs.groupBy(stratum_col).agg(F.count("*").alias("_c")).collect()
+    }
+    n_total = sum(counts.values())
+    weights = {stratum: MIX_WEIGHTS.get(stratum, 1) for stratum in counts}
+    w_total = sum(weights.values())
+    budget = float(math.floor(MIX_BUDGET_FRAC * n_total))
+    rate_expr = F.lit(None).cast("double")
+    for stratum in sorted(counts):
+        rate = min(1.0, weights[stratum] * budget / w_total / counts[stratum])
+        rate_expr = F.when(F.col(stratum_col) == stratum, F.lit(rate)).otherwise(rate_expr)
     return (
-        docs.join(F.broadcast(rates), stratum_col)
+        docs.withColumn("_rate", rate_expr)
         .where(_hash_frac(F.col(key_col)) < F.col("_rate"))
         .select(key_col, stratum_col, F.round("_rate", 6).alias("rate_r"))
         .orderBy(key_col)

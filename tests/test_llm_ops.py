@@ -467,9 +467,11 @@ def test_mixture_sample_hits_target_and_stable(spark, sf_dir):
     from collections import Counter
 
     by_src = Counter(s for _, s in a)
-    heavy = MIX_WEIGHTS and max(MIX_WEIGHTS, key=MIX_WEIGHTS.get)
-    if by_src.get(heavy):  # heaviest source sampled at > its uniform share
-        assert by_src[heavy] > len(a) / len(by_src) * 1.5
+    heavy = max(MIX_WEIGHTS, key=MIX_WEIGHTS.get)
+    # the heaviest source MUST be present and over-represented vs the
+    # uniform share — an unconditional assertion, so a regression that
+    # zeroes its rate fails loudly instead of skipping the check
+    assert by_src[heavy] > len(a) / len(by_src) * 1.5
 
 
 def test_mean_token_freq_flags_rare_junk(spark):
@@ -479,11 +481,17 @@ def test_mean_token_freq_flags_rare_junk(spark):
 
     rows = [(i, "the cat sat on the mat") for i in range(20)]
     rows.append((99, "qzxv jkwp mmzt hqrw zzkv"))
+    rows.append((100, ""))  # zero-token: must appear, flagged, not vanish
+    rows.append((101, None))
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in mean_token_freq(df).collect()}
+    assert len(got) == len(rows)
     assert got[99].rare_heavy is True
     assert all(not got[i].rare_heavy for i in range(20))
     assert got[0].n_toks == 6 and got[0].mean_freq_r > got[99].mean_freq_r
+    for empty in (100, 101):
+        assert got[empty].n_toks == 0 and got[empty].rare_heavy is True
+        assert got[empty].mean_freq_r is None
 
 
 def test_cluster_cap_keeps_small_clusters_whole(spark):

@@ -226,33 +226,34 @@ def test_salt_is_retry_and_layout_stable(spark, sf_dir):
     assert a == b
 
 
-def test_kmeans_plan_jvm_only_broadcast_centroids(spark, sf_dir):
-    """vx03: centroids reach the assignment stage via broadcast (never a
-    full shuffle of the corpus against k rows) and the whole pipeline
-    stays JVM-side — no Python eval nodes."""
-    from spotify_tags_etl_spark.operators.similarity import kmeans_quantized
+def test_kmeans_plan_narrow_assignment(spark, sf_dir):
+    """vx03: centroids reach every assignment stage as ONE broadcast
+    array row and the argmin is a per-row fold — the corpus is NEVER
+    hash-exchanged (the window-argmin formulation shuffles corpus×k rows
+    on vec_id per iteration); pipeline stays JVM-side."""
+    from spotify_tags_etl_spark.operators.similarity import kmeans_assignments
 
-    df = kmeans_quantized(load_table(spark, sf_dir, "embeddings"))
+    df = kmeans_assignments(load_table(spark, sf_dir, "embeddings"))
     plan = _executed_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    import re
+
+    for keys in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "vec_id" not in keys  # only centroid-stat partials shuffle
 
 
 def test_mixture_sample_single_corpus_pass(spark, sf_dir):
-    """tz07: the corpus-side scan feeds ONE broadcast join (rates) — the
-    docs table itself is never hash-exchanged; only O(#sources) aggregate
-    partials move."""
+    """tz07: one corpus scan, zero hash exchanges — the mixture rates are
+    driver-computed from an O(#strata) aggregate and fused into the scan
+    as a literal when-ladder."""
     from spotify_tags_etl_spark.operators.training import mixture_sample
 
     df = mixture_sample(load_table(spark, sf_dir, "documents"))
     plan = _executed_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan
-    # every hash exchange in the plan is an aggregate-partial exchange
-    # (source-count / totals), never a repartition of the full doc rows:
-    # doc-side rows flow scan -> broadcast-join -> filter -> (range) sort.
-    import re
-
-    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    for keys in hash_exchanges:
-        assert "doc_id" not in keys
+    # rates are a literal when-ladder (driver-side O(#strata) stats), so
+    # the returned plan is scan -> filter -> project -> output sort:
+    # exactly ONE corpus scan and ZERO hash exchanges of any kind.
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan
