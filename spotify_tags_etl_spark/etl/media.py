@@ -34,6 +34,9 @@ def read_media_json(spark: SparkSession, path: str, with_source_file: bool = Fal
     column via ``input_file_name()`` — ordering by it reproduces the
     reference's deterministic per-file processing order.
     """
+    from ..sources.tpch import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     df = spark.read.schema(MEDIA_RAW_SCHEMA).json(path)
     if with_source_file:
         df = df.withColumn("source_file", F.input_file_name())

@@ -126,10 +126,16 @@ AUDIO_FEATURE_RAW_SCHEMA = StructType(
 
 
 def read_liked_songs_json(spark: SparkSession, path: str) -> DataFrame:
+    from ..sources.tpch import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     return spark.read.schema(FAVORITE_RAW_SCHEMA).json(path)
 
 
 def read_audio_features_json(spark: SparkSession, path: str) -> DataFrame:
+    from ..sources.tpch import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     return spark.read.schema(AUDIO_FEATURE_RAW_SCHEMA).json(path)
 
 

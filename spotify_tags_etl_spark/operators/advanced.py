@@ -179,6 +179,29 @@ def av04(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Quantile levels shared by av05 (exact) and av12 (sketch) — the two ops
+#: are compared against each other in tests, so the levels/rounding live
+#: in one place.
+_QUANTILES = (0.25, 0.50, 0.75, 0.95)
+
+
+def _quantile_agg(spark: SparkSession, sf_dir: str, pctl_fn) -> DataFrame:
+    """Per-event-type quantiles via ``pctl_fn(col, levels_array)``."""
+    pc = pctl_fn(F.col("value"), F.array(*[F.lit(x) for x in _QUANTILES]))
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(pc.alias("p"))
+        .select(
+            "event_type",
+            *[
+                F.round(F.col("p")[i], 6).alias(f"p{int(q * 100)}")
+                for i, q in enumerate(_QUANTILES)
+            ],
+        )
+    )
+
+
 @register(
     "av05_percentiles",
     oracle="""
@@ -197,19 +220,7 @@ def av04(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "percentile"),
 )
 def av05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pc = F.percentile(F.col("value"), F.array(*[F.lit(x) for x in (0.25, 0.50, 0.75, 0.95)]))
-    return (
-        _ev(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(pc.alias("p"))
-        .select(
-            "event_type",
-            F.round(F.col("p")[0], 6).alias("p25"),
-            F.round(F.col("p")[1], 6).alias("p50"),
-            F.round(F.col("p")[2], 6).alias("p75"),
-            F.round(F.col("p")[3], 6).alias("p95"),
-        )
-    )
+    return _quantile_agg(spark, sf_dir, F.percentile)
 
 
 # ---------------------------------------------------------------------------
@@ -241,13 +252,16 @@ def asof_join(
         F.col(ts),
         F.struct(*[F.col(c).alias(a) for c, a in right_cols.items()]).alias("_rstruct"),
     ).withColumn("_side", F.lit(0))
-    lt = lt.withColumn("_rstruct", F.lit(None).cast(rt.schema["_rstruct"].dataType))
-    both = lt.select(rt.columns + [c for c in lt.columns if c not in rt.columns]).unionByName(
-        rt, allowMissingColumns=True
-    )
+    # unionByName aligns by name and null-fills _rstruct on the left side /
+    # the left-only columns on the right side.
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    # _rstruct as the final orderBy term gives right-side ties at equal
+    # (key, ts) a total order — without it, last() would return whichever
+    # tied right row the shuffle happened to place last (registry rule:
+    # every window has a total-order tiebreak).
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts).asc(), F.col("_side").asc(), F.col("_rstruct").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = both.withColumn("_m", F.last("_rstruct", ignorenulls=True).over(w))
@@ -285,9 +299,12 @@ def asof_join(
 )
 def av06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    # Merge on ts_ns (full nanosecond precision), matching the oracle's
-    # native ASOF comparison — ordering by the derived usec ts would tie
-    # (and mis-order) events that differ only below the microsecond.
+    # Merge on ts_ns for full-precision internal determinism. NOTE on the
+    # oracle: DuckDB reads this TIMESTAMP(NANOS) parquet as usec TIMESTAMP
+    # (typeof(ts) = TIMESTAMP), so its ASOF compares usec-truncated values;
+    # the generated ts_ns are all exact usec multiples, so ns and usec
+    # comparisons agree on this data. Sub-usec data would need the merge
+    # (here and av07's strict >) truncated to usec to match that oracle.
     clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts", "ts_ns")
     errors = ev.where(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts_ns", "value"
@@ -329,9 +346,10 @@ _RANGE_S = 3600  # click within 1h after an error (per-user event cadence ~min g
     """,
     doc=(
         "Range/interval join: clicks within 1h after an error, same user. "
-        "Scale path: equi-join on (user_id, 60s time bucket) with the "
-        "error side exploded to its two candidate buckets, exact range as "
-        "post-filter — candidate pairs are per-(key,bucket), never an "
+        "Scale path: equi-join on (user_id, bucket) where bucket width = "
+        "the 1h range itself, error side exploded to its two candidate "
+        "buckets (bk, bk+1) so every in-range pair co-locates; exact range "
+        "as post-filter — candidate pairs are per-(key,bucket), never an "
         "unbounded theta join (which Spark would execute as BNLJ)."
     ),
     tags=("join", "range", "eventtime"),
@@ -553,20 +571,10 @@ def av11(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("aggregate", "percentile", "sketch"),
 )
 def av12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pc = F.percentile_approx(
-        F.col("value"), F.array(*[F.lit(x) for x in (0.25, 0.50, 0.75, 0.95)]), F.lit(10000)
-    )
-    return (
-        _ev(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(pc.alias("p"))
-        .select(
-            "event_type",
-            F.round(F.col("p")[0], 6).alias("p25"),
-            F.round(F.col("p")[1], 6).alias("p50"),
-            F.round(F.col("p")[2], 6).alias("p75"),
-            F.round(F.col("p")[3], 6).alias("p95"),
-        )
+    return _quantile_agg(
+        spark,
+        sf_dir,
+        lambda c, levels: F.percentile_approx(c, levels, F.lit(10000)),
     )
 
 

@@ -40,9 +40,27 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Pin runtime-settable confs every loader depends on, on ANY session.
+
+    The driver harness hands queries a vanilla SparkSession (none of our
+    ``session.py`` build-time confs). Round 1 lost 18/50 driver checks to a
+    loader that assumed a build-time conf; the standing rule is that every
+    entry-point loader self-heals the confs it needs:
+
+    * ``spark.sql.session.timeZone = UTC`` — parquet timestamps are instants;
+      HOUR / date_format / year / string→timestamp literal casts all render
+      in the *session* timezone, while the DuckDB oracles compare naive-UTC
+      values. On a driver JVM whose default TZ is not UTC, every
+      time-bucketing query would shift by the UTC offset without this pin.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TPCH_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
+    ensure_session_defaults(spark)
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS); vanilla Spark rejects the
         # physical type outright (PARQUET_TYPE_ILLEGAL) unless this runtime

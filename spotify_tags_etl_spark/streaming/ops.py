@@ -80,7 +80,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     if not os.path.exists(link):
         os.symlink(path, link)
     # Same vanilla-session guard as sources/tpch.py:load_table — the
-    # TIMESTAMP(NANOS) physical type needs this runtime conf on ANY session.
+    # TIMESTAMP(NANOS) physical type needs this runtime conf on ANY session,
+    # and event-time windows/date_format must render in UTC to match the
+    # naive-UTC DuckDB oracles regardless of the driver JVM's default TZ.
+    from ..sources.tpch import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # State-store partition count is frozen from shuffle.partitions at
     # query start; a vanilla session's 200 means 200 state partitions per

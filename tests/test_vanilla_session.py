@@ -59,3 +59,61 @@ def test_events_queries_on_vanilla_session(sf_dir):
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
     assert "VANILLA_OK" in proc.stdout
+
+
+_TZ_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("nonutc-driver-emulation")
+    .getOrCreate()
+)
+# Simulate a driver machine whose JVM default timezone is not UTC: a
+# vanilla session inherits the JVM default into spark.sql.session.timeZone.
+spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+import __spark_entry__ as e
+sys.path.insert(0, {tests_dir!r})
+from oracle_harness import run_parity
+
+qs, oracles = e.queries(), e.oracle_sql()
+# Every family that renders instants through the session timezone:
+# HOUR (av02), date_trunc/date_format (q26), year (q32), a string→timestamp
+# literal cast (q13), and the streaming event-time window (st01).
+for name in (
+    "av02_cube_agg",
+    "q26_time_bucket_agg",
+    "q32_intersect_except",
+    "q13_groupby_agg",
+    "st01_stream_windowed_agg",
+):
+    key = name if name in qs else "zv_" + name  # driver-verified names rotate to zv_
+    run_parity(spark, {sf_dir!r}, key, qs[key], oracles[key])
+    print("TZ_OK", key)
+print("TZ_ALL_OK")
+spark.stop()
+"""
+
+
+def test_tz_sensitive_queries_on_non_utc_session(sf_dir):
+    """Loaders must self-heal spark.sql.session.timeZone=UTC on any session.
+
+    Parquet timestamps are instants; HOUR/date_format/year/cast render them
+    in the session timezone while the DuckDB oracles compare naive-UTC — a
+    non-UTC driver JVM would shift every time-bucketing query by the UTC
+    offset if the loader didn't pin the conf at runtime.
+    """
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests_dir = os.path.join(repo, "tests")
+    script = _TZ_SCRIPT.format(repo=repo, tests_dir=tests_dir, sf_dir=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
+    assert "TZ_ALL_OK" in proc.stdout
