@@ -423,10 +423,10 @@ _COS_THRESH = 0.30  # synthetic 64-dim cluster embeddings: within-label max ≈ 
       FROM embeddings
     )
     SELECT a.vec_id AS d1, b.vec_id AS d2,
-           ROUND({_COS_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm), 6)
+           ROUND({_COS_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / NULLIF(a.nrm * b.nrm, 0), 6)
              AS cosine_r
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_COS_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) >= {_COS_THRESH}
+    WHERE {_COS_DOT_DUCK.format(a='a.embedding', b='b.embedding')} / NULLIF(a.nrm * b.nrm, 0) >= {_COS_THRESH}
     """,
     doc=(
         "Embedding-cosine near-dup pairs, blocked by label (cluster id): "
@@ -443,7 +443,7 @@ def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
     a = e.select(F.col("vec_id").alias("d1"), F.col("label").alias("lbl"), F.col("embedding").alias("v1"), F.col("nrm").alias("n1"))
     b = e.select(F.col("vec_id").alias("d2"), F.col("label").alias("lbl"), F.col("embedding").alias("v2"), F.col("nrm").alias("n2"))
-    cos = F.expr(_COS_DOT.format(a="v1", b="v2")) / (F.col("n1") * F.col("n2"))
+    cos = F.expr(_COS_DOT.format(a="v1", b="v2")) / F.nullif(F.col("n1") * F.col("n2"), F.lit(0.0))
     return (
         a.join(b, "lbl")
         .where(F.col("d1") < F.col("d2"))

@@ -52,7 +52,7 @@ def cosine_topk(
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("cosine", dot("q_vec", "c_vec") / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -80,7 +80,7 @@ _ORACLE_DOT = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
     ),
     scored AS (
       SELECT q_id, c_id,
-             {_ORACLE_DOT.format(a='q_vec', b='c_vec')} / (q_norm * c_norm) AS cosine
+             {_ORACLE_DOT.format(a='q_vec', b='c_vec')} / NULLIF(q_norm * c_norm, 0) AS cosine
       FROM q, c WHERE q_id <> c_id
     )
     SELECT q_id, c_id, rank, ROUND(cosine, 6) AS cosine_r FROM (
@@ -154,7 +154,7 @@ def lsh_bucketed_ann(corpus: DataFrame, planes: DataFrame, k: int) -> DataFrame:
     scored = (
         cand.join(q, "q_id")
         .join(c, "c_id")
-        .withColumn("cosine", dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+        .withColumn("cosine", dot("q_vec", "c_vec") / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
@@ -203,7 +203,7 @@ def _ss02_oracle() -> str:
                  sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS c_norm FROM embeddings),
     scored AS (
       SELECT cand.q_id, cand.c_id,
-             {_ORACLE_DOT.format(a='q_vec', b='c_vec')} / (q_norm * c_norm) AS cosine
+             {_ORACLE_DOT.format(a='q_vec', b='c_vec')} / NULLIF(q_norm * c_norm, 0) AS cosine
       FROM cand JOIN q USING (q_id) JOIN c USING (c_id)
     )
     SELECT q_id, c_id, rank, ROUND(cosine, 6) AS cosine_r FROM (
@@ -259,7 +259,7 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = (
         with_norm(corpus, "embedding")
         .crossJoin(F.broadcast(centroids))
-        .withColumn("sim", dot("embedding", "cent_vec") / (F.col("_norm") * F.col("cent_norm")))
+        .withColumn("sim", dot("embedding", "cent_vec") / F.nullif(F.col("_norm") * F.col("cent_norm"), F.lit(0.0)))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     return (
@@ -277,7 +277,7 @@ def ivf_ann(corpus: DataFrame, centroids: DataFrame, query_ids, k: int = IVF_K, 
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"), F.col("_norm").alias("q_norm")
     )
     probe_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", dot("q_vec", "cent_vec") / (F.col("q_norm") * F.col("cent_norm"))
+        "sim", dot("q_vec", "cent_vec") / F.nullif(F.col("q_norm") * F.col("cent_norm"), F.lit(0.0))
     )
     wp = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     probes = (
@@ -291,7 +291,7 @@ def ivf_ann(corpus: DataFrame, centroids: DataFrame, query_ids, k: int = IVF_K, 
     cand = (
         assigned.join(F.broadcast(probes), "cent_id")
         .where(F.col("q_id") != F.col("vec_id"))
-        .withColumn("cosine", dot("q_vec", "embedding") / (F.col("q_norm") * F.col("_norm")))
+        .withColumn("cosine", dot("q_vec", "embedding") / F.nullif(F.col("q_norm") * F.col("_norm"), F.lit(0.0)))
     )
     wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -317,7 +317,7 @@ def _ivf_oracle() -> str:
       SELECT vec_id, embedding, nrm, cent_id FROM (
         SELECT c.vec_id, c.embedding, c.nrm, cent.cent_id,
                ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                 ORDER BY {d.format(a='c.embedding', b='cent.cent_vec')} / (c.nrm * cent.cent_norm) DESC,
+                 ORDER BY {d.format(a='c.embedding', b='cent.cent_vec')} / NULLIF(c.nrm * cent.cent_norm, 0) DESC,
                           cent.cent_id) AS rn
         FROM corpus c, cent
       ) WHERE rn = 1
@@ -326,7 +326,7 @@ def _ivf_oracle() -> str:
       SELECT q_id, q_vec, q_norm, cent_id FROM (
         SELECT c.vec_id AS q_id, c.embedding AS q_vec, c.nrm AS q_norm, cent.cent_id,
                ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                 ORDER BY {d.format(a='c.embedding', b='cent.cent_vec')} / (c.nrm * cent.cent_norm) DESC,
+                 ORDER BY {d.format(a='c.embedding', b='cent.cent_vec')} / NULLIF(c.nrm * cent.cent_norm, 0) DESC,
                           cent.cent_id) AS rn
         FROM corpus c, cent
         WHERE c.vec_id < 8
@@ -334,9 +334,9 @@ def _ivf_oracle() -> str:
     )
     SELECT q_id, c_id, rank, ROUND(cosine, 6) AS cosine_r FROM (
       SELECT p.q_id, a.vec_id AS c_id,
-             {d.format(a='p.q_vec', b='a.embedding')} / (p.q_norm * a.nrm) AS cosine,
+             {d.format(a='p.q_vec', b='a.embedding')} / NULLIF(p.q_norm * a.nrm, 0) AS cosine,
              ROW_NUMBER() OVER (PARTITION BY p.q_id
-               ORDER BY {d.format(a='p.q_vec', b='a.embedding')} / (p.q_norm * a.nrm) DESC,
+               ORDER BY {d.format(a='p.q_vec', b='a.embedding')} / NULLIF(p.q_norm * a.nrm, 0) DESC,
                         a.vec_id) AS rank
       FROM probes p JOIN assigned a USING (cent_id)
       WHERE p.q_id <> a.vec_id

@@ -140,7 +140,7 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     SELECT doc_id,
            len(string_split(text, ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS bpe_ish_tokens,
-           length(text) / len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS chars_per_token
+           length(text) / NULLIF(len(regexp_extract_all(text, '{TOKEN_PATTERN}')), 0) AS chars_per_token
     FROM documents
     """,
     doc=(
@@ -157,7 +157,9 @@ def tx03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).alias("ws_tokens"),
         bpe.alias("bpe_ish_tokens"),
-        (F.length("text") / bpe).alias("chars_per_token"),
+        # NULLIF guard: an empty/whitespace-only doc has 0 tokens; the ratio
+        # is NULL (not a DIVIDE_BY_ZERO abort on ANSI-on sessions, not inf).
+        (F.length("text") / F.nullif(bpe, F.lit(0))).alias("chars_per_token"),
     )
 
 

@@ -53,8 +53,16 @@ def ensure_session_defaults(spark: SparkSession) -> None:
       in the *session* timezone, while the DuckDB oracles compare naive-UTC
       values. On a driver JVM whose default TZ is not UTC, every
       time-bucketing query would shift by the UTC offset without this pin.
+    * ``spark.sql.ansi.enabled = false`` — Spark 4 defaults ANSI on for
+      vanilla sessions while our ``session.py`` factory runs ANSI off; the
+      engine's documented semantics (wrap-around integer sufficient
+      statistics with stated overflow bounds, NULL on degenerate
+      arithmetic) are the ANSI-off ones, and they must not depend on which
+      session the caller built. Hot-path divisions are additionally
+      NULLIF-guarded so results match the DuckDB oracles in either mode.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

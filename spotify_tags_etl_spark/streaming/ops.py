@@ -77,8 +77,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     )
     os.makedirs(stream_dir, exist_ok=True)
     link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(path, link)
+    # lexists (not exists): a dangling link from a regenerated fixture must
+    # not trigger a re-create; FileExistsError guards concurrent stagers.
+    if not os.path.lexists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass
     # Same vanilla-session guard as sources/tpch.py:load_table — the
     # TIMESTAMP(NANOS) physical type needs this runtime conf on ANY session,
     # and event-time windows/date_format must render in UTC to match the
@@ -90,14 +95,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     # State-store partition count is frozen from shuffle.partitions at
     # query start; a vanilla session's 200 means 200 state partitions per
     # stateful operator per micro-batch — pure overhead at this scale.
-    # Pin to the engine default so streaming runs the same on any session
-    # (at cluster scale this is sized to executor count, not left at 200).
+    # Only replace the untouched Spark default: a session where the caller
+    # explicitly tuned shuffle.partitions keeps its setting (at cluster
+    # scale this is sized to executor count, not left at 200).
     import os as _os
 
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
-    )
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            _os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -112,7 +119,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
 
 def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming frame to completion (AvailableNow) into a
-    memory sink; return the materialized result as a batch DataFrame."""
+    memory sink; return the materialized result as a batch DataFrame.
+
+    The sink's temp view is dropped before returning (the result is
+    localCheckpoint'ed first) — otherwise every invocation would pin its
+    full result set in driver memory for the session lifetime."""
+    spark = stream.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
     q = (
         stream.writeStream.format("memory")
@@ -125,7 +137,9 @@ def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         q.stop()
-    return stream.sparkSession.table(name)
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
 
 
 def windowed_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -338,17 +352,21 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sliding (overlapping) event-time windows
 # ---------------------------------------------------------------------------
 
-_SLIDE_MIN = 20  # 1h windows sliding every 20 min → each event in 3 windows
+_SLIDE_MIN = 20  # 1h windows sliding every 20 min
+_WINDOW_MIN = 60  # sliding window size; must be a multiple of _SLIDE_MIN
+#: Overlapping windows per event — drives BOTH the engine's window spec and
+#: the st05 oracle's offset expansion, so retuning the slide keeps parity.
+_N_OVERLAP = _WINDOW_MIN // _SLIDE_MIN
 
 
 def sliding_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """1-hour windows sliding every 20 minutes: each event contributes to
-    size/slide = 3 overlapping windows. State is (windows × keys); the
-    watermark evicts each window at its end + lateness, so open state is
-    always ≤ 3 window generations per key."""
+    size/slide = _N_OVERLAP overlapping windows. State is (windows × keys);
+    the watermark evicts each window at its end + lateness, so open state
+    is always ≤ _N_OVERLAP window generations per key."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour", f"{_SLIDE_MIN} minutes"), F.col("event_type"))
+        .groupBy(F.window("ts", f"{_WINDOW_MIN} minutes", f"{_SLIDE_MIN} minutes"), F.col("event_type"))
         .agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
@@ -370,7 +388,7 @@ def sliding_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
       SELECT ((us // {_SLIDE_MIN * 60 * 1_000_000}) - o) * {_SLIDE_MIN * 60 * 1_000_000}
                AS wstart_us,
              event_type, value
-      FROM ev, (SELECT unnest([0, 1, 2]) AS o)
+      FROM ev, (SELECT unnest({list(range(_N_OVERLAP))}) AS o)
     )
     SELECT STRFTIME(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n,
@@ -379,9 +397,9 @@ def sliding_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """,
     doc=(
         "Sliding event-time windows (1h size, 20min slide): overlapping-"
-        "window assignment (3 windows per event), watermark-bounded state. "
-        "The oracle replays Spark's window math (floor to slide grid, 3 "
-        "offsets) in SQL."
+        "window assignment (size/slide windows per event), watermark-"
+        "bounded state. The oracle replays Spark's window math (floor to "
+        "slide grid, one row per overlap offset) in SQL."
     ),
     tags=("streaming", "window", "eventtime"),
 )
@@ -439,7 +457,8 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _JOIN_RANGE_S = 3600
-_JOIN_WATERMARK = "30 minutes"
+_JOIN_WATERMARK_S = 1800
+_JOIN_WATERMARK = f"{_JOIN_WATERMARK_S} seconds"
 _JOIN_COND = (
     f"e_user = c_user AND c_ts > e_ts AND c_ts <= e_ts + INTERVAL {_JOIN_RANGE_S} SECONDS"
 )
@@ -521,11 +540,12 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Unmatched-row emission boundary: an error's null row emits once the
 #: click watermark passes its join window. Final watermark = max event
-#: time - 30 min delay; window = _JOIN_RANGE_S; plus a 60 s margin to
-#: absorb the engine's ms-truncated watermark bookkeeping. Rows inside
-#: the margin band are excluded deterministically on BOTH engine and
-#: oracle sides, so the compare never rides the eviction boundary.
-_OUTER_SAFETY_S = _JOIN_RANGE_S + 1800 + 60
+#: time - _JOIN_WATERMARK_S delay; window = _JOIN_RANGE_S; plus a 60 s
+#: margin to absorb the engine's ms-truncated watermark bookkeeping. Rows
+#: inside the margin band are excluded deterministically on BOTH engine
+#: and oracle sides, so the compare never rides the eviction boundary.
+#: Derived (not hardcoded) so retuning the watermark keeps the cutoff safe.
+_OUTER_SAFETY_S = _JOIN_RANGE_S + _JOIN_WATERMARK_S + 60
 
 
 def stream_stream_outer_join(events: DataFrame) -> DataFrame:
@@ -602,7 +622,7 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def run_foreach_batch(stream: DataFrame, batch_fn, max_files_per_trigger: int | None = None) -> None:
+def run_foreach_batch(stream: DataFrame, batch_fn) -> None:
     """§2.9's batch-of-50 keyed enrichment analog: ``foreachBatch`` hands
     each micro-batch to arbitrary batch-DataFrame logic (enrichment
     joins, idempotent upserts, multi-sink writes) with the batch id for
@@ -623,7 +643,7 @@ def run_foreach_batch(stream: DataFrame, batch_fn, max_files_per_trigger: int | 
 # ---------------------------------------------------------------------------
 
 
-def streaming_upsert(stream: DataFrame, max_files_per_trigger: int | None = None) -> "pd.DataFrame":
+def streaming_upsert(stream: DataFrame) -> "pd.DataFrame":
     """Streaming MERGE INTO: every micro-batch is reduced to one
     last-write-wins row per key and merged into the standing keyed table
     — the foreachBatch + upsert shape that maintains a serving table

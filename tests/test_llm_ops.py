@@ -507,3 +507,52 @@ def test_cluster_cap_keeps_small_clusters_whole(spark):
         by_c.setdefault(r.cluster, []).append(r.keep_rank)
     assert len(by_c[0]) == 5 and sorted(by_c[0]) == [1, 2, 3, 4, 5]
     assert len(by_c[1]) == 3 and sorted(by_c[1]) == [1, 2, 3]
+
+
+def test_zero_vector_cosine_is_ansi_safe(spark):
+    """A zero embedding must not abort cosine paths on an ANSI-on session
+    (vanilla Spark 4 defaults ANSI true); its cosine is NULL via the
+    NULLIF guard, and NULL ranks after every real neighbor (desc = nulls
+    last in both Spark and DuckDB), so top-k stays deterministic."""
+    from spotify_tags_etl_spark.operators.similarity import cosine_topk
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # degenerate: zero vector
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {(r.q_id, r.c_id): r.cosine_r for r in cosine_topk(df, df, k=2).collect()}
+        assert got[(0, 1)] is not None and got[(0, 1)] > 0.99
+        assert got[(0, 2)] is None  # zero vector pairs score NULL, rank last
+        assert got[(2, 0)] is None and got[(2, 1)] is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_empty_doc_token_ratio_is_ansi_safe(spark, tmp_path):
+    """chars_per_token is NULL (not DIVIDE_BY_ZERO, not inf) for a doc
+    with zero BPE-ish tokens, matching the NULLIF in the DuckDB oracle."""
+    import os
+
+    from spotify_tags_etl_spark.plans import registry
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        sf = str(tmp_path)
+        docs = spark.createDataFrame(
+            [(1, "hello world", "a"), (2, "   ", "a")],
+            "doc_id long, text string, source string",
+        )
+        docs.write.parquet(os.path.join(sf, "documents.parquet"))
+        registry._load_all()
+        builder = registry.all_queries()[registry.resolve("tx03_token_count")]
+        out = {r.doc_id: r for r in builder(spark, sf).collect()}
+        assert out[1].chars_per_token is not None
+        assert out[2].bpe_ish_tokens == 0 and out[2].chars_per_token is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
