@@ -1,11 +1,12 @@
 """The reference's 8 canned parameterized queries (params_queries.py:7-35).
 
-Each query exists twice, sharing semantics:
-
-* a DataFrame builder over the warehouse split frames;
-* a parameterized SQL template run via ``spark.sql(template, args=...)``
-  over the registered temp views — the Spark-native analog of the
-  reference's mogrify/execute path (``postgres_media.py:97-122``).
+Every query has a DataFrame builder over the warehouse split frames;
+two of them (Q1 artist-select and Q8 avg-size — one IN-parameterized,
+one aggregate) additionally exist as parameterized SQL templates run via
+``spark.sql(template, args=...)`` to demonstrate the Spark-native analog
+of the reference's mogrify/execute path (``postgres_media.py:97-122``).
+The other six share that machinery; their templates would be mechanical
+repeats, so only the builders are registered.
 
 The dynamic IN-placeholder machinery (``build_placeholders``,
 ``params_queries.py:38-54``) collapses to ``isin(*values)`` /
@@ -158,7 +159,7 @@ conformed AS (
          CAST(track_gain AS DECIMAL(5,2)) AS track_gain,
          CAST(album_gain AS DECIMAL(5,2)) AS album_gain,
          bitrate, sampling_rate, file_name, CAST(path_len AS SMALLINT) AS path_len,
-         encoding, "hash"
+         CAST(last_modified AS TIMESTAMP) AS last_modified, encoding, "hash"
   FROM raw
   WHERE "index" IS NOT NULL AND artist_name IS NOT NULL
     AND (rating IS NULL OR rating BETWEEN 0.0 AND 5.0)

@@ -41,18 +41,32 @@ def _row_salt(df: DataFrame, n_salts: int):
     return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
 
 
+def salted_agg(df: DataFrame, key: str, aggs: dict, n_salts: int = 16) -> DataFrame:
+    """Two-phase salted aggregation for any set of algebraic aggregates.
+
+    ``aggs`` maps each output column name to ``(partial, merge)`` where
+    ``partial`` is the phase-1 aggregate Column (over the input rows,
+    e.g. ``F.count("*")``, ``F.sum(col)``) and ``merge`` maps the
+    partial's column name to the phase-2 aggregate that combines partials
+    (``F.sum`` for sum/count, ``F.min``/``F.max`` for min/max). Phase 1
+    groups on (key, retry-deterministic content-hash salt — see
+    _row_salt), spreading each hot key over ``n_salts`` reducers; phase 2
+    merges the ≤ n_salts partial rows per key."""
+    partial_cols = [p.alias(f"_p{i}") for i, (p, _) in enumerate(aggs.values())]
+    partial = (
+        df.withColumn("_salt", _row_salt(df, n_salts))
+        .groupBy(key, "_salt")
+        .agg(*partial_cols)
+    )
+    final_cols = [m(f"_p{i}").alias(out) for i, (out, (_, m)) in enumerate(aggs.items())]
+    return partial.groupBy(key).agg(*final_cols)
+
+
 def salted_sum(
     df: DataFrame, key: str, value_col, out: str, n_salts: int = 16
 ) -> DataFrame:
-    """Two-phase salted aggregation: SUM(value) per key with the partial
-    phase spread over ``n_salts`` reducers per key (retry-deterministic
-    content-hash salt — see _row_salt)."""
-    partial = (
-        df.select(F.col(key), value_col.alias("_v"), _row_salt(df, n_salts).alias("_salt"))
-        .groupBy(key, "_salt")
-        .agg(F.sum("_v").alias("_partial"))
-    )
-    return partial.groupBy(key).agg(F.sum("_partial").alias(out))
+    """Single-SUM convenience wrapper over :func:`salted_agg`."""
+    return salted_agg(df, key, {out: (F.sum(value_col), F.sum)}, n_salts)
 
 
 def salted_join(
@@ -120,15 +134,15 @@ from spotify_tags_etl_spark.sources.tpch import load_table
 )
 def wz01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    partial = (
-        ev.select(
-            "event_type",
-            F.col("value").cast("decimal(14,2)").alias("_v"),
-            _row_salt(ev, 16).alias("_salt"),
-        )
-        .groupBy("event_type", "_salt")
-        .agg(F.count("*").alias("_n"), F.sum("_v").alias("_s"))
-    )
-    return partial.groupBy("event_type").agg(
-        F.sum("_n").alias("n"), F.sum("_s").cast("double").alias("sum_value")
+    return salted_agg(
+        ev,
+        "event_type",
+        {
+            "n": (F.count("*"), F.sum),
+            "sum_value": (
+                F.sum(F.col("value").cast("decimal(14,2)")),
+                lambda c: F.sum(c).cast("double"),
+            ),
+        },
+        n_salts=16,
     )

@@ -123,13 +123,11 @@ class PagedSearchDataSource(DataSource):
         return PagedSearchReader(self.options)
 
 
-_REGISTERED: set[int] = set()
-
-
 def register_paged_source(spark: SparkSession) -> None:
-    if id(spark) not in _REGISTERED:
-        spark.dataSource.register(PagedSearchDataSource)
-        _REGISTERED.add(id(spark))
+    # Unconditional: registration is an idempotent overwrite and costs one
+    # RPC. Memoizing on id(spark) (the previous design) silently skips
+    # registration when CPython reuses a stopped session's object address.
+    spark.dataSource.register(PagedSearchDataSource)
 
 
 def read_paged_search(spark: SparkSession, total: int, pages_per_partition: int = 4) -> DataFrame:
@@ -188,10 +186,12 @@ def batched_feature_lookup(ids_df: DataFrame, id_col: str = "track_idx") -> Data
 
 _SP01_TOTAL = 730  # deliberately not a multiple of the page size
 
-
-@register(
-    "sp01_paged_source",
-    oracle=f"""
+#: One oracle for every query that drains the full simulated catalog
+#: (sp01 batch source, sp03 UDTF, sz01 stream) — they must stay
+#: byte-equivalent because they describe the same _track_row generator,
+#: so the SQL lives once. NOTE: lpad(...,6) matches Python's f"{i:06d}"
+#: only while total <= 999999 (same clamp both sides).
+_CATALOG_ORACLE = f"""
     SELECT i AS idx,
            substr(md5(CAST(i AS VARCHAR)), 1, 22) AS track_id,
            'track ' || lpad(CAST(i AS VARCHAR), 6, '0') AS track_name,
@@ -199,7 +199,12 @@ _SP01_TOTAL = 730  # deliberately not a multiple of the page size
            CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT % 101 AS INT) AS popularity,
            30000 + ('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 5))::BIGINT % 300000 AS duration_ms
     FROM range(0, {_SP01_TOTAL}) t(i)
-    """,
+    """
+
+
+@register(
+    "sp01_paged_source",
+    oracle=_CATALOG_ORACLE,
     doc=(
         "Spark 4 Python DataSource for the paginated search API (S4/S5, "
         "spotify_client.py:204-245,506-553): probe total → plan offset-"
@@ -216,15 +221,7 @@ def sp01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sp03_udtf_pages",
-    oracle=f"""
-    SELECT i AS idx,
-           substr(md5(CAST(i AS VARCHAR)), 1, 22) AS track_id,
-           'track ' || lpad(CAST(i AS VARCHAR), 6, '0') AS track_name,
-           'artist ' || lpad(CAST(i % 97 AS VARCHAR), 3, '0') AS artist_name,
-           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT % 101 AS INT) AS popularity,
-           30000 + ('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 5))::BIGINT % 300000 AS duration_ms
-    FROM range(0, {_SP01_TOTAL}) t(i)
-    """,
+    oracle=_CATALOG_ORACLE,
     doc=(
         "Pagination generator as a Python UDTF (SURVEY §2.10, the "
         "row→N-rows shape of query_all, spotify_client.py:204-245): a "
@@ -242,11 +239,16 @@ def sp03(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, offset: int, total: int):
             yield from _fetch_page(int(offset), API_PAGE_LIMIT, int(total))
 
+    # Re-registering the same name is an idempotent overwrite (the UDTF is
+    # closure-free: total arrives as a SQL argument), so concurrent builds
+    # can't observe each other's parameters. The offsets come from the
+    # range() table function inline — no temp view, no catalog mutation
+    # (the repo rule: query builders leave the shared session catalog
+    # untouched).
     spark.udtf.register("fetch_page", FetchPage)
-    offsets = spark.range(0, _SP01_TOTAL, API_PAGE_LIMIT).withColumnRenamed("id", "page_offset")
-    offsets.createOrReplaceTempView("_sp03_offsets")
     return spark.sql(
-        f"SELECT p.* FROM _sp03_offsets o, LATERAL fetch_page(o.page_offset, {_SP01_TOTAL}) p"
+        f"SELECT p.* FROM range(0, {_SP01_TOTAL}, {API_PAGE_LIMIT}) o, "
+        f"LATERAL fetch_page(CAST(o.id AS INT), {_SP01_TOTAL}) p"
     )
 
 
@@ -339,9 +341,7 @@ class PagedSearchStreamSource(DataSource):
 
 
 def read_paged_search_stream(spark: SparkSession, total: int, pages_per_batch: int = 2) -> DataFrame:
-    if (id(spark), "stream") not in _REGISTERED:
-        spark.dataSource.register(PagedSearchStreamSource)
-        _REGISTERED.add((id(spark), "stream"))
+    spark.dataSource.register(PagedSearchStreamSource)
     return (
         spark.readStream.format("paged_search_stream")
         .option("total", str(total))
@@ -352,15 +352,7 @@ def read_paged_search_stream(spark: SparkSession, total: int, pages_per_batch: i
 
 @register(
     "sz01_stream_paged_source",
-    oracle=f"""
-    SELECT i AS idx,
-           substr(md5(CAST(i AS VARCHAR)), 1, 22) AS track_id,
-           'track ' || lpad(CAST(i AS VARCHAR), 6, '0') AS track_name,
-           'artist ' || lpad(CAST(i % 97 AS VARCHAR), 3, '0') AS artist_name,
-           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 4))::INT % 101 AS INT) AS popularity,
-           30000 + ('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 5))::BIGINT % 300000 AS duration_ms
-    FROM range(0, {_SP01_TOTAL}) t(i)
-    """,
+    oracle=_CATALOG_ORACLE,
     doc=(
         "The paged API as a STREAMING source (Spark 4 Python "
         "SimpleDataSourceStreamReader): page offset = stream offset, "
@@ -387,6 +379,10 @@ def sz01(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after that read() returns empty batches — stop once drained.
         deadline = time.time() + 120
         while spark.table(name).count() < _SP01_TOTAL:
+            if q.exception() is not None:
+                # Fail fast with the root cause — a dead stream would
+                # otherwise busy-wait the full timeout and mask the error.
+                raise q.exception()
             if time.time() >= deadline:
                 # Never hand back a silently-truncated collection — a
                 # partial table would surface downstream as a value-hash
@@ -398,4 +394,8 @@ def sz01(spark: SparkSession, sf_dir: str) -> DataFrame:
             time.sleep(0.2)
     finally:
         q.stop()
-    return spark.table(name)
+    # Checkpoint + drop the memory-sink view: same no-leak rule as
+    # streaming/ops.run_to_memory.
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
