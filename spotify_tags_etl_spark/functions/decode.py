@@ -74,7 +74,10 @@ def convert_duration(ms: Column | str) -> Column:
     """F3: milliseconds → 'HH:MM:SS' string (reference parses via epoch;
     equivalent to formatting the epoch-seconds instant in UTC)."""
     c = F.col(ms) if isinstance(ms, str) else ms
-    return F.date_format(F.timestamp_seconds(c.cast("bigint") / F.lit(1000)), "HH:mm:ss")
+    # try_cast: a malformed duration yields null on ANY session — a plain
+    # cast throws CAST_INVALID_INPUT under ANSI mode (the vanilla Spark 4
+    # default), making results depend on which session the caller built.
+    return F.date_format(F.timestamp_seconds(c.try_cast("bigint") / F.lit(1000)), "HH:mm:ss")
 
 
 def convert_release_date(s: Column | str) -> Column:
@@ -82,17 +85,24 @@ def convert_release_date(s: Column | str) -> Column:
 
     len 4 → YYYY-01-01; len 7 → YYYY-MM-01; len 10 → full parse;
     anything else → null (exactly spotify_client.py:360-371).
+
+    try_to_date (not to_date): the length guard admits malformed content
+    like 'abcd' or '2020-13-45', which must yield null per the contract —
+    to_date would throw under ANSI mode (the vanilla Spark 4 default).
     """
     c = F.col(s) if isinstance(s, str) else s
     return (
-        F.when(F.length(c) == 4, F.to_date(F.concat(c, F.lit("-01-01"))))
-        .when(F.length(c) == 7, F.to_date(F.concat(c, F.lit("-01"))))
-        .when(F.length(c) == 10, F.to_date(c))
+        F.when(F.length(c) == 4, F.try_to_date(F.concat(c, F.lit("-01-01"))))
+        .when(F.length(c) == 7, F.try_to_date(F.concat(c, F.lit("-01"))))
+        .when(F.length(c) == 10, F.try_to_date(c))
         .otherwise(F.lit(None).cast("date"))
     )
 
 
 def convert_added_at(s: Column | str) -> Column:
-    """F5: 'YYYY-MM-DDTHH:MM:SSZ' → UTC timestamp (session tz is UTC)."""
+    """F5: 'YYYY-MM-DDTHH:MM:SSZ' → UTC timestamp (session tz is UTC).
+
+    try_to_timestamp: malformed input is null on any session, not a
+    CANNOT_PARSE_TIMESTAMP abort under ANSI mode."""
     c = F.col(s) if isinstance(s, str) else s
-    return F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'"))

@@ -28,16 +28,17 @@ def readable_size(nbytes: Column | str, precision: int = 2) -> Column:
     honest 1024 so '1048576' → '1.00 MiB'.)
     """
     c = (F.col(nbytes) if isinstance(nbytes, str) else nbytes).cast("double")
-    expr = None
+    # NULL/NaN fail every `c < bound` and would fall into the PiB
+    # otherwise-branch, where format_string renders 'nu PiB'/'NaN PiB';
+    # the contract (and the q34 oracle's CASE-over-NULL) is null → null.
+    expr = F.when(c.isNull() | F.isnan(c), F.lit(None).cast("string"))
     for i, unit in enumerate(_UNITS):
         bound = float(1024 ** (i + 1))
         # round() BEFORE formatting: %.2f ties round half-even in C
         # (DuckDB) but half-up in Java (Spark); round() is half-up in
         # both, and a pre-rounded value can never tie at format time.
         cond = F.format_string(f"%.{precision}f {unit}", F.round(c / float(1024**i), precision))
-        if expr is None:
-            expr = F.when(c < bound, cond)
-        elif i < len(_UNITS) - 1:
+        if i < len(_UNITS) - 1:
             expr = expr.when(c < bound, cond)
         else:
             expr = expr.otherwise(cond)

@@ -47,7 +47,10 @@ def _lcs_len(a: str, b: str) -> int:
     """Longest-common-subsequence length, numpy row-DP (O(len(a)) memory)."""
     if not a or not b:
         return 0
-    if len(a) < len(b):
+    # Iterate the SHORTER string in Python, vectorize the longer one as
+    # the numpy row: interpreter iterations are the expensive part, wide
+    # numpy rows are nearly free. Memory stays O(max(len)).
+    if len(a) > len(b):
         a, b = b, a
     bn = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
     prev = np.zeros(len(bn) + 1, dtype=np.int32)

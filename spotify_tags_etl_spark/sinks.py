@@ -54,8 +54,13 @@ def foreach_partition_sink(
     """
 
     def run(rows: Iterator) -> None:
+        # Peek before paying client setup: empty partitions (routine after
+        # filters or under skew) must not open a remote connection each.
+        first = next(rows, None)
+        if first is None:
+            return
         send = client_factory()
-        batch: list = []
+        batch: list = [first]
         for row in rows:
             batch.append(row)
             if len(batch) >= batch_size:

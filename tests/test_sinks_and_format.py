@@ -101,3 +101,41 @@ def test_jdbc_writer_option_passthrough(spark):
     assert opts.apply("url") == "jdbc:postgresql://localhost:5432/media_db"
     assert opts.apply("dbtable") == "warehouse.artist"
     assert opts.apply("batchsize") == "10000"
+
+
+def test_readable_size_null_and_nan_yield_null(spark):
+    """NULL/NaN byte counts must map to NULL, not fall through the
+    when-ladder into a 'nu PiB'/'NaN PiB' string from the PiB branch."""
+    df = spark.createDataFrame([(None,), (float("nan"),), (2048.0,)], "n double")
+    got = [r.s for r in df.select(readable_size("n").alias("s")).collect()]
+    assert got[0] is None and got[1] is None
+    assert got[2] == "2.00 KiB"
+
+
+def test_decode_functions_ansi_safe(spark):
+    """Malformed input yields null on an ANSI-on session (the vanilla
+    Spark 4 default) — try_-variants, not throwing casts/parses."""
+    from spotify_tags_etl_spark.functions.decode import (
+        convert_added_at,
+        convert_duration,
+        convert_release_date,
+    )
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [("abcd", "not-a-date", "abc"), ("2020-13-45", "x", "1"), ("2019-03-11", "2021-01-02T03:04:05Z", "61000")],
+            "rd string, aa string, ms string",
+        )
+        rows = df.select(
+            convert_release_date("rd").alias("rd"),
+            convert_added_at("aa").alias("aa"),
+            convert_duration("ms").alias("ms"),
+        ).collect()
+        assert rows[0].rd is None and rows[0].aa is None and rows[0].ms is None
+        assert rows[1].rd is None and rows[1].aa is None
+        assert str(rows[2].rd) == "2019-03-11"
+        assert rows[2].aa is not None and rows[2].ms == "00:01:01"
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)

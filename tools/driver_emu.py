@@ -52,7 +52,12 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    names = args.names or sorted(queries)[: args.window]
+    # Accept pre-rotation spellings (the names recorded in CORRECTNESS_r{N}
+    # and driver output) for explicitly-passed names: driver-verified
+    # queries re-key to zv_<name> each round.
+    from spotify_tags_etl_spark.plans.registry import resolve
+
+    names = [resolve(n) for n in args.names] or sorted(queries)[: args.window]
 
     results: dict[str, dict] = {}
     for name in names:
@@ -91,6 +96,11 @@ def main() -> int:
         for key in (
             "spark.sql.legacy.parquet.nanosAsLong",
             "spark.sql.shuffle.partitions",  # streaming builders pin it
+            # ensure_session_defaults sets these two; a builder that forgot
+            # its own self-heal must not pass by inheriting them from the
+            # previous query (the driver gives every query a fresh JVM).
+            "spark.sql.session.timeZone",
+            "spark.sql.ansi.enabled",
         ):
             try:
                 spark.conf.unset(key)
