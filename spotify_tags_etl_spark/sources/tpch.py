@@ -65,27 +65,55 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a canonical pair regardless of
+    the parquet file's physical encoding:
+
+    * ``ts``    — TIMESTAMP (instant; session tz is pinned UTC upstream)
+    * ``ts_ns`` — BIGINT epoch nanoseconds (full-precision ordering key)
+
+    The driver regenerates the fixtures between rounds and has shipped two
+    encodings so far: TIMESTAMP(NANOS) (readable only as bigint ns via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]``
+    (read as TIMESTAMP_NTZ). Branching on the *observed* dtype here — not
+    on an assumed encoding — is what keeps every downstream event-time
+    operator (windows, as-of joins, watermarks) stable across regens.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # nanosAsLong path: keep full-precision ns, derive a usec instant.
+        return df.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
+        )
+    if dtype == "timestamp_ntz":
+        # usec-encoded naive timestamp: the session tz is pinned UTC by
+        # ensure_session_defaults, so the NTZ→TIMESTAMP cast is value-stable
+        # (same wall-clock digits, now an instant — required by
+        # withWatermark, which rejects TIMESTAMP_NTZ event time).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        dtype = "timestamp"
+    if dtype == "timestamp" and "ts_ns" not in df.columns:
+        df = df.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TPCH_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TPCH_TABLES}")
     ensure_session_defaults(spark)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); vanilla Spark rejects the
-        # physical type outright (PARQUET_TYPE_ILLEGAL) unless this runtime
-        # SQL conf is on. Set it here so the loader is self-sufficient on ANY
-        # session it is handed (driver harness, notebooks), not only sessions
-        # built by our session.py factory.
+        # Some fixture generations store TIMESTAMP(NANOS); vanilla Spark
+        # rejects that physical type outright (PARQUET_TYPE_ILLEGAL) unless
+        # this runtime conf is on. Harmless for usec-encoded files. Set it
+        # here so the loader is self-sufficient on ANY session it is handed
+        # (driver harness, notebooks), not only sessions built by our
+        # session.py factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long via spark.sql.legacy.parquet.nanosAsLong:
-        # keep full-precision ns for ordering, expose a usec timestamp for
-        # event-time ops (window/date_trunc are usec-stable).
-        from pyspark.sql import functions as F
-
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
-        )
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -61,9 +61,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     """Streaming scan of the events table: file-source micro-batches.
 
     Schema comes from one batch footer read (streaming sources require
-    an explicit schema); the TIMESTAMP(NANOS) column arrives as long ns
-    (session sets nanosAsLong) and a usec ``ts`` is derived exactly as
-    the batch loader does (sources/tpch.py).
+    an explicit schema); the ``ts`` column is normalized to a TIMESTAMP
+    instant + bigint ``ts_ns`` exactly as the batch loader does
+    (sources/tpch.py:normalize_events_ts), whatever the fixture encoding.
     """
     import hashlib
     import os
@@ -88,7 +88,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     # TIMESTAMP(NANOS) physical type needs this runtime conf on ANY session,
     # and event-time windows/date_format must render in UTC to match the
     # naive-UTC DuckDB oracles regardless of the driver JVM's default TZ.
-    from ..sources.tpch import ensure_session_defaults
+    from ..sources.tpch import ensure_session_defaults, normalize_events_ts
 
     ensure_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -110,11 +110,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stream_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumnRenamed("ts", "ts_ns").withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))
-        )
-    return df
+    # Same encoding-driven normalization as the batch loader: whatever the
+    # fixture's physical type (bigint ns / timestamp / timestamp_ntz), the
+    # stream exposes TIMESTAMP ``ts`` (watermark-eligible) + bigint ``ts_ns``.
+    return normalize_events_ts(df)
 
 
 def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
