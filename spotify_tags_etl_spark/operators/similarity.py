@@ -355,7 +355,7 @@ def _ivf_oracle() -> str:
         "shape: inverted lists are a partitionBy(cent_id) layout, probing "
         "is partition pruning, so each query touches nprobe/K of the data; "
         "assignment is one broadcast pass. (vx = rotation-safe registry "
-        "name for the ss vector-search family; see registry R1_VERIFIED.)"
+        "name for the ss vector-search family; see registry VERIFIED.)"
     ),
     tags=("similarity", "ann", "ivf"),
 )

@@ -62,31 +62,71 @@ _REGISTRY: dict[str, QueryDef] = {}
 #: tradeoff of never RE-checking them at the driver is what buys new
 #: queries their first check. Nothing else changes: same builders, same
 #: oracles; ``get()`` resolves either spelling.
-R1_VERIFIED = frozenset(
+VERIFIED = frozenset(
     {
+        "av01_rollup_agg",
+        "av02_cube_agg",
+        "av03_grouping_sets",
+        "av04_pivot",
+        "av05_percentiles",
+        "av10_rank_family",
+        "av11_kmv_sketch",
+        "av13_moments",
         "dd01_exact_hash",
         "dd02_minhash_lsh",
         "dd03_simhash",
         "dd04_ngram_jaccard_block",
         "dd05_embedding_cosine_neardup",
+        "media_q01_artist_select",
+        "media_q02_album_select",
+        "media_q03_track_select",
+        "media_q04_genre_select",
+        "media_q05_file_select",
+        "media_q06_gain_select",
+        "media_q07_join_select",
+        "media_q08_avg_size_select",
         "mm01_binary_metadata",
+        "mm02_decode_stub",
         "mm03_resize_stub",
         "mm04_frame_sample",
+        "mm05_audio_energy",
         "q01_project_in_filter",
         "q02_project_in_filter_multi",
         "q03_project_in_filter_wide",
         "q04_two_key_in",
+        "q05_equality_filter",
         "q06_join3_theta_sort",
         "q07_join3_in_sort",
         "q08_scalar_agg_round",
         "q09_dynamic_in",
         "q10_column_subset",
         "q11_drop_column",
+        "q12_validity_filter",
         "q13_groupby_agg",
         "q14_argmax_window",
         "q15_max_by",
+        "q16_dedup_exact_keyed",
+        "q17_count_distinct",
         "q18_every_fold",
+        "q19_union_all",
         "q20_topk_limit",
+        "q21_semi_join",
+        "q22_anti_join",
+        "q23_outer_join_agg",
+        "q24_window_rank_topk",
+        "q26_time_bucket_agg",
+        "q27_json_extract",
+        "q28_sorted_list_agg",
+        "q29_fuzzy_topk_levenshtein",
+        "q31_normalize_text",
+        "q32_intersect_except",
+        "q33_track_tag_format",
+        "q34_readable_size",
+        "sp01_paged_source",
+        "sp02_batched_lookup",
+        "sp03_udtf_pages",
+        "ss01_bruteforce_cosine_topk",
+        "ss02_lsh_ann",
     }
 )
 
@@ -98,8 +138,8 @@ def register(
     tags: tuple[str, ...] = (),
 ) -> Callable[[Builder], Builder]:
     """Decorator: register a query builder under ``name`` (re-keyed to
-    ``zv_<name>`` for round-1-verified queries; see R1_VERIFIED)."""
-    key = f"zv_{name}" if name in R1_VERIFIED else name
+    ``zv_<name>`` for driver-verified queries; see VERIFIED)."""
+    key = f"zv_{name}" if name in VERIFIED else name
 
     def deco(fn: Builder) -> Builder:
         if key in _REGISTRY:

@@ -31,12 +31,59 @@ sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tests"))
 
 
+def _input_mtimes(sf_dir: str) -> dict[str, float]:
+    import glob
+
+    return {p: os.path.getmtime(p) for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))}
+
+
+def check_fresh(out_path: str) -> bool:
+    """True iff the recorded sweep is still valid: no input parquet has
+    been modified since the sweep ran. Round 2's '103/105 green' claim
+    was true at 16:35 and false at 19:07 because the driver regenerated
+    the fixtures in between — a green verdict must carry its evidence."""
+    try:
+        data = json.load(open(out_path))
+        meta = data.get("_meta", {})
+        recorded = meta.get("input_mtimes", {})
+    except (OSError, json.JSONDecodeError):
+        print(f"STALE: {out_path} missing or unreadable")
+        return False
+    if not recorded:
+        print("STALE: sweep predates mtime recording")
+        return False
+    stale = [
+        p
+        for p, m in recorded.items()
+        if not os.path.exists(p) or os.path.getmtime(p) != m
+    ]
+    current = _input_mtimes(meta.get("sf_dir", ""))
+    new = sorted(set(current) - set(recorded))
+    if stale or new:
+        for p in stale:
+            print(f"STALE: {p} changed/removed since sweep")
+        for p in new:
+            print(f"STALE: {p} appeared since sweep")
+        return False
+    print(f"FRESH: sweep at {meta.get('swept_at')} still matches {len(recorded)} inputs")
+    return True
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--check-fresh",
+        action="store_true",
+        help="don't sweep; exit 0 iff driver_emu_last.json predates no input parquet change",
+    )
     ap.add_argument("names", nargs="*", help="explicit query names (overrides --window)")
     args = ap.parse_args()
+
+    out_path = os.path.join(_REPO, "tools", "driver_emu_last.json")
+    if args.check_fresh:
+        return 0 if check_fresh(out_path) else 1
 
     from pyspark.sql import SparkSession
 
@@ -58,6 +105,12 @@ def main() -> int:
     from spotify_tags_etl_spark.plans.registry import resolve
 
     names = [resolve(n) for n in args.names] or sorted(queries)[: args.window]
+
+    # Snapshot inputs BEFORE the sweep: if a fixture regen lands mid-sweep,
+    # the post-sweep freshness check fails (mtime mismatch), which is the
+    # correct outcome — results partly against old data are not green.
+    input_mtimes = _input_mtimes(args.sf_dir)
+    swept_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
 
     results: dict[str, dict] = {}
     for name in names:
@@ -111,10 +164,17 @@ def main() -> int:
     n_no_oracle = sum(1 for r in results.values() if r["err"] == "no_oracle")
     n_fail = sum(1 for r in results.values() if not r["ok"])
     print(f"\n{n_pass} pass / {n_no_oracle} no_oracle / {n_fail} FAIL of {len(results)}")
-    out = os.path.join(_REPO, "tools", "driver_emu_last.json")
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1, default=str)
-    print(f"wrote {out}")
+    payload: dict = {
+        "_meta": {"sf_dir": args.sf_dir, "swept_at": swept_at, "input_mtimes": input_mtimes}
+    }
+    payload.update(results)
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    print(f"wrote {out_path}")
+    # Refuse a green verdict whose inputs changed under the sweep.
+    if not n_fail and not check_fresh(out_path):
+        print("inputs changed during sweep; verdict NOT green")
+        return 1
     spark.stop()
     return 1 if n_fail else 0
 

@@ -3,7 +3,7 @@
 The driver's correctness gate checks only the FIRST 50 registry names in
 sort order. plans/registry.py re-keys already-driver-verified queries
 behind a ``zv_`` prefix so never-verified ones rotate into the window
-(see R1_VERIFIED there). After a round's CORRECTNESS_r{N}.json lands,
+(see VERIFIED there). After a round's CORRECTNESS_r{N}.json lands,
 run this to print the updated frozenset literal: every query the driver
 has EVER verified green (hash_match, or rows-only for no_oracle entries
 that returned rows) joins the rotation set.
@@ -23,9 +23,9 @@ sys.path.insert(0, _REPO)
 
 
 def main() -> int:
-    from spotify_tags_etl_spark.plans.registry import R1_VERIFIED
+    from spotify_tags_etl_spark.plans.registry import VERIFIED
 
-    verified: set[str] = set(R1_VERIFIED)
+    verified: set[str] = set(VERIFIED)
     for path in sys.argv[1:]:
         data = json.load(open(path))
         for name, rec in data.items():
@@ -43,7 +43,7 @@ def main() -> int:
     print("    }")
     print(")")
     print(f"# {len(verified)} verified; registry window frees "
-          f"{len(verified) - len(R1_VERIFIED)} new slots next round")
+          f"{len(verified) - len(VERIFIED)} new slots next round")
     return 0
 
 
