@@ -559,23 +559,63 @@ def av11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: percentile_approx(accuracy=A) guarantees the returned element's exact
+#: rank is within eps*N of the target rank, eps = 1/A. The registered
+#: output is the tolerance VERDICT (per group, per level): sketch answers
+#: are algorithm-specific so their values can't hash-match a different
+#: engine, but "is the answer's empirical rank inside the published
+#: bound" is engine-independent — the oracle asserts TRUE per cell and
+#: anchors n_rows exactly, so the driver's hash gate becomes a real
+#: tolerance check instead of rows-only.
+_AV12_ACCURACY = 10000
+_AV12_EPS = 2.0 / _AV12_ACCURACY  # published bound + equal-value slack
+
+
 @register(
     "av12_approx_percentile",
-    oracle=None,  # sketch-based: algorithm-specific results, rows-only gate
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+    FROM events GROUP BY event_type
+    """,
     doc=(
         "approx_percentile (KLL/GK sketch): the 100 TB scale path for "
         "av05's exact percentiles — single pass, mergeable partials, no "
-        "per-group sort. Accuracy vs the exact quantiles is pinned in "
-        "tests/test_advanced.py (1% relative accuracy at 10k-row groups)."
+        "per-group sort. Tolerance oracle: each group/level cell is TRUE "
+        "iff the sketch answer's exact rank (counted against the raw "
+        "data) lies within the published eps=1/accuracy rank bound; "
+        "DuckDB asserts the same cells TRUE and anchors exact n_rows. "
+        "Point accuracy is additionally pinned in tests/test_advanced.py."
     ),
     tags=("aggregate", "percentile", "sketch"),
 )
 def av12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _quantile_agg(
+    ev = _ev(spark, sf_dir).select("event_type", "value")
+    approx = _quantile_agg(
         spark,
         sf_dir,
-        lambda c, levels: F.percentile_approx(c, levels, F.lit(10000)),
+        lambda c, levels: F.percentile_approx(c, levels, F.lit(_AV12_ACCURACY)),
     )
+    # Re-scan events once, broadcast the O(#groups) sketch answers onto it,
+    # and count each answer's exact rank interval [cnt_lt+1, cnt_le] in the
+    # same single aggregation (one shuffle on event_type).
+    j = ev.join(F.broadcast(approx), "event_type")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for q in _QUANTILES:
+        p = f"p{int(q * 100)}"
+        aggs.append(F.sum(F.when(F.col("value") < F.col(p), 1).otherwise(0)).alias(f"_lt_{p}"))
+        aggs.append(F.sum(F.when(F.col("value") <= F.col(p), 1).otherwise(0)).alias(f"_le_{p}"))
+    counted = j.groupBy("event_type").agg(*aggs)
+    checks = []
+    for q in _QUANTILES:
+        p = f"p{int(q * 100)}"
+        lo = (F.lit(q) - F.lit(_AV12_EPS)) * F.col("n_rows")
+        hi = (F.lit(q) + F.lit(_AV12_EPS)) * F.col("n_rows") + F.lit(1.0)
+        # rank interval of the returned element intersects [lo, hi]
+        checks.append(
+            ((F.col(f"_lt_{p}") + 1 <= hi) & (F.col(f"_le_{p}") >= lo)).alias(f"{p}_ok")
+        )
+    return counted.select("event_type", "n_rows", *checks)
 
 
 @register(

@@ -150,13 +150,67 @@ def q29(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: fuzz.ratio IS SQL-expressible after all: LCS as a recursive-CTE row-DP.
+#: Each recursion step advances one char of ``a`` and rebuilds the DP row
+#: with the same prefix-max trick as functions/text.py:_lcs_len — the
+#: elementwise max(prev[j], prev[j-1]+match) followed by a running max,
+#: done with list_transform + a list_reduce fold (list-typed accumulator).
+#: Normalization mirrors normalize_text: symbol strip keeping ,.:- →
+#: whitespace collapse → trim → deaccent → lower (ASCII corpus, so
+#: strip_accents ≡ NFD-drop-combining).
+_Q30_ORACLE = r"""
+WITH RECURSIVE
+kw AS (
+  SELECT p_partkey, p_name,
+         lower(strip_accents(trim(regexp_replace(
+           regexp_replace(p_name, '[!"#$%&''()*+/;<=>?@\[\\\]^_`{|}~]', '', 'g'),
+           '\s+', ' ', 'g')))) AS a
+  FROM part WHERE p_partkey % 200 = 0
+),
+cand AS (
+  SELECT s_name,
+         lower(strip_accents(trim(regexp_replace(
+           regexp_replace(s_name, '[!"#$%&''()*+/;<=>?@\[\\\]^_`{|}~]', '', 'g'),
+           '\s+', ' ', 'g')))) AS b
+  FROM supplier
+),
+dp(p_partkey, p_name, s_name, a, b, i, row) AS (
+  SELECT p_partkey, p_name, s_name, a, b, 0, list_transform(range(0, len(b)+1), x -> 0)
+  FROM kw CROSS JOIN cand
+  UNION ALL
+  SELECT p_partkey, p_name, s_name, a, b, i+1,
+    list_concat([0],
+      list_reduce(
+        list_transform(
+          list_transform(range(1, len(b)+1),
+            j -> greatest(row[j+1], row[j] + CASE WHEN substr(a, i+1, 1) = substr(b, j, 1) THEN 1 ELSE 0 END)),
+          x -> [x]),
+        (acc, x) -> list_concat(acc, [greatest(acc[len(acc)], x[1])])))
+  FROM dp WHERE i < len(a)
+),
+scored AS (
+  SELECT p_partkey, p_name, s_name,
+         CASE WHEN len(a) + len(b) = 0 THEN 100.0
+              ELSE ROUND((1.0 - (len(a) + len(b) - 2.0 * row[len(b)+1]) / (len(a) + len(b))) * 100.0, 4)
+         END AS score
+  FROM dp WHERE i = len(a)
+)
+SELECT p_partkey, p_name, s_name AS best_name, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey ORDER BY score DESC, s_name) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
 @register(
     "q30_fuzzy_ratio_top1",
-    oracle=None,  # fuzz.ratio (indel/LCS) is not ANSI-SQL-expressible → rows-only
+    oracle=_Q30_ORACLE,
     doc=(
         "Exact reference J3: fuzz.ratio (indel similarity, pandas UDF) "
         "argmax per keyword with threshold split; golden-tested in "
-        "tests/test_fuzzy.py against hand-computed ratios."
+        "tests/test_fuzzy.py against hand-computed ratios and hash-checked "
+        "against a recursive-CTE LCS oracle in DuckDB."
     ),
     tags=("fuzzy", "udf"),
 )

@@ -67,17 +67,25 @@ def test_approx_percentile_accuracy(spark):
     makes it a legitimate 100 TB substitute. Uses sf0.01 (~2000-row
     groups): the sketch returns a real data element, so tiny groups
     differ from interpolated quantiles by the inter-element gap."""
+    from pyspark.sql import functions as F
+
+    from spotify_tags_etl_spark.operators.advanced import _AV12_ACCURACY, _quantile_agg
     from spotify_tags_etl_spark.plans import registry
 
     sf_dir = "/root/testdata/sf0.01"
     exact = {r.event_type: (r.p25, r.p50, r.p75, r.p95)
              for r in registry.get("av05_percentiles").builder(spark, sf_dir).collect()}
-    approx = {r.event_type: (r.p25, r.p50, r.p75, r.p95)
-              for r in registry.get("av12_approx_percentile").builder(spark, sf_dir).collect()}
+    sketch = _quantile_agg(
+        spark, sf_dir, lambda c, levels: F.percentile_approx(c, levels, F.lit(_AV12_ACCURACY))
+    )
+    approx = {r.event_type: (r.p25, r.p50, r.p75, r.p95) for r in sketch.collect()}
     assert set(exact) == set(approx)
     for et in exact:
         for e, a in zip(exact[et], approx[et]):
             assert a == pytest.approx(e, rel=0.02, abs=1.0)  # within 2% at accuracy=10000
+    # The registered av12 surface is the tolerance verdict: every cell TRUE.
+    for r in registry.get("av12_approx_percentile").builder(spark, sf_dir).collect():
+        assert r.p25_ok and r.p50_ok and r.p75_ok and r.p95_ok and r.n_rows > 0
 
 
 def test_show_tables_excludes_temp_views(spark):
