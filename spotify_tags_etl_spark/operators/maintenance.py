@@ -63,6 +63,37 @@ def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     return joined.select(*out_cols, op.alias("_op"))
 
 
+def upsert_lww(
+    base: DataFrame, changes: DataFrame, key: str, order_cols: tuple[str, ...]
+) -> DataFrame:
+    """Last-write-wins MERGE: a change row replaces the base row for its
+    key only when its ordering tuple (``order_cols``, compared as a
+    struct) is strictly larger; new keys insert; other base rows pass
+    through. Same co-partitioned full-outer-join shape as :func:`upsert`
+    — one shuffle of each side on the merge key, no driver state — with
+    the conditional WHEN MATCHED AND condition of MERGE INTO.
+
+    Precondition: both sides have at most one row per ``key`` and share
+    the same columns. The merge relation is associative and commutative,
+    which is what makes a foreachBatch caller micro-batch-layout
+    invariant (streaming/ops.py:streaming_upsert).
+    """
+    b = base.select([F.col(c).alias(f"_b_{c}") for c in base.columns])
+    c = changes.select([F.col(col).alias(f"_c_{col}") for col in changes.columns])
+    joined = b.join(c, b[f"_b_{key}"] == c[f"_c_{key}"], "full_outer")
+    b_ord = F.struct(*[F.col(f"_b_{o}") for o in order_cols])
+    c_ord = F.struct(*[F.col(f"_c_{o}") for o in order_cols])
+    change_wins = F.col(f"_b_{key}").isNull() | (
+        F.col(f"_c_{key}").isNotNull() & (c_ord > b_ord)
+    )
+    return joined.select(
+        *[
+            F.when(change_wins, F.col(f"_c_{col}")).otherwise(F.col(f"_b_{col}")).alias(col)
+            for col in base.columns
+        ]
+    )
+
+
 def _change_batch(customer: DataFrame) -> DataFrame:
     """Deterministic synthetic CDC batch: every 7th customer gets a new
     account balance; every 997th spawns a brand-new customer row."""

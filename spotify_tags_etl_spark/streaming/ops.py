@@ -36,6 +36,7 @@ Scale notes (1000-executor design point):
 
 from __future__ import annotations
 
+import os
 import uuid
 from typing import Iterator
 
@@ -123,6 +124,15 @@ def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     The sink's temp view is dropped before returning (the result is
     localCheckpoint'ed first) — otherwise every invocation would pin its
     full result set in driver memory for the session lifetime."""
+    out, _ = run_to_memory_with_progress(stream, output_mode)
+    return out
+
+
+def run_to_memory_with_progress(stream: DataFrame, output_mode: str):
+    """:func:`run_to_memory` plus the query's final watermark (epoch
+    usec, or None before any advance) read from the engine's own
+    progress metrics — the observability-driven alternative to
+    re-scanning inputs to reconstruct event-time bookkeeping."""
     spark = stream.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
     q = (
@@ -134,11 +144,23 @@ def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     )
     try:
         q.awaitTermination()
+        # Watermark advances at batch BOUNDARIES: the final (empty,
+        # state-flushing) batch of an AvailableNow run reports the
+        # post-data watermark. Take the max across recent progress to be
+        # robust to progress-array ordering.
+        wm_us = None
+        for prog in q.recentProgress:
+            wm = (prog.get("eventTime") or {}).get("watermark")
+            if wm:
+                ts = pd.Timestamp(wm.replace("Z", "+00:00"))
+                us = ts.value // 1000
+                if us > 0 and (wm_us is None or us > wm_us):
+                    wm_us = us
     finally:
         q.stop()
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
-    return out
+    return out, wm_us
 
 
 def windowed_agg(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
@@ -582,7 +604,8 @@ def stream_stream_outer_join(events: DataFrame) -> DataFrame:
          )
     SELECT err_id, click_id, user_id, lag_ms
     FROM j, m
-    WHERE click_id IS NOT NULL OR e_ts < mx - INTERVAL {_OUTER_SAFETY_S} SECONDS
+    WHERE click_id IS NOT NULL
+       OR e_ts < date_trunc('second', mx - INTERVAL {_OUTER_SAFETY_S} SECONDS)
     """,
     doc=(
         "LEFT OUTER stream-stream interval join: matched rows emit "
@@ -593,26 +616,21 @@ def stream_stream_outer_join(events: DataFrame) -> DataFrame:
     tags=("streaming", "join", "eventtime"),
 )
 def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime
-
-    from spotify_tags_etl_spark.sources.tpch import load_table
-
-    res = run_to_memory(
+    res, wm_us = run_to_memory_with_progress(
         stream_stream_outer_join(read_events_stream(spark, sf_dir)), "append"
     )
-    # Global watermark = min over both inputs of (side max event time -
-    # delay); reconstruct it from the batch table for the cutoff.
-    ev = load_table(spark, sf_dir, "events")
-    max_ts = (
-        ev.where(F.col("event_type").isin("error", "click"))
-        .groupBy("event_type")
-        .agg(F.max("ts").alias("m"))
-        .select(F.min("m"))
-        .collect()[0][0]
-    )
-    cutoff = max_ts - datetime.timedelta(seconds=_OUTER_SAFETY_S)
+    # Cutoff from the query's OWN final watermark (progress metrics) —
+    # no second scan of the events table. The engine floors max event
+    # time to ms before subtracting the (whole-second) delay, so
+    # truncating the cutoff to the whole second makes it agree exactly
+    # with the oracle's usec-precise max-derived cutoff:
+    # floor_sec(floor_ms(mx) - D) == floor_sec(mx) - D.
+    if wm_us is None:
+        cutoff_us = -(2**62)  # watermark never advanced: no null row is final
+    else:
+        cutoff_us = (wm_us // 1_000_000 - (_JOIN_RANGE_S + 60)) * 1_000_000
     return res.where(
-        F.col("click_id").isNotNull() | (F.col("e_ts") < F.lit(cutoff))
+        F.col("click_id").isNotNull() | (F.unix_micros(F.col("e_ts")) < F.lit(cutoff_us))
     ).select("err_id", "click_id", "user_id", "lag_ms")
 
 
@@ -642,24 +660,34 @@ def run_foreach_batch(stream: DataFrame, batch_fn) -> None:
 # ---------------------------------------------------------------------------
 
 
-def streaming_upsert(stream: DataFrame) -> "pd.DataFrame":
+def streaming_upsert(stream: DataFrame) -> DataFrame:
     """Streaming MERGE INTO: every micro-batch is reduced to one
     last-write-wins row per key and merged into the standing keyed table
     — the foreachBatch + upsert shape that maintains a serving table
     from a CDC stream.
 
-    Layout-invariance: "keep the row with the larger (ts_ns, event_id)"
+    Layout-invariance: "keep the row with the larger (ts_us, event_id)"
     is associative and commutative, so any micro-batch partitioning of
     the same events yields the same final table (proved in
     tests/test_streaming.py against a differently-batched run and the
     batch oracle).
 
-    The standing table here is a driver-side dict — honest for a state
-    that is key-cardinality-sized (users, not events); at 100 TB this
-    exact code shape targets a lakehouse MERGE INTO (uz01 is the engine-
-    level primitive) with the same per-batch argmax pre-reduction, which
-    is what keeps the merge input O(keys-in-batch)."""
-    state: dict[int, tuple] = {}
+    The standing table is a versioned parquet target merged through the
+    engine-level MERGE primitive (operators/maintenance.py:upsert_lww,
+    the uz01 shape): per batch, an argmax pre-reduction shrinks the
+    merge input to O(keys-in-batch), then a co-partitioned full-outer
+    join against the current version writes the next version. Writing
+    to ``v{batch_id}`` makes retries idempotent (exactly-once on top of
+    foreachBatch's at-least-once). No ``.collect()`` anywhere — the
+    driver holds only the current-version path."""
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.maintenance import upsert_lww
+
+    spark = stream.sparkSession
+    root = tempfile.mkdtemp(prefix="st08_merge_")
+    current: list[str] = []  # version POINTER, not state
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # Order on (usec, event_id): DuckDB reads the NANOS column at
@@ -671,12 +699,16 @@ def streaming_upsert(stream: DataFrame) -> "pd.DataFrame":
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("user_id", "event_id", "ts_us", "value")
-            .collect()
         )
-        for r in latest:
-            cur = state.get(r.user_id)
-            if cur is None or (r.ts_us, r.event_id) > (cur[1], cur[0]):
-                state[r.user_id] = (r.event_id, r.ts_us, r.value)
+        if current:
+            merged = upsert_lww(
+                spark.read.parquet(current[0]), latest, "user_id", ("ts_us", "event_id")
+            )
+        else:
+            merged = latest
+        target = os.path.join(root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
 
     q = (
         stream.select("user_id", "event_id", "ts_ns", "value")
@@ -689,10 +721,22 @@ def streaming_upsert(stream: DataFrame) -> "pd.DataFrame":
         q.awaitTermination()
     finally:
         q.stop()
-    return pd.DataFrame(
-        [(uid, eid, ts, val) for uid, (eid, ts, val) in sorted(state.items())],
-        columns=["user_id", "last_event_id", "last_ts_us", "last_value"],
+    if not current:
+        return spark.createDataFrame(
+            [], "user_id long, last_event_id long, last_ts_us long, last_value double"
+        )
+    final = (
+        spark.read.parquet(current[0])
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+        )
+        .localCheckpoint(eager=True)  # detach from the temp files before cleanup
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return final
 
 
 @register(
@@ -717,5 +761,4 @@ def streaming_upsert(stream: DataFrame) -> "pd.DataFrame":
     tags=("streaming", "upsert", "cdc"),
 )
 def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pdf = streaming_upsert(read_events_stream(spark, sf_dir))
-    return spark.createDataFrame(pdf)
+    return streaming_upsert(read_events_stream(spark, sf_dir))

@@ -207,7 +207,7 @@ def test_stream_upsert_layout_invariant(spark, sf_dir, multi_file_events):
     stream = _read_stream_dir(spark, multi_file_events).withColumn(
         "ts_ns", F.col("ts_ns").cast("long")
     )
-    multi = streaming_upsert(stream)
+    multi = streaming_upsert(stream).toPandas()
     single = registry.get("st08_stream_upsert").builder(spark, sf_dir).toPandas()
     multi_s = multi.rename(columns={}).sort_values("user_id").reset_index(drop=True)
     single_s = single.sort_values("user_id").reset_index(drop=True)
