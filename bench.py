@@ -33,6 +33,18 @@ HEADLINE = [
     "q26_time_bucket_agg",
 ]
 
+#: LLM-pipeline suite: the queries whose plans define the 100 TB story —
+#: MinHash+LSH near-dup (banded single self-join), hyperplane-LSH ANN,
+#: broadcast token-frequency scoring, fused mixture sampling, and the
+#: composed training pipeline.
+LLM_SUITE = [
+    "dd02_minhash_lsh",
+    "ss02_lsh_ann",
+    "tx08_mean_token_freq",
+    "tz07_mixture_sample",
+    "tp01_training_pipeline",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -40,11 +52,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = registry.all_queries()
-    names = [n for n in HEADLINE if registry.resolve(n) in queries]
+    names = [n for n in HEADLINE + LLM_SUITE if registry.resolve(n) in queries]
 
-    # Warm-up: one untimed pass of EVERY headline query, so each timed run
-    # measures steady-state execution (JIT, codegen per operator shape,
-    # parquet footer + page cache all paid up front for all seven shapes —
+    # Warm-up: one untimed pass of EVERY benchmarked query, so each timed
+    # run measures steady-state execution (JIT, codegen per operator shape,
+    # parquet footer + page cache all paid up front for every shape —
     # warming only one shape would leave the others' first-run codegen in
     # their timed numbers).
     for name in names:
@@ -58,14 +70,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    headline_total = round(sum(timings[n] for n in names if n in HEADLINE), 4)
+    llm_total = round(sum(timings[n] for n in names if n in LLM_SUITE), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_clock",
-                "value": round(sum(timings.values()), 4),
+                "value": headline_total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "suites": {"headline": headline_total, "llm_pipeline": llm_total},
             }
         )
     )
