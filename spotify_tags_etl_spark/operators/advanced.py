@@ -672,3 +672,50 @@ def av13(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_value_user"),
     )
+
+
+#: approx_count_distinct (HyperLogLog++) relative standard deviation. The
+#: sketch's error is probabilistic (rsd = standard error), so the verdict
+#: bound is 5 sigma — astronomically unlikely to trip on a correct
+#: implementation, while a broken sketch (or a wrong merge) lands far
+#: outside it. Same engine-independent tolerance-verdict shape as av12.
+_AV14_RSD = 0.05
+_AV14_BOUND = 5 * _AV14_RSD
+
+
+@register(
+    "av14_hll_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "HyperLogLog++ distinct count (approx_count_distinct): the 100 TB "
+        "scale path for q17's exact COUNT(DISTINCT) — single pass, "
+        "fixed-size mergeable sketch per partition, no distinct shuffle. "
+        "Tolerance oracle (av12 pattern): per group, TRUE iff the sketch "
+        "estimate is within 5*rsd of the exact count, which is computed "
+        "in the same aggregation and anchored exactly by DuckDB. "
+        "Completes the sketch family: KMV (av11), quantile (av12), "
+        "moments (av13), cardinality (av14)."
+    ),
+    tags=("aggregate", "sketch", "distinct"),
+)
+def av14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    est = F.approx_count_distinct("user_id", rsd=_AV14_RSD)
+    exact = F.countDistinct("user_id")
+    return (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(est.alias("_est"), exact.alias("n_exact"))
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_exact"))
+                <= F.lit(_AV14_BOUND) * F.col("n_exact")
+            ).alias("hll_ok"),
+        )
+    )

@@ -432,6 +432,39 @@ def test_upsert_null_change_value_overwrites(spark):
     assert got[3].name == "carol" and got[3]._op == "insert"
 
 
+def test_upsert_lww_precedence_and_nulls(spark):
+    """Last-write-wins MERGE: a change row wins only with a strictly
+    larger ordering tuple; a LOSING change must not leak any column (even
+    one it sets to NULL); new keys insert; untouched keys pass through."""
+    from spotify_tags_etl_spark.operators.maintenance import upsert_lww
+
+    base = spark.createDataFrame(
+        [(1, 100, 5, 1.0), (2, 200, 9, 2.0), (4, 400, 1, 4.0)],
+        "k long, ts long, seq long, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, 100, 6, 11.0),  # same ts, larger seq → wins (tuple order)
+            (2, 150, 99, 22.0),  # older ts → loses despite larger seq
+            (3, 300, 1, 33.0),  # new key → insert
+        ],
+        "k long, ts long, seq long, v double",
+    )
+    got = {r.k: r for r in upsert_lww(base, changes, "k", ("ts", "seq")).collect()}
+    assert (got[1].ts, got[1].seq, got[1].v) == (100, 6, 11.0)
+    assert (got[2].ts, got[2].seq, got[2].v) == (200, 9, 2.0)
+    assert (got[3].ts, got[3].seq, got[3].v) == (300, 1, 33.0)
+    assert (got[4].ts, got[4].seq, got[4].v) == (400, 1, 4.0)
+    # commutative+associative: merging the merge with the same changes
+    # again is a fixpoint (idempotent replay — the retry story).
+    again = {r.k: r for r in upsert_lww(
+        upsert_lww(base, changes, "k", ("ts", "seq")), changes, "k", ("ts", "seq")
+    ).collect()}
+    assert {k: (r.ts, r.seq, r.v) for k, r in got.items()} == {
+        k: (r.ts, r.seq, r.v) for k, r in again.items()
+    }
+
+
 def test_kmeans_deterministic_and_sse_monotone(spark, sf_dir):
     """Quantized k-means: (a) bit-identical assignment after a repartition
     (the integer-sufficient-statistics guarantee); (b) Lloyd's invariant —

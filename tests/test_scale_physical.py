@@ -142,6 +142,21 @@ def _formatted_plan(spark, df) -> str:
     )
 
 
+def test_upsert_lww_is_one_keyed_join(spark, sf_dir):
+    """st08's engine-level merge must be a single co-partitioned
+    full-outer join on the merge key — never a nested-loop/cartesian
+    (which would make the standing-table merge quadratic at scale)."""
+    from spotify_tags_etl_spark.operators.maintenance import upsert_lww
+
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts_ns").alias("ts_us"), "value"
+    ).dropDuplicates(["user_id"])
+    changes = base.withColumn("value", F.col("value") + 1)
+    plan = _formatted_plan(spark, upsert_lww(base, changes, "user_id", ("ts_us", "event_id")))
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_chunking_is_shuffle_free(spark, sf_dir):
     """tx06's 1→N chunk fan-out must stay inside the scan stage: a narrow
     tokenize → posexplode pipeline with zero Exchanges — at 100 TB the
