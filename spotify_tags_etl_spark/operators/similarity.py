@@ -373,6 +373,115 @@ def vx01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Arrow-batched GEMM top-k — the vectorized Python scale path
+# ---------------------------------------------------------------------------
+
+
+def gemm_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via per-partition matrix multiply: the small
+    query matrix rides the task closure (the broadcast side), each Arrow
+    batch of the corpus becomes one ``C @ Q.T`` GEMM, and a per-batch
+    local top-k bounds the shuffle to O(k·|Q|) rows per batch — the
+    map-side-combine analog for ANN. Semantics are identical to
+    :func:`cosine_topk` (ss01); this is the documented fast path when
+    the expression-level fold becomes compute-bound: one BLAS call per
+    batch instead of |batch|·|Q| interpreted array folds.
+
+    The ``queries.collect()`` is O(|Q|) plan-feeding (8 vectors here) —
+    the same pattern as the broadcast centroid/plane frames, never the
+    corpus side. Products of float32 inputs are exact in float64, so
+    GEMM vs in-order-fold differences are confined to sub-ulp summation
+    rounding — far below the 6-dp output rounding (and pinned equal to
+    ss01 row-for-row in tests/test_llm_ops.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            c_norms = np.sqrt((C * C).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (C @ Q.T) / np.outer(c_norms, q_norms)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(q_ids)):
+                col = cos[:, j]
+                valid = np.isfinite(col) & (c_ids != q_ids[j])
+                idx = np.flatnonzero(valid)
+                if not len(idx):
+                    continue
+                # local top-k in the GLOBAL tiebreak order (desc cosine,
+                # asc c_id) so boundary ties survive into the final window
+                order = idx[np.lexsort((c_ids[idx], -col[idx]))][:k]
+                out_q.extend([int(q_ids[j])] * len(order))
+                out_c.extend(c_ids[order].tolist())
+                out_s.extend(col[order].tolist())
+            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cosine": out_s})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "q_id long, c_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+@register(
+    "ss03_gemm_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS q_norm
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding AS c_vec,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS c_norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, c_id,
+             {_ORACLE_DOT.format(a='q_vec', b='c_vec')} / NULLIF(q_norm * c_norm, 0) AS cosine
+      FROM q, c WHERE q_id <> c_id
+    )
+    SELECT q_id, c_id, rank, ROUND(cosine, 6) AS cosine_r FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc=(
+        "ss01's exact brute-force cosine top-10, executed as Arrow-batched "
+        "numpy GEMM with per-batch local top-k (mapInPandas): the "
+        "vectorized Python scale path for when the corpus side is huge "
+        "and the expression fold is compute-bound. Same oracle as ss01 — "
+        "the two paths must agree row-for-row."
+    ),
+    tags=("similarity", "ann", "pandas_udf"),
+)
+def ss03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gemm_cosine_topk(emb.select("vec_id", "embedding"), emb.where(F.col("vec_id") < 8), k=10)
+
+
+# ---------------------------------------------------------------------------
 # int8 symmetric quantization — 4x memory/bandwidth for vector search
 # ---------------------------------------------------------------------------
 

@@ -376,6 +376,108 @@ def tz06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# tz08 — contamination RATE audit (per-doc n-gram overlap measurement)
+# ---------------------------------------------------------------------------
+#
+# tz06 answers "which train docs share ANY eval n-gram" (the removal
+# list); auditors need the GRADED metric: what fraction of each doc's
+# gram positions is eval-contaminated (the 13-gram-overlap style audit
+# from the GPT-3/PaLM contamination appendices). Counting POSITIONS, not
+# distinct grams, weights repeated contaminated spans honestly. The flag
+# stays integer-exact (10*hits > positions ⇔ rate > 0.1) so no float
+# threshold ever disagrees across engines.
+
+
+def contamination_rate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """Per-train-doc eval-overlap rate: positions whose ``n``-gram occurs
+    anywhere in the test split / total gram positions. Shares tz06's
+    gram pipeline; the distinct eval-gram side is AQE-sized (real eval
+    sets broadcast; this fixture's hash-bucket one must not be forced).
+    Zero-gram docs (< n tokens) are re-attached with NULL rate and a
+    FALSE flag — absence of evidence, not contamination."""
+    frac = _hash_frac(F.col("doc_id"))
+    grams = (
+        docs.where(F.size(F.split("text", " ")) >= n)
+        .select(
+            "doc_id",
+            frac.alias("frac"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+                )
+            ).alias("g"),
+        )
+    )
+    train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
+    train_g = grams.where(F.col("frac") < train_edge).select("doc_id", "g")
+    test = grams.where(F.col("frac") >= test_edge).select(F.col("g").alias("tg")).distinct()
+    hits = (
+        train_g.join(test, train_g["g"] == test["tg"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("tg").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        )
+    )
+    train_docs = docs.where(frac < train_edge).select("doc_id")
+    return (
+        train_docs.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.nullif(F.col("n_grams"), F.lit(0)), 6
+            ).alias("contam_r"),
+            (F.lit(10) * F.coalesce("n_hit", F.lit(0)) > F.coalesce("n_grams", F.lit(0))).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "tz08_contamination_rate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_hash_frac_sql('doc_id')} AS frac,
+             unnest([array_to_string(toks[i : i + {DECON_NGRAM} - 1], ' ')
+                     for i in generate_series(1, greatest(len(toks) - {DECON_NGRAM - 1}, 0))]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    test AS (SELECT DISTINCT gram AS tg FROM g WHERE frac >= 0.9),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN t.tg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      FROM (SELECT doc_id, gram FROM g WHERE frac < 0.8) tg_
+      LEFT JOIN test t ON tg_.gram = t.tg
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_grams, 0) AS n_grams,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           ROUND(CAST(h.n_hit AS DOUBLE) / NULLIF(h.n_grams, 0), 6) AS contam_r,
+           10 * COALESCE(h.n_hit, 0) > COALESCE(h.n_grams, 0) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE {_hash_frac_sql('doc_id')} < 0.8) d
+    LEFT JOIN hits h USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        f"Per-doc contamination rate: fraction of a train doc's "
+        f"{DECON_NGRAM}-word-gram POSITIONS found anywhere in the test "
+        "split, with an integer-exact >10% flag. The graded audit "
+        "companion to tz06's binary removal list."
+    ),
+    tags=("training", "quality"),
+)
+def tz08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_rate(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # tz07 — target-mixture sampling (data mixing)
 # ---------------------------------------------------------------------------
 #

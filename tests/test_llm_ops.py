@@ -432,6 +432,23 @@ def test_upsert_null_change_value_overwrites(spark):
     assert got[3].name == "carol" and got[3]._op == "insert"
 
 
+def test_gemm_topk_equals_expression_fold(spark, sf_dir):
+    """The Arrow/GEMM path (ss03) and the expression-fold path (ss01)
+    are two physical strategies for the same exact operator — they must
+    agree row-for-row (rank, neighbor, 6-dp cosine) on the same inputs,
+    and the GEMM path must be batch-layout invariant (its per-batch
+    local top-k is a correct partial reduction)."""
+    from spotify_tags_etl_spark.operators.similarity import cosine_topk, gemm_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    fold = {tuple(r) for r in cosine_topk(q, emb, k=10).collect()}
+    gemm = {tuple(r) for r in gemm_cosine_topk(emb, q, k=10).collect()}
+    assert fold == gemm
+    gemm13 = {tuple(r) for r in gemm_cosine_topk(emb.repartition(13), q, k=10).collect()}
+    assert gemm13 == fold
+
+
 def test_upsert_lww_precedence_and_nulls(spark):
     """Last-write-wins MERGE: a change row wins only with a strictly
     larger ordering tuple; a LOSING change must not leak any column (even
