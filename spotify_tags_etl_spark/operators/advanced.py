@@ -719,3 +719,50 @@ def av14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_ok"),
         )
     )
+
+
+@register(
+    "av15_unpivot",
+    oracle=f"""
+    WITH wide AS (
+      SELECT user_id % 10 AS user_band,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN event_type = '{t}' THEN CAST(value AS DECIMAL(14,2)) END) AS DOUBLE) AS sum_{t}"
+                 for t in EVENT_TYPES
+             )}
+      FROM events GROUP BY user_id % 10
+    )
+    SELECT user_band, event_type, sum_value FROM (
+      {" UNION ALL ".join(
+          f"SELECT user_band, '{t}' AS event_type, sum_{t} AS sum_value FROM wide"
+          for t in EVENT_TYPES
+      )}
+    ) WHERE sum_value IS NOT NULL
+    """,
+    doc=(
+        "Unpivot (melt): av04's wide per-band sums back to long "
+        "(band, event_type, sum_value) via the native unpivot operator "
+        "— wide→long reshaping for metrics/feature tables, a pure "
+        "narrow projection (no shuffle beyond av04's own aggregate; "
+        "NULL cells dropped like Spark's unpivot does)."
+    ),
+    tags=("reshape", "unpivot"),
+)
+def av15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _ev(spark, sf_dir)
+        .groupBy((F.col("user_id") % 10).alias("user_band"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(_dec_sum())
+        .withColumnsRenamed({t: f"sum_{t}" for t in EVENT_TYPES})
+    )
+    return wide.unpivot(
+        ids=["user_band"],
+        values=[f"sum_{t}" for t in EVENT_TYPES],
+        variableColumnName="event_type",
+        valueColumnName="sum_value",
+    ).select(
+        "user_band",
+        F.expr("substring(event_type, 5)").alias("event_type"),
+        "sum_value",
+    ).where(F.col("sum_value").isNotNull())

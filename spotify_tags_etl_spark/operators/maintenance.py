@@ -332,3 +332,44 @@ def rollup_incremental(events: DataFrame) -> DataFrame:
 )
 def uz04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_incremental(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "uz05_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+    doc=(
+        "Schema-evolution scan: two parquet generations of the same "
+        "table — v2 adds a column — read as ONE dataset via mergeSchema "
+        "footer reconciliation; missing columns null-fill. The lakehouse "
+        "add-a-column migration path: no rewrite of old files, readers "
+        "see the union schema. (At scale mergeSchema reads every footer "
+        "— pin the merged schema in a metastore once evolution settles.)"
+    ),
+    tags=("scan", "schema"),
+)
+def uz05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    cust = load_table(spark, sf_dir, "customer")
+    root = tempfile.mkdtemp(prefix="uz05_evo_")
+    v1_dir, v2_dir = os.path.join(root, "v1"), os.path.join(root, "v2")
+    cust.where(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name").write.parquet(v1_dir)
+    cust.where(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", "c_name", "c_acctbal"
+    ).write.parquet(v2_dir)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(v1_dir, v2_dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .localCheckpoint(eager=True)  # detach before temp cleanup
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return merged

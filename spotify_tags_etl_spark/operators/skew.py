@@ -146,3 +146,35 @@ def wz01(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
+
+
+@register(
+    "wz02_salted_join",
+    oracle="""
+    SELECT s.s_nationkey, COUNT(*) AS n,
+           SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+    doc=(
+        "Skew-safe salted equi-join pinned to the correctness gate: the "
+        "supplier side is replicated 16x with a salt, the fact side is "
+        "salted by retry-stable content hash, and the (key, salt) join "
+        "provably equals the plain join (the oracle) — salting only "
+        "splits hot reducers. Post-join integer-cents aggregate keeps "
+        "the compared output small and order-independent."
+    ),
+    tags=("join", "skew"),
+)
+def wz02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "suppkey", n_salts=16)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0).alias("sum_qty"),
+    )

@@ -114,6 +114,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_events_ts(df)
+    else:
+        # Generalized round-2 lesson: fixture regens can flip timestamp
+        # encodings on ANY table. The session tz is pinned UTC above, so
+        # NTZ→TIMESTAMP is value-stable, and DuckDB (which reads the same
+        # parquet naively) renders identical wall-clock digits either way.
+        ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+        if ntz:
+            from pyspark.sql import functions as F
+
+            df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 
