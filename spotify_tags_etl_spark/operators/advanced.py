@@ -766,3 +766,85 @@ def av15(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring(event_type, 5)").alias("event_type"),
         "sum_value",
     ).where(F.col("sum_value").isNotNull())
+
+
+#: nearest-as-of tolerance (both directions)
+_NEAREST_TOL_S = 1800
+
+
+@register(
+    "av16_nearest_asof",
+    oracle=f"""
+    SELECT click_id, user_id, err_id, lag_us FROM (
+      SELECT c.event_id AS click_id, c.user_id, e.event_id AS err_id,
+             CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(c.ts)), e.ts, e.event_id
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON e.user_id = c.user_id
+       AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= CAST({_NEAREST_TOL_S} AS BIGINT) * 1000000
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Nearest-direction as-of join (pandas merge_asof "
+        "direction='nearest'): each click pairs with the closest error "
+        "in EITHER direction within a ±30 min tolerance; signed lag "
+        "keeps the direction. Same bucketed shape as av07: the error "
+        "side explodes to its three candidate buckets (bk-1, bk, bk+1 at "
+        "bucket width = tolerance) so every in-tolerance pair "
+        "co-locates on (user_id, bucket) — an equi-join plus argmin "
+        "window, never an unbounded theta join. Ties break on earlier "
+        "error then event_id (total order). Clicks with no error in "
+        "tolerance drop (inner as-of)."
+    ),
+    tags=("join", "asof", "eventtime"),
+)
+def av16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn("us", F.expr("ts_ns DIV 1000"))
+    tol_us = _NEAREST_TOL_S * 1_000_000
+    err = (
+        ev.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), "user_id", F.col("us").alias("e_us"))
+        .withColumn(
+            "bk",
+            F.explode(
+                F.array(
+                    F.expr(f"e_us DIV {tol_us} - 1"),
+                    F.expr(f"e_us DIV {tol_us}"),
+                    F.expr(f"e_us DIV {tol_us} + 1"),
+                )
+            ),
+        )
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("us").alias("c_us"),
+        F.expr(f"us DIV {tol_us}").alias("bk"),
+    )
+    cand = (
+        clk.join(err, ["user_id", "bk"])
+        .where(F.abs(F.col("e_us") - F.col("c_us")) <= tol_us)
+        # a (click, error) pair can co-locate in up to 2 shared buckets —
+        # dedup before the argmin so row_number sees each pair once
+        .dropDuplicates(["click_id", "err_id"])
+    )
+    w = Window.partitionBy("click_id").orderBy(
+        F.abs(F.col("e_us") - F.col("c_us")).asc(), F.col("e_us").asc(), F.col("err_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "click_id",
+            "user_id",
+            "err_id",
+            # exact integer usec lag: no ms division whose floor-vs-
+            # truncate semantics could diverge across engines on
+            # negative (forward-direction) lags
+            (F.col("e_us") - F.col("c_us")).alias("lag_us"),
+        )
+    )
