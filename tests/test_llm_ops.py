@@ -482,6 +482,50 @@ def test_upsert_lww_precedence_and_nulls(spark):
     }
 
 
+def test_upsert_lww_fold_equals_global_argmax(spark):
+    """Property (randomized micro-batching): folding upsert_lww over ANY
+    ordered partition of the rows into batches — each batch pre-reduced
+    to its per-key argmax, like streaming_upsert does — must equal the
+    global per-key argmax. This is the associativity/commutativity claim
+    st08's layout invariance rests on, checked against a pure-Python
+    model on adversarial micro-data (duplicate keys, tied ts broken by
+    seq, singleton and empty-ish batches)."""
+    import random
+
+    from spotify_tags_etl_spark.operators.maintenance import upsert_lww
+
+    rng = random.Random(20260813)
+    schema = "k long, ts long, seq long, v double"
+    for trial in range(6):
+        n = rng.randint(1, 24)
+        rows = [
+            (rng.randint(0, 4), rng.randint(0, 3), i, float(rng.randint(0, 99)))
+            for i in range(n)
+        ]
+        # reference: global argmax per key on (ts, seq)
+        expect = {}
+        for k, ts, seq, v in rows:
+            cur = expect.get(k)
+            if cur is None or (ts, seq) > (cur[0], cur[1]):
+                expect[k] = (ts, seq, v)
+        # fold random batches through the engine merge
+        cuts = sorted(rng.sample(range(1, n), min(rng.randint(0, 3), n - 1))) if n > 1 else []
+        batches = [rows[a:b] for a, b in zip([0] + cuts, cuts + [n])]
+        acc = None
+        for batch in batches:
+            latest = {}
+            for k, ts, seq, v in batch:
+                cur = latest.get(k)
+                if cur is None or (ts, seq) > (cur[0], cur[1]):
+                    latest[k] = (ts, seq, v)
+            bdf = spark.createDataFrame(
+                [(k, ts, seq, v) for k, (ts, seq, v) in latest.items()], schema
+            )
+            acc = bdf if acc is None else upsert_lww(acc, bdf, "k", ("ts", "seq"))
+        got = {r.k: (r.ts, r.seq, r.v) for r in acc.collect()}
+        assert got == expect, f"trial {trial}: {batches}"
+
+
 def test_kmeans_deterministic_and_sse_monotone(spark, sf_dir):
     """Quantized k-means: (a) bit-identical assignment after a repartition
     (the integer-sufficient-statistics guarantee); (b) Lloyd's invariant —
