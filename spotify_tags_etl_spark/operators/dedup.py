@@ -103,6 +103,19 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_HASHES) -> DataFra
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def banded_frame(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
+    """Explode a signature frame into (doc_id, band, bucket-key) rows —
+    the single-frame form every LSH join variant matches on."""
+    n_bands = N_HASHES // band_rows
+    bands = F.array(
+        *[
+            F.concat(*[F.col(f"m{b * band_rows + r}") for r in range(band_rows)])
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "bk"))
+
+
 def lsh_candidate_pairs(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
     """Band the signature and self-join once on (band, bucket-key).
 
@@ -115,14 +128,7 @@ def lsh_candidate_pairs(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame
     one reused exchange. Same candidate set (a pair matches iff some
     band matches), different physical cost — this is the difference
     between 1 and 8 passes over the corpus at 100 TB."""
-    n_bands = N_HASHES // band_rows
-    bands = F.array(
-        *[
-            F.concat(*[F.col(f"m{b * band_rows + r}") for r in range(band_rows)])
-            for b in range(n_bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(bands).alias("band", "bk"))
+    banded = banded_frame(sig, band_rows)
     left = banded.alias("l")
     right = banded.alias("r")
     return (

@@ -12,7 +12,11 @@ analogs as first-class operators:
 * st04 — stream-static broadcast enrichment join;
 * st05 — sliding (overlapping) window aggregate;
 * st06/st07 — stream-stream interval joins, inner and left-outer
-  (watermark-evicted null rows behind a deterministic cutoff).
+  (watermark-evicted null rows behind a deterministic cutoff);
+* st08 — foreachBatch CDC upsert through the engine-level LWW merge
+  into a versioned parquet target;
+* st09 — incremental MinHash+LSH near-dup detection against a standing
+  signature store (equals batch dd02 for any micro-batch layout).
 
 Each runs as a real streaming query (``readStream`` → transform →
 ``writeStream`` to a memory sink, ``Trigger.AvailableNow``) and returns
@@ -56,6 +60,41 @@ from spotify_tags_etl_spark.plans.registry import register
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming file-source scan of any test table (same symlink-staging
+    and session self-healing as :func:`read_events_stream`, minus the
+    events-specific timestamp normalization)."""
+    import hashlib
+
+    from ..sources.tpch import ensure_session_defaults
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    stream_dir = os.path.join(
+        "/tmp/spark_graft_stream", hashlib.md5(sf_dir.encode()).hexdigest()[:12], name
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{name}.parquet")
+    if not os.path.lexists(link):
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass
+    ensure_session_defaults(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(stream_dir)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -762,3 +801,117 @@ def streaming_upsert(stream: DataFrame) -> DataFrame:
 )
 def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_upsert(read_events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate detection (incremental MinHash+LSH)
+# ---------------------------------------------------------------------------
+
+
+def streaming_neardup(
+    stream_docs: DataFrame, corpus_docs: DataFrame, threshold_permille: int = 800
+) -> DataFrame:
+    """Incremental MinHash+LSH near-dup detection: each micro-batch of
+    documents is shingled and signatured, banded against the STANDING
+    signature store UNION the batch itself (so new-new and new-old
+    collisions both surface), and the candidate pairs accumulate; exact
+    Jaccard verification runs ONCE at the end over the distinct pair
+    set, fetching shingles from the corpus table pruned to candidate
+    docs (at scale: a keyed lakehouse lookup, never a re-shingle of
+    everything).
+
+    The final pair set provably equals batch dd02's: a pair band-
+    collides independently of which batch each member arrived in, and
+    (least, greatest) canonicalization + the closing distinct absorb
+    both orientations and any retried-batch re-appends (append-mode
+    candidate writes are therefore retry-safe). The signature store is
+    batch-id-versioned parquet like st08 — no driver-held state beyond
+    the current-version path."""
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.dedup import (
+        banded_frame,
+        jaccard_verify,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    spark = stream_docs.sparkSession
+    root = tempfile.mkdtemp(prefix="st09_neardup_")
+    pairs_dir = os.path.join(root, "pairs")
+    current: list[str] = []  # signature-store version pointer
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sig_b = minhash_signatures(word_shingles(batch))
+        sig_all = (
+            sig_b.unionByName(spark.read.parquet(current[0])) if current else sig_b
+        )
+        new_side = banded_frame(sig_b).alias("l")
+        all_side = banded_frame(sig_all).alias("r")
+        cand = (
+            new_side.join(
+                all_side,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bk") == F.col("r.bk"))
+                & (F.col("l.doc_id") != F.col("r.doc_id")),
+            )
+            .select(
+                F.least("l.doc_id", "r.doc_id").alias("d1"),
+                F.greatest("l.doc_id", "r.doc_id").alias("d2"),
+            )
+            .distinct()
+        )
+        cand.write.mode("append").parquet(pairs_dir)
+        target = os.path.join(root, f"sig_v{batch_id}")
+        sig_all.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream_docs.select("doc_id", "text")
+        .writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    if not os.path.isdir(pairs_dir):
+        return spark.createDataFrame([], "d1 long, d2 long, jaccard_permille long")
+    pairs = spark.read.parquet(pairs_dir).distinct()
+    # verify once, against corpus shingles pruned to candidate docs
+    cand_ids = pairs.select(F.col("d1").alias("doc_id")).unionByName(
+        pairs.select(F.col("d2").alias("doc_id"))
+    ).distinct()
+    sh = word_shingles(corpus_docs.join(cand_ids, "doc_id", "left_semi"))
+    out = jaccard_verify(pairs, sh, threshold_permille).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+from spotify_tags_etl_spark.operators.dedup import _minhash_oracle as _dd02_oracle
+
+
+@register(
+    "st09_stream_neardup",
+    oracle=_dd02_oracle(800),  # same logical result as batch dd02
+    doc=(
+        "Streaming MinHash+LSH near-dup detection: per micro-batch, new "
+        "signatures band-join against the standing signature store plus "
+        "the batch itself; candidates accumulate append-only (retry-"
+        "safe under the closing distinct); exact-Jaccard verification "
+        "runs once at stream end against corpus shingles pruned to "
+        "candidate docs. Final pair set provably equals batch dd02 for "
+        "any micro-batch layout (pinned in tests/test_streaming.py)."
+    ),
+    tags=("streaming", "dedup", "lsh"),
+)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    return streaming_neardup(
+        read_table_stream(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "documents"),
+    )

@@ -212,3 +212,40 @@ def test_stream_upsert_layout_invariant(spark, sf_dir, multi_file_events):
     multi_s = multi.rename(columns={}).sort_values("user_id").reset_index(drop=True)
     single_s = single.sort_values("user_id").reset_index(drop=True)
     assert multi_s.equals(single_s)
+
+
+def test_stream_neardup_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """st09's incremental MinHash+LSH must produce EXACTLY batch dd02's
+    verified pair set for any micro-batch layout: a 3-file run (one file
+    per trigger, docs split by id) equals the single-batch registry run
+    equals dd02."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.streaming.ops import streaming_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_stream"))
+    parts = [
+        docs.where(F.col("doc_id") % 3 == i).select("doc_id", "text") for i in range(3)
+    ]
+    for i, part in enumerate(parts):
+        p = os.path.join(root, f"part-{i}.parquet")
+        part.toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = {tuple(r) for r in streaming_neardup(stream, docs).collect()}
+    single = {
+        tuple(r)
+        for r in registry.get("st09_stream_neardup").builder(spark, sf_dir).collect()
+    }
+    batch = {tuple(r) for r in registry.get("dd02_minhash_lsh").builder(spark, sf_dir).collect()}
+    assert multi == single == batch
+    assert len(batch) > 0  # the fixture corpus does contain near-dups
