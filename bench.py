@@ -45,6 +45,17 @@ LLM_SUITE = [
     "tp01_training_pipeline",
 ]
 
+#: Streaming suite: real streaming executions (AvailableNow through the
+#: engine) — windowed agg, stateful dedup, foreachBatch CDC merge, and
+#: incremental near-dup. Timings include the fixed micro-batch machinery
+#: cost, which is the honest number for the streaming path.
+STREAMING_SUITE = [
+    "st01_stream_windowed_agg",
+    "st02_stream_dedup",
+    "st08_stream_upsert",
+    "st09_stream_neardup",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -52,7 +63,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = registry.all_queries()
-    names = [n for n in HEADLINE + LLM_SUITE if registry.resolve(n) in queries]
+    names = [
+        n for n in HEADLINE + LLM_SUITE + STREAMING_SUITE if registry.resolve(n) in queries
+    ]
 
     # Warm-up: one untimed pass of EVERY benchmarked query, so each timed
     # run measures steady-state execution (JIT, codegen per operator shape,
@@ -72,6 +85,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline_total = round(sum(timings[n] for n in names if n in HEADLINE), 4)
     llm_total = round(sum(timings[n] for n in names if n in LLM_SUITE), 4)
+    stream_total = round(sum(timings[n] for n in names if n in STREAMING_SUITE), 4)
     print(
         json.dumps(
             {
@@ -80,7 +94,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "suites": {"headline": headline_total, "llm_pipeline": llm_total},
+                "suites": {
+                    "headline": headline_total,
+                    "llm_pipeline": llm_total,
+                    "streaming": stream_total,
+                },
             }
         )
     )
