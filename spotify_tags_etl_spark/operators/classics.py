@@ -1,0 +1,199 @@
+"""Classic decision-support query shapes (TPC-H Q3/Q5/Q10 adapted to the
+driver's TPC-H-ish star schema).
+
+Beyond-reference relational depth: multi-way join pipelines with
+selective dimension filters, exact-money aggregation, and deterministic
+top-k — the canonical shapes a warehouse engine is judged on. All money
+math is integer cents × basis-point discount factors (order-independent,
+engine-exact; q13's rationale), and every top-k is a row_number with a
+total-order tiebreak (a bare LIMIT over ties is nondeterministic across
+engines, so it would be unverifiable).
+
+(``xq`` registry prefix sorts after the current 50-name driver window —
+these queue for the next rotation per the registry's late-sorting-name
+policy; oracle-checked locally meanwhile.)
+
+Scale notes (100 TB): all three are the textbook broadcast-dim pattern —
+nation/region/supplier broadcast, orders⋈lineitem is the one real
+shuffle, group-by keys are low-cardinality so partials map-combine.
+Catalyst pushes the date/segment/flag filters to the parquet scans
+(pinned for q13's scan in tests/test_scale_physical.py; same mechanics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+#: revenue in micros of a currency unit: cents(price) * (10000 - bp(disc))
+def _rev_micros():
+    return F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint"))
+    )
+
+
+_REV_SQL = (
+    "SUM(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (10000 - CAST(round(l_discount * 10000) AS BIGINT)))"
+)
+
+
+@register(
+    "xq01_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey, revenue, o_orderdate, o_orderpriority, rk FROM (
+      SELECT l_orderkey, revenue, o_orderdate, o_orderpriority,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderdate, l_orderkey) AS rk
+      FROM (
+        SELECT l.l_orderkey, {_REV_SQL} / 1000000.0 AS revenue,
+               STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1997-03-15'
+          AND l.l_shipdate > TIMESTAMP '1997-03-15'
+        GROUP BY l.l_orderkey, STRFTIME(o.o_orderdate, '%Y-%m-%d'), o.o_orderpriority
+      )
+    ) WHERE rk <= 10
+    """,
+    doc=(
+        "TPC-H Q3 shape (shipping priority): unshipped BUILDING-segment "
+        "orders by revenue, deterministic top-10 (row_number, not LIMIT, "
+        "so ties can't diverge across engines). One orders⋈lineitem "
+        "shuffle; the customer filter reaches its scan."
+    ),
+    tags=("join", "aggregate", "topk", "tpch"),
+)
+def xq01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg((_rev_micros() / 1000000.0).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority", "rk")
+    )
+
+
+@register(
+    "xq02_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name, {_REV_SQL} / 1000000.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc=(
+        "TPC-H Q5 shape (local supplier volume): revenue where customer "
+        "and supplier share a nation, ASIA region, one order year. "
+        "Six-way join: region/nation/supplier broadcast, the fact-side "
+        "orders⋈lineitem shuffle is the only wide exchange; group key "
+        "cardinality = nations, so partials map-combine to nothing."
+    ),
+    tags=("join", "aggregate", "tpch"),
+)
+def xq02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            sup,
+            (li["l_suppkey"] == sup["s_suppkey"])
+            & (cust["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .join(nation, sup["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg((_rev_micros() / 1000000.0).alias("revenue"))
+    )
+
+
+@register(
+    "xq03_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue, c_acctbal, n_name, rk FROM (
+      SELECT c_custkey, c_name, revenue, c_acctbal, n_name,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+      FROM (
+        SELECT c.c_custkey, c.c_name, {_REV_SQL} / 1000000.0 AS revenue,
+               ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2), n.n_name
+      )
+    ) WHERE rk <= 20
+    """,
+    doc=(
+        "TPC-H Q10 shape (returned items): top-20 customers by revenue "
+        "lost to returns in one quarter. orders⋈lineitem shuffle + "
+        "broadcast nation; deterministic top-k via row_number with "
+        "c_custkey tiebreak."
+    ),
+    tags=("join", "aggregate", "topk", "tpch"),
+)
+def xq03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"
+        )
+        .agg((_rev_micros() / 1000000.0).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk")
+    )

@@ -166,6 +166,7 @@ def _load_all() -> None:
     for mod in (
         "spotify_tags_etl_spark.operators.advanced",
         "spotify_tags_etl_spark.operators.canned",
+        "spotify_tags_etl_spark.operators.classics",
         "spotify_tags_etl_spark.operators.dedup",
         "spotify_tags_etl_spark.operators.similarity",
         "spotify_tags_etl_spark.operators.textops",

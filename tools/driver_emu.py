@@ -164,8 +164,24 @@ def main() -> int:
     n_no_oracle = sum(1 for r in results.values() if r["err"] == "no_oracle")
     n_fail = sum(1 for r in results.values() if not r["ok"])
     print(f"\n{n_pass} pass / {n_no_oracle} no_oracle / {n_fail} FAIL of {len(results)}")
+    try:
+        import subprocess
+
+        git_head = subprocess.run(
+            ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        git_head = None
     payload: dict = {
-        "_meta": {"sf_dir": args.sf_dir, "swept_at": swept_at, "input_mtimes": input_mtimes}
+        "_meta": {
+            "sf_dir": args.sf_dir,
+            "swept_at": swept_at,
+            "git_head": git_head,
+            "input_mtimes": input_mtimes,
+        }
     }
     payload.update(results)
     with open(out_path, "w") as f:
