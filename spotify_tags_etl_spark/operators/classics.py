@@ -197,3 +197,107 @@ def xq03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 20)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk")
     )
+
+
+@register(
+    "xq04_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 21000
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           STRFTIME(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+             STRFTIME(o.o_orderdate, '%Y-%m-%d'), ROUND(o.o_totalprice, 2)
+    """,
+    doc=(
+        "TPC-H Q18 shape (large-volume customers): orders whose total "
+        "line quantity clears a threshold — a HAVING-filtered aggregate "
+        "feeding a semi-join back into the fact pipeline. The aggregate "
+        "runs once (integer cents), its tiny key set semi-joins orders; "
+        "at scale this is agg → broadcast-semi, never a re-aggregate "
+        "above the join."
+    ),
+    tags=("join", "aggregate", "semijoin", "tpch"),
+)
+def xq04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_cents).alias("_q"))
+        .where(F.col("_q") > 21000)
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg((F.sum(qty_cents) / 100.0).alias("sum_qty"))
+    )
+
+
+@register(
+    "xq05_global_avg_filter",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.0 / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_rich_inactive,
+           SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) / 100.0 AS total_bal
+    FROM customer c, avg_bal
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    doc=(
+        "TPC-H Q22 shape (rich inactive customers): a scalar-subquery "
+        "global average (exact integer cents, so both engines compute "
+        "the identical threshold) filters customers, an anti-join drops "
+        "anyone with orders, grouped totals per nation. At scale the "
+        "1-row average broadcasts and the anti-join is the only "
+        "shuffle."
+    ),
+    tags=("aggregate", "antijoin", "subquery", "tpch"),
+)
+def xq05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    avg_bal = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg((F.sum(cents) * 1.0 / F.count(F.lit(1))).alias("a"))
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(cents > F.col("a"))
+        .join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rich_inactive"),
+        (F.sum(cents) / 100.0).alias("total_bal"),
+    )
