@@ -373,3 +373,75 @@ def uz05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return merged
+
+
+@register(
+    "xv01_constraint_audit",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS rule, COUNT(*) AS n_violations FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           (SELECT COUNT(*) FROM customer) - (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'customer_nation_fk', COUNT(*) FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'events_value_not_null', COUNT(*) FROM events WHERE value IS NULL
+    UNION ALL
+    SELECT 'documents_text_not_empty', COUNT(*) FROM documents
+      WHERE text IS NULL OR length(text) = 0
+    """,
+    doc=(
+        "Data-quality constraint audit (the dbt-test / Deequ shape): "
+        "referential integrity via anti-join counts, key uniqueness via "
+        "count-vs-distinct, nullability/emptiness scans — one row per "
+        "rule with its violation count, unioned into a single report. "
+        "At scale each FK rule is one anti-join whose dim side "
+        "broadcasts; scans are column-pruned single passes; the report "
+        "is O(#rules) rows."
+    ),
+    tags=("maintenance", "quality", "audit"),
+)
+def xv01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+
+    def count_rule(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.lit(name).alias("rule"), F.count(F.lit(1)).cast("long").alias("n_violations"))
+
+    fk_orders = count_rule(
+        "orders_custkey_fk",
+        orders.join(
+            customer.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+        ),
+    )
+    fk_lineitem = count_rule(
+        "lineitem_orderkey_fk",
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+        ),
+    )
+    uniq = customer.agg(
+        F.lit("customer_custkey_unique").alias("rule"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey")).cast("long").alias("n_violations"),
+    )
+    fk_nation = count_rule(
+        "customer_nation_fk",
+        customer.join(
+            nation.select(F.col("n_nationkey").alias("c_nationkey")), "c_nationkey", "left_anti"
+        ),
+    )
+    ev_null = count_rule("events_value_not_null", events.where(F.col("value").isNull()))
+    doc_empty = count_rule(
+        "documents_text_not_empty",
+        documents.where(F.col("text").isNull() | (F.length("text") == 0)),
+    )
+    return fk_orders.unionByName(fk_lineitem).unionByName(uniq).unionByName(fk_nation).unionByName(ev_null).unionByName(doc_empty)

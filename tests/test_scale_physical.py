@@ -272,3 +272,27 @@ def test_mixture_sample_single_corpus_pass(spark, sf_dir):
     # exactly ONE corpus scan and ZERO hash exchanges of any kind.
     assert plan.count("FileScan parquet") == 1
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_xq02_broadcasts_all_dims(spark, sf_dir):
+    """The six-way Q5 shape must broadcast region/nation/supplier (and
+    leave orders⋈lineitem as the only real fact-side join) — no
+    nested-loop anywhere."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("xq02_local_supplier_volume").builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_xq04_aggregates_once_below_semijoin(spark, sf_dir):
+    """Q18's quantity threshold must be computed by ONE lineitem
+    aggregate feeding a semi-join — a second aggregate above the join
+    (the naive correlated form) would re-shuffle the fact table."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("xq04_large_volume_customers").builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
