@@ -445,3 +445,45 @@ def xv01(spark: SparkSession, sf_dir: str) -> DataFrame:
         documents.where(F.col("text").isNull() | (F.length("text") == 0)),
     )
     return fk_orders.unionByName(fk_lineitem).unionByName(uniq).unionByName(fk_nation).unionByName(ev_null).unionByName(doc_empty)
+
+
+@register(
+    "xh01_equi_depth_histogram",
+    oracle="""
+    SELECT tile, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE(16) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+      FROM orders
+    )
+    GROUP BY tile
+    """,
+    doc=(
+        "Equi-depth histogram (ANALYZE-style optimizer statistics): 16 "
+        "equal-count buckets over o_totalprice with per-bucket bounds — "
+        "the selectivity-estimation statistic a cost-based planner "
+        "consumes. NTILE ordered by (value, key) so bucket assignment is "
+        "a total order (identical across engines); at scale the exact "
+        "global sort is replaced by approx_percentile boundaries (av12's "
+        "sketch) — this is the exact truth baseline for that, like av05 "
+        "is for quantiles."
+    ),
+    tags=("maintenance", "statistics", "window"),
+)
+def xh01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_totalprice", "o_orderkey")
+        .withColumn("tile", F.ntile(16).over(w))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -767,3 +767,103 @@ def cluster_cap(assignments: DataFrame, cap: int = _CAP_PER_CLUSTER) -> DataFram
 )
 def vx04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_cap(kmeans_assignments(load_table(spark, sf_dir, "embeddings")))
+
+
+# ---------------------------------------------------------------------------
+# xe01 — product quantization (PQ codes + exact quantization error)
+# ---------------------------------------------------------------------------
+
+_PQ_K = 16          #: codewords per subspace (= corpus vectors 0..15's halves)
+_PQ_QSCALE = 1_000_000  #: integer units: round(x * 1e6) (vx03's rationale)
+
+
+@register(
+    "xe01_product_quantize",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_QSCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id,
+             qv[1 : len(qv) // 2] AS q0,
+             qv[len(qv) // 2 + 1 : len(qv)] AS q1
+      FROM q
+    ),
+    cb AS (SELECT vec_id AS cw_id, q0 AS c0, q1 AS c1 FROM p WHERE vec_id < {_PQ_K}),
+    d AS (
+      SELECT p.vec_id, cb.cw_id,
+             CAST(list_sum(list_transform(range(1, len(p.q0) + 1),
+               i -> (p.q0[i] - cb.c0[i]) * (p.q0[i] - cb.c0[i]))) AS BIGINT) AS d0,
+             CAST(list_sum(list_transform(range(1, len(p.q1) + 1),
+               i -> (p.q1[i] - cb.c1[i]) * (p.q1[i] - cb.c1[i]))) AS BIGINT) AS d1
+      FROM p CROSS JOIN cb
+    ),
+    a0 AS (SELECT vec_id, cw_id AS code0, d0 FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, cw_id) rn FROM d)
+           WHERE rn = 1),
+    a1 AS (SELECT vec_id, cw_id AS code1, d1 FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, cw_id) rn FROM d)
+           WHERE rn = 1)
+    SELECT a0.vec_id, a0.code0, a1.code1, a0.d0 + a1.d1 AS qerr
+    FROM a0 JOIN a1 USING (vec_id)
+    """,
+    doc=(
+        "Product quantization: the vector splits into 2 subspaces, each "
+        "assigned its nearest of 16 deterministic codewords (corpus "
+        "vectors 0-15's halves, the IVF-centroid trick so the oracle "
+        "reproduces 'training'); output is the 2 codes + exact integer "
+        "quantization error. Distances are exact bigint sums over "
+        "1e6-quantized components (layout/retry/engine invariant — vx03's "
+        "rationale), and the per-subspace argmin is an array_min over a "
+        "(distance, id) struct fold: the codebook collapses to ONE "
+        "broadcast row, assignment is fully narrow — zero corpus "
+        "exchanges, the same plan discipline as k-means. PQ is the "
+        "8x-compression step ahead of ANN shuffles (int8 is vx02's 4x)."
+    ),
+    tags=("similarity", "quantize", "pq"),
+)
+def xe01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_QSCALE}) AS BIGINT))"
+            ).alias("qv"),
+        )
+        .withColumn("q0", F.expr("slice(qv, 1, size(qv) DIV 2)"))
+        .withColumn("q1", F.expr("slice(qv, size(qv) DIV 2 + 1, size(qv) - size(qv) DIV 2)"))
+        .drop("qv")
+    )
+    cb_row = (
+        base.where(F.col("vec_id") < _PQ_K)
+        .select(F.struct(F.col("vec_id").alias("cw_id"), F.col("q0").alias("c0"), F.col("q1").alias("c1")).alias("cw"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("cw")).alias("cb"))
+    )
+
+    def _pq_dist(qcol: str, ccol: str) -> str:
+        return (
+            f"aggregate(zip_with({qcol}, c.{ccol}, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+
+    def _argmin(qcol: str, ccol: str):
+        return F.expr(
+            f"array_min(transform(cb, c -> struct({_pq_dist(qcol, ccol)} AS d, c.cw_id AS id)))"
+        )
+
+    return (
+        base.crossJoin(F.broadcast(cb_row))
+        .withColumn("a0", _argmin("q0", "c0"))
+        .withColumn("a1", _argmin("q1", "c1"))
+        .select(
+            "vec_id",
+            F.col("a0.id").alias("code0"),
+            F.col("a1.id").alias("code1"),
+            (F.col("a0.d") + F.col("a1.d")).alias("qerr"),
+        )
+    )
