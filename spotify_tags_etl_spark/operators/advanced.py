@@ -848,3 +848,97 @@ def av16(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e_us") - F.col("c_us")).alias("lag_us"),
         )
     )
+
+
+@register(
+    "xf01_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS mv FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS mc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.mv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS mp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.mc
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL SELECT 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+    doc=(
+        "Funnel analysis (sequential pattern): users whose FIRST view "
+        "precedes a click that precedes a purchase, counted per prefix "
+        "step — the event-analytics staple. Each step is a keyed "
+        "min-aggregate semi-joined to the previous step's anchor "
+        "timestamp: per step one shuffle on user_id (partial-agg "
+        "friendly), anchors are one row per user so the join side "
+        "stays key-sized at any scale."
+    ),
+    tags=("aggregate", "funnel", "eventtime"),
+)
+def xf01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("mv"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("mc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mp"))
+    )
+    return (
+        v.agg(F.lit("view").alias("step"), F.count(F.lit(1)).alias("n_users"))
+        .unionByName(c.agg(F.lit("view>click").alias("step"), F.count(F.lit(1)).alias("n_users")))
+        .unionByName(
+            p.agg(F.lit("view>click>purchase").alias("step"), F.count(F.lit(1)).alias("n_users"))
+        )
+    )
+
+
+@register(
+    "xr01_range_frame_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_cents
+    FROM events
+    """,
+    doc=(
+        "RANGE-interval window frame: per user, the rolling 1-hour sum "
+        "of value (exact integer cents) — a VALUE-based frame over "
+        "event time, not a row-count frame (q25 covers ROWS frames). "
+        "Frame bounds on epoch microseconds so both engines resolve the "
+        "identical peer sets; one shuffle on user_id, running-frame "
+        "state is O(events in the hour window) per key."
+    ),
+    tags=("window", "eventtime", "rangeframe"),
+)
+def xr01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("bigint").alias("rolling_cents"),
+    )
