@@ -487,3 +487,43 @@ def xh01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@register(
+    "xd01_scd2_intervals",
+    oracle="""
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS version,
+           event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT)
+             AS valid_to_us,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "SCD type-2 interval build: each change event becomes a "
+        "versioned dimension row with [valid_from, valid_to) closed by "
+        "the next change (LEAD over a total order; the current version "
+        "stays open with NULL valid_to) — the as-of-queryable history "
+        "table uz01's type-1 overwrite discards. One shuffle on the "
+        "dimension key; at scale this is the standard merge-on-read "
+        "history layout, and av06's as-of join is its query-side dual."
+    ),
+    tags=("maintenance", "scd2", "window"),
+)
+def xd01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        "event_id",
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
