@@ -301,3 +301,44 @@ def xq05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rich_inactive"),
         (F.sum(cents) / 100.0).alias("total_bal"),
     )
+
+
+@register(
+    "xj01_null_safe_join",
+    oracle="""
+    WITH l AS (
+      SELECT NULLIF(user_id % 10, 7) AS band, COUNT(*) AS n_events
+      FROM events GROUP BY NULLIF(user_id % 10, 7)
+    ),
+    r AS (
+      SELECT NULLIF(c_custkey % 10, 7) AS band, COUNT(*) AS n_customers
+      FROM customer GROUP BY NULLIF(c_custkey % 10, 7)
+    )
+    SELECT l.band, l.n_events, r.n_customers
+    FROM l JOIN r ON l.band IS NOT DISTINCT FROM r.band
+    """,
+    doc=(
+        "Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the NULL "
+        "band row joins NULL-to-NULL instead of silently dropping — the "
+        "semantics trap in every dimension join against a nullable key "
+        "(a plain `=` loses the unknown-band row on both sides). Keys "
+        "are pre-aggregated so both join sides are band-cardinality; "
+        "Spark plans a normal hash join on the null-safe predicate, no "
+        "nested loop."
+    ),
+    tags=("join", "nullsafe"),
+)
+def xj01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.nullif(F.col("user_id") % 10, F.lit(7)).alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_custkey") % 10, F.lit(7)).alias("band"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return ev.join(cust.withColumnRenamed("band", "r_band"), ev["band"].eqNullSafe(F.col("r_band"))).select(
+        "band", "n_events", "n_customers"
+    )

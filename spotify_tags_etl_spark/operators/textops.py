@@ -475,3 +475,55 @@ def mean_token_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
 )
 def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mean_token_freq(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "xo01_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS dev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, COUNT(*) AS n,
+           SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+           ROUND(ANY_VALUE(d.med), 6) AS med_r,
+           ROUND(m.mad, 6) AS mad_r
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, ROUND(m.mad, 6)
+    """,
+    doc=(
+        "Robust outlier detection via median absolute deviation: per "
+        "group, flag |x - median| > 3*MAD — the quality gate that "
+        "survives heavy-tailed value distributions where mean/stddev "
+        "gates drown (training-data filtering staple). Two grouped "
+        "exact medians (linear-interpolation percentile, identical in "
+        "both engines — av05's precedent) with the O(#groups) stats "
+        "broadcast back; two corpus passes total, outlier verdicts "
+        "integer-counted. At sketch scale, swap the medians for "
+        "approx_percentile (av12) without changing the shape."
+    ),
+    tags=("quality", "statistics", "outlier"),
+)
+def xo01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.percentile(F.col("value"), F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", F.round("mad", 6).alias("mad_r"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.any_value(F.col("med")), 6).alias("med_r"),
+        )
+        .select("event_type", "n", "n_outliers", "med_r", "mad_r")
+    )
