@@ -16,7 +16,9 @@ analogs as first-class operators:
 * st08 — foreachBatch CDC upsert through the engine-level LWW merge
   into a versioned parquet target;
 * st09 — incremental MinHash+LSH near-dup detection against a standing
-  signature store (equals batch dd02 for any micro-batch layout).
+  signature store (equals batch dd02 for any micro-batch layout);
+* xw01 — incremental funnel (CEP-lite): per-user sequential-pattern
+  anchors merged set-orientedly into versioned keyed state.
 
 Each runs as a real streaming query (``readStream`` → transform →
 ``writeStream`` to a memory sink, ``Trigger.AvailableNow``) and returns
@@ -915,3 +917,133 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table_stream(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "documents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming funnel (incremental sequential-pattern state)
+# ---------------------------------------------------------------------------
+
+
+def streaming_funnel(stream_events: DataFrame) -> DataFrame:
+    """Incremental funnel (CEP-lite): per user, maintain the anchors
+    (first view, first click after it, first purchase after that) as a
+    keyed state table, merged set-orientedly per micro-batch — no
+    per-row driver logic, no Python state; the same versioned-parquet
+    state idiom as st08/st09.
+
+    Per batch the three anchors re-derive from (standing state ∪ batch
+    mins): ``mv' = min(mv, batch view min)``, ``mc' = min(mc, batch
+    click min > mv')``, ``mp'`` analogously — each a keyed aggregate of
+    the BATCH joined to the key-sized state, exact under event-time-
+    ordered arrival (the file source's time-split contract; within a
+    batch ordering is irrelevant because the set expressions see the
+    whole batch). Output = xf01's per-step user counts, same oracle.
+
+    (``xw`` registry name: sorts after the current driver window so it
+    queues for the next rotation — see plans/registry.py.)"""
+    import shutil
+    import tempfile
+
+    spark = stream_events.sparkSession
+    root = tempfile.mkdtemp(prefix="xw01_funnel_")
+    current: list[str] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+        state = (
+            spark.read.parquet(current[0])
+            if current
+            else spark.createDataFrame([], "user_id long, mv timestamp, mc timestamp, mp timestamp")
+        )
+        keys = (
+            b.select("user_id").unionByName(state.select("user_id")).distinct()
+        )
+        st = keys.join(state, "user_id", "left")
+        bv = b.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("bv"))
+        st = st.join(bv, "user_id", "left").withColumn("mv", F.least("mv", "bv")).withColumn(
+            "mv", F.coalesce("mv", "bv")
+        ).drop("bv")
+        bc = (
+            b.where(F.col("event_type") == "click")
+            .join(st.select("user_id", "mv"), "user_id")
+            .where(F.col("ts") > F.col("mv"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("bc"))
+        )
+        st = st.join(bc, "user_id", "left").withColumn("mc", F.least("mc", "bc")).withColumn(
+            "mc", F.coalesce("mc", "bc")
+        ).drop("bc")
+        bp = (
+            b.where(F.col("event_type") == "purchase")
+            .join(st.select("user_id", "mc"), "user_id")
+            .where(F.col("ts") > F.col("mc"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("bp"))
+        )
+        st = st.join(bp, "user_id", "left").withColumn("mp", F.least("mp", "bp")).withColumn(
+            "mp", F.coalesce("mp", "bp")
+        ).drop("bp")
+        target = os.path.join(root, f"v{batch_id}")
+        st.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream_events.select("user_id", "event_type", "ts")
+        .writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame([], "step string, n_users long")
+    st = spark.read.parquet(current[0])
+    out = (
+        st.agg(F.lit("view").alias("step"), F.count("mv").alias("n_users"))
+        .unionByName(st.agg(F.lit("view>click").alias("step"), F.count("mc").alias("n_users")))
+        .unionByName(
+            st.agg(F.lit("view>click>purchase").alias("step"), F.count("mp").alias("n_users"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+@register(
+    "xw01_stream_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS mv FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS mc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.mv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS mp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.mc
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL SELECT 'view>click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    """,
+    doc=(
+        "Streaming funnel: the xf01 sequential pattern maintained "
+        "incrementally — per micro-batch, the three per-user anchors "
+        "merge set-orientedly into a versioned keyed state table "
+        "(st08's idiom; state is O(users), merge input O(keys-in-"
+        "batch)). Equals the batch funnel under event-time-ordered "
+        "arrival; same oracle as xf01."
+    ),
+    tags=("streaming", "funnel", "cep"),
+)
+def xw01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_funnel(read_events_stream(spark, sf_dir))

@@ -249,3 +249,21 @@ def test_stream_neardup_layout_invariant(spark, sf_dir, tmp_path_factory):
     batch = {tuple(r) for r in registry.get("dd02_minhash_lsh").builder(spark, sf_dir).collect()}
     assert multi == single == batch
     assert len(batch) > 0  # the fixture corpus does contain near-dups
+
+
+def test_stream_funnel_state_across_batches(spark, sf_dir, multi_file_events):
+    """xw01's per-user funnel anchors must carry across micro-batches
+    (a view in file 1 completing with a click in file 2 still counts):
+    the 3-batch run equals the single-batch registry run equals the
+    batch funnel xf01."""
+    from spotify_tags_etl_spark.streaming.ops import streaming_funnel
+
+    stream = _read_stream_dir(spark, multi_file_events)
+    multi = {tuple(r) for r in streaming_funnel(stream).collect()}
+    single = {
+        tuple(r) for r in registry.get("xw01_stream_funnel").builder(spark, sf_dir).collect()
+    }
+    batch = {tuple(r) for r in registry.get("xf01_funnel_steps").builder(spark, sf_dir).collect()}
+    assert multi == single == batch
+    counts = dict(multi)
+    assert counts["view"] >= counts["view>click"] >= counts["view>click>purchase"] > 0
