@@ -551,3 +551,71 @@ def vz01(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = word_shingles(docs)
     pairs = jaccard_verify(lsh_candidate_pairs(minhash_signatures(sh)), sh, threshold_permille=800)
     return connected_components(pairs.select("d1", "d2"))
+
+
+@register(
+    "xu01_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes(800)},
+    edges AS (
+      SELECT d1 AS a, d2 AS b FROM verified
+      UNION ALL
+      SELECT d2, d1 FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+    j AS (
+      SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    surv AS (
+      SELECT component, doc_id AS survivor_id FROM (
+        SELECT component, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+        FROM j
+      ) WHERE rn = 1
+    )
+    SELECT j.doc_id, j.component, surv.survivor_id,
+           CASE WHEN j.doc_id = surv.survivor_id THEN 'keep' ELSE 'drop' END AS action
+    FROM j JOIN surv USING (component)
+    """,
+    doc=(
+        "Dedup survivorship: the ACTION step after clustering — per "
+        "near-dup component (vz01's connected components over dd02's "
+        "verified pairs), elect the canonical survivor (longest doc, "
+        "doc_id tiebreak) and map every member to keep/drop. The "
+        "downstream filter is then one broadcast semi-join on the drop "
+        "list; survivor election is a single window over the clustered "
+        "docs (component-cardinality, tiny vs the corpus)."
+    ),
+    tags=("dedup", "survivorship", "window"),
+)
+def xu01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    pairs = jaccard_verify(lsh_candidate_pairs(minhash_signatures(sh)), sh, threshold_permille=800)
+    comp = connected_components(pairs.select("d1", "d2"))
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    surv = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col("doc_id").alias("survivor_id"))
+    )
+    return (
+        j.join(surv, "component")
+        .select(
+            "doc_id",
+            "component",
+            "survivor_id",
+            F.when(F.col("doc_id") == F.col("survivor_id"), F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("action"),
+        )
+    )

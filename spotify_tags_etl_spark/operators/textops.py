@@ -527,3 +527,99 @@ def xo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "n_outliers", "med_r", "mad_r")
     )
+
+
+#: xt01 parameters: vocabulary cut + report size
+_PMI_VOCAB = 30
+_PMI_TOP = 50
+
+
+@register(
+    "xt01_pmi_cooccurrence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '{{TOKEN_PATTERN}}')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS rn
+        FROM toks GROUP BY tok
+      ) WHERE rn <= {_PMI_VOCAB}
+    ),
+    dt AS (SELECT doc_id, tok FROM toks WHERE tok IN (SELECT tok FROM vocab)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    df AS (SELECT tok, COUNT(*) AS n_t FROM dt GROUP BY tok),
+    pairs AS (
+      SELECT l.tok AS tok_a, r.tok AS tok_b, COUNT(*) AS n_ab
+      FROM dt l JOIN dt r ON l.doc_id = r.doc_id AND l.tok < r.tok
+      GROUP BY l.tok, r.tok
+    )
+    SELECT tok_a, tok_b, n_ab, n_a, n_b, score_ppm, rk FROM (
+      SELECT p.tok_a, p.tok_b, p.n_ab, a.n_t AS n_a, b.n_t AS n_b,
+             CAST((1000000 * p.n_ab * n.n_docs) // (a.n_t * b.n_t) AS BIGINT) AS score_ppm,
+             ROW_NUMBER() OVER (
+               ORDER BY (1000000 * p.n_ab * n.n_docs) // (a.n_t * b.n_t) DESC, p.tok_a, p.tok_b
+             ) AS rk
+      FROM pairs p
+      JOIN df a ON a.tok = p.tok_a
+      JOIN df b ON b.tok = p.tok_b
+      CROSS JOIN n
+    ) WHERE rk <= {_PMI_TOP}
+    """.replace("{TOKEN_PATTERN}", TOKEN_PATTERN),
+    doc=(
+        "PMI-style token co-occurrence statistics: document-level "
+        "co-occurrence counts among the top-30 vocabulary tokens, "
+        "scored by the exact integer lift ratio 1e6*n_ab*N/(n_a*n_b) "
+        "(the PMI argument without the log — same ordering, no libm "
+        "nondeterminism), deterministic top-50. The corpus-statistics "
+        "prep for embedding training / collocation mining. Self-join "
+        "on doc_id restricted to the broadcast vocabulary — at most "
+        "V(V-1)/2 pairs per doc; at 1e10-doc scale the bigint lift "
+        "numerator wants DECIMAL(38) (noted, exact here)."
+    ),
+    tags=("text", "statistics", "cooccurrence"),
+)
+def xt01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN), F.lit(0)))
+        ).alias("tok"),
+    )
+    wv = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") <= _PMI_VOCAB)
+        .select("tok")
+    )
+    dt = toks.join(F.broadcast(vocab), "tok").select("doc_id", "tok")
+    n_docs = docs.select(F.countDistinct("doc_id")).collect()[0][0]  # 1-row plan stat
+    df_ = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    l = dt.select("doc_id", F.col("tok").alias("tok_a"))
+    r = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        l.join(r, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        pairs.join(F.broadcast(df_.withColumnsRenamed({"tok": "tok_a", "n_t": "n_a"})), "tok_a")
+        .join(F.broadcast(df_.withColumnsRenamed({"tok": "tok_b", "n_t": "n_b"})), "tok_b")
+        .withColumn(
+            "score_ppm",
+            F.expr(f"(1000000 * n_ab * CAST({n_docs} AS BIGINT)) DIV (n_a * n_b)"),
+        )
+    )
+    wr = Window.orderBy(F.desc("score_ppm"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= _PMI_TOP)
+        .select("tok_a", "tok_b", "n_ab", "n_a", "n_b", "score_ppm", "rk")
+    )
