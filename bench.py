@@ -56,6 +56,16 @@ STREAMING_SUITE = [
     "st09_stream_neardup",
 ]
 
+#: Classic decision-support suite: the TPC-H-shaped multi-way join /
+#: top-k / semi-join pipelines (operators/classics.py).
+CLASSICS_SUITE = [
+    "xq01_shipping_priority",
+    "xq02_local_supplier_volume",
+    "xq03_returned_items",
+    "xq04_large_volume_customers",
+    "xq05_global_avg_filter",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,7 +74,9 @@ def main() -> None:
 
     queries = registry.all_queries()
     names = [
-        n for n in HEADLINE + LLM_SUITE + STREAMING_SUITE if registry.resolve(n) in queries
+        n
+        for n in HEADLINE + LLM_SUITE + STREAMING_SUITE + CLASSICS_SUITE
+        if registry.resolve(n) in queries
     ]
 
     # Warm-up: one untimed pass of EVERY benchmarked query, so each timed
@@ -86,6 +98,7 @@ def main() -> None:
     headline_total = round(sum(timings[n] for n in names if n in HEADLINE), 4)
     llm_total = round(sum(timings[n] for n in names if n in LLM_SUITE), 4)
     stream_total = round(sum(timings[n] for n in names if n in STREAMING_SUITE), 4)
+    classics_total = round(sum(timings[n] for n in names if n in CLASSICS_SUITE), 4)
     print(
         json.dumps(
             {
@@ -98,6 +111,7 @@ def main() -> None:
                     "headline": headline_total,
                     "llm_pipeline": llm_total,
                     "streaming": stream_total,
+                    "classics": classics_total,
                 },
             }
         )
