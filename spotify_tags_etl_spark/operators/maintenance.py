@@ -527,3 +527,74 @@ def xd01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(us).over(w).alias("valid_to_us"),
         F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
     )
+
+
+@register(
+    "xp01_point_in_time_join",
+    oracle="""
+    WITH ver AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS version,
+             CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    -- one version per (user, instant): at duplicate timestamps only the
+    -- LAST version is ever 'current', and the dedup removes the
+    -- ASOF-join tie ambiguity on both engines
+    ver1 AS (
+      SELECT user_id, version, valid_from_us, value_cents FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, valid_from_us
+                                     ORDER BY version DESC) AS rn
+        FROM ver
+      ) WHERE rn = 1
+    ),
+    clicks AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, v.version, v.value_cents
+    FROM clicks c
+    ASOF LEFT JOIN ver1 v
+      ON c.user_id = v.user_id AND v.valid_from_us <= c.ts_us
+    """,
+    doc=(
+        "Point-in-time (feature-store) join: each click event is paired "
+        "with the purchase-derived dimension VERSION in effect at its "
+        "timestamp — the training-data join that prevents feature "
+        "leakage (never read a version from the future). Composition of "
+        "xd01's SCD2 versions with av06's union+window as-of merge: ONE "
+        "shuffle on the entity key, no per-row subquery; events before "
+        "any version get NULLs (left semantics)."
+    ),
+    tags=("maintenance", "asof", "feature-store"),
+)
+def xp01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spotify_tags_etl_spark.operators.advanced import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    wv = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    ver = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.row_number().over(wv).alias("version"),
+            us.alias("valid_from_us"),
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+    w1 = Window.partitionBy("user_id", "valid_from_us").orderBy(F.desc("version"))
+    ver1 = ver.withColumn("_rn", F.row_number().over(w1)).where(F.col("_rn") == 1).drop("_rn")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", us.alias("ts_us")
+    )
+    return asof_join(
+        clicks,
+        ver1.select("user_id", F.col("valid_from_us").alias("ts_us"), "version", "value_cents"),
+        key="user_id",
+        ts="ts_us",
+        right_cols={"version": "version", "value_cents": "value_cents"},
+    ).select("event_id", "user_id", "version", "value_cents")
