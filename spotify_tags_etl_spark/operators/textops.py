@@ -623,3 +623,68 @@ def xt01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PMI_TOP)
         .select("tok_a", "tok_b", "n_ab", "n_a", "n_b", "score_ppm", "rk")
     )
+
+
+@register(
+    "xs01_source_quality_gate",
+    oracle="""
+    WITH feat AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_words,
+             CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+                + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' and ', ''))) / 5
+                + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' of ', ''))) / 4
+                + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' is ', ''))) / 4
+               AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS sum_words,
+             CAST(SUM(n_stop) AS BIGINT) AS sum_stopwords
+      FROM feat GROUP BY source
+    ),
+    gtot AS (SELECT SUM(sum_words) AS gw, SUM(sum_stopwords) AS gs FROM per_src)
+    SELECT source, n_docs, sum_words, sum_stopwords,
+           2 * sum_stopwords * gw < gs * sum_words AS low_quality
+    FROM per_src, gtot
+    """,
+    doc=(
+        "Source/domain-level quality gate (the CommonCrawl-pipeline "
+        "domain filter): per-source exact integer stopword density "
+        "compared against HALF the corpus density via cross-"
+        "multiplication (no float ratio can diverge between engines — "
+        "tx08's flag pattern). Gated sources' documents are then one "
+        "broadcast semi-join away from removal. Per-source sums are "
+        "map-combined partials; the global row broadcasts."
+    ),
+    tags=("text", "quality", "gate"),
+)
+def xs01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs).select("doc_id", "n_words", "n_stopwords")
+    per_src = (
+        docs.select("doc_id", "source")
+        .join(feats, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.sum("n_stopwords").cast("bigint").alias("sum_stopwords"),
+        )
+    )
+    glob = per_src.agg(
+        F.sum("sum_words").alias("gw"), F.sum("sum_stopwords").alias("gs")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            "sum_words",
+            "sum_stopwords",
+            (F.lit(2) * F.col("sum_stopwords") * F.col("gw") < F.col("gs") * F.col("sum_words")).alias(
+                "low_quality"
+            ),
+        )
+    )
