@@ -619,3 +619,71 @@ def xu01(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join via prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+_PF_T_PERMILLE = 800  # jaccard threshold (shared with dd02's verify)
+
+
+@register(
+    "xz01_exact_simjoin_prefix",
+    oracle=f"""
+    WITH {_SHINGLE_SQL.lstrip()},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.d1, i.d2,
+           (1000 * i.n_inter) // (sa.n + sb.n - i.n_inter) AS jaccard_permille
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.d1
+    JOIN sizes sb ON sb.doc_id = i.d2
+    WHERE 1000 * i.n_inter >= {_PF_T_PERMILLE} * (sa.n + sb.n - i.n_inter)
+    """,
+    doc=(
+        "EXACT set-similarity self-join (PPJoin-style prefix filtering): "
+        "shingle sets ordered by (global frequency asc, shingle) — the "
+        "rarest-first total order — and each doc indexes only its "
+        "(n - ceil(t*n) + 1)-prefix; any pair with jaccard >= t provably "
+        "shares a prefix element, so the prefix join loses NOTHING "
+        "(the brute-force oracle is the completeness proof), unlike "
+        "dd02's LSH which trades recall for candidates. Prefix lengths "
+        "use integer arithmetic ((800n + 999) DIV 1000) — a float ceil "
+        "of 0.8n is off-by-one exactly when n is a multiple of 5. At "
+        "scale: candidates are per-(rare-shingle) groups; the frequency "
+        "table is the broadcast dim; verification reuses the "
+        "candidate-pruned intersection join."
+    ),
+    tags=("dedup", "simjoin", "exact"),
+)
+def xz01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)  # distinct (doc_id, s)
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # rarest-first rank of each shingle within its doc
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    ranked = (
+        sh.join(F.broadcast(freq), "s")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sized, "doc_id")
+        # alpha = ceil(t*n) with exact integers; prefix = n - alpha + 1
+        .withColumn("alpha", F.expr(f"({_PF_T_PERMILLE} * n + 999) DIV 1000"))
+        .where(F.col("pos") <= F.col("n") - F.col("alpha") + 1)
+        .select("doc_id", "s")
+    )
+    cand = (
+        ranked.select(F.col("doc_id").alias("d1"), "s")
+        .join(ranked.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold_permille=_PF_T_PERMILLE)

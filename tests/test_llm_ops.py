@@ -650,3 +650,23 @@ def test_empty_doc_token_ratio_is_ansi_safe(spark, tmp_path):
         assert out[2].bpe_ish_tokens == 0 and out[2].chars_per_token is None
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_exact_simjoin_supersets_lsh(spark, sf_dir):
+    """xz01's prefix-filtered exact join is the recall ground truth for
+    dd02's MinHash+LSH at the same threshold: LSH may miss pairs (false
+    negatives by design) but must never invent one, so dd02 ⊆ xz01 and
+    the shared pairs carry identical exact-jaccard scores."""
+    from spotify_tags_etl_spark.plans import registry
+
+    exact = {
+        (r.d1, r.d2): r.jaccard_permille
+        for r in registry.get("xz01_exact_simjoin_prefix").builder(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.d1, r.d2): r.jaccard_permille
+        for r in registry.get("dd02_minhash_lsh").builder(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == j for p, j in lsh.items())
+    assert len(exact) > 0
