@@ -942,3 +942,36 @@ def xr01(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(cents).over(w).cast("bigint").alias("rolling_cents"),
     )
+
+
+@register(
+    "xg01_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc=(
+        "Event-sequence transition counts (Markov sufficient "
+        "statistics): per user, consecutive event-type pairs under the "
+        "total (ts, event_id) order, counted globally — the behavioral "
+        "transition matrix feeding next-event models and anomaly "
+        "scores. One shuffle on user_id for the lag, one tiny "
+        "(|types|^2-cardinality) aggregate with map-side partials."
+    ),
+    tags=("window", "sequence", "statistics"),
+)
+def xg01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc())
+    return (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
