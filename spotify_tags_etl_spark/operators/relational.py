@@ -724,3 +724,36 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark but ROUND in DuckDB, so never integer-cast a double directly
     b = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("double")
     return _t(spark, sf_dir, "orders").select("o_orderkey", readable_size(b).alias("readable"))
+
+
+@register(
+    "xn01_variant_shred",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_decade,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) // 10
+    """,
+    doc=(
+        "Semi-structured VARIANT path (Spark 4): props parses ONCE to "
+        "the binary VARIANT encoding, typed fields shred out via "
+        "try_variant_get, then a plain relational aggregate — the "
+        "engine-native alternative to per-row JSON string re-parsing "
+        "(q27's get_json_object path re-tokenizes the string per "
+        "extraction; VARIANT amortizes the parse and scales to many "
+        "extractions per document). Missing/empty props shred to NULL "
+        "and group as the NULL decade on both engines."
+    ),
+    tags=("json", "variant", "aggregate"),
+)
+def xn01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(k.alias("_k"))
+        # floor division (not DIV's truncate-toward-zero) to match DuckDB
+        # `//` if a future fixture ships negative k values
+        .groupBy(F.floor(F.col("_k") / F.lit(10)).cast("bigint").alias("k_decade"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_k").cast("bigint").alias("sum_k"))
+    )
