@@ -975,3 +975,55 @@ def xg01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "xy01_builtin_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_GAP_MIN} * 60 * 1000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+    doc=(
+        "Built-in session_window (gap-based session assignment as ONE "
+        "native grouping expression): the engine-primitive counterpart "
+        "of av08's manual lag+cumsum islands — same 30-min-gap "
+        "semantics, verified against the same islands oracle. One "
+        "shuffle on (user, session); the same operator the streaming "
+        "engine uses for session windows, here on a batch frame."
+    ),
+    tags=("window", "session", "eventtime"),
+)
+def xy01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), f"{_GAP_MIN} minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+            "sum_cents",
+        )
+    )
