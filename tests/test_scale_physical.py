@@ -296,3 +296,15 @@ def test_xq04_aggregates_once_below_semijoin(spark, sf_dir):
     plan = _formatted_plan(spark, df)
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_xz01_prefix_join_shape(spark, sf_dir):
+    """The exact sim-join must broadcast the shingle-frequency dim and
+    keep every join an equi-join — prefix filtering exists precisely to
+    avoid the all-pairs nested loop."""
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("xz01_exact_simjoin_prefix").builder(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
