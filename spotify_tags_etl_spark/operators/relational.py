@@ -757,3 +757,55 @@ def xn01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.floor(F.col("_k") / F.lit(10)).cast("bigint").alias("k_decade"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("_k").cast("bigint").alias("sum_k"))
     )
+
+
+@register(
+    "xm01_bag_set_ops",
+    oracle="""
+    WITH q1 AS (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    ),
+    q2 AS (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-04-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    )
+    SELECT l_suppkey, 'common' AS op, COUNT(*) AS n
+    FROM (SELECT * FROM q1 INTERSECT ALL SELECT * FROM q2) GROUP BY l_suppkey
+    UNION ALL
+    SELECT l_suppkey, 'q1_excess' AS op, COUNT(*) AS n
+    FROM (SELECT * FROM q1 EXCEPT ALL SELECT * FROM q2) GROUP BY l_suppkey
+    """,
+    doc=(
+        "Multiset (bag) set operations: INTERSECT ALL keeps min-count "
+        "copies and EXCEPT ALL subtracts multiplicities — the semantics "
+        "q32's distinct-set forms cannot express (a supplier shipping 5 "
+        "times in Q1 and 3 in Q2 has 3 common + 2 excess, not 1 + 0). "
+        "Both compile to a count-aggregate + join on the key: one "
+        "shuffle per side, no row-level materialization of duplicates."
+    ),
+    tags=("setop", "multiset"),
+)
+def xm01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q1 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey")
+    q2 = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("l_suppkey")
+    common = (
+        q1.intersectAll(q2)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("common"))
+    )
+    excess = (
+        q1.exceptAll(q2)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("op", F.lit("q1_excess"))
+    )
+    return common.unionByName(excess).select("l_suppkey", "op", "n")
