@@ -1027,3 +1027,132 @@ def xy01(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+#: Epoch-anchored week length in microseconds — both engines derive the
+#: week index with the same non-negative integer division, so cohort
+#: assignment can't drift on engine-specific WEEK/DOW truncation rules.
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+@register(
+    "xc01_cohort_retention",
+    oracle=f"""
+    WITH wk AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events
+    ),
+    first AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id
+    ),
+    act AS (
+      SELECT f.cohort_wk, w.wk - f.cohort_wk AS week_offset, COUNT(*) AS n_users
+      FROM wk w JOIN first f USING (user_id)
+      GROUP BY f.cohort_wk, w.wk - f.cohort_wk
+    ),
+    size AS (
+      SELECT cohort_wk, COUNT(*) AS cohort_size FROM first GROUP BY cohort_wk
+    )
+    SELECT a.cohort_wk, a.week_offset, a.n_users, s.cohort_size,
+           CAST((1000000 * a.n_users) // s.cohort_size AS BIGINT) AS retention_ppm
+    FROM act a JOIN size s USING (cohort_wk)
+    """,
+    doc=(
+        "Weekly cohort retention matrix: users grouped by the "
+        "epoch-anchored week of their first event; for each (cohort, "
+        "week-offset) cell, the distinct active users and the exact "
+        "integer retention rate in ppm. The canonical product-analytics "
+        "rollup. Shape: one shuffle on user_id produces BOTH the "
+        "per-user (user, week) activity set and the per-user min — the "
+        "join back is co-partitioned on the same key so AQE reuses the "
+        "exchange — then two tiny (#cohorts x #offsets) aggregates with "
+        "map-side partials. No window over a total order, no broadcast "
+        "of anything user-sized; at 1e9 users the wide stage is the one "
+        "user_id exchange."
+    ),
+    tags=("aggregate", "eventtime", "analytics"),
+)
+def xc01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    wk = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("wk")
+    ).distinct()
+    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        wk.join(first, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    size = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return act.join(size, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.expr("(1000000 * n_users) DIV cohort_size").alias("retention_ppm"),
+    )
+
+
+@register(
+    "xc02_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+    per_user AS (
+      SELECT user_id,
+             DATEDIFF('day', MAX(ts), ANY_VALUE(a.max_ts)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+      FROM events CROSS JOIN anchor a GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id, monetary_cents,
+             NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m_score
+      FROM per_user
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+           CAST(SUM(monetary_cents) AS BIGINT) AS sum_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    doc=(
+        "RFM (recency / frequency / monetary) customer segmentation: "
+        "per-user aggregates scored into quartiles by three NTILE(4) "
+        "rankings (each with a user_id total-order tiebreak, so the "
+        "quartile boundaries are deterministic in both engines), then "
+        "the <=64-cell segment census. Monetary goes through integer "
+        "cents. Shape: the big reduction is the per-user aggregate "
+        "(one user_id shuffle, map-side partials); the NTILEs run on "
+        "the already-reduced O(users) frame — at 1e9 users swap the "
+        "global NTILE sort for approx_percentile cut points (xh01's "
+        "documented scale path) without changing the output contract."
+    ),
+    tags=("aggregate", "window", "analytics"),
+)
+def xc02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.any_value("max_ts"), F.max("ts")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("monetary_cents"),
+        )
+    )
+    scored = per_user.select(
+        "monetary_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_cents").cast("bigint").alias("sum_cents"),
+    )
