@@ -178,3 +178,88 @@ def wz02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")) / 100.0).alias("sum_qty"),
     )
+
+
+def bitmap_of(small: DataFrame, key: str, m_bits: int = 1 << 16) -> DataFrame:
+    """Compact membership bitmap over the build side's join keys:
+    ``m_bits`` hash buckets packed 64-per-row into ``(seg, bits)`` —
+    at the default 2^16 buckets that is <= 1024 bigint rows regardless
+    of build-side cardinality, always broadcastable."""
+    return (
+        small.select(F.pmod(F.xxhash64(F.col(key)), F.lit(m_bits)).alias("p"))
+        .select(
+            F.expr("p DIV 64").alias("seg"),
+            F.expr("shiftleft(1L, CAST(pmod(p, 64) AS INT))").alias("b"),
+        )
+        .groupBy("seg")
+        .agg(F.bit_or(F.col("b")).alias("bits"))
+    )
+
+
+def bitmap_semi_join(
+    big: DataFrame, small: DataFrame, big_key: str, small_key: str, m_bits: int = 1 << 16
+) -> DataFrame:
+    """Runtime-filtered semi-join: probe rows are pre-filtered by a
+    broadcast membership bitmap of the build side's keys BEFORE the
+    exact left-semi join (the explicit form of Spark's runtime bloom
+    filter / DPP row-level filtering).
+
+    Why it matters at 100 TB: the semi-join's shuffle carries only rows
+    that pass the bitmap — for a selective build side that is the
+    difference between exchanging the whole fact table and exchanging
+    ~|matches| (+ the bitmap's false-positive leakage, bounded by
+    load factor |keys|/m_bits). Correctness never depends on the
+    bitmap: false positives are eliminated by the closing exact
+    semi-join, and false negatives are impossible (every build key set
+    its bit; a probe row joining some build row hashes to the same
+    bucket). The bitmap inner-join is itself part of the filter: a
+    probe segment absent from the bitmap frame has zero bits set, so
+    dropping it is exact."""
+    bmp = bitmap_of(small, small_key, m_bits)
+    pre = (
+        big.withColumn("_p", F.pmod(F.xxhash64(F.col(big_key)), F.lit(m_bits)))
+        .withColumn("_seg", F.expr("_p DIV 64"))
+        .join(F.broadcast(bmp), F.col("_seg") == F.col("seg"))
+        .where(F.expr("(bits & shiftleft(1L, CAST(pmod(_p, 64) AS INT))) != 0"))
+        .drop("_p", "_seg", "seg", "bits")
+    )
+    return pre.join(
+        small.select(F.col(small_key).alias(big_key)).distinct(), big_key, "left_semi"
+    )
+
+
+@register(
+    "xb01_bitmap_runtime_filter",
+    oracle="""
+    SELECT l.l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM lineitem l
+    WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice < 2000)
+    GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "Runtime-filter (bloom-style) semi-join pinned to the "
+        "correctness gate: lineitem rows are pre-filtered by a "
+        "broadcast 2^16-bit membership bitmap of the selective orders "
+        "subset's keys before the exact semi-join — the oracle is the "
+        "PLAIN semi-join, proving the bitmap changes only how many "
+        "rows reach the exchange, never the result (wz01/wz02's "
+        "semantics-neutrality discipline for the runtime-filter "
+        "pattern). Spark's own runtime bloom filter does this "
+        "adaptively; the explicit form documents the shape and covers "
+        "paths the optimizer won't (pre-aggregations, custom sources)."
+    ),
+    tags=("join", "runtime-filter", "skew"),
+)
+def xb01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    cheap = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") < 2000)
+    filtered = bitmap_semi_join(li, cheap, "l_orderkey", "o_orderkey")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )

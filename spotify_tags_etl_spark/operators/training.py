@@ -572,3 +572,83 @@ def _mix_weight_sql(expr: str) -> str:
 )
 def tz07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(load_table(spark, sf_dir, "documents"))
+
+
+#: xi01 target sample size (number of systematic strides across the
+#: total weight).
+PPS_TARGET = 100
+
+
+def pps_systematic_sample(docs: DataFrame, n: int = PPS_TARGET) -> DataFrame:
+    """Probability-proportional-to-size systematic sample: lay ``n``
+    equally-spaced picks across the cumulative weight axis (weight =
+    ``n_chars``) and keep every document whose weight interval contains
+    a pick, with its multiplicity. Exact integer arithmetic end-to-end
+    (stride/offset by integer DIV), so the sample is identical across
+    engines, retries, and layouts — the property rand()-based weighted
+    sampling cannot give an incremental pipeline. Oversized documents
+    legitimately receive multiplicity > 1 (classic PPS semantics).
+    """
+    w = docs.select("doc_id", F.col("n_chars").alias("w"))
+    par = w.agg(F.sum("w").alias("tw")).select(
+        F.expr(f"tw DIV {n}").alias("stride"),
+        F.expr(f"(tw DIV {n}) DIV 2").alias("off"),
+    )
+    cw = w.withColumn(
+        "cw",
+        F.sum("w").over(
+            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    picks = (
+        "(CASE WHEN {x} >= off THEN ({x} - off) DIV stride + 1 ELSE 0 END)"
+    )
+    m = f"{picks.format(x='(cw - 1)')} - {picks.format(x='(cw - w - 1)')}"
+    return (
+        cw.crossJoin(F.broadcast(par))
+        .withColumn("multiplicity", F.expr(m))
+        .where(F.col("multiplicity") > 0)
+        .select("doc_id", "w", "multiplicity")
+    )
+
+
+@register(
+    "xi01_pps_systematic_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, n_chars AS w,
+             SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cw
+      FROM documents
+    ),
+    par AS (
+      SELECT SUM(n_chars) // {PPS_TARGET} AS stride,
+             (SUM(n_chars) // {PPS_TARGET}) // 2 AS off
+      FROM documents
+    )
+    SELECT doc_id, w, multiplicity FROM (
+      SELECT doc_id, w,
+        (CASE WHEN cw - 1 >= off THEN (cw - 1 - off) // stride + 1 ELSE 0 END)
+        - (CASE WHEN cw - w - 1 >= off THEN (cw - w - 1 - off) // stride + 1 ELSE 0 END)
+          AS multiplicity
+      FROM w CROSS JOIN par
+    ) WHERE multiplicity > 0
+    """,
+    doc=(
+        "Deterministic weighted (PPS) sampling for training-data "
+        "curation: systematic picks along the exact cumulative-weight "
+        "axis — each document's selection probability is proportional "
+        "to its size, with no rand() anywhere, so the drawn set is "
+        "stable under retries, repartitions, and engine swaps "
+        "(stratified-rate cousin: tz01; quality-weighted mixing "
+        "cousin: tz07). Shape: one O(1)-row total-weight aggregate "
+        "broadcast back, one running sum over the doc_id total order. "
+        "The global-order window is the gate-scale formulation "
+        "(xh01's documented pattern); at 1e10 docs swap in the "
+        "two-pass range-partitioned prefix sum — per-partition "
+        "subtotals collected once, partition offsets fused back as "
+        "literals — without changing the emitted sample."
+    ),
+    tags=("training", "sampling", "deterministic"),
+)
+def xi01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pps_systematic_sample(load_table(spark, sf_dir, "documents"))

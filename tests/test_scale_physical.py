@@ -308,3 +308,40 @@ def test_xz01_prefix_join_shape(spark, sf_dir):
     plan = _formatted_plan(spark, df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bitmap_semi_join_filters_before_exchange(spark, sf_dir):
+    """xb01's bitmap pre-filter must (a) be exact vs the plain semi-join,
+    (b) actually drop the overwhelming majority of probe rows before the
+    closing exact semi-join — the runtime-filter pattern's entire point
+    is that the wide exchange carries ~|matches|, not the fact table —
+    and (c) broadcast the bitmap (<=1024 rows by construction)."""
+    from spotify_tags_etl_spark.operators.skew import bitmap_of, bitmap_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    cheap = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") < 2000)
+
+    got = bitmap_semi_join(li, cheap, "l_orderkey", "o_orderkey")
+    plain = li.join(
+        cheap.select(F.col("o_orderkey").alias("l_orderkey")).distinct(),
+        "l_orderkey",
+        "left_semi",
+    )
+    assert sorted(r.l_orderkey for r in got.collect()) == sorted(
+        r.l_orderkey for r in plain.collect()
+    )
+
+    # Pre-filter selectivity: reconstruct the bitmap-pass set alone.
+    bmp = bitmap_of(cheap, "o_orderkey")
+    pre = (
+        li.withColumn("_p", F.pmod(F.xxhash64(F.col("l_orderkey")), F.lit(1 << 16)))
+        .withColumn("_seg", F.expr("_p DIV 64"))
+        .join(F.broadcast(bmp), F.col("_seg") == F.col("seg"))
+        .where(F.expr("(bits & shiftleft(1L, CAST(pmod(_p, 64) AS INT))) != 0"))
+    )
+    total, passed, matched = li.count(), pre.count(), plain.count()
+    assert passed < total * 0.2, (total, passed)   # filter does real work
+    assert passed >= matched                        # no false negatives
+
+    plan = _executed_plan(bitmap_semi_join(li, cheap, "l_orderkey", "o_orderkey"))
+    assert "BroadcastHashJoin" in plan
