@@ -1156,3 +1156,53 @@ def xc02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_cents").cast("bigint").alias("sum_cents"),
     )
+
+
+_DAY_US = 86_400 * 1_000_000
+#: xk02 tolerance: HLL lgK=12 has ~1.6% rsd; 5% absorbs small-count noise.
+_XK02_BOUND = 0.05
+
+
+@register(
+    "xk02_hll_rollup_merge",
+    oracle=f"""
+    SELECT epoch_us(ts) // {7 * _DAY_US} AS wk,
+           COUNT(DISTINCT user_id) AS n_exact,
+           TRUE AS merged_ok
+    FROM events GROUP BY epoch_us(ts) // {7 * _DAY_US}
+    """,
+    doc=(
+        "Hierarchical sketch rollup: per-DAY HyperLogLog sketches "
+        "(hll_sketch_agg) merged register-wise into per-WEEK "
+        "cardinalities (hll_union_agg) — the mergeable-partials "
+        "pattern that makes 100 TB distinct-count dashboards "
+        "incremental: daily sketch bytes are computed once at ingest "
+        "(O(4KB) each, uz04's incremental-rollup discipline applied "
+        "to sketches), and ANY coarser rollup (week/month/quarter) is "
+        "a union over stored partials — never a re-scan of raw "
+        "events. Tolerance oracle (av14 pattern): TRUE iff the merged "
+        "estimate lands within 5% of the exact weekly distinct, "
+        "anchored exactly by DuckDB; a unit test additionally pins "
+        "merged == direct-weekly sketch equality (union exactness)."
+    ),
+    tags=("aggregate", "sketch", "incremental"),
+)
+def xk02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"),
+        F.expr(f"unix_micros(ts) DIV {7 * _DAY_US}").alias("wk"),
+    )
+    daily = ev.groupBy("wk", "day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly_est = daily.groupBy("wk").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    weekly_exact = ev.groupBy("wk").agg(F.count_distinct("user_id").alias("n_exact"))
+    return weekly_exact.join(weekly_est, "wk").select(
+        "wk",
+        "n_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= F.lit(_XK02_BOUND) * F.col("n_exact")
+        ).alias("merged_ok"),
+    )

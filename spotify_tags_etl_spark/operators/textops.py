@@ -11,7 +11,7 @@ bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.plans.registry import register
@@ -688,3 +688,89 @@ def xs01(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: xk01 duplicated-span gram width (tokens).
+_SPAN_N = 5
+
+
+def dup_span_detect(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
+    """Cross-document duplicated-SPAN detection (the exact-substring
+    dedup primitive from the 'Deduplicating Training Data' line of
+    work): every ``n``-gram occurring in >= 2 distinct documents marks
+    its positions, and runs of consecutive marked positions merge into
+    maximal islands per document — the spans an exact-substring dedup
+    pass would cut. Emits per-doc span count, longest span (tokens) and
+    summed island extents (adjacent-overlap counted once per island;
+    islands >= 2 apart may overlap in coverage and are summed as-is —
+    the oracle applies the identical formula).
+
+    Shape: the wide stage is the gram-key aggregate (zipfian-hot —
+    AQE skew handling, map-side partials) + a gram-key semi-join back;
+    the island merge is one per-doc window. At 100 TB swap the raw
+    gram string key for ``xxhash64(gram)`` to shrink shuffle width
+    (collision-safe enough at 64 bits for span MARKING); same plan.
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(t) >= {n} THEN transform(sequence(0, size(t) - {n}), "
+                f"i -> struct(i AS pos, array_join(slice(t, i + 1, {n}), ' ') AS gram)) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("nd")).where(F.col("nd") >= 2)
+    pos_dup = grams.join(dup, "gram", "left_semi").select("doc_id", "pos").distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        pos_dup.withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+    )
+    ext = F.col("p1") - F.col("p0") + F.lit(n)
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max(ext).alias("max_span_tokens"),
+        F.sum(ext).cast("bigint").alias("dup_span_tokens"),
+    )
+
+
+@register(
+    "xk01_dup_span_detect",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(list_slice(t, i, i + {_SPAN_N} - 1), ' ') AS gram
+      FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N} + 1)) AS u(i)
+    ),
+    dupg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    pos_dup AS (
+      SELECT DISTINCT doc_id, pos FROM grams WHERE gram IN (SELECT gram FROM dupg)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+      FROM pos_dup
+    ),
+    spans AS (SELECT doc_id, MIN(pos) AS p0, MAX(pos) AS p1 FROM isl GROUP BY doc_id, g)
+    SELECT doc_id, COUNT(*) AS n_spans,
+           MAX(p1 - p0 + {_SPAN_N}) AS max_span_tokens,
+           CAST(SUM(p1 - p0 + {_SPAN_N}) AS BIGINT) AS dup_span_tokens
+    FROM spans GROUP BY doc_id
+    """,
+    doc=(
+        "Exact duplicated-substring span detection across the corpus "
+        "(5-gram islands) — the span-level complement of dd01/dd02's "
+        "whole/near-document dedup: finds the repeated PASSAGES "
+        "(boilerplate, licenses, templates) inside otherwise-distinct "
+        "documents that document-level dedup can never see. Gram-key "
+        "aggregate + semi-join + per-doc island window; all integer "
+        "outputs."
+    ),
+    tags=("text", "dedup", "spans"),
+)
+def xk01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_span_detect(load_table(spark, sf_dir, "documents"))

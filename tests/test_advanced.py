@@ -90,3 +90,33 @@ def test_moments_match_builtin_stats(spark, sf_dir):
     for et in ours:
         assert ours[et][0] == pytest.approx(ref[et][0], rel=1e-6)
         assert ours[et][1] == pytest.approx(ref[et][1], rel=1e-4)
+
+
+def test_hll_union_of_daily_equals_direct_weekly(spark, sf_dir):
+    """xk02's rollup claim: merging per-day HLL sketches register-wise
+    must give the SAME estimate as sketching the week directly — that
+    equality is what makes stored daily partials a substitute for
+    re-scanning raw events at any coarser grain."""
+    from spotify_tags_etl_spark.operators.advanced import _DAY_US
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"),
+        F.expr(f"unix_micros(ts) DIV {7 * _DAY_US}").alias("wk"),
+    )
+    merged = {
+        r.wk: r.est
+        for r in ev.groupBy("wk", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .groupBy("wk")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()
+    }
+    direct = {
+        r.wk: r.est
+        for r in ev.groupBy("wk")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    assert merged == direct
