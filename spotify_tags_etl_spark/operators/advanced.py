@@ -1061,29 +1061,39 @@ _WEEK_US = 7 * 86_400 * 1_000_000
         "epoch-anchored week of their first event; for each (cohort, "
         "week-offset) cell, the distinct active users and the exact "
         "integer retention rate in ppm. The canonical product-analytics "
-        "rollup. Shape: one shuffle on user_id produces BOTH the "
-        "per-user (user, week) activity set and the per-user min — the "
-        "join back is co-partitioned on the same key so AQE reuses the "
-        "exchange — then two tiny (#cohorts x #offsets) aggregates with "
-        "map-side partials. No window over a total order, no broadcast "
-        "of anything user-sized; at 1e9 users the wide stage is the one "
-        "user_id exchange."
+        "rollup. Shape: ONE shuffle on user_id — collect_set folds the "
+        "distinct (user, week) activity AND the per-user min into a "
+        "single aggregate (the week-set per user is bounded by the "
+        "observation span, never by event volume), so the event stream "
+        "crosses the wire once; the cohort matrix is then a tiny "
+        "(#cohorts x #offsets) aggregate, and cohort SIZE is read off "
+        "the matrix's own offset-0 cell (every user is active in their "
+        "first week by definition) via a cohort-keyed window over the "
+        "matrix — never a second user-level aggregate, and never a "
+        "self-join that would duplicate the big subtree. At 1e9 users "
+        "the wide stage is the one user_id exchange; plan test pins "
+        "exactly 3 hash exchanges (1 user-sized + 2 matrix-sized)."
     ),
     tags=("aggregate", "eventtime", "analytics"),
 )
 def xc01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    wk = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("wk")
-    ).distinct()
-    first = wk.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    per_user = (
+        ev.select("user_id", F.expr(f"unix_micros(ts) DIV {_WEEK_US}").alias("wk"))
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+    )
     act = (
-        wk.join(first, "user_id")
+        per_user.select(
+            F.array_min("wks").alias("cohort_wk"), F.explode("wks").alias("wk")
+        )
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
-    size = first.groupBy("cohort_wk").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return act.join(size, "cohort_wk").select(
+    size = F.sum(F.when(F.col("week_offset") == 0, F.col("n_users"))).over(
+        Window.partitionBy("cohort_wk")
+    )
+    return act.withColumn("cohort_size", size).select(
         "cohort_wk",
         "week_offset",
         "n_users",

@@ -345,3 +345,19 @@ def test_bitmap_semi_join_filters_before_exchange(spark, sf_dir):
 
     plan = _executed_plan(bitmap_semi_join(li, cheap, "l_orderkey", "o_orderkey"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_xc01_single_user_exchange(spark, sf_dir):
+    """Cohort retention must shuffle user-sized data exactly once: the
+    collect_set fold (distinct weeks + min in one aggregate), with the
+    cohort matrix and its size window both matrix-sized — a self-join
+    for cohort size would duplicate the whole user exchange subtree
+    (the first cut did exactly that: 5 exchanges, none reused)."""
+    import re
+
+    from spotify_tags_etl_spark.plans import registry
+
+    df = registry.get("xc01_cohort_retention").builder(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
