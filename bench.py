@@ -66,6 +66,18 @@ CLASSICS_SUITE = [
     "xq05_global_avg_filter",
 ]
 
+#: Analytics / curation suite (round-3 continuation): cohort retention,
+#: RFM, duplicated-span detection, HLL rollup merge, bitmap runtime
+#: filter, PPS sampling — the event-analytics + data-curation shapes.
+ANALYTICS_SUITE = [
+    "xc01_cohort_retention",
+    "xc02_rfm_segments",
+    "xk01_dup_span_detect",
+    "xk02_hll_rollup_merge",
+    "xb01_bitmap_runtime_filter",
+    "xi01_pps_systematic_sample",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,7 +87,7 @@ def main() -> None:
     queries = registry.all_queries()
     names = [
         n
-        for n in HEADLINE + LLM_SUITE + STREAMING_SUITE + CLASSICS_SUITE
+        for n in HEADLINE + LLM_SUITE + STREAMING_SUITE + CLASSICS_SUITE + ANALYTICS_SUITE
         if registry.resolve(n) in queries
     ]
 
@@ -99,6 +111,7 @@ def main() -> None:
     llm_total = round(sum(timings[n] for n in names if n in LLM_SUITE), 4)
     stream_total = round(sum(timings[n] for n in names if n in STREAMING_SUITE), 4)
     classics_total = round(sum(timings[n] for n in names if n in CLASSICS_SUITE), 4)
+    analytics_total = round(sum(timings[n] for n in names if n in ANALYTICS_SUITE), 4)
     print(
         json.dumps(
             {
@@ -112,6 +125,7 @@ def main() -> None:
                     "llm_pipeline": llm_total,
                     "streaming": stream_total,
                     "classics": classics_total,
+                    "analytics": analytics_total,
                 },
             }
         )
