@@ -652,3 +652,61 @@ def pps_systematic_sample(docs: DataFrame, n: int = PPS_TARGET) -> DataFrame:
 )
 def xi01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pps_systematic_sample(load_table(spark, sf_dir, "documents"))
+
+
+#: xn02: per-source budget fraction kept (9/10), as an exact ratio.
+BUDGET_NUM, BUDGET_DEN = 9, 10
+
+
+@register(
+    "xn02_token_budget_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, cum
+    FROM ranked
+    WHERE {BUDGET_DEN} * (cum - n_chars) < {BUDGET_NUM} * total
+    """,
+    doc=(
+        "Per-source token-budget cap: each source keeps its largest "
+        "documents, greedily filled until 90% of the source's total "
+        "char budget is reached (the doc crossing the boundary is "
+        "kept; everything after is trimmed). The deterministic "
+        "budget-capping half of data mixing — tz07 hits target "
+        "mixture RATES by hash sampling; this enforces absolute "
+        "BUDGETS with a stable greedy order (n_chars desc, doc_id "
+        "tiebreak), so re-runs keep byte-identical corpora. Exact "
+        "integer cross-multiplication for the 9/10 boundary — no "
+        "float shares. Shape: ONE shuffle on source (both window "
+        "passes share the partitioning; the per-source total is a "
+        "frame-unbounded window over the same exchange). Source "
+        "cardinality is low → skewed reducers; at 100 TB pre-compute "
+        "per-source totals as an O(#sources) broadcast and the cumsum "
+        "becomes the only wide pass (AQE skew-split handles the rest)."
+    ),
+    tags=("training", "sampling", "budget"),
+)
+def xn02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    w_ord = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_ord).alias("cum"),
+        F.sum("n_chars").over(w_all).alias("total"),
+    )
+    return ranked.where(
+        F.lit(BUDGET_DEN) * (F.col("cum") - F.col("n_chars"))
+        < F.lit(BUDGET_NUM) * F.col("total")
+    ).select("source", "doc_id", "n_chars", "cum")
