@@ -1216,3 +1216,65 @@ def xk02(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_XK02_BOUND) * F.col("n_exact")
         ).alias("merged_ok"),
     )
+
+
+@register(
+    "xr02_grouped_linreg",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS sx,
+             SUM(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 * DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))) AS sx2,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS sy,
+             SUM(DATEDIFF('day', DATE '2024-01-01', CAST(ts AS DATE))
+                 * CAST(round(value * 100) AS BIGINT)) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS slope_cents_per_day,
+           ROUND(CAST(sy * sx2 - sx * sxy AS DOUBLE)
+                 / CAST(n * sx2 - sx * sx AS DOUBLE), 6) AS intercept_cents
+    FROM s
+    """,
+    doc=(
+        "Per-group OLS trend line (value-cents regressed on event day) "
+        "from EXACT integer sufficient statistics — av13's discipline "
+        "extended to regression: Σx, Σx², Σy, Σxy over integer "
+        "day/cents accumulate order-independently with map-side "
+        "partials (float regr_slope accumulators differ run-to-run at "
+        "scale), and slope/intercept fall out of one closed-form "
+        "double expression over exact integers — both engines divide "
+        "the SAME two integers, so the rounded doubles agree exactly. "
+        "One shuffle, #groups output rows. The trend-metric primitive "
+        "for drift detection over 100 TB of event history."
+    ),
+    tags=("aggregate", "statistics", "regression"),
+)
+def xr02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast("bigint")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    s = (
+        _ev(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sx2"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    den = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / den, 6
+        ).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy") * F.col("sx2") - F.col("sx") * F.col("sxy")).cast("double") / den, 6
+        ).alias("intercept_cents"),
+    )
