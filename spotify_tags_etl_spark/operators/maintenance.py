@@ -598,3 +598,76 @@ def xp01(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts="ts_us",
         right_cols={"version": "version", "value_cents": "value_cents"},
     ).select("event_id", "user_id", "version", "value_cents")
+
+
+#: xv02 CSV fixture parameters: row count and corrupt-row period.
+_CSV_ROWS = 600
+_CSV_BAD_PERIOD = 50
+
+
+@register(
+    "xv02_csv_quarantine",
+    oracle=f"""
+    SELECT
+      COUNT(*) FILTER (WHERE range % {_CSV_BAD_PERIOD} != 0) AS n_good,
+      COUNT(*) FILTER (WHERE range % {_CSV_BAD_PERIOD} = 0) AS n_corrupt,
+      CAST(SUM(CASE WHEN range % {_CSV_BAD_PERIOD} != 0
+                    THEN (range * 7) % 1000 END) AS BIGINT) AS sum_val
+    FROM range({_CSV_ROWS})
+    """,
+    doc=(
+        "CSV scan with source-level malformed-record quarantine: "
+        "PERMISSIVE parse against an explicit schema routes rows that "
+        "fail type coercion into the _corrupt_record column instead of "
+        "failing the job or silently nulling — the ingest-boundary "
+        "counterpart of q12's row-level validity quarantine, on a "
+        "600-row fixture derived deterministically from range() (every "
+        "50th line malformed) so the DuckDB oracle is closed-form with "
+        "no file dependency. Spark requires materializing the parsed "
+        "frame before filtering on the corrupt-record column (the "
+        "parser otherwise prunes the raw text away); at scale that "
+        "materialization is the same single pass the quarantine split "
+        "needs anyway. Scan stays parallel: the fixture is written as "
+        "partitioned text and read back by glob."
+    ),
+    tags=("source", "csv", "quarantine"),
+)
+def xv02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    tag = hashlib.sha256(f"xv02:{_CSV_ROWS}:{_CSV_BAD_PERIOD}".encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_csv", tag)
+    line = F.when(
+        F.col("id") % _CSV_BAD_PERIOD == 0,
+        F.concat_ws(",", F.lit("corrupt"), F.lit("not-a-number")),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("id").cast("string"),
+            ((F.col("id") * 7) % 1000).cast("string"),
+            F.concat(F.lit("row_"), F.col("id")),
+        )
+    )
+    spark.range(_CSV_ROWS).select(line.alias("value")).write.mode("overwrite").text(path)
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("val", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = spark.read.schema(schema).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).csv(path)
+    parsed = parsed.cache()  # required before referencing _corrupt_record
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("val"))).cast("bigint").alias("sum_val"),
+    )
