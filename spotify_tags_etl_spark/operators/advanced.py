@@ -1278,3 +1278,44 @@ def xr02(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") * F.col("sx2") - F.col("sx") * F.col("sxy")).cast("double") / den, 6
         ).alias("intercept_cents"),
     )
+
+
+@register(
+    "xw03_rolling_distinct_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+    ),
+    contrib AS (
+      SELECT user_id, day + o AS wday FROM ud, UNNEST(generate_series(0, 6)) AS t(o)
+    )
+    SELECT wday, COUNT(DISTINCT user_id) AS dau7
+    FROM contrib GROUP BY wday
+    """,
+    doc=(
+        "Rolling 7-day distinct users (the sliding-window DISTINCT "
+        "metric no window frame can express, since distinct doesn't "
+        "decompose over frame slides): each (user, day) activity pair "
+        "CONTRIBUTES itself to the 7 window-end days it falls inside "
+        "(explode of a 7-element sequence), then one count-distinct "
+        "per window-end day — trailing-window semantics, edges "
+        "included. Bounded 7x row amplification of the already-"
+        "deduplicated (user, day) frame, partial-agg friendly, no "
+        "self-join of the event table against 7 shifted copies. At "
+        "100 TB swap the exact inner distinct for per-day HLL "
+        "sketches unioned across the 7 contributing days (xk02's "
+        "mergeable partials) — same contribution shape, O(sketch) "
+        "state per day."
+    ),
+    tags=("aggregate", "eventtime", "sliding", "distinct"),
+)
+def xw03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _ev(spark, sf_dir)
+        .select("user_id", F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"))
+        .distinct()
+    )
+    contrib = ud.select(
+        "user_id", F.explode(F.expr("sequence(day, day + 6)")).alias("wday")
+    )
+    return contrib.groupBy("wday").agg(F.count_distinct("user_id").alias("dau7"))

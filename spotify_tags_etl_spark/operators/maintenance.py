@@ -671,3 +671,90 @@ def xv02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(bad, 1)).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("val"))).cast("bigint").alias("sum_val"),
     )
+
+
+#: xw02 synthetic-snapshot parameters (all deterministic key-modular).
+_DIFF_DROP, _DIFF_MOD, _DIFF_ADD = 97, 13, 10
+
+
+@register(
+    "xw02_table_diff",
+    oracle=f"""
+    WITH new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % {_DIFF_MOD} = 0
+                  THEN CAST(round(c_acctbal * 100) AS BIGINT) + 100
+                  ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS acct_cents,
+             c_nationkey
+      FROM customer WHERE c_custkey % {_DIFF_DROP} != 0
+      UNION ALL
+      SELECT 10000000000 + range AS c_custkey, 0 AS acct_cents, 0 AS c_nationkey
+      FROM range({_DIFF_ADD})
+    ),
+    base AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+             c_nationkey
+      FROM customer
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE b.c_custkey IS NULL) AS n_added,
+      COUNT(*) FILTER (WHERE n.c_custkey IS NULL) AS n_removed,
+      COUNT(*) FILTER (WHERE b.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                       AND (b.acct_cents != n.acct_cents OR b.c_nationkey != n.c_nationkey))
+        AS n_changed,
+      COUNT(*) FILTER (WHERE b.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+                       AND b.acct_cents = n.acct_cents AND b.c_nationkey = n.c_nationkey)
+        AS n_unchanged
+    FROM base b FULL OUTER JOIN new n USING (c_custkey)
+    """,
+    doc=(
+        "Snapshot reconciliation (data-diff audit): full-outer join two "
+        "table generations on the key and classify every row "
+        "added/removed/changed/unchanged — the verification step behind "
+        "CDC replication, backfills, and migration cutovers (uz01 "
+        "APPLIES changes; this AUDITS two snapshots that should "
+        "agree). The 'new' generation is derived deterministically "
+        "from the base (every 97th key dropped, every 13th acct "
+        "bumped one dollar, 10 synthetic inserts) so the oracle is "
+        "pure SQL. Compared columns go through integer cents. Shape: "
+        "ONE key-partitioned full-outer join + a 1-row aggregate; "
+        "with the base bucketed by key (skew.py) only the new "
+        "snapshot shuffles. Column-level drill-down is the same plan "
+        "with a struct-compare projection."
+    ),
+    tags=("maintenance", "cdc", "audit"),
+)
+def xw02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_cents"),
+        "c_nationkey",
+    )
+    modified = base.where(F.col("c_custkey") % _DIFF_DROP != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % _DIFF_MOD == 0, F.col("acct_cents") + 100
+        ).otherwise(F.col("acct_cents")).alias("acct_cents"),
+        "c_nationkey",
+    )
+    inserts = spark.range(_DIFF_ADD).select(
+        (F.lit(10_000_000_000) + F.col("id")).alias("c_custkey"),
+        F.lit(0).cast("bigint").alias("acct_cents"),
+        F.lit(0).cast("bigint").alias("c_nationkey"),
+    )
+    new = modified.unionByName(inserts)
+    b = base.alias("b")
+    n = new.alias("n")
+    j = b.join(n, F.col("b.c_custkey") == F.col("n.c_custkey"), "full_outer")
+    in_b = F.col("b.c_custkey").isNotNull()
+    in_n = F.col("n.c_custkey").isNotNull()
+    same = (F.col("b.acct_cents") == F.col("n.acct_cents")) & (
+        F.col("b.c_nationkey") == F.col("n.c_nationkey")
+    )
+    return j.agg(
+        F.count(F.when(~in_b, 1)).alias("n_added"),
+        F.count(F.when(~in_n, 1)).alias("n_removed"),
+        F.count(F.when(in_b & in_n & ~same, 1)).alias("n_changed"),
+        F.count(F.when(in_b & in_n & same, 1)).alias("n_unchanged"),
+    )
