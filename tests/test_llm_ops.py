@@ -670,3 +670,37 @@ def test_exact_simjoin_supersets_lsh(spark, sf_dir):
     assert set(lsh) <= set(exact)
     assert all(exact[p] == j for p, j in lsh.items())
     assert len(exact) > 0
+
+
+def test_pps_sample_total_multiplicity_is_target(spark, sf_dir):
+    """Every one of xi01's N systematic picks lands in exactly one
+    document's weight interval, so multiplicities must sum to N exactly
+    — the invariant that makes the sample a true fixed-size PPS draw
+    (and breaks loudly if the stride/offset arithmetic drifts)."""
+    from spotify_tags_etl_spark.operators.training import PPS_TARGET, pps_systematic_sample
+
+    out = pps_systematic_sample(load_table(spark, sf_dir, "documents"))
+    total = out.agg(F.sum("multiplicity").alias("s")).collect()[0].s
+    assert total == PPS_TARGET
+
+
+def test_token_budget_cap_is_tight(spark, sf_dir):
+    """xn02's greedy fill must (a) reach >= 90% of each source's char
+    budget and (b) be minimal: removing each source's last-kept (i.e.
+    smallest-kept) document must drop that source under 90%."""
+    from spotify_tags_etl_spark.operators.training import BUDGET_DEN, BUDGET_NUM
+    from spotify_tags_etl_spark.plans import registry
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.source: r.t for r in docs.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()}
+    kept = registry.get("xn02_token_budget_cap").builder(spark, sf_dir)
+    agg = {
+        r.source: (r.s, r.last_w)
+        for r in kept.groupBy("source")
+        .agg(F.sum("n_chars").alias("s"), F.min("n_chars").alias("last_w"))
+        .collect()
+    }
+    assert set(agg) == set(totals)
+    for src, (s, last_w) in agg.items():
+        assert BUDGET_DEN * s >= BUDGET_NUM * totals[src], src          # budget reached
+        assert BUDGET_DEN * (s - last_w) < BUDGET_NUM * totals[src], src  # minimal
