@@ -722,7 +722,14 @@ def dup_span_detect(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    dup = grams.groupBy("gram").agg(F.count_distinct("doc_id").alias("nd")).where(F.col("nd") >= 2)
+    # ">= 2 distinct docs" as min != max: algebraic partials (no
+    # distinct expansion on the zipfian-hot gram key — count_distinct
+    # would carry per-key doc-id sets through the shuffle).
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
+    )
     pos_dup = grams.join(dup, "gram", "left_semi").select("doc_id", "pos").distinct()
     w = Window.partitionBy("doc_id").orderBy("pos")
     spans = (
