@@ -758,3 +758,62 @@ def xw02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(in_b & in_n & ~same, 1)).alias("n_changed"),
         F.count(F.when(in_b & in_n & same, 1)).alias("n_unchanged"),
     )
+
+
+def _custkey_revenue(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """Partial aggregates of the revenue-per-customer join view."""
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "xz03_ivm_join_delta",
+    oracle="""
+    SELECT o.o_custkey,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+    doc=(
+        "Incremental maintenance of a JOIN-aggregate view (revenue per "
+        "customer over orders x lineitem): the standing view is "
+        "refreshed by joining ONLY the newest lineitem partition "
+        "(l_shipdate >= the max month, found by uz04's 1-row "
+        "partition-boundary lookup) against the dimension and merging "
+        "the delta's partial aggregates into the base partials — "
+        "uz04's continuous-aggregate discipline pushed THROUGH a join. "
+        "The delta join's shuffle is O(delta), the merge input is "
+        "O(groups); a full recompute (the oracle) would re-shuffle the "
+        "entire fact table. One-sided deltas suffice because the "
+        "orders side is static here; a dimension delta adds the "
+        "symmetric A-delta term (and their intersection) — same "
+        "algebra, same merge. All money through integer cents so "
+        "base+delta merge is exact regardless of split point."
+    ),
+    tags=("maintenance", "incremental", "join"),
+)
+def xz03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    cutoff = li.select(
+        F.date_trunc("month", F.max("l_shipdate")).alias("m")
+    ).collect()[0]["m"]
+    base = _custkey_revenue(orders, li.where(F.col("l_shipdate") < F.lit(cutoff)))
+    delta = _custkey_revenue(orders, li.where(F.col("l_shipdate") >= F.lit(cutoff)))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.sum("n_items").alias("n_items"),
+        )
+    )
