@@ -267,3 +267,24 @@ def test_stream_funnel_state_across_batches(spark, sf_dir, multi_file_events):
     assert multi == single == batch
     counts = dict(multi)
     assert counts["view"] >= counts["view>click"] >= counts["view>click>purchase"] > 0
+
+
+def test_stream_hll_rollup_layout_invariant(spark, sf_dir, multi_file_events):
+    """xk03's sketch store must be micro-batch-layout invariant by
+    ALGEBRA (hll_union is associative/commutative/idempotent): a 3-file
+    run (one file per trigger) must report the same weekly verdict rows
+    as the single-batch registry run, with every merged_ok TRUE in
+    both — i.e. streaming-merged estimates stay register-identical to
+    the batch-direct sketch under any batch split."""
+    from spotify_tags_etl_spark.streaming.ops import streaming_hll_rollup
+
+    stream = _read_stream_dir(spark, multi_file_events).withColumn(
+        "ts_ns", F.col("ts_ns").cast("long")
+    )
+    multi = {tuple(r) for r in streaming_hll_rollup(spark, sf_dir, stream).collect()}
+    single = {
+        tuple(r)
+        for r in registry.get("xk03_stream_hll_rollup").builder(spark, sf_dir).collect()
+    }
+    assert multi == single
+    assert multi and all(ok for _, _, ok in multi)
