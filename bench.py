@@ -54,6 +54,7 @@ STREAMING_SUITE = [
     "st02_stream_dedup",
     "st08_stream_upsert",
     "st09_stream_neardup",
+    "xk03_stream_hll_rollup",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /
@@ -76,6 +77,7 @@ ANALYTICS_SUITE = [
     "xk02_hll_rollup_merge",
     "xb01_bitmap_runtime_filter",
     "xi01_pps_systematic_sample",
+    "xz03_ivm_join_delta",
 ]
 
 
