@@ -1319,3 +1319,72 @@ def xw03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.explode(F.expr("sequence(day, day + 6)")).alias("wday")
     )
     return contrib.groupBy("wday").agg(F.count_distinct("user_id").alias("dau7"))
+
+
+@register(
+    "xl01_gap_fill_locf",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id),
+    spine AS (
+      SELECT user_id, d0 + o AS day
+      FROM span, UNNEST(generate_series(0, d1 - d0)) AS t(o)
+    ),
+    j AS (
+      SELECT s.user_id, s.day, o.cents
+      FROM spine s LEFT JOIN obs o USING (user_id, day)
+    )
+    SELECT user_id, day,
+           LAST_VALUE(cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
+           ) AS cents_filled,
+           (cents IS NOT NULL) AS is_observed
+    FROM j
+    """,
+    doc=(
+        "Time-series resample + forward-fill (LOCF gap fill): each "
+        "user's daily observations are projected onto a dense daily "
+        "spine (sequence-explode between the user's first and last "
+        "active day — generated, never materialized as a calendar "
+        "table) and gaps carry the last observation forward via "
+        "last(..., ignorenulls) over an unbounded-preceding frame — "
+        "O(1) running state per row, the standard panel-data / "
+        "feature-freshness densification. Integer cents observations. "
+        "Every stage is keyed on user_id (obs aggregate, span, spine "
+        "join, fill window) — one key domain end to end, so at 1e9 "
+        "users the plan is a chain of co-keyed exchanges AQE can "
+        "coalesce, with spine width bounded by the observation span."
+    ),
+    tags=("window", "eventtime", "timeseries"),
+)
+def xl01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    obs = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    span = obs.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        "user_id", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    j = spine.join(obs, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("cents", ignorenulls=True).over(w).alias("cents_filled"),
+        F.col("cents").isNotNull().alias("is_observed"),
+    )
