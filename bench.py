@@ -65,6 +65,7 @@ CLASSICS_SUITE = [
     "xq03_returned_items",
     "xq04_large_volume_customers",
     "xq05_global_avg_filter",
+    "xq06_nation_volume_shipping",
 ]
 
 #: Analytics / curation suite (round-3 continuation): cohort retention,

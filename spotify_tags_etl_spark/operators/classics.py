@@ -342,3 +342,76 @@ def xj01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(cust.withColumnRenamed("band", "r_band"), ev["band"].eqNullSafe(F.col("r_band"))).select(
         "band", "n_events", "n_customers"
     )
+
+
+@register(
+    "xq06_nation_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, {_REV_SQL} / 1000000.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice, l.l_discount
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc=(
+        "TPC-H Q7 shape (volume shipping between two nations, both "
+        "directions, by ship year): six-way join where BOTH nation "
+        "dims broadcast with their selective name filters applied "
+        "below the join — the disjunctive two-direction predicate "
+        "cannot be pushed into either fact scan, but the broadcast "
+        "semi-reduction of supplier/customer by their filtered "
+        "nations shrinks both fact join inputs before the "
+        "orders⋈lineitem exchange (the only wide shuffle). Revenue "
+        "through exact integer micros (classics discipline); output "
+        "cardinality 2 directions x years."
+    ),
+    tags=("join", "aggregate", "tpch"),
+)
+def xq06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    ).alias("n1")
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    ).alias("n2")
+    sup = _t(spark, sf_dir, "supplier").join(
+        n1, F.col("s_nationkey") == F.col("n1.n_nationkey")
+    ).select("s_suppkey", F.col("n1.n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        n2, F.col("c_nationkey") == F.col("n2.n_nationkey")
+    ).select("c_custkey", F.col("n2.n_name").alias("cust_nation"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate")).cast("bigint").alias("l_year"),
+        )
+        .agg((_rev_micros() / 1000000.0).alias("revenue"))
+    )
