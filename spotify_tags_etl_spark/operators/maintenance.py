@@ -817,3 +817,52 @@ def xz03(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_items").alias("n_items"),
         )
     )
+
+
+#: xs02 anonymity threshold.
+_K_ANON = 5
+
+
+@register(
+    "xs02_k_anonymity_audit",
+    oracle=f"""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT
+      MIN(class_size) AS k_anonymity,
+      COUNT(*) AS n_classes,
+      COUNT(*) FILTER (WHERE class_size < {_K_ANON}) AS n_small_classes,
+      CAST(SUM(CASE WHEN class_size < {_K_ANON} THEN class_size END) AS BIGINT)
+        AS n_rows_at_risk
+    FROM classes
+    """,
+    doc=(
+        "k-anonymity audit over a quasi-identifier tuple (nation x "
+        "market segment): equivalence-class sizes, the dataset's "
+        "k-anonymity level (min class size), and the classes/rows "
+        "below the k=5 threshold — the privacy-governance check a "
+        "training-data release runs AFTER tx05's direct-identifier "
+        "redaction (small classes are the re-identification risk "
+        "direct redaction cannot see). One groupBy on the "
+        "quasi-identifier with map-side partials + an O(#classes) "
+        "summary; at 100 TB the class census is the only wide stage "
+        "and generalization ladders (coarsen QI columns until k >= "
+        "threshold) re-run just the census, not the scan."
+    ),
+    tags=("maintenance", "privacy", "audit"),
+)
+def xs02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    classes = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    small = F.col("class_size") < _K_ANON
+    return classes.agg(
+        F.min("class_size").alias("k_anonymity"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count(F.when(small, 1)).alias("n_small_classes"),
+        F.sum(F.when(small, F.col("class_size"))).cast("bigint").alias("n_rows_at_risk"),
+    )
