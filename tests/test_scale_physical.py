@@ -361,3 +361,35 @@ def test_xc01_single_user_exchange(spark, sf_dir):
     plan = _executed_plan(df)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_xn02_windows_share_one_exchange(spark, sf_dir):
+    """Both of xn02's window passes (greedy cumsum + per-source total)
+    must share a single source-keyed exchange — a second shuffle for
+    the unordered total would double the wide work for no reason."""
+    import re
+
+    from spotify_tags_etl_spark.plans import registry
+
+    plan = _executed_plan(registry.get("xn02_token_budget_cap").builder(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_new_maintenance_ops_stay_jvm_side(spark, sf_dir):
+    """xl01/xw02/xz03 are pure DataFrame algebra: no Python eval nodes,
+    and the expected join strategies — xw02's full outer cannot
+    broadcast (SMJ is correct); xl01's spine join and xz03's delta join
+    may broadcast at gate scale."""
+    from spotify_tags_etl_spark.plans import registry
+
+    for name, must_not in (
+        ("xl01_gap_fill_locf", ("EvalPython", "CartesianProduct")),
+        ("xw02_table_diff", ("EvalPython", "BroadcastNestedLoopJoin")),
+        ("xz03_ivm_join_delta", ("EvalPython", "CartesianProduct")),
+    ):
+        plan = _executed_plan(registry.get(name).builder(spark, sf_dir))
+        for bad in must_not:
+            assert bad not in plan, (name, bad)
+    # full outer must be a sort-merge join
+    plan = _executed_plan(registry.get("xw02_table_diff").builder(spark, sf_dir))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
