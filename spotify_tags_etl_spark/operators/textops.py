@@ -781,3 +781,94 @@ def dup_span_detect(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
 )
 def xk01(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_detect(load_table(spark, sf_dir, "documents"))
+
+
+#: xt02 phrase-detection parameters: discount + report size.
+_PHRASE_DELTA = 5
+_PHRASE_TOP = 20
+
+
+@register(
+    "xt02_phrase_merge",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM toks, UNNEST(t) AS u(tok) GROUP BY tok
+    ),
+    n AS (SELECT SUM(c) AS n_tok FROM uni),
+    pairs AS (
+      SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS cab
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY t[i], t[i + 1]
+    )
+    SELECT a, b, cab, score_ppm, rk FROM (
+      SELECT p.a, p.b, p.cab,
+             ((p.cab - {_PHRASE_DELTA}) * 1000000 * n.n_tok) // (ua.c * ub.c) AS score_ppm,
+             ROW_NUMBER() OVER (
+               ORDER BY ((p.cab - {_PHRASE_DELTA}) * 1000000 * n.n_tok) // (ua.c * ub.c) DESC,
+                        p.a, p.b
+             ) AS rk
+      FROM pairs p
+      JOIN uni ua ON ua.tok = p.a
+      JOIN uni ub ON ub.tok = p.b
+      CROSS JOIN n
+      WHERE p.cab > {_PHRASE_DELTA}
+    ) WHERE rk <= {_PHRASE_TOP}
+    """,
+    doc=(
+        "Phrase detection (word2phrase-style merge scoring): ADJACENT "
+        "word bigram counts scored by the discounted integer lift "
+        "(cab - d) * 1e6 * N / (ca * cb) — the vocabulary-induction "
+        "step that decides which token pairs fuse into phrases before "
+        "embedding/tokenizer training. Positional adjacency, unlike "
+        "xt01's anywhere-in-document co-occurrence. Shape: bigrams "
+        "read straight off the token arrays (no self-join), one "
+        "zipfian-hot pair-key aggregate + two broadcast-sized unigram "
+        "joins + a 1-row total broadcast; top-k via a single "
+        "total-order window over the already-aggregated pair frame. "
+        "Integer lift keeps the ranking engine-exact (xt01's no-libm "
+        "discipline); at 1e12-token corpora the lift numerator wants "
+        "DECIMAL(38,0) (int64-exact here, noted)."
+    ),
+    tags=("text", "statistics", "phrases"),
+)
+def xt02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    uni = toks.select(F.explode("t").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+    pairs = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+                    "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") > _PHRASE_DELTA)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        pairs.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(n_tok))
+        .withColumn(
+            "score_ppm",
+            F.expr(f"((cab - {_PHRASE_DELTA}) * 1000000 * n_tok) DIV (ca * cb)"),
+        )
+    )
+    w = Window.orderBy(F.col("score_ppm").desc(), F.col("a"), F.col("b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _PHRASE_TOP)
+        .select("a", "b", "cab", "score_ppm", "rk")
+    )
