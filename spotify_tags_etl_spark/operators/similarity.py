@@ -867,3 +867,45 @@ def xe01(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a0.d") + F.col("a1.d")).alias("qerr"),
         )
     )
+
+
+@register(
+    "xm02_grouped_centroids",
+    oracle="""
+    SELECT label, pos, COUNT(*) AS n,
+           CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+           SUM(CAST(round(val * 1000000) AS BIGINT)) // COUNT(*) AS mean_micro
+    FROM (
+      SELECT e.label, g.i - 1 AS pos, e.embedding[g.i] AS val
+      FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS g(i)
+    )
+    GROUP BY label, pos
+    """,
+    doc=(
+        "Grouped embedding centroids (mean pooling per label): "
+        "posexplode + (label, pos) aggregate over per-element "
+        "integer-quantized values — float summation is accumulation-"
+        "order dependent, so the micros quantize-then-integer-sum is "
+        "what makes centroids retry/layout/engine-exact (vx03's "
+        "k-means discipline as a standalone operator; the class-"
+        "prototype builder for classifier heads, label smoothing, "
+        "and centroid-seeded clustering). Map-side partials carry "
+        "O(labels x dim) bigints per task — the exchange never "
+        "scales with corpus rows. Emitted long-form (label, pos) so "
+        "the oracle is pure SQL; array re-pack is one sort_array over "
+        "collect_list of (pos, mean) structs."
+    ),
+    tags=("vector", "aggregate", "centroid"),
+)
+def xm02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("val") * 1_000_000).cast("bigint")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(q).alias("sum_micro"),
+        )
+        .withColumn("mean_micro", F.expr("sum_micro DIV n"))
+    )
