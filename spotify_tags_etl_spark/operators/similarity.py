@@ -909,3 +909,87 @@ def xm02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("mean_micro", F.expr("sum_micro DIV n"))
     )
+
+
+#: xe02: query stride and top-k (ss01's conventions).
+_BQ_QSTRIDE = 61
+_BQ_TOPK = 5
+
+#: Sign-bit pack of a 64-dim embedding into two 32-bit words (two
+#: BIGINTs): bit i of word w set iff element (32w + i) > 0. Split at 32
+#: keeps every shift < 32 — DuckDB's signed BIGINT << overflows at 63,
+#: and two words sidestep sign-bit semantics in both engines.
+_PACK_SPARK = (
+    "aggregate(sequence(0, 31), 0L, (acc, i) -> acc + CASE WHEN "
+    "element_at(embedding, {off} + i + 1) > 0 THEN shiftleft(1L, i) ELSE 0L END)"
+)
+_PACK_DUCK = (
+    "list_sum(list_transform(generate_series(0, 31), i -> CASE WHEN "
+    "embedding[{off} + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))"
+)
+
+
+@register(
+    "xe02_binary_hamming_ann",
+    oracle=f"""
+    WITH packed AS (
+      SELECT vec_id,
+             {_PACK_DUCK.format(off=0)} AS w0,
+             {_PACK_DUCK.format(off=32)} AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM packed WHERE vec_id % {_BQ_QSTRIDE} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)), c.vec_id
+             ) AS rk
+      FROM q JOIN packed c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, cand_id, hamming, rk FROM scored WHERE rk <= {_BQ_TOPK}
+    """,
+    doc=(
+        "Binary (1-bit) embedding quantization + Hamming top-k: each "
+        "64-dim vector sign-packs into two 32-bit words (one narrow "
+        "expression fold — 64x memory reduction, 16 bytes/vector), "
+        "and retrieval is bit_count(xor) — the binary-passage-"
+        "retrieval rerank-funnel front end, and dd03's SimHash "
+        "machinery applied to REAL embeddings instead of token "
+        "hashes. Broadcast query side x corpus scan (ss01's exact-"
+        "baseline shape; at 1e10 vectors the packed corpus is small "
+        "enough to keep entirely in memory — that is the point of "
+        "the quantization — and banding the words LSH-style (ss02) "
+        "prunes the scan). Integer distances, total-order tiebreaks."
+    ),
+    tags=("vector", "similarity", "quantization"),
+)
+def xe02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(off=0)).alias("w0"),
+        F.expr(_PACK_SPARK.format(off=32)).alias("w1"),
+    )
+    q = packed.where(F.col("vec_id") % _BQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    dist = F.bit_count(F.expr("qw0 ^ w0")) + F.bit_count(F.expr("qw1 ^ w1"))
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            dist.cast("bigint").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _BQ_TOPK)
+        .select("query_id", "cand_id", "hamming", "rk")
+    )
