@@ -1388,3 +1388,85 @@ def xl01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("cents", ignorenulls=True).over(w).alias("cents_filled"),
         F.col("cents").isNotNull().alias("is_observed"),
     )
+
+
+@register(
+    "xf02_funnel_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS mv FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS mc
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.mv
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS mp
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.mc
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT 'view>click' AS step_pair,
+             epoch_us(c.mc) - epoch_us(v.mv) AS us
+      FROM c JOIN v USING (user_id)
+      UNION ALL
+      SELECT 'click>purchase',
+             epoch_us(p.mp) - epoch_us(c.mc)
+      FROM p JOIN c USING (user_id)
+    )
+    SELECT step_pair, COUNT(*) AS n_converted,
+           CAST(quantile_cont(us, 0.5) AS BIGINT) AS p50_us,
+           CAST(quantile_cont(us, 0.9) AS BIGINT) AS p90_us
+    FROM lat GROUP BY step_pair
+    """,
+    doc=(
+        "Funnel conversion latency: xf01's sequential step anchors "
+        "(first view -> first subsequent click -> first subsequent "
+        "purchase) extended with the time-to-convert distribution per "
+        "step pair — exact p50/p90 of the integer microsecond deltas "
+        "(linear-interpolation percentile truncated to bigint, av05's "
+        "cross-engine discipline). The metric funnels are actually "
+        "read for: WHERE users drop off and HOW LONG conversion "
+        "takes. Anchors are one row per user, so every join and the "
+        "percentile input stay key-sized; two-row output."
+    ),
+    tags=("aggregate", "funnel", "eventtime", "percentile"),
+)
+def xf02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("mv"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mc"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("mc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mp"))
+    )
+    lat = (
+        c.join(v, "user_id")
+        .select(
+            F.lit("view>click").alias("step_pair"),
+            (F.unix_micros("mc") - F.unix_micros("mv")).alias("us"),
+        )
+        .unionByName(
+            p.join(c, "user_id").select(
+                F.lit("click>purchase").alias("step_pair"),
+                (F.unix_micros("mp") - F.unix_micros("mc")).alias("us"),
+            )
+        )
+    )
+    return lat.groupBy("step_pair").agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile(F.col("us"), F.lit(0.5)).cast("bigint").alias("p50_us"),
+        F.percentile(F.col("us"), F.lit(0.9)).cast("bigint").alias("p90_us"),
+    )
