@@ -154,3 +154,27 @@ def write_warehouse(
             writer.parquet(f"{out_dir}/{table}")
     finally:
         conformed.unpersist()
+
+
+def observe_quality(df: DataFrame, name: str = "media_quality"):
+    """Attach single-pass quality metrics to a frame: returns
+    ``(observed_df, observation)`` where the Observation yields
+    ``n_rows`` / ``n_invalid`` (the validity_condition rejects) after
+    the FIRST action on ``observed_df`` — no second scan, no separate
+    count() job.
+
+    This is the batch-side observability counterpart of the streaming
+    progress listeners (streaming/ops.py): a 100 TB load shouldn't pay
+    a second full pass just to report how many rows it quarantined, and
+    a .count() on the quarantine split is exactly that second pass.
+    Metrics ride the write action's own scan as an accumulator-style
+    aggregate (any algebraic aggregate works)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(validity_condition(), 0).otherwise(1)).alias("n_invalid"),
+    )
+    return observed, obs

@@ -155,3 +155,24 @@ def test_duckdb_cross_check_gain_select(spark, tables, tmp_path):
         for r in canned.gain_select(tables, -4.0).collect()
     ]
     assert sorted(map(tuple, expected)) == sorted(got)
+
+
+def test_observe_quality_single_pass(spark):
+    """One action on the observed frame must yield BOTH the output and
+    the quarantine metrics — no second scan. Metric values must equal
+    the explicit two-filter split."""
+    from spotify_tags_etl_spark.etl.media import (
+        conform,
+        observe_quality,
+        read_media_json,
+        split_valid,
+    )
+
+    conformed = conform(read_media_json(spark, FIXTURE_PATH))
+    observed, obs = observe_quality(conformed)
+    n_out = observed.count()  # the single action
+    valid, quarantined = split_valid(conformed)
+    metrics = obs.get
+    assert metrics["n_rows"] == n_out
+    assert metrics["n_invalid"] == quarantined.count()
+    assert metrics["n_rows"] - metrics["n_invalid"] == valid.count()
