@@ -1416,22 +1416,33 @@ def xl01(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'click>purchase',
              epoch_us(p.mp) - epoch_us(c.mc)
       FROM p JOIN c USING (user_id)
+    ),
+    ranked AS (
+      SELECT step_pair, us,
+             ROW_NUMBER() OVER (PARTITION BY step_pair ORDER BY us) AS rn,
+             COUNT(*) OVER (PARTITION BY step_pair) AS n
+      FROM lat
     )
-    SELECT step_pair, COUNT(*) AS n_converted,
-           CAST(quantile_cont(us, 0.5) AS BIGINT) AS p50_us,
-           CAST(quantile_cont(us, 0.9) AS BIGINT) AS p90_us
-    FROM lat GROUP BY step_pair
+    SELECT step_pair, MAX(n) AS n_converted,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN us END) AS p50_us,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN us END) AS p90_us
+    FROM ranked GROUP BY step_pair
     """,
     doc=(
         "Funnel conversion latency: xf01's sequential step anchors "
         "(first view -> first subsequent click -> first subsequent "
         "purchase) extended with the time-to-convert distribution per "
-        "step pair — exact p50/p90 of the integer microsecond deltas "
-        "(linear-interpolation percentile truncated to bigint, av05's "
-        "cross-engine discipline). The metric funnels are actually "
-        "read for: WHERE users drop off and HOW LONG conversion "
-        "takes. Anchors are one row per user, so every join and the "
-        "percentile input stay key-sized; two-row output."
+        "step pair — DISCRETE p50/p90 of the integer microsecond "
+        "deltas, selected by exact rank ceil(q*n) so the reported "
+        "quantile is an actual observed delta. (Interpolated "
+        "percentiles were the first cut: Spark's and DuckDB's linear "
+        "interpolation disagree in the last double ulp, and the "
+        "bigint cast amplified that to an off-by-one at one scale "
+        "factor — rank selection is integer-exact at every SF.) The "
+        "metric funnels are actually read for: WHERE users drop off "
+        "and HOW LONG conversion takes. Anchors are one row per "
+        "user, so every join and the quantile input stay key-sized; "
+        "two-row output."
     ),
     tags=("aggregate", "funnel", "eventtime", "percentile"),
 )
@@ -1465,8 +1476,15 @@ def xf02(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return lat.groupBy("step_pair").agg(
-        F.count(F.lit(1)).alias("n_converted"),
-        F.percentile(F.col("us"), F.lit(0.5)).cast("bigint").alias("p50_us"),
-        F.percentile(F.col("us"), F.lit(0.9)).cast("bigint").alias("p90_us"),
+    wp = Window.partitionBy("step_pair")
+    ranked = lat.select(
+        "step_pair",
+        "us",
+        F.row_number().over(wp.orderBy("us")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.groupBy("step_pair").agg(
+        F.max("n").alias("n_converted"),
+        F.max(F.when(F.expr("rn = (n + 1) DIV 2"), F.col("us"))).alias("p50_us"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("us"))).alias("p90_us"),
     )
