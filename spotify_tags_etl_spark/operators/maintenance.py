@@ -866,3 +866,66 @@ def xs02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(small, 1)).alias("n_small_classes"),
         F.sum(F.when(small, F.col("class_size"))).cast("bigint").alias("n_rows_at_risk"),
     )
+
+
+#: xa01: split point (epoch-anchored day) and drift alarm threshold.
+_DRIFT_SPLIT_DAY = 19738  # 2024-01-16: first half vs second half of the span
+_DRIFT_PPM = 10_000  # 1% absolute share shift
+
+
+@register(
+    "xa01_category_drift",
+    oracle=f"""
+    WITH sides AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) // 86400000000 < {_DRIFT_SPLIT_DAY}
+                  THEN 'a' ELSE 'b' END AS side
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             COUNT(*) FILTER (WHERE side = 'a') AS n_a,
+             COUNT(*) FILTER (WHERE side = 'b') AS n_b
+      FROM sides GROUP BY event_type
+    ),
+    tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts)
+    SELECT event_type, n_a, n_b,
+           (1000000 * n_a) // t_a AS share_a_ppm,
+           (1000000 * n_b) // t_b AS share_b_ppm,
+           abs((1000000 * n_a) // t_a - (1000000 * n_b) // t_b) AS drift_ppm,
+           abs((1000000 * n_a) // t_a - (1000000 * n_b) // t_b) > {_DRIFT_PPM}
+             AS drifted
+    FROM counts CROSS JOIN tot
+    """,
+    doc=(
+        "Categorical distribution drift monitor: event-type share in "
+        "an earlier time window vs a later one, with exact integer "
+        "ppm shares and a 1%-absolute-shift alarm — the train/serve "
+        "skew check an ML data pipeline runs between ingest "
+        "generations (uz02 profiles ONE snapshot; this compares "
+        "two). One scan with conditional partial aggregation (no "
+        "self-join of the two windows), an O(#categories) census, "
+        "and a 2-value broadcast total. At 100 TB the windows come "
+        "from partition pruning on the date key and the comparison "
+        "cost is the census only."
+    ),
+    tags=("maintenance", "drift", "quality"),
+)
+def xa01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    is_a = F.expr(f"unix_micros(ts) DIV 86400000000 < {_DRIFT_SPLIT_DAY}")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.when(is_a, 1)).alias("n_a"),
+        F.count(F.when(~is_a, 1)).alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("share_a_ppm", F.expr("(1000000 * n_a) DIV t_a"))
+        .withColumn("share_b_ppm", F.expr("(1000000 * n_b) DIV t_b"))
+        .withColumn("drift_ppm", F.abs(F.col("share_a_ppm") - F.col("share_b_ppm")))
+        .withColumn("drifted", F.col("drift_ppm") > _DRIFT_PPM)
+        .select(
+            "event_type", "n_a", "n_b", "share_a_ppm", "share_b_ppm", "drift_ppm", "drifted"
+        )
+    )
