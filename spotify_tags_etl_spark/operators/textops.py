@@ -872,3 +872,71 @@ def xt02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PHRASE_TOP)
         .select("a", "b", "cab", "score_ppm", "rk")
     )
+
+
+@register(
+    "xo02_winsorize",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM cents
+    ),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = (n + 19) // 20 THEN c END) AS lo,
+             MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN c END) AS hi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT c.event_type, COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE c.c < u.lo) AS n_clipped_lo,
+           COUNT(*) FILTER (WHERE c.c > u.hi) AS n_clipped_hi,
+           CAST(SUM(c.c) AS BIGINT) AS sum_cents_raw,
+           CAST(SUM(LEAST(GREATEST(c.c, u.lo), u.hi)) AS BIGINT) AS sum_cents_wins
+    FROM cents c JOIN cuts u USING (event_type)
+    GROUP BY c.event_type
+    """,
+    doc=(
+        "Per-group winsorization (clip at discrete p5/p95): cutoffs "
+        "are rank-selected ACTUAL values (ceil(q*n) with an event_id "
+        "tiebreak — xf02's integer-exact discrete-quantile "
+        "discipline; interpolated cutoffs would reintroduce the "
+        "cross-engine ulp hazard), broadcast back as an O(#groups) "
+        "frame, then one clamp-and-aggregate pass — the heavy-tail "
+        "containment step before any mean-based training statistic "
+        "(xo01 DETECTS outliers; this bounds their influence). Two "
+        "passes over the measure column: a per-group rank window and "
+        "the clip scan; at sketch scale swap the rank window for "
+        "approx_percentile cutoffs (av12) with the same clamp."
+    ),
+    tags=("quality", "statistics", "robust"),
+)
+def xo02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "c",
+        F.row_number().over(wp.orderBy("c", "event_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.expr("rn = (n + 19) DIV 20"), F.col("c"))).alias("lo"),
+        F.max(F.when(F.expr("rn = (19 * n + 19) DIV 20"), F.col("c"))).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type")
+    wins = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("c") < F.col("lo"), 1)).alias("n_clipped_lo"),
+        F.count(F.when(F.col("c") > F.col("hi"), 1)).alias("n_clipped_hi"),
+        F.sum("c").cast("bigint").alias("sum_cents_raw"),
+        F.sum(wins).cast("bigint").alias("sum_cents_wins"),
+    )
