@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.plans.registry import register
@@ -928,4 +928,77 @@ def xa01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "n_a", "n_b", "share_a_ppm", "share_b_ppm", "drift_ppm", "drifted"
         )
+    )
+
+
+@register(
+    "xw04_cdc_log_compaction",
+    oracle=f"""
+    WITH log AS (
+      SELECT c_custkey, 1 AS seq, 'I' AS op,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, 'U', CAST(round(c_acctbal * 100) AS BIGINT) + 500
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 3, 'D', NULL
+      FROM customer WHERE c_custkey % 31 = 0
+    ),
+    latest AS (
+      SELECT c_custkey, seq, op, acct_cents,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT c_custkey, seq AS last_seq, acct_cents
+    FROM latest WHERE rn = 1 AND op != 'D'
+    """,
+    doc=(
+        "CDC log compaction with DELETE tombstones: an append-only "
+        "change log (insert / update / delete ops, strictly ordered "
+        "per key) compacts to final state by per-key argmax on the "
+        "sequence — and a winning tombstone REMOVES the key, the "
+        "semantic uz01/st08's upsert-only merges never exercise. The "
+        "log is derived deterministically from customer (all inserts, "
+        "every 7th updated, every 31st deleted) so the oracle is pure "
+        "SQL. Shape: ONE key-partitioned window over the log — "
+        "merge-on-read compaction's exact plan; at 100 TB the log is "
+        "bucketed by key at write time and compaction never "
+        "re-shuffles the base (skew.py's contract). Tombstones must "
+        "survive until compaction (never filter 'D' before the "
+        "argmax: a dropped tombstone resurrects the row — the classic "
+        "CDC bug this operator's oracle would catch)."
+    ),
+    tags=("maintenance", "cdc", "compaction"),
+)
+def xw04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_cents")
+    )
+    log = (
+        cust.select(
+            "c_custkey", F.lit(1).alias("seq"), F.lit("I").alias("op"), "acct_cents"
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 7 == 0).select(
+                "c_custkey",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                (F.col("acct_cents") + 500).alias("acct_cents"),
+            )
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") % 31 == 0).select(
+                "c_custkey",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("bigint").alias("acct_cents"),
+            )
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("seq"))
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("c_custkey", F.col("seq").alias("last_seq"), "acct_cents")
     )
