@@ -1488,3 +1488,65 @@ def xf02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.expr("rn = (n + 1) DIV 2"), F.col("us"))).alias("p50_us"),
         F.max(F.when(F.expr("rn = (9 * n + 9) DIV 10"), F.col("us"))).alias("p90_us"),
     )
+
+
+#: xr03 CUSUM alarm threshold: cumulative deviation beyond 3x the mean
+#: daily count (numerators cross-multiplied — no float shares).
+_CUSUM_H_NUM, _CUSUM_H_DEN = 3, 1
+
+
+@register(
+    "xr03_cusum_changepoint",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {86_400 * 1_000_000} AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    base AS (SELECT SUM(c) AS total, COUNT(*) AS nd FROM daily),
+    dev AS (
+      SELECT d.day, d.c,
+             SUM(d.c * b.nd - b.total) OVER (ORDER BY d.day
+                                             ROWS UNBOUNDED PRECEDING) AS cusum_num,
+             b.nd, b.total
+      FROM daily d CROSS JOIN base b
+    )
+    SELECT day, c,
+           cusum_num,
+           cusum_num * {_CUSUM_H_DEN} > {_CUSUM_H_NUM} * total AS alarm
+    FROM dev
+    """,
+    doc=(
+        "CUSUM changepoint detection over daily event volume: the "
+        "running sum of deviations from the global mean daily count, "
+        "alarmed when it exceeds 3x the mean — the temporal "
+        "complement of xa01 (which compares distributions ACROSS "
+        "windows; this finds WHEN the level shifted). All integer: "
+        "deviations are cross-multiplied (c*nd - total keeps the "
+        "mean exact without division), so the cumulative statistic "
+        "is engine-exact. One tiny (O(#days)) aggregate + one "
+        "running-sum window; the scan is the only data-sized stage. "
+        "At scale the daily counts come from uz04's standing rollup "
+        "— change detection then never touches raw events."
+    ),
+    tags=("eventtime", "statistics", "changepoint"),
+)
+def xr03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = daily.agg(F.sum("c").alias("total"), F.count(F.lit(1)).alias("nd"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dev = daily.crossJoin(F.broadcast(base)).withColumn(
+        "cusum_num",
+        F.sum(F.col("c") * F.col("nd") - F.col("total")).over(w),
+    )
+    return dev.select(
+        "day",
+        "c",
+        "cusum_num",
+        (F.col("cusum_num") * _CUSUM_H_DEN > F.lit(_CUSUM_H_NUM) * F.col("total")).alias(
+            "alarm"
+        ),
+    )

@@ -263,3 +263,64 @@ def xb01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_cents"),
     )
+
+
+@register(
+    "xj02_key_skew_metrics",
+    oracle="""
+    WITH kc AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c,
+             ROW_NUMBER() OVER (ORDER BY c, k) AS rn,
+             COUNT(*) OVER () AS nk,
+             SUM(c) OVER () AS total
+      FROM kc
+    )
+    SELECT MAX(nk) AS n_keys,
+           CAST(MAX(total) AS BIGINT) AS n_rows,
+           MAX(c) AS max_key_rows,
+           (1000000 * MAX(c)) // MAX(total) AS max_share_ppm,
+           MAX(CASE WHEN rn = (99 * nk + 99) // 100 THEN c END) AS p99_key_rows
+    FROM ranked
+    """,
+    doc=(
+        "Join-key skew diagnostics: per-key cardinality census over "
+        "the orders fact's customer key — key count, hottest-key row "
+        "share (exact ppm), and the discrete p99 key size (rank-"
+        "selected, xf02's discipline) — the measurement that DECIDES "
+        "whether a join needs wz02's salting or can lean on AQE skew "
+        "split (a max_share_ppm near 1e6/n_reducers means one reducer "
+        "owns the key). One key aggregate + an O(#keys) window; at "
+        "100 TB sample the census or sketch it (av11/av14) — the "
+        "decision only needs the head of the distribution."
+    ),
+    tags=("skew", "statistics", "diagnostics"),
+)
+def xj02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    kc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("c", "k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = kc.select(
+        "c",
+        F.row_number().over(Window.orderBy("c", "k")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("nk"),
+        F.sum("c").over(w).alias("total"),
+    )
+    return ranked.agg(
+        F.max("nk").alias("n_keys"),
+        F.max("total").cast("bigint").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.expr("(1000000 * MAX(c)) DIV MAX(total)").alias("max_share_ppm"),
+        F.max(F.when(F.expr("rn = (99 * nk + 99) DIV 100"), F.col("c"))).alias(
+            "p99_key_rows"
+        ),
+    )
