@@ -1550,3 +1550,64 @@ def xr03(spark: SparkSession, sf_dir: str) -> DataFrame:
             "alarm"
         ),
     )
+
+
+@register(
+    "xr04_clamped_running_balance",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(round(value * 100) AS BIGINT)
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS d
+      FROM events
+    ),
+    sums AS (
+      SELECT user_id, event_id, us, d,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM deltas
+    ),
+    pre AS (
+      SELECT user_id, event_id, d, s,
+             LEAST(0, MIN(s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS m
+      FROM sums
+    )
+    SELECT user_id, event_id, d, s - m AS balance_cents
+    FROM pre
+    """,
+    doc=(
+        "Floor-clamped running balance — the NON-ASSOCIATIVE "
+        "recurrence b_t = max(0, b_(t-1) + d_t) (wallets, inventory, "
+        "rate-limiter tokens) solved in closed window form: "
+        "b_t = cumsum_t - min(0, running_min(cumsum)) — the "
+        "max-drawdown identity — so a recurrence that LOOKS like it "
+        "needs row-at-a-time state (applyInPandas, UDAF loops) runs "
+        "as two stacked windows over ONE user-keyed exchange, fully "
+        "JVM-side at any scale. Purchases debit, everything else "
+        "credits, in integer cents with a (ts, event_id) total "
+        "order. The identity (not just the algebra mirror in the "
+        "oracle) is pinned by a unit test against the literal "
+        "row-by-row recursion."
+    ),
+    tags=("window", "recurrence", "eventtime"),
+)
+def xr04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    d = F.when(F.col("event_type") == "purchase", -cents).otherwise(cents)
+    deltas = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), d.alias("d")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = deltas.withColumn("s", F.sum("d").over(w)).withColumn(
+        "m", F.least(F.lit(0), F.min("s").over(w))
+    )
+    return pre.select(
+        "user_id", "event_id", "d", (F.col("s") - F.col("m")).alias("balance_cents")
+    )

@@ -120,3 +120,44 @@ def test_hll_union_of_daily_equals_direct_weekly(spark, sf_dir):
         .collect()
     }
     assert merged == direct
+
+
+def test_clamped_balance_identity_vs_recursion(spark, sf_dir):
+    """xr04's closed form (cumsum - min(0, running_min(cumsum))) must
+    equal the literal non-associative recurrence b_t = max(0, b_(t-1)
+    + d_t) row by row — the identity is the whole operator, so pin it
+    against ground truth, not just the oracle's algebra mirror."""
+    from collections import defaultdict
+
+    from spotify_tags_etl_spark.plans import registry
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    got = {
+        (r.user_id, r.event_id): r.balance_cents
+        for r in registry.get("xr04_clamped_running_balance").builder(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.when(
+                F.col("event_type") == "purchase",
+                -F.round(F.col("value") * 100).cast("bigint"),
+            )
+            .otherwise(F.round(F.col("value") * 100).cast("bigint"))
+            .alias("d"),
+        )
+        .collect()
+    )
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r.user_id].append((r.us, r.event_id, r.d))
+    expected = {}
+    for uid, rows in seqs.items():
+        b = 0
+        for _, eid, d in sorted(rows):
+            b = max(0, b + d)
+            expected[(uid, eid)] = b
+    assert got == expected
