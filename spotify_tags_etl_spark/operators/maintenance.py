@@ -1002,3 +1002,96 @@ def xw04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("op") != "D"))
         .select("c_custkey", F.col("seq").alias("last_seq"), "acct_cents")
     )
+
+
+@register(
+    "xd02_interval_union_audit",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000 AS e
+      FROM events WHERE event_type = 'click'
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > COALESCE(
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -1) THEN 1 ELSE 0 END AS is_new
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, isl, MIN(s) AS i_s, MAX(e) AS i_e
+      FROM islands GROUP BY user_id, isl
+    )
+    SELECT i.user_id,
+           MAX(n.n_iv) AS n_intervals,
+           COUNT(*) AS n_islands,
+           MAX(n.sum_len) AS sum_len_us,
+           CAST(SUM(i.i_e - i.i_s) AS BIGINT) AS union_len_us,
+           MAX(n.sum_len) - CAST(SUM(i.i_e - i.i_s) AS BIGINT) AS overlap_us
+    FROM merged i
+    JOIN (
+      SELECT user_id, COUNT(*) AS n_iv, CAST(SUM(e - s) AS BIGINT) AS sum_len
+      FROM iv GROUP BY user_id
+    ) n USING (user_id)
+    GROUP BY i.user_id
+    """,
+    doc=(
+        "Interval union / overlap audit (sweep-line as window "
+        "algebra): per-user activity windows (click instant + "
+        "value-cents milliseconds) merge into maximal islands via the "
+        "classic trick — an interval starts a new island iff its "
+        "start exceeds the running max END of everything before it — "
+        "then union coverage, island count, and total overlap "
+        "(sum-of-lengths minus union) fall out of one grouped "
+        "aggregate. The temporal-QA primitive behind SCD2 history "
+        "validation (xd01), on-call coverage, and utilization "
+        "metrics; a per-pair overlap join would be quadratic in "
+        "overlap depth — the sweep is one user-keyed exchange + two "
+        "windows, linear at any scale. All integer microseconds."
+    ),
+    tags=("maintenance", "interval", "window"),
+)
+def xd02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.round(F.col("value") * 100).cast("bigint") * 1000).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "is_new", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0)
+    )
+    islands = marked.withColumn(
+        "isl",
+        F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = islands.groupBy("user_id", "isl").agg(
+        F.min("s").alias("i_s"), F.max("e").alias("i_e")
+    )
+    per_user = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_iv"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("sum_len"),
+    )
+    return (
+        merged.join(per_user, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_iv").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.max("sum_len").alias("sum_len_us"),
+            F.sum(F.col("i_e") - F.col("i_s")).cast("bigint").alias("union_len_us"),
+            (F.max("sum_len") - F.sum(F.col("i_e") - F.col("i_s")).cast("bigint")).alias(
+                "overlap_us"
+            ),
+        )
+    )
