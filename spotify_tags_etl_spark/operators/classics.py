@@ -415,3 +415,51 @@ def xq06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((_rev_micros() / 1000000.0).alias("revenue"))
     )
+
+
+@register(
+    "xq07_late_shipment_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_linestatus
+    """,
+    doc=(
+        "TPC-H Q12 shape (late-shipment priority split, adapted to "
+        "the synthetic schema: linestatus for shipmode, ship-lag > 90 "
+        "days for the commit/receipt lateness chain): one "
+        "orders-lineitem equi-join with a JOIN-DEPENDENT date "
+        "predicate (shipdate vs orderdate + interval — cannot be "
+        "pushed to either scan alone, unlike the year filter, which "
+        "IS pushed to the lineitem scan), then conditional "
+        "partial-agg counts per status. The shuffle is the one "
+        "fact-fact join; the priority CASE folds into map-side "
+        "partials, output is 2 rows."
+    ),
+    tags=("join", "aggregate", "tpch"),
+)
+def xq07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
