@@ -1611,3 +1611,87 @@ def xr04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre.select(
         "user_id", "event_id", "d", (F.col("s") - F.col("m")).alias("balance_cents")
     )
+
+
+@register(
+    "xl02_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, c,
+             CASE WHEN COUNT(*) OVER w7 = 7
+                  THEN SUM(c) OVER w7 // 7 END AS trend7
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dow AS (
+      SELECT day, c, trend7, day % 7 AS dow,
+             SUM(c - trend7) FILTER (WHERE trend7 IS NOT NULL)
+               OVER (PARTITION BY day % 7) AS dow_num,
+             COUNT(*) FILTER (WHERE trend7 IS NOT NULL)
+               OVER (PARTITION BY day % 7) AS dow_n
+      FROM trended
+    )
+    SELECT day, c, trend7, dow,
+           CASE WHEN dow_n > 0 THEN dow_num // dow_n END AS dow_effect,
+           CASE WHEN trend7 IS NOT NULL AND dow_n > 0
+                THEN c - trend7 - dow_num // dow_n END AS residual
+    FROM dow
+    """,
+    doc=(
+        "Additive seasonal decomposition of daily event volume: "
+        "7-day centered moving-average trend (full windows only), "
+        "epoch-anchored day-of-week effect (mean detrended deviation "
+        "per dow), and the residual — classic-decomposition "
+        "mechanics with every division an integer floor, so the "
+        "components are engine-exact (no float means). The "
+        "seasonality-aware complement of xr03's level-shift CUSUM: "
+        "alarm on RESIDUALS, not raw counts, and weekly rhythm stops "
+        "paging you every Monday. Windows run on the O(#days) "
+        "aggregate — the scan is the only data-sized stage, and at "
+        "scale the daily counts come from uz04's standing rollup."
+    ),
+    tags=("eventtime", "statistics", "timeseries"),
+)
+def xl02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend7",
+        F.when(F.count(F.lit(1)).over(w7) == 7, F.expr("SUM(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) DIV 7")),
+    )
+    wd = Window.partitionBy(F.expr("day % 7"))
+    dow = (
+        trended.withColumn("dow", F.expr("day % 7"))
+        .withColumn(
+            "dow_num",
+            F.sum(F.when(F.col("trend7").isNotNull(), F.col("c") - F.col("trend7"))).over(wd),
+        )
+        .withColumn(
+            "dow_n", F.count(F.when(F.col("trend7").isNotNull(), 1)).over(wd)
+        )
+    )
+    # Negative-numerator note: DuckDB's integer // truncates toward
+    # zero (SELECT -3 // 2 -> -1), exactly like Spark's DIV — so the
+    # truncating form is the cross-engine-consistent one here (Python's
+    # flooring // is the odd one out, not DuckDB's).
+    fdiv = F.expr("dow_num DIV dow_n")
+    dow_effect = F.when(F.col("dow_n") > 0, fdiv)
+    return dow.select(
+        "day",
+        "c",
+        "trend7",
+        "dow",
+        dow_effect.alias("dow_effect"),
+        F.when(
+            F.col("trend7").isNotNull() & (F.col("dow_n") > 0),
+            F.col("c") - F.col("trend7") - fdiv,
+        ).alias("residual"),
+    )
