@@ -1695,3 +1695,56 @@ def xl02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c") - F.col("trend7") - fdiv,
         ).alias("residual"),
     )
+
+
+@register(
+    "xg02_user_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             STRING_AGG(event_type, '>' ORDER BY rn) AS path
+      FROM ordered WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    """,
+    doc=(
+        "User journey path extraction (sankey / flow-diagram prep): "
+        "each user's FIRST THREE event types under the total (ts, "
+        "event_id) order concatenated into a path string, counted "
+        "across users — the onboarding-flow census behind every "
+        "product-analytics flow chart (xg01 counts pairwise "
+        "transitions anywhere; this keeps position and order from "
+        "the journey's start). One user-keyed window + an ordered "
+        "in-group string agg + an O(|types|^3)-cardinality count. "
+        "The rank filter caps state at 3 rows per user regardless of "
+        "history length."
+    ),
+    tags=("window", "sequence", "analytics"),
+)
+def xg02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type").alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
