@@ -993,3 +993,128 @@ def xe02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _BQ_TOPK)
         .select("query_id", "cand_id", "hamming", "rk")
     )
+
+
+#: xz05: RRF constant, per-system depth, fused report size.
+_RRF_K = 60
+_RRF_DEPTH = 20
+_RRF_TOP = 10
+
+
+@register(
+    "xz05_rrf_hybrid_fusion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS q_norm
+      FROM embeddings WHERE vec_id % {_BQ_QSTRIDE} = 0
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding AS c_vec,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS c_norm
+      FROM embeddings
+    ),
+    cos_rank AS (
+      SELECT q_id, c_id, rk FROM (
+        SELECT q.q_id, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_ORACLE_DOT.format(a='q_vec', b='c_vec')}
+                          / NULLIF(q_norm * c_norm, 0) DESC, c.c_id
+               ) AS rk
+        FROM q JOIN c ON q.q_id <> c.c_id
+      ) WHERE rk <= {_RRF_DEPTH}
+    ),
+    packed AS (
+      SELECT vec_id,
+             {_PACK_DUCK.format(off=0)} AS w0,
+             {_PACK_DUCK.format(off=32)} AS w1
+      FROM embeddings
+    ),
+    pq AS (SELECT * FROM packed WHERE vec_id % {_BQ_QSTRIDE} = 0),
+    ham_rank AS (
+      SELECT q_id, c_id, rk FROM (
+        SELECT pq.vec_id AS q_id, pc.vec_id AS c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pq.vec_id
+                 ORDER BY bit_count(xor(pq.w0, pc.w0)) + bit_count(xor(pq.w1, pc.w1)),
+                          pc.vec_id
+               ) AS rk
+        FROM pq JOIN packed pc ON pc.vec_id != pq.vec_id
+      ) WHERE rk <= {_RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(cr.q_id, hr.q_id) AS q_id,
+             COALESCE(cr.c_id, hr.c_id) AS c_id,
+             COALESCE(1.0 / ({_RRF_K} + cr.rk), 0)
+               + COALESCE(1.0 / ({_RRF_K} + hr.rk), 0) AS rrf
+      FROM cos_rank cr
+      FULL OUTER JOIN ham_rank hr ON cr.q_id = hr.q_id AND cr.c_id = hr.c_id
+    )
+    SELECT q_id, c_id, ROUND(rrf, 9) AS rrf_r, rk FROM (
+      SELECT q_id, c_id, rrf,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, c_id) AS rk
+      FROM fused
+    ) WHERE rk <= {_RRF_TOP}
+    """,
+    doc=(
+        "Reciprocal-rank fusion of two retrieval systems — exact "
+        "dense cosine (ss01's ranking) and binary Hamming (xe02's) — "
+        "the standard hybrid-search combiner: score = sum over "
+        "systems of 1/(60 + rank), full-outer joined per (query, "
+        "candidate) so a hit in EITHER system scores. Rank inputs "
+        "are integers with total-order tiebreaks, each RRF term is "
+        "one double division of identical integers, and the sum has "
+        "a fixed two-term order — engine-exact without any float "
+        "accumulation ambiguity. Shape: both rankings are per-query "
+        "top-20 (broadcast query side), so the fusion join input is "
+        "O(|Q| x depth), trivially small at any corpus scale — the "
+        "pattern that lets a 100 TB corpus serve hybrid search from "
+        "two independent index scans plus a final O(depth) merge."
+    ),
+    tags=("similarity", "fusion", "ranking"),
+)
+def xz05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # dense cosine ranking (ss01's machinery, depth-20)
+    cos = cosine_topk(
+        emb.where(F.col("vec_id") % _BQ_QSTRIDE == 0), emb, k=_RRF_DEPTH
+    ).select("q_id", "c_id", F.col("rank").alias("cr"))
+
+    # binary hamming ranking (xe02's machinery, depth-20)
+    packed = emb.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(off=0)).alias("w0"),
+        F.expr(_PACK_SPARK.format(off=32)).alias("w1"),
+    )
+    pq = packed.where(F.col("vec_id") % _BQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    dist = F.bit_count(F.expr("qw0 ^ w0")) + F.bit_count(F.expr("qw1 ^ w1"))
+    wh = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    ham = (
+        packed.crossJoin(F.broadcast(pq))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dist.alias("hamming"))
+        .withColumn("hr", F.row_number().over(wh))
+        .where(F.col("hr") <= _RRF_DEPTH)
+        .select("q_id", "c_id", "hr")
+    )
+
+    fused = (
+        cos.join(ham, ["q_id", "c_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("cr")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("hr")), F.lit(0.0)),
+        )
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("c_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= _RRF_TOP)
+        .select("q_id", "c_id", F.round("rrf", 9).alias("rrf_r"), "rk")
+    )
