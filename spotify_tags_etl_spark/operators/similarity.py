@@ -1118,3 +1118,143 @@ def xz05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RRF_TOP)
         .select("q_id", "c_id", F.round("rrf", 9).alias("rrf_r"), "rk")
     )
+
+
+#: xe04 ADC retrieval depth.
+_ADC_TOP = 10
+
+
+@register(
+    "xe04_pq_adc_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_QSCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id,
+             qv[1 : len(qv) // 2] AS q0,
+             qv[len(qv) // 2 + 1 : len(qv)] AS q1
+      FROM q
+    ),
+    cb AS (SELECT vec_id AS cw_id, q0 AS c0, q1 AS c1 FROM p WHERE vec_id < {_PQ_K}),
+    d AS (
+      SELECT p.vec_id, cb.cw_id,
+             CAST(list_sum(list_transform(range(1, len(p.q0) + 1),
+               i -> (p.q0[i] - cb.c0[i]) * (p.q0[i] - cb.c0[i]))) AS BIGINT) AS d0,
+             CAST(list_sum(list_transform(range(1, len(p.q1) + 1),
+               i -> (p.q1[i] - cb.c1[i]) * (p.q1[i] - cb.c1[i]))) AS BIGINT) AS d1
+      FROM p CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT a0.vec_id, a0.code0, a1.code1 FROM
+        (SELECT vec_id, cw_id AS code0 FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d0, cw_id) rn FROM d)
+         WHERE rn = 1) a0
+      JOIN
+        (SELECT vec_id, cw_id AS code1 FROM
+           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d1, cw_id) rn FROM d)
+         WHERE rn = 1) a1
+      USING (vec_id)
+    ),
+    adc AS (
+      SELECT d.vec_id AS q_id, d.cw_id, d.d0, d.d1
+      FROM d WHERE d.vec_id % {_BQ_QSTRIDE} = 0
+    ),
+    scored AS (
+      SELECT a.q_id, c.vec_id AS c_id,
+             t0.d0 + t1.d1 AS adc_dist
+      FROM codes c
+      JOIN (SELECT DISTINCT q_id FROM adc) a ON c.vec_id != a.q_id
+      JOIN adc t0 ON t0.q_id = a.q_id AND t0.cw_id = c.code0
+      JOIN adc t1 ON t1.q_id = a.q_id AND t1.cw_id = c.code1
+    )
+    SELECT q_id, c_id, adc_dist, rk FROM (
+      SELECT q_id, c_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, c_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_ADC_TOP}
+    """,
+    doc=(
+        "PQ asymmetric-distance (ADC) retrieval: xe01's 2x16 codes "
+        "become the ONLY per-vector payload the scan touches — each "
+        "query precomputes a 2x16 integer distance TABLE to the "
+        "codewords (one narrow fold over the broadcast codebook), and "
+        "a candidate's score is two table lookups (element_at by "
+        "code), never a d-dimensional dot product. The compressed-"
+        "domain retrieval step that makes PQ useful: at 1e10 vectors "
+        "the scan reads 2 bytes of codes instead of 256 bytes of "
+        "floats, the query tables broadcast at O(|Q| x 32) bigints, "
+        "and the only shuffle is the per-query top-k merge (local "
+        "top-k per partition first at scale — ss03's partial-merge "
+        "pattern). Exact integer arithmetic end to end; tiebreaks "
+        "total."
+    ),
+    tags=("similarity", "pq", "ann"),
+)
+def xe04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.select(
+            "vec_id",
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {_PQ_QSCALE}) AS BIGINT))"
+            ).alias("qv"),
+        )
+        .withColumn("q0", F.expr("slice(qv, 1, size(qv) DIV 2)"))
+        .withColumn("q1", F.expr("slice(qv, size(qv) DIV 2 + 1, size(qv) - size(qv) DIV 2)"))
+        .drop("qv")
+    )
+    cb_row = (
+        base.where(F.col("vec_id") < _PQ_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cw_id"),
+                F.col("q0").alias("c0"),
+                F.col("q1").alias("c1"),
+            ).alias("cw")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("cw")).alias("cb"))
+    )
+
+    def _dist(qcol: str, ccol: str) -> str:
+        return (
+            f"aggregate(zip_with({qcol}, c.{ccol}, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0 AS BIGINT), (a, v) -> a + v)"
+        )
+
+    with_cb = base.crossJoin(F.broadcast(cb_row))
+    # corpus codes: per-subspace argmin over the broadcast codebook (xe01)
+    codes = with_cb.select(
+        "vec_id",
+        F.expr(f"array_min(transform(cb, c -> struct({_dist('q0','c0')} AS d, c.cw_id AS id))).id").alias("code0"),
+        F.expr(f"array_min(transform(cb, c -> struct({_dist('q1','c1')} AS d, c.cw_id AS id))).id").alias("code1"),
+    )
+    # query ADC tables: cw_id-ordered arrays of the 16 per-subspace distances
+    # (cb is sorted by cw_id = 0..15, so position i+1 holds codeword i)
+    qtables = with_cb.where(F.col("vec_id") % _BQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.expr(f"transform(cb, c -> {_dist('q0','c0')})").alias("t0"),
+        F.expr(f"transform(cb, c -> {_dist('q1','c1')})").alias("t1"),
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtables))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("c_id"),
+            (
+                F.element_at(F.col("t0"), F.col("code0").cast("int") + 1)
+                + F.element_at(F.col("t1"), F.col("code1").cast("int") + 1)
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ADC_TOP)
+        .select("q_id", "c_id", "adc_dist", "rk")
+    )
