@@ -1258,3 +1258,103 @@ def xe04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _ADC_TOP)
         .select("q_id", "c_id", "adc_dist", "rk")
     )
+
+
+@register(
+    "xe05_ann_recall_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS q_norm
+      FROM embeddings WHERE vec_id % {_BQ_QSTRIDE} = 0
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding AS c_vec,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS c_norm
+      FROM embeddings
+    ),
+    truth AS (
+      SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY {_ORACLE_DOT.format(a='q_vec', b='c_vec')}
+                          / NULLIF(q_norm * c_norm, 0) DESC, c.c_id
+               ) AS rk
+        FROM q JOIN c ON q.q_id <> c.c_id
+      ) WHERE rk <= {_ADC_TOP}
+    ),
+    packed AS (
+      SELECT vec_id,
+             {_PACK_DUCK.format(off=0)} AS w0,
+             {_PACK_DUCK.format(off=32)} AS w1
+      FROM embeddings
+    ),
+    pq AS (SELECT * FROM packed WHERE vec_id % {_BQ_QSTRIDE} = 0),
+    approx AS (
+      SELECT q_id, c_id FROM (
+        SELECT pq.vec_id AS q_id, pc.vec_id AS c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pq.vec_id
+                 ORDER BY bit_count(xor(pq.w0, pc.w0)) + bit_count(xor(pq.w1, pc.w1)),
+                          pc.vec_id
+               ) AS rk
+        FROM pq JOIN packed pc ON pc.vec_id != pq.vec_id
+      ) WHERE rk <= {_ADC_TOP}
+    )
+    SELECT t.q_id,
+           COUNT(*) AS k,
+           COUNT(a.c_id) AS n_hit,
+           (1000000 * COUNT(a.c_id)) // COUNT(*) AS recall_ppm
+    FROM truth t
+    LEFT JOIN approx a ON a.q_id = t.q_id AND a.c_id = t.c_id
+    GROUP BY t.q_id
+    """,
+    doc=(
+        "ANN recall evaluation AS an operator ('measure, don't "
+        "guess' as a query): per query, recall@10 of the binary-"
+        "Hamming ranking (xe02) against the exact cosine truth (ss01) "
+        "— truth LEFT-semi-matched to the approximate set, exact "
+        "integer ppm recall. The eval harness every production ANN "
+        "deployment schedules next to its index build, here held to "
+        "the same hash gate as the indexes themselves. Both rankings "
+        "are per-query top-k over a broadcast query side, the eval "
+        "join is O(|Q| x k) rows — free at any corpus scale."
+    ),
+    tags=("similarity", "evaluation", "ann"),
+)
+def xe05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = cosine_topk(
+        emb.where(F.col("vec_id") % _BQ_QSTRIDE == 0), emb, k=_ADC_TOP
+    ).select("q_id", "c_id")
+
+    packed = emb.select(
+        "vec_id",
+        F.expr(_PACK_SPARK.format(off=0)).alias("w0"),
+        F.expr(_PACK_SPARK.format(off=32)).alias("w1"),
+    )
+    pq = packed.where(F.col("vec_id") % _BQ_QSTRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    dist = F.bit_count(F.expr("qw0 ^ w0")) + F.bit_count(F.expr("qw1 ^ w1"))
+    wh = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    approx = (
+        packed.crossJoin(F.broadcast(pq))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("c_id"), dist.alias("hamming"))
+        .withColumn("rk", F.row_number().over(wh))
+        .where(F.col("rk") <= _ADC_TOP)
+        .select("q_id", "c_id", F.lit(1).alias("hit"))
+    )
+    return (
+        truth.join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.count("hit").alias("n_hit"),
+            F.expr("(1000000 * COUNT(hit)) DIV COUNT(1)").alias("recall_ppm"),
+        )
+    )
