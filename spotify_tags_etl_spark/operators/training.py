@@ -710,3 +710,67 @@ def xn02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(BUDGET_DEN) * (F.col("cum") - F.col("n_chars"))
         < F.lit(BUDGET_NUM) * F.col("total")
     ).select("source", "doc_id", "n_chars", "cum")
+
+
+#: xi02 temporal split: test = last 7 days, embargo gap = 2 days.
+SPLIT_TEST_DAYS, SPLIT_EMBARGO_DAYS = 7, 2
+_DAY_US_T = 86_400 * 1_000_000
+
+
+@register(
+    "xi02_temporal_embargo_split",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MAX(epoch_us(ts)) // {_DAY_US_T} AS max_day FROM events
+    ),
+    labeled AS (
+      SELECT e.event_id, e.user_id,
+             CASE
+               WHEN epoch_us(e.ts) // {_DAY_US_T} > b.max_day - {SPLIT_TEST_DAYS}
+                 THEN 'test'
+               WHEN epoch_us(e.ts) // {_DAY_US_T}
+                    > b.max_day - {SPLIT_TEST_DAYS + SPLIT_EMBARGO_DAYS}
+                 THEN 'embargo'
+               ELSE 'train'
+             END AS split
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM labeled GROUP BY split
+    """,
+    doc=(
+        "Temporal train/test split with an embargo gap: test = the "
+        "last 7 event-days, train = everything at least 2 days older "
+        "than the test window, the gap EXCLUDED from both — the "
+        "leakage-hygiene split for forecasting/ranking models where "
+        "tz02's hash split would leak future signal through "
+        "time-correlated rows (and through windowed features that "
+        "straddle the boundary — the embargo is what absorbs feature "
+        "lookback). Boundary from a 1-row max aggregate fused back "
+        "as a literal comparison; the labeling is a narrow scan-time "
+        "CASE — at 100 TB it prunes to partition predicates on the "
+        "date key. Split census output; the labeled frame itself is "
+        "the narrow projection."
+    ),
+    tags=("training", "split", "eventtime"),
+)
+def xi02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.sources.tpch import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    bounds = ev.agg(F.expr(f"MAX(unix_micros(ts)) DIV {_DAY_US_T}").alias("max_day"))
+    day = F.expr(f"unix_micros(ts) DIV {_DAY_US_T}")
+    split = (
+        F.when(day > F.col("max_day") - SPLIT_TEST_DAYS, "test")
+        .when(day > F.col("max_day") - (SPLIT_TEST_DAYS + SPLIT_EMBARGO_DAYS), "embargo")
+        .otherwise("train")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("event_id", "user_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -1161,3 +1161,80 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
 )
 def xk03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_hll_rollup(spark, sf_dir, read_events_stream(spark, sf_dir))
+
+
+#: xw05 candidate watermark delays (minutes) audited against the log.
+_WM_CANDIDATES_MIN = (1, 10, 60)
+
+#: Deterministic bounded-jitter arrival model: each event arrives at
+#: event-time + 0..4095 seconds of Knuth-hash jitter — the mostly-
+#: ordered-with-bounded-disorder shape real ingest has (a full random
+#: permutation would mark ~everything late; zero jitter marks nothing).
+#: Pure integer arithmetic, identical in both engines.
+_ARR = "(epoch_us(ts) + ((event_id * 2654435761) % 4096) * 1000000)"
+_ARR_SPARK = "(unix_micros(ts) + ((event_id * 2654435761) % 4096) * 1000000)"
+
+
+@register(
+    "xw05_watermark_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (ORDER BY {_ARR}, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS hwm
+      FROM events
+    ),
+    lateness AS (SELECT event_id, hwm - us AS late_us FROM arr)
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT {m} AS watermark_min, COUNT(*) AS n_events, "
+          f"COUNT(*) FILTER (WHERE late_us > {m * 60 * 1_000_000}) AS n_dropped, "
+          f"(1000000 * COUNT(*) FILTER (WHERE late_us > {m * 60 * 1_000_000})) // COUNT(*) AS drop_ppm "
+          "FROM lateness"
+          for m in _WM_CANDIDATES_MIN
+      )}
+    )
+    ORDER BY watermark_min
+    """,
+    doc=(
+        "Watermark lateness audit: replay the event log in ARRIVAL "
+        "order (event time plus 0-68 min of deterministic Knuth-hash "
+        "jitter - bounded out-of-orderness, the shape real ingest "
+        "has), track the running "
+        "event-time high-water mark, and for each candidate watermark "
+        "delay count the events that would have been DROPPED as "
+        "too-late — the measurement that chooses st01/st02's "
+        "watermark instead of guessing it ('measure, don't guess' "
+        "applied to streaming design; the drop rate IS the "
+        "correctness cost of each state-size choice). One running-max "
+        "window over arrival order + one conditional aggregate; at "
+        "scale the arrival order is the ingest log's own order, so "
+        "the window is a partition-local scan over log segments with "
+        "carried offsets."
+    ),
+    tags=("streaming", "watermark", "audit"),
+)
+def xw05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.sources.tpch import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    w = Window.orderBy(F.expr(_ARR_SPARK), F.col("event_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    late = ev.select(
+        (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("late_us")
+    )
+    out = None
+    for m in _WM_CANDIDATES_MIN:
+        thr = m * 60 * 1_000_000  # precomputed: a 60-min literal product
+        # written inline would overflow INT32 in both engines' parsers
+        row = late.agg(
+            F.lit(m).alias("watermark_min"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("late_us") > thr, 1)).alias("n_dropped"),
+            F.expr(
+                f"(1000000 * COUNT(CASE WHEN late_us > {thr} THEN 1 END)) DIV COUNT(1)"
+            ).alias("drop_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
