@@ -393,3 +393,24 @@ def test_new_maintenance_ops_stay_jvm_side(spark, sf_dir):
     # full outer must be a sort-merge join
     plan = _executed_plan(registry.get("xw02_table_diff").builder(spark, sf_dir))
     assert "SortMergeJoin" in plan and "FullOuter" in plan
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the partition-key predicate lives
+    on a JOINED dim (not the fact scan), Catalyst must inject a runtime
+    subquery filter into the fact's PartitionFilters — the optimization
+    that makes star-schema date filters prune a partitioned 100 TB fact
+    without a literal predicate. Visible as 'dynamicpruning' in the
+    fact scan."""
+    out = str(tmp_path / "docs_by_lang_dpp")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("en", "english"), ("de", "german")], "lang string, lang_name string"
+    ).where(F.col("lang_name") == "english")
+    joined = fact.join(dim, "lang").select("doc_id", "n_chars")
+    plan = _formatted_plan(spark, joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert joined.count() == n_en
