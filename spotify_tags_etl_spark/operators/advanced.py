@@ -1748,3 +1748,177 @@ def xg02(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# xg03 — fixed-iteration PageRank over the event-transition graph
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for PageRank mass (1e12): ranks are BIGINTs in
+#: units of 1e-12, so every arithmetic step is exact integer math —
+#: float damping sums would make the result depend on accumulation
+#: order and diverge between engines at the last ulp.
+PR_SCALE = 1_000_000_000_000
+PR_ITERS = 3
+
+
+def _transition_edges(ev: DataFrame) -> DataFrame:
+    """Weighted edge list src->dst from per-user consecutive events
+    (same derivation as xg01's transition matrix)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def pagerank_fixed(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-exact weighted PageRank, ``iters`` unrolled iterations.
+
+    rank'(v) = (15*SCALE) DIV 100 + (85 * sum_in((rank(u)*w_uv) DIV out_w(u))) DIV 100
+
+    Deliberate fixed-point semantics: DIV floors once per edge and once
+    per damping step, so the result is a deterministic function of the
+    graph — reproducible across engines, partitionings, and retries
+    (the property float PageRank lacks). Nodes without out-edges drop
+    their mass (standard simplification, documented); nodes without
+    in-edges keep the base (0.15) mass.
+
+    Scale shape: the expensive part is the ONE windowed pass deriving
+    edges; each iteration is a join on the edge list + an aggregate of
+    |E| rows into |V| — with |V| (distinct keys) small the rank frame
+    broadcasts, so iterations add NO wide shuffle of the event corpus.
+    At web scale this becomes the classic partition-by-src iterate
+    (rank frame co-partitioned with edges); the unrolled-loop plan here
+    is exactly that shape with broadcast substituted for the small side.
+    """
+    outw = edges.groupBy("src").agg(F.sum("cnt").alias("out_w"))
+    e = edges.join(outw, "src")
+    rank = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    base = (15 * PR_SCALE) // 100
+    for _ in range(iters):
+        contrib = (
+            e.join(F.broadcast(rank.withColumnRenamed("node", "src")), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.expr("(rank * cnt) DIV out_w")).alias("contrib"))
+        )
+        rank = (
+            nodes.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "node")), "node", "left"
+            )
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(85 * coalesce(contrib, 0)) DIV 100"))
+                .cast("bigint")
+                .alias("rank"),
+            )
+        )
+    return rank.orderBy("node")
+
+
+def _pr_oracle_sql(iters: int = PR_ITERS) -> str:
+    base = (15 * PR_SCALE) // 100
+    ctes = [
+        f"""seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS out_w FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""r{i + 1} AS (
+      SELECT n.node,
+             CAST({base} + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((r.rank * e.cnt) // o.out_w) AS BIGINT) AS contrib
+        FROM edges e JOIN outw o ON e.src = o.src JOIN r{i} r ON r.node = e.src
+        GROUP BY e.dst
+      ) c ON n.node = c.node
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT node, rank FROM r{iters} ORDER BY node"
+    )
+
+
+@register(
+    "xg03_pagerank_transitions",
+    oracle=_pr_oracle_sql(),
+    doc=(
+        "Fixed-point integer PageRank over the event-type transition "
+        "graph (edges = xg01's per-user consecutive-event counts), "
+        f"{PR_ITERS} unrolled iterations, damping 0.85, ranks as "
+        "BIGINT mass in units of 1e-12. Demonstrates the iterative- "
+        "algorithm pattern as deterministic DataFrame algebra: one "
+        "wide pass derives the graph, then each iteration is an "
+        "edge-join + aggregate with the rank vector broadcast — no "
+        "further pass over the corpus (connected-components cousin: "
+        "vz01's min-label propagation)."
+    ),
+    tags=("graph", "iterative"),
+)
+def xg03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    return pagerank_fixed(nodes, _transition_edges(ev))
+
+
+# ---------------------------------------------------------------------------
+# xl03 — per-user rolling median of event value (trailing 7 events)
+# ---------------------------------------------------------------------------
+
+#: Trailing-window length (current row + 6 predecessors).
+ROLLMED_LOOKBACK = 6
+
+
+@register(
+    "xl03_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           quantile_cont(CAST(ROUND(value * 100, 0) AS BIGINT), 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLMED_LOOKBACK} PRECEDING AND CURRENT ROW
+           ) AS med_cents
+    FROM events
+    """,
+    doc=(
+        "Per-user rolling median of the event value over the trailing "
+        f"{ROLLMED_LOOKBACK + 1}-event window — the robust-baseline "
+        "smoother (median is outlier-immune where xl02's moving mean "
+        "is not). Exact discrete median over integer cents with linear "
+        "interpolation on even counts (Spark percentile == DuckDB "
+        "quantile_cont; interpolated halves of integers are exact in "
+        "doubles, so the cross-engine hash is stable — no float "
+        "summation anywhere). ONE shuffle on user_id under a rows "
+        "frame; state per row is the O(k) trailing buffer, the same "
+        "shape as every lag/lead window here (at 100 TB the k-row "
+        "frame keeps window state constant-size — contrast an "
+        "unbounded range frame whose state grows with history)."
+    ),
+    tags=("window", "timeseries", "robust"),
+)
+def xl03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc())
+        .rowsBetween(-ROLLMED_LOOKBACK, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    return ev.withColumn("__cents", cents).select(
+        "event_id",
+        "user_id",
+        F.expr("percentile(__cents, 0.5)").over(w).alias("med_cents"),
+    )

@@ -1095,3 +1095,72 @@ def xd02(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# xv03 — date-partitioned layout + partition-pruned scan
+# ---------------------------------------------------------------------------
+
+#: Date window the pruned scan reads back (fixture events span 2024-01).
+XV03_LO, XV03_HI = "2024-01-08", "2024-01-14"
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    """Deterministic per-sf-dir target under /tmp (overwritten each run)."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join("/tmp/spark_graft_xv03", tag)
+
+
+def write_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize events as a date-partitioned parquet dataset
+    (``event_date=YYYY-MM-DD/`` directories) — the layout step every
+    event warehouse runs so that time-ranged queries prune I/O."""
+    path = partitioned_events_path(sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    return path
+
+
+@register(
+    "xv03_partition_prune_scan",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '{XV03_LO}' AND DATE '{XV03_HI}'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Partition-pruning round trip: write events date-partitioned "
+        "(dynamic partitionBy on to_date(ts)), then aggregate one "
+        "calendar week reading ONLY those directories — the scan's "
+        "PartitionFilters prune ~77% of files before any I/O "
+        "(asserted in tests/test_scale_physical.py). This is the "
+        "layout contract every 100 TB event store lives by: time-range "
+        "queries must touch O(range) bytes, not O(history); the same "
+        "mechanism gives retention deletes (drop directories) for "
+        "free. Writer side: dynamic partition overwrite, one file per "
+        "(task, date) — at scale preceded by a repartition on the "
+        "partition column to bound small files (uz03's z-order is the "
+        "within-file cousin)."
+    ),
+    tags=("source", "layout", "pruning"),
+)
+def xv03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = write_partitioned_events(spark, sf_dir)
+    part = spark.read.parquet(path)
+    return (
+        part.where(
+            F.col("event_date").between(F.lit(XV03_LO).cast("date"), F.lit(XV03_HI).cast("date"))
+        )
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )

@@ -1,0 +1,139 @@
+"""Mergeable frequency sketches: count-min heavy-hitter estimation.
+
+Companion family to the cardinality sketches (av11 KMV, xk02 HLL rollup
+merge in ``operators/advanced.py``): where those answer "how many
+DISTINCT keys", count-min answers "how often does THIS key occur"
+without per-key state. The reference has no sketch surface at all
+(SURVEY.md §2.4 stops at exact aggregation); at the 100 TB design point
+frequency estimation over a key space too wide for an exact groupBy
+(URLs, n-grams, user agents) is a standard curation primitive.
+
+Cross-engine determinism: the sketch's hash functions are the md5-hex
+idiom shared with ``functions/hashing.py`` — ``uint32(md5(j || ':' ||
+key)) % width`` — identical in Spark and DuckDB, so the full sketch
+(and therefore every estimate) is bit-reproducible across engines,
+retries, and layouts. No engine-private hash (xxhash64) anywhere.
+
+Scale notes (100 TB):
+
+* The sketch is ``DEPTH x WIDTH`` counters REGARDLESS of corpus size or
+  key cardinality: the explode is a map-side narrow op and the groupBy
+  partial-aggregates into at most D*W cells per task before ONE shuffle
+  of O(D*W * n_tasks) pre-combined rows — never O(rows).
+* Counters are additive: sketches from different partitions, days, or
+  streams merge by cell-wise sum (the groupBy IS the merge), which is
+  what makes this the streaming/incremental frequency primitive.
+* Estimation joins candidates against the (tiny, broadcast) sketch and
+  takes the min across depths. The candidate set here is the observed
+  distinct keys (enumerable for this column); at n-gram scale the
+  candidates come from a sampled pre-pass, the sketch itself never
+  changes shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+#: Count-min geometry: 4 independent hash rows x 256 buckets. Error
+#: bound: overestimate <= e * N / WIDTH with prob 1 - e^-DEPTH; at the
+#: fixture's N=10k events that is a tight enough bound that the top-1
+#: heavy hitter is unambiguous, while the shape (explode-D, groupBy,
+#: min-across-depths) is exactly the 100 TB one.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _bucket_spark(j: F.Column, key: F.Column) -> F.Column:
+    """uint32(md5(j || ':' || key)) % CMS_WIDTH — engine-portable."""
+    h = F.md5(F.concat_ws(":", j.cast("string"), key))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(CMS_WIDTH)).alias(
+        "bucket"
+    )
+
+
+def _bucket_sql(j: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {key}), 1, 8))::UBIGINT "
+        f"% {CMS_WIDTH} AS BIGINT)"
+    )
+
+
+def cms_sketch(df: DataFrame, key_col: str) -> DataFrame:
+    """Build the count-min table: (j, bucket, c) with c additive."""
+    j = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("j")
+    incr = df.select(F.col(key_col).alias("k")).select("k", j)
+    return (
+        incr.select("j", _bucket_spark(F.col("j"), F.col("k")))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str) -> DataFrame:
+    """Point-estimate each candidate key: min over depths of its cell."""
+    j = F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("j")
+    kb = candidates.select(F.col(key_col).alias("k")).select("k", j)
+    kb = kb.select("k", "j", _bucket_spark(F.col("j"), F.col("k")))
+    return (
+        kb.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+@register(
+    "xz06_cms_heavy_hitters",
+    oracle=f"""
+    WITH inc AS (
+      SELECT j.j,
+             {_bucket_sql('j.j', 'e.event_type')} AS bucket
+      FROM events e CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+    ),
+    sketch AS (SELECT j, bucket, COUNT(*) AS c FROM inc GROUP BY j, bucket),
+    keys AS (SELECT event_type, COUNT(*) AS exact_count FROM events GROUP BY event_type),
+    kb AS (
+      SELECT k.event_type, k.exact_count, j.j,
+             {_bucket_sql('j.j', 'k.event_type')} AS bucket
+      FROM keys k CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS j) j
+    )
+    SELECT kb.event_type,
+           MIN(s.c) AS est_count,
+           kb.exact_count,
+           MIN(s.c) - kb.exact_count AS overcount
+    FROM kb JOIN sketch s USING (j, bucket)
+    GROUP BY kb.event_type, kb.exact_count
+    ORDER BY kb.event_type
+    """,
+    doc=(
+        "Count-min sketch frequency estimation over event_type: build a "
+        f"{CMS_DEPTH}x{CMS_WIDTH} counter table with portable md5 hash "
+        "rows, then point-estimate every observed key as the min across "
+        "depths, reporting the estimate next to the exact count (the "
+        "CMS guarantee est >= exact is part of the checked output via "
+        "the overcount column). The sketch build partial-aggregates "
+        "into <= D*W cells per task before one tiny shuffle; counters "
+        "are additive so per-partition/per-day sketches merge by "
+        "cell-wise sum — the streaming-friendly frequency primitive "
+        "(cardinality cousins: av11 KMV, xk02 mergeable HLL)."
+    ),
+    tags=("sketch", "frequency", "llm-pipeline"),
+)
+def xz06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_sketch(ev, "event_type")
+    keys = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    est = cms_estimate(sketch, keys, "event_type")
+    return (
+        keys.join(est, keys["event_type"] == est["k"])
+        .select(
+            "event_type",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("event_type")
+    )

@@ -774,3 +774,126 @@ def xi02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# xu02 — Bloom-filter decontamination gate
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 4096 bits, 3 portable hash positions per gram.
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(k: F.Column, gram: F.Column) -> F.Column:
+    h = F.md5(F.concat_ws(":", k.cast("string"), gram))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(BLOOM_BITS)).alias("pos")
+
+
+def _bloom_pos_sql(k: str, gram: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({k} AS VARCHAR) || ':' || {gram}), 1, 8))::UBIGINT "
+        f"% {BLOOM_BITS} AS BIGINT)"
+    )
+
+
+def bloom_decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """tz06's eval-decontamination with the test side compressed to a
+    Bloom filter: instead of joining train grams against the distinct
+    test-gram SET (O(|test grams|) state), set ``BLOOM_K`` md5-derived
+    bit positions per test gram and flag a train gram iff ALL its
+    positions are set. Guaranteed superset of the exact tz06 result
+    (no false negatives; false-positive rate ~(1-e^{-kn/m})^k), and
+    bit-deterministic across engines because the positions come from
+    the portable md5 idiom — which is what makes the *approximation
+    itself* testable against a SQL oracle.
+
+    Scale story: the filter is ``BLOOM_BITS`` bits regardless of eval-
+    set size — at 100 TB the set-membership join (terabytes of state)
+    becomes a broadcast bitmap probed at scan time, the same mechanism
+    as Spark's own runtime bloom-pushdown (xb01 is the row-level
+    cousin). Here the bitmap is an explicit ≤4096-row position table
+    broadcast into the probe join so the structure is inspectable and
+    oracle-checkable; ``might_contain`` over a packed binary is the
+    drop-in production form.
+    """
+    frac = _hash_frac(F.col("doc_id"))
+    grams = (
+        docs.where(F.size(F.split("text", " ")) >= n)
+        .select(
+            "doc_id",
+            frac.alias("frac"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"
+                )
+            ).alias("g"),
+        )
+    )
+    train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
+    ks = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("k")
+    bits = (
+        grams.where(F.col("frac") >= test_edge)
+        .select(F.col("g").alias("tg"))
+        .distinct()
+        .select("tg", ks)
+        .select(_bloom_pos_spark(F.col("k"), F.col("tg")))
+        .distinct()
+    )
+    probe = (
+        grams.where(F.col("frac") < train_edge)
+        .select("doc_id", "g")
+        .distinct()
+        .select("doc_id", "g", ks)
+        .select("doc_id", "g", "k", _bloom_pos_spark(F.col("k"), F.col("g")))
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("nset"))
+        .where(F.col("nset") == BLOOM_K)
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_maybe_grams")).orderBy("doc_id")
+
+
+@register(
+    "xu02_bloom_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_hash_frac_sql('doc_id')} AS frac,
+             unnest([array_to_string(toks[i : i + {DECON_NGRAM} - 1], ' ')
+                     for i in generate_series(1, greatest(len(toks) - {DECON_NGRAM - 1}, 0))]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    ks AS (SELECT unnest(range({BLOOM_K})) AS k),
+    bits AS (
+      SELECT DISTINCT {_bloom_pos_sql('ks.k', 't.gram')} AS pos
+      FROM (SELECT DISTINCT gram FROM g WHERE frac >= 0.9) t CROSS JOIN ks
+    ),
+    probe AS (
+      SELECT t.doc_id, t.gram, ks.k, {_bloom_pos_sql('ks.k', 't.gram')} AS pos
+      FROM (SELECT DISTINCT doc_id, gram FROM g WHERE frac < 0.8) t CROSS JOIN ks
+    ),
+    hits AS (
+      SELECT doc_id, gram
+      FROM probe JOIN bits USING (pos)
+      GROUP BY doc_id, gram
+      HAVING COUNT(*) = {BLOOM_K}
+    )
+    SELECT doc_id, COUNT(*) AS n_maybe_grams FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Bloom-compressed eval decontamination: train docs whose "
+        f"{DECON_NGRAM}-grams fully hit the {BLOOM_BITS}-bit/"
+        f"{BLOOM_K}-hash filter built from the test split — the "
+        "constant-memory superset gate in front of tz06's exact join "
+        "(false positives re-checked exactly downstream, never false "
+        "negatives). Positions are portable md5 hashes, so the filter "
+        "and its false-positive set are engine-reproducible."
+    ),
+    tags=("training", "quality", "sketch", "llm-pipeline"),
+)
+def xu02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_decontaminate(load_table(spark, sf_dir, "documents"))

@@ -175,6 +175,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.maintenance",
         "spotify_tags_etl_spark.operators.multimodal",
         "spotify_tags_etl_spark.operators.pipeline",
+        "spotify_tags_etl_spark.operators.sketches",
         "spotify_tags_etl_spark.operators.skew",
         "spotify_tags_etl_spark.sources.paged_api",
         "spotify_tags_etl_spark.streaming.ops",

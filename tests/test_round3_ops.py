@@ -1,0 +1,128 @@
+"""Property + plan-shape tests for the round-3 operator batch:
+xz06 count-min sketch, xg03 integer PageRank, xl03 rolling median,
+xu02 Bloom decontamination, xv03 partition-pruned scan.
+
+(Oracle parity for each is covered automatically by
+tests/test_oracle_parity.py; these tests pin the properties the oracle
+comparison alone cannot express — sketch guarantees, superset relations,
+and the physical plans.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.advanced import xg03, xl03
+from spotify_tags_etl_spark.operators.maintenance import xv03
+from spotify_tags_etl_spark.operators.sketches import xz06
+from spotify_tags_etl_spark.operators.training import (
+    bloom_decontaminate,
+    decontaminate,
+)
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The count-min guarantee: est >= exact for every key, and the
+    overcount column is exactly the difference."""
+    rows = xz06(spark, sf_dir).collect()
+    assert rows, "sketch produced no estimates"
+    for r in rows:
+        assert r.est_count >= r.exact_count
+        assert r.overcount == r.est_count - r.exact_count
+
+
+def test_cms_sketch_is_additive_partial_agg(spark, sf_dir):
+    """The sketch build must partial-aggregate map-side (two
+    HashAggregate levels) — the property that bounds the shuffle at
+    D*W cells per task regardless of corpus size."""
+    from spotify_tags_etl_spark.operators.sketches import cms_sketch
+
+    sketch = cms_sketch(load_table(spark, sf_dir, "events"), "event_type")
+    plan = _formatted_plan(spark, sketch)
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_mass_and_broadcast(spark, sf_dir):
+    """Rank mass stays within [0.15, 1] * SCALE per node (floor-division
+    losses only shrink mass), and the iteration joins broadcast the
+    rank/contrib frames instead of reshuffling the corpus."""
+    from spotify_tags_etl_spark.operators.advanced import PR_SCALE
+
+    df = xg03(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.rank >= (15 * PR_SCALE) // 100  # base mass floor
+    total = sum(r.rank for r in rows)
+    # total mass never exceeds the initial pool (floor-division and
+    # dangling-node losses only shrink it); individual nodes CAN exceed
+    # SCALE by attracting others' mass.
+    assert total <= len(rows) * PR_SCALE
+    assert "BroadcastHashJoin" in _formatted_plan(spark, df)
+
+
+def test_rolling_median_bounds(spark, sf_dir):
+    """Each rolling median lies within the [min, max] of that user's
+    values (sanity for the frame) and the first event per user equals
+    its own value."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("bigint")
+    )
+    med = xl03(spark, sf_dir)
+    bounds = ev.groupBy("user_id").agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    bad = (
+        med.join(bounds, "user_id")
+        .where((F.col("med_cents") < F.col("lo")) | (F.col("med_cents") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+    first = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("event_id", "cents")
+    )
+    mismatch = (
+        med.join(first, "event_id")
+        .where(F.col("med_cents") != F.col("cents").cast("double"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_bloom_gate_is_superset_of_exact(spark, sf_dir):
+    """No false negatives: every doc tz06's exact gram join flags must
+    be flagged by the Bloom gate, with at least as many grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {r.doc_id: r.n_shared_grams for r in decontaminate(docs).collect()}
+    bloom = {r.doc_id: r.n_maybe_grams for r in bloom_decontaminate(docs).collect()}
+    for doc_id, n_exact in exact.items():
+        assert doc_id in bloom, f"false negative for doc {doc_id}"
+        assert bloom[doc_id] >= n_exact
+
+
+def test_xv03_scan_has_partition_filters(spark, sf_dir):
+    """The pruned scan must carry PartitionFilters on event_date — the
+    proof the week-range query reads 7 directories, not 30."""
+    df = xv03(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan
+    # result covers at most the 7 requested dates
+    dates = [r.event_date for r in df.collect()]
+    assert len(dates) <= 7
+    assert all("2024-01-08" <= d <= "2024-01-14" for d in dates)
