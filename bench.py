@@ -81,6 +81,18 @@ ANALYTICS_SUITE = [
     "xz03_ivm_join_delta",
 ]
 
+#: Curation/sketch suite (round-3 batch 6): count-min build+estimate
+#: (batch and streaming-merged), Bloom decontamination gate, integer
+#: PageRank, rolling median, partition-pruned layout round trip.
+CURATION_SUITE = [
+    "xz06_cms_heavy_hitters",
+    "xw06_stream_cms_rollup",
+    "xu02_bloom_decontaminate",
+    "xg03_pagerank_transitions",
+    "xl03_rolling_median",
+    "xv03_partition_prune_scan",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,7 +102,7 @@ def main() -> None:
     queries = registry.all_queries()
     names = [
         n
-        for n in HEADLINE + LLM_SUITE + STREAMING_SUITE + CLASSICS_SUITE + ANALYTICS_SUITE
+        for n in HEADLINE + LLM_SUITE + STREAMING_SUITE + CLASSICS_SUITE + ANALYTICS_SUITE + CURATION_SUITE
         if registry.resolve(n) in queries
     ]
 
@@ -115,6 +127,7 @@ def main() -> None:
     stream_total = round(sum(timings[n] for n in names if n in STREAMING_SUITE), 4)
     classics_total = round(sum(timings[n] for n in names if n in CLASSICS_SUITE), 4)
     analytics_total = round(sum(timings[n] for n in names if n in ANALYTICS_SUITE), 4)
+    curation_total = round(sum(timings[n] for n in names if n in CURATION_SUITE), 4)
     print(
         json.dumps(
             {
@@ -129,6 +142,7 @@ def main() -> None:
                     "streaming": stream_total,
                     "classics": classics_total,
                     "analytics": analytics_total,
+                    "curation": curation_total,
                 },
             }
         )

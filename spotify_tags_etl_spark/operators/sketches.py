@@ -85,9 +85,10 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str) -> Data
     )
 
 
-@register(
-    "xz06_cms_heavy_hitters",
-    oracle=f"""
+#: Shared by xz06 (batch) and xw06 (streaming merge) — the counter table
+#: is additive, so the incrementally-merged sketch is bit-identical to
+#: the batch one and both check against the SAME oracle.
+CMS_ORACLE = f"""
     WITH inc AS (
       SELECT j.j,
              {_bucket_sql('j.j', 'e.event_type')} AS bucket
@@ -107,7 +108,30 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str) -> Data
     FROM kb JOIN sketch s USING (j, bucket)
     GROUP BY kb.event_type, kb.exact_count
     ORDER BY kb.event_type
-    """,
+    """
+
+
+def cms_report(spark: SparkSession, sf_dir: str, sketch: DataFrame) -> DataFrame:
+    """Estimate every observed key from ``sketch`` next to its exact
+    count (shared tail of xz06/xw06)."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
+    est = cms_estimate(sketch, keys, "event_type")
+    return (
+        keys.join(est, keys["event_type"] == est["k"])
+        .select(
+            "event_type",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "xz06_cms_heavy_hitters",
+    oracle=CMS_ORACLE,
     doc=(
         "Count-min sketch frequency estimation over event_type: build a "
         f"{CMS_DEPTH}x{CMS_WIDTH} counter table with portable md5 hash "
@@ -124,16 +148,4 @@ def cms_estimate(sketch: DataFrame, candidates: DataFrame, key_col: str) -> Data
 )
 def xz06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    sketch = cms_sketch(ev, "event_type")
-    keys = ev.groupBy("event_type").agg(F.count("*").alias("exact_count"))
-    est = cms_estimate(sketch, keys, "event_type")
-    return (
-        keys.join(est, keys["event_type"] == est["k"])
-        .select(
-            "event_type",
-            "est_count",
-            "exact_count",
-            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
-        )
-        .orderBy("event_type")
-    )
+    return cms_report(spark, sf_dir, cms_sketch(ev, "event_type"))

@@ -1238,3 +1238,80 @@ def xw05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# streaming count-min maintenance (incremental frequency sketch)
+# ---------------------------------------------------------------------------
+
+
+def streaming_cms_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) -> DataFrame:
+    """Streaming maintenance of xz06's count-min table: each micro-batch
+    reduces to <= D*W counter-cell partials, summed cell-wise into the
+    standing store (versioned parquet, st08/xk03's idiom). Counter
+    addition is associative and commutative, so the merged sketch is
+    BIT-IDENTICAL to the batch-built one whatever the micro-batch
+    layout — which is why this query checks against the very same
+    DuckDB oracle as xz06, not a weaker streaming-only verdict.
+    (Contrast xk03's HLL, whose union is also idempotent; counter adds
+    are not — exactly-once delivery comes from the availableNow
+    file-source contract + versioned targets keyed by batch_id.)
+
+    At 100 TB/day the store stays D*W rows forever; batches never
+    re-scan history, and the heavy-hitter dashboard reads one tiny
+    table. State lives in the store, not the state-store — no watermark
+    needed for a monotone additive aggregate.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.sketches import cms_report, cms_sketch
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    root = tempfile.mkdtemp(prefix="xw06_cms_")
+    current: list[str] = []  # version pointer, not state
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        part = cms_sketch(batch, "event_type")
+        if current:
+            stored = spark.read.parquet(current[0])
+            merged = stored.union(part).groupBy("j", "bucket").agg(F.sum("c").alias("c"))
+        else:
+            merged = part
+        target = os.path.join(root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    run_foreach_batch(stream.select("event_type"), apply_batch)
+
+    if not current:
+        return spark.createDataFrame(
+            [], "event_type string, est_count long, exact_count long, overcount long"
+        )
+    sketch = spark.read.parquet(current[0])
+    out = cms_report(spark, sf_dir, sketch).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _cms_oracle() -> str:
+    from spotify_tags_etl_spark.operators.sketches import CMS_ORACLE
+
+    return CMS_ORACLE
+
+
+@register(
+    "xw06_stream_cms_rollup",
+    oracle=_cms_oracle(),
+    doc=(
+        "Streaming count-min maintenance: per-micro-batch counter-cell "
+        "partials summed into a standing D*W store — additive merge "
+        "makes the incrementally-built sketch bit-identical to xz06's "
+        "batch build, checked against the SAME oracle (frequency "
+        "cousin of xk03's idempotent HLL union store)."
+    ),
+    tags=("streaming", "sketch", "incremental"),
+)
+def xw06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_cms_rollup(spark, sf_dir, read_events_stream(spark, sf_dir))

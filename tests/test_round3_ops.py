@@ -126,3 +126,19 @@ def test_xv03_scan_has_partition_filters(spark, sf_dir):
     dates = [r.event_date for r in df.collect()]
     assert len(dates) <= 7
     assert all("2024-01-08" <= d <= "2024-01-14" for d in dates)
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir):
+    """Counter addition is associative+commutative: the incrementally
+    merged sketch must give bit-identical estimates to the batch build
+    regardless of micro-batch layout."""
+    from spotify_tags_etl_spark.streaming.ops import read_events_stream, streaming_cms_rollup
+
+    batch = {tuple(r) for r in xz06(spark, sf_dir).collect()}
+    streamed = {
+        tuple(r)
+        for r in streaming_cms_rollup(
+            spark, sf_dir, read_events_stream(spark, sf_dir)
+        ).collect()
+    }
+    assert streamed == batch
