@@ -1796,8 +1796,15 @@ def pagerank_fixed(nodes: DataFrame, edges: DataFrame, iters: int = PR_ITERS) ->
     (rank frame co-partitioned with edges); the unrolled-loop plan here
     is exactly that shape with broadcast substituted for the small side.
     """
+    # Materialize the (tiny) graph frames ONCE before iterating: without
+    # this, every unrolled iteration re-derives edges and nodes from the
+    # event corpus through their full lineage — 22 exchanges / 3+ corpus
+    # passes in the executed plan instead of the 5-exchange single-pass
+    # form (the same recompute hazard dd02's banding rewrite fixed).
+    # localCheckpoint cuts lineage deterministically; |V|+|E| rows only.
+    nodes = nodes.localCheckpoint(eager=True)
     outw = edges.groupBy("src").agg(F.sum("cnt").alias("out_w"))
-    e = edges.join(outw, "src")
+    e = edges.join(outw, "src").localCheckpoint(eager=True)
     rank = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("rank"))
     base = (15 * PR_SCALE) // 100
     for _ in range(iters):
