@@ -1929,3 +1929,114 @@ def xl03(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr("percentile(__cents, 0.5)").over(w).alias("med_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xg04 — triangle listing on the undirected transition graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xg04_triangle_list",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(prev_type, event_type) AS a,
+                      GREATEST(prev_type, event_type) AS b
+      FROM seq WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    )
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ORDER BY a, b, c
+    """,
+    doc=(
+        "Triangle listing over the undirected event-transition graph "
+        "(edges = distinct consecutive-event pairs, canonicalized "
+        "least/greatest so each undirected edge appears once): the "
+        "a<b<c ordered double self-join — each triangle emitted "
+        "exactly once, no permutation dedup needed. The classic graph "
+        "clustering primitive; at web scale the joins partition on the "
+        "shared vertex and the canonical a<b orientation IS the "
+        "standard degree-ordering trick that bounds intermediate "
+        "wedges. Corpus is touched once (the xg01 window pass); "
+        "everything after is |E|-sized."
+    ),
+    tags=("graph", "join"),
+)
+def xg04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    und = (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type")))
+        .select(
+            F.least("prev_type", "event_type").alias("a"),
+            F.greatest("prev_type", "event_type").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    return (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
+    )
+
+
+# ---------------------------------------------------------------------------
+# xr05 — ratio-to-report (per-group share of total, integer ppm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xr05_ratio_to_report",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type
+    ),
+    t AS (SELECT SUM(cents) AS total FROM g)
+    SELECT g.event_type, g.cents,
+           CAST((g.cents * 1000000) // t.total AS BIGINT) AS share_ppm
+    FROM g CROSS JOIN t
+    ORDER BY g.event_type
+    """,
+    doc=(
+        "Ratio-to-report: each event type's share of the global cents "
+        "total in integer ppm — the BI percent-of-total shape. "
+        "Deliberately NOT the `SUM() OVER ()` unpartitioned window "
+        "(which funnels the whole relation through one reducer at "
+        "scale): the total is an O(1)-row aggregate broadcast back "
+        "over the per-group frame, so both passes are map-combined "
+        "group aggregates. Integer cents + integer ppm floor division "
+        "keep the output engine/order-invariant."
+    ),
+    tags=("aggregate", "ratio"),
+)
+def xr05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    t = g.agg(F.sum("cents").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "event_type",
+            "cents",
+            F.expr("(cents * 1000000) DIV total").alias("share_ppm"),
+        )
+        .orderBy("event_type")
+    )

@@ -1358,3 +1358,115 @@ def xe05(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * COUNT(hit)) DIV COUNT(1)").alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# xe03 — coarse-to-fine prefix rerank (Matryoshka-style two-stage ANN)
+# ---------------------------------------------------------------------------
+
+#: Coarse stage scores on the first PREFIX_DIMS of the 64-dim embedding;
+#: fine stage reranks the top RERANK_DEPTH candidates with full cosine.
+PREFIX_DIMS = 8
+RERANK_DEPTH = 100
+
+
+def prefix_rerank_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10
+) -> DataFrame:
+    """Two-stage retrieval over nested (Matryoshka-style) embeddings:
+    rank ALL candidates by the dot product of the first ``PREFIX_DIMS``
+    dimensions (1/8 of the arithmetic and, in a column-pruned layout,
+    1/8 of the bytes), keep the top ``RERANK_DEPTH``, then rerank only
+    those with the full-width cosine.
+
+    Complement to the bucketed ANN paths: ss02/vx01/xe04 prune by
+    CANDIDATE SET (hash buckets / IVF lists / PQ codes); this prunes by
+    DIMENSION — the two compose at scale (coarse-score within a bucket,
+    rerank the survivors). Both stages use the in-order double fold, so
+    scores are bit-identical across engines; both top-ks carry total-
+    order tiebreaks, making the whole cascade hash-deterministic.
+
+    Scale: stage 1 is the only corpus-wide pass (broadcast queries ×
+    corpus scan, no shuffle of the corpus); stage 2 touches
+    |Q| × RERANK_DEPTH rows — noise. The recall/cost knob is
+    RERANK_DEPTH, measurable against ss01's exact truth with xe05's
+    recall harness.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.expr(f"slice(embedding, 1, {PREFIX_DIMS})").alias("q_pre"),
+    ).withColumn("q_norm", l2norm("q_vec"))
+    c = corpus.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.expr(f"slice(embedding, 1, {PREFIX_DIMS})").alias("c_pre"),
+    ).withColumn("c_norm", l2norm("c_vec"))
+    coarse = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn("coarse", dot("q_pre", "c_pre"))
+    )
+    wc = Window.partitionBy("q_id").orderBy(F.desc("coarse"), F.asc("c_id"))
+    cand = coarse.withColumn("crank", F.row_number().over(wc)).where(
+        F.col("crank") <= RERANK_DEPTH
+    )
+    fine = cand.withColumn(
+        "cosine",
+        dot("q_vec", "c_vec") / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        fine.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("q_id", "c_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+    )
+
+
+@register(
+    "xe03_prefix_rerank",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, embedding[1:{PREFIX_DIMS}] AS q_pre,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS q_norm
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding AS c_vec, embedding[1:{PREFIX_DIMS}] AS c_pre,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS c_norm
+      FROM embeddings
+    ),
+    coarse AS (
+      SELECT q_id, c_id, q_vec, c_vec, q_norm, c_norm,
+             {_ORACLE_DOT.format(a='q_pre', b='c_pre')} AS coarse,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY {_ORACLE_DOT.format(a='q_pre', b='c_pre')} DESC, c_id
+             ) AS crank
+      FROM q, c WHERE q_id <> c_id
+    ),
+    fine AS (
+      SELECT q_id, c_id,
+             {_ORACLE_DOT.format(a='q_vec', b='c_vec')} / NULLIF(q_norm * c_norm, 0) AS cosine
+      FROM coarse WHERE crank <= {RERANK_DEPTH}
+    )
+    SELECT q_id, c_id, rank, ROUND(cosine, 6) AS cosine_r FROM (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+      FROM fine
+    ) WHERE rank <= 10
+    """,
+    doc=(
+        f"Coarse-to-fine retrieval: rank by the first {PREFIX_DIMS}-dim "
+        f"prefix dot product, rerank the top {RERANK_DEPTH} with full "
+        "64-dim cosine — the Matryoshka/nested-embedding cascade. "
+        "Dimension-pruning complement to the candidate-pruning ANN "
+        "paths (ss02 LSH, vx01 IVF, xe04 PQ-ADC); single corpus pass, "
+        "broadcast queries, deterministic fold + tiebreaks end-to-end."
+    ),
+    tags=("similarity", "ann", "llm-pipeline"),
+)
+def xe03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prefix_rerank_topk(emb.where(F.col("vec_id") < 8), emb)
