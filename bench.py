@@ -66,6 +66,10 @@ CLASSICS_SUITE = [
     "xq04_large_volume_customers",
     "xq05_global_avg_filter",
     "xq06_nation_volume_shipping",
+    "xq08_forecast_revenue",
+    "xq09_priority_late_ship",
+    "xq10_promo_revenue_share",
+    "xq11_disjunctive_revenue",
 ]
 
 #: Analytics / curation suite (round-3 continuation): cohort retention,

@@ -463,3 +463,213 @@ def xq07(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# xq08 — Q6 forecasting revenue change (single-scan filter + agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xq08_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) AS rev_micro_bp
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND round(l_discount * 10000) BETWEEN 500 AND 700
+      AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape: would-be revenue from discount elimination — "
+        "one scan, three pushed predicates, one global sum. The "
+        "benchmark's canonical predicate-pushdown probe: every filter "
+        "reaches the parquet scan (year range on l_shipdate, basis-"
+        "point discount band, quantity cap), so at 100 TB the scan "
+        "reads only row groups whose min/max stats overlap the year. "
+        "Money math in integer cents x basis points (exact, order-"
+        "independent; q13's rationale)."
+    ),
+    tags=("classic", "scan", "aggregate"),
+)
+def xq08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bp = F.round(F.col("l_discount") * 10000).cast("bigint")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & bp.between(500, 700)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint") * bp)
+            .cast("bigint")
+            .alias("rev_micro_bp")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# xq09 — Q4 order-priority checking (EXISTS semi-join with join predicate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xq09_priority_late_ship",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape (adapted: the schema has no commit/receipt "
+        "dates, so 'late' = any line shipped >60 days after the order "
+        "date): per-priority counts of orders with at least one late "
+        "line. The EXISTS compiles to a LEFT SEMI join — lineitem is "
+        "deduplicated by the join itself, never aggregated; the "
+        "correlated date predicate rides the join condition, so "
+        "Catalyst evaluates it during the semi probe instead of "
+        "materializing matches. One orders-side shuffle; priority "
+        "cardinality is 5, partials map-combine."
+    ),
+    tags=("classic", "semi-join"),
+)
+def xq09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# xq10 — Q14 promotion effect (conditional-aggregate ratio)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xq10_promo_revenue_share",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_type,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(rev) AS BIGINT) AS d
+      FROM j
+    )
+    SELECT CAST(((np * 1000) // d) * 1000 + (((np * 1000) % d) * 1000) // d AS BIGINT)
+           AS promo_share_ppm
+    FROM s
+    """,
+    doc=(
+        "TPC-H Q14 shape: promotional revenue share for one month — "
+        "fact-dim join + conditional aggregation, the ratio emitted in "
+        "integer ppm by exact cross-division (no float percent). The "
+        "ppm is computed by two-step base-1000 long division "
+        "(a = 1000*np DIV d; ppm = 1000*a + 1000*(1000*np MOD d) DIV "
+        "d): numerator*1e6 overflows int64 at sf>=0.1 revenue sums — "
+        "Spark wraps silently with ANSI off while DuckDB promotes to "
+        "HUGEINT, so the naive form diverges EXACTLY when the data "
+        "gets big; the split keeps every intermediate under 1e18 at "
+        "1000x this scale. Month filter prunes the fact scan BEFORE "
+        "the join; part broadcasts. Single wide aggregate, one row out."
+    ),
+    tags=("classic", "join", "aggregate"),
+)
+def xq10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("p_type"), rev.alias("rev"))
+        .agg(
+            F.expr("CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)").alias("np"),
+            F.expr("CAST(SUM(rev) AS BIGINT)").alias("d"),
+        )
+        .select(
+            F.expr(
+                "CAST(((np * 1000) DIV d) * 1000 + (((np * 1000) % d) * 1000) DIV d AS BIGINT)"
+            ).alias("promo_share_ppm")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# xq11 — Q19 discounted revenue (disjunction-of-conjunctions pushdown)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xq11_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))) AS BIGINT)
+           AS rev_micro
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19 shape: revenue under a disjunction of brand/size/"
+        "quantity conjunctions spanning both join sides. The optimizer "
+        "test: Catalyst factors the single-side conjuncts out of the "
+        "OR — part prunes on (brand IN ... AND size <= 35), lineitem "
+        "on quantity ranges — BEFORE the join, leaving only the cross-"
+        "side residual on join output. Part broadcasts; one row out, "
+        "exact integer money."
+    ),
+    tags=("classic", "join", "pushdown"),
+)
+def xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#7") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(F.sum(rev).cast("bigint").alias("rev_micro"))
+    )
