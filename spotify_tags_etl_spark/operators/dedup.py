@@ -687,3 +687,84 @@ def xz01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return jaccard_verify(cand, sh, threshold_permille=_PF_T_PERMILLE)
+
+
+# ---------------------------------------------------------------------------
+# xt03 — containment / overlap-coefficient join (quote & subset detection)
+# ---------------------------------------------------------------------------
+
+#: Overlap-coefficient threshold (permille): |A ∩ B| / min(|A|, |B|).
+OVERLAP_THRESHOLD_PERMILLE = 800
+
+
+@register(
+    "xt03_containment_join",
+    oracle=f"""
+    WITH {_SHINGLE_SQL.lstrip()},
+    blocked AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM documents a JOIN documents b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.d1, p.d2, COUNT(*) AS n_inter
+      FROM blocked p
+      JOIN sh a ON a.doc_id = p.d1
+      JOIN sh b ON b.doc_id = p.d2 AND a.s = b.s
+      GROUP BY p.d1, p.d2
+    )
+    SELECT i.d1, i.d2, i.n_inter,
+           (1000 * i.n_inter) // LEAST(sa.n, sb.n) AS overlap_permille
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.d1
+    JOIN sizes sb ON sb.doc_id = i.d2
+    WHERE 1000 * i.n_inter >= {OVERLAP_THRESHOLD_PERMILLE} * LEAST(sa.n, sb.n)
+    ORDER BY i.d1, i.d2
+    """,
+    doc=(
+        "Containment join (overlap coefficient |A∩B| / min(|A|,|B|), "
+        "integer permille): flags pairs where the smaller document's "
+        "shingle set is mostly CONTAINED in the larger — quotes, "
+        "excerpts, and superset expansions that symmetric Jaccard (dd04) "
+        "under-scores precisely because the size imbalance inflates "
+        "the union denominator. Same blocked-join shape as dd04 "
+        "(quadratic within the source block only, exact integer "
+        "cross-multiplication for the threshold); at 100 TB the block "
+        "key becomes prefix-filtered candidates (xz01) or MinHash "
+        "bands (dd02) — containment scoring of the survivors is "
+        "unchanged."
+    ),
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def xt03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    a = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    b = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    blocked = a.join(b, (F.col("src1") == F.col("src2")) & (F.col("d1") < F.col("d2"))).select(
+        "d1", "d2"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        blocked.join(sh.select(F.col("doc_id").alias("d1"), "s"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), F.col("s").alias("s2")), "d2")
+        .where(F.col("s") == F.col("s2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("na")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("nb")), "d2")
+        .where(
+            F.lit(1000) * F.col("n_inter")
+            >= F.lit(OVERLAP_THRESHOLD_PERMILLE) * F.least("na", "nb")
+        )
+        .select(
+            "d1",
+            "d2",
+            "n_inter",
+            F.expr("(1000 * n_inter) DIV least(na, nb)").alias("overlap_permille"),
+        )
+        .orderBy("d1", "d2")
+    )

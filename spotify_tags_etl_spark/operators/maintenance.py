@@ -1164,3 +1164,128 @@ def xv03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# xw07 — versioned store + AS OF (time-travel) read
+# ---------------------------------------------------------------------------
+
+#: Three deterministic change batches: events days [1,11), [11,21), [21,31).
+_XW07_DAY_EDGES = (11, 21)
+
+
+def _xw07_batches(ev: DataFrame) -> list[DataFrame]:
+    """Per-batch LWW state: each batch's last (ts, event_id)-ordered
+    value-cents per user, as a MERGE-ready one-row-per-key frame."""
+    day = F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)")
+    day0 = F.lit(19723)  # 2024-01-01 epoch days
+    batch = (
+        F.when(day - day0 < _XW07_DAY_EDGES[0] - 1, F.lit(0))
+        .when(day - day0 < _XW07_DAY_EDGES[1] - 1, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    keyed = ev.select(
+        "user_id",
+        batch.alias("b"),
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    out = []
+    for b in range(3):
+        w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+        out.append(
+            keyed.where(F.col("b") == b)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "cents")
+        )
+    return out
+
+
+@register(
+    "xw07_version_travel",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) // 86400000000 - 19723 < 10 THEN 0
+                  WHEN epoch_us(ts) // 86400000000 - 19723 < 20 THEN 1
+                  ELSE 2 END AS b,
+             epoch_us(ts) AS us, event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    v1 AS (
+      SELECT user_id, cents FROM (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM keyed WHERE b <= 1
+      ) WHERE rn = 1
+    ),
+    v2 AS (
+      SELECT user_id, cents FROM (
+        SELECT user_id, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    )
+    SELECT v2.user_id,
+           v1.cents AS v1_cents,
+           v2.cents AS v2_cents,
+           (v1.cents IS NULL OR v1.cents <> v2.cents) AS changed
+    FROM v2 LEFT JOIN v1 ON v1.user_id = v2.user_id
+    ORDER BY v2.user_id
+    """,
+    doc=(
+        "Snapshot time travel on plain parquet: three LWW change "
+        "batches (events by day tertile) MERGE into a versioned store "
+        "— every version's files are RETAINED, so 'AS OF v1' is just "
+        "reading an older directory while v2 serves current traffic "
+        "(the snapshot-isolation mechanism under Delta/Iceberg, here "
+        "as an explicit version-pointer pattern shared with st08/"
+        "xk03). Output diffs the v1 snapshot against head: per-user "
+        "state then vs now plus a changed flag. Each batch reduces to "
+        "one row per key BEFORE merging (window argmax), so the merge "
+        "join is O(keys), never O(events); the store swap is atomic "
+        "by pointer update. Verified against a pure-SQL reconstruction "
+        "of both snapshots from the ordered change log."
+    ),
+    tags=("maintenance", "cdc", "time-travel"),
+)
+def xw07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    batches = _xw07_batches(ev)
+    root = tempfile.mkdtemp(prefix="xw07_tt_")
+    versions: list[str] = []
+    state: DataFrame | None = None
+    for i, b in enumerate(batches):
+        state = b if state is None else (
+            upsert(state.select("user_id", "cents"), b, "user_id").select("user_id", "cents")
+        )
+        path = os.path.join(root, f"v{i}")
+        state.write.mode("overwrite").parquet(path)
+        versions.append(path)
+        state = spark.read.parquet(path)
+    as_of_v1 = spark.read.parquet(versions[1]).select(
+        "user_id", F.col("cents").alias("v1_cents")
+    )
+    head = spark.read.parquet(versions[2]).select("user_id", F.col("cents").alias("v2_cents"))
+    out = (
+        head.join(as_of_v1, "user_id", "left")
+        .select(
+            "user_id",
+            "v1_cents",
+            "v2_cents",
+            (F.col("v1_cents").isNull() | (F.col("v1_cents") != F.col("v2_cents"))).alias(
+                "changed"
+            ),
+        )
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
