@@ -673,3 +673,132 @@ def xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(cond)
         .agg(F.sum(rev).cast("bigint").alias("rev_micro"))
     )
+
+
+# ---------------------------------------------------------------------------
+# xz08 — skyline / Pareto frontier (maximize p_size, minimize price)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xz08_skyline_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_size,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+      FROM part
+    ),
+    g AS (SELECT p_size, MIN(price_cents) AS best FROM p GROUP BY p_size),
+    m AS (
+      SELECT p_size, best,
+             MIN(best) OVER (ORDER BY p_size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_larger
+      FROM g
+    )
+    SELECT p.p_partkey, p.p_size, p.price_cents
+    FROM p JOIN m ON p.p_size = m.p_size
+    WHERE p.price_cents = m.best
+      AND (m.m_larger IS NULL OR p.price_cents < m.m_larger)
+    ORDER BY p.p_size, p.p_partkey
+    """,
+    doc=(
+        "Skyline (Pareto frontier) over parts — maximize p_size, "
+        "minimize price: a part survives iff no other part is >= in "
+        "size and <= in price with one strict (equal-on-both ties "
+        "both survive, standard skyline semantics). NOT the quadratic "
+        "self-anti-join: per-size minima (|distinct sizes| rows) plus "
+        "one running-min window over that tiny frame decide dominance "
+        "— the corpus is touched once, the window runs on ~50 rows. "
+        "At 100 TB this is the classic 2D skyline reduction: group to "
+        "per-x best-y, prefix-min over x, join back as a broadcast; "
+        "higher dimensions fall back to block-nested-loop over the "
+        "reduced candidate set. All-integer cents."
+    ),
+    tags=("classic", "skyline", "window"),
+)
+def xz08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    g = p.groupBy("p_size").agg(F.min("price_cents").alias("best"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    m = g.select("p_size", "best", F.min("best").over(w).alias("m_larger"))
+    return (
+        p.join(F.broadcast(m), "p_size")
+        .where(
+            (F.col("price_cents") == F.col("best"))
+            & (F.col("m_larger").isNull() | (F.col("price_cents") < F.col("m_larger")))
+        )
+        .select("p_partkey", "p_size", "price_cents")
+        .orderBy("p_size", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# xo03 — Benford first-digit audit (data-quality forensics)
+# ---------------------------------------------------------------------------
+
+#: round(log10(1 + 1/d) * 1e6) — Benford expected ppm per leading digit.
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def _benford_case_sql() -> str:
+    whens = " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    return f"CASE digit {whens} END"
+
+
+@register(
+    "xo03_benford_audit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT c.digit, c.n,
+           CAST((c.n * 1000000) // t.total AS BIGINT) AS obs_ppm,
+           CAST({_benford_case_sql()} AS BIGINT) AS exp_ppm,
+           CAST((c.n * 1000000) // t.total - {_benford_case_sql()} AS BIGINT) AS delta_ppm
+    FROM c CROSS JOIN t
+    ORDER BY c.digit
+    """,
+    doc=(
+        "Benford's-law first-digit audit over order totals: observed "
+        "leading-digit frequencies (integer ppm) against the log10(1 + "
+        "1/d) expectation (precomputed integer constants — no floats "
+        "in the output), with signed deltas. The fraud/synthetic-data "
+        "forensic every financial warehouse runs; here it doubles as "
+        "a fixture-realism probe. One scan, 9-row aggregate with "
+        "map-side partials, O(1)-row total broadcast back (xr05's "
+        "ratio pattern)."
+    ),
+    tags=("quality", "audit", "aggregate"),
+)
+def xo03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    exp_ppm = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _BENFORD_PPM.items() for x in kv]), F.col("digit")
+    ).cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr("(n * 1000000) DIV total").alias("obs_ppm"),
+            exp_ppm.alias("exp_ppm"),
+            (F.expr("(n * 1000000) DIV total") - exp_ppm).alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -897,3 +897,72 @@ def bloom_decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
 )
 def xu02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# xi04 — deterministic curriculum ordering (difficulty-interleaved)
+# ---------------------------------------------------------------------------
+
+#: Number of difficulty tiles the curriculum round-robins through.
+CURRICULUM_TILES = 10
+
+#: Knuth multiplicative hash (same constant as tz04's shard assignment) —
+#: engine-independent integer scatter for the within-tile shuffle.
+_KNUTH = 2654435761
+
+
+@register(
+    "xi04_curriculum_order",
+    oracle=f"""
+    WITH tiled AS (
+      SELECT doc_id,
+             NTILE({CURRICULUM_TILES}) OVER (ORDER BY n_chars, doc_id) AS tile,
+             (doc_id * {_KNUTH}) % 4294967296 AS h
+      FROM documents
+    ),
+    rn AS (
+      SELECT doc_id, tile,
+             ROW_NUMBER() OVER (PARTITION BY tile ORDER BY h, doc_id) AS r
+      FROM tiled
+    )
+    SELECT doc_id, tile, (r - 1) * {CURRICULUM_TILES} + tile AS ord
+    FROM rn ORDER BY ord, doc_id
+    """,
+    doc=(
+        "Deterministic curriculum ordering: documents split into "
+        f"{CURRICULUM_TILES} difficulty tiles (n_chars as the "
+        "difficulty proxy, total-order tiebreak), shuffled WITHIN each "
+        "tile by the engine-independent Knuth multiplicative hash, "
+        "then interleaved round-robin — every training window sees "
+        "the full difficulty spectrum, yet the byte order of the "
+        "epoch is a pure function of the corpus (re-runs, retries, "
+        "and engine swaps read the same sequence; the property a "
+        "rand() shuffle cannot give a resumable trainer). Two window "
+        "passes: one global ntile (range-partitioned sort at scale, "
+        "xh01's pattern), one per-tile rank — both integer. "
+        "Composes after tz07's mixture sampling and before tz05's "
+        "sequence packing in the tp01 pipeline."
+    ),
+    tags=("training", "ordering", "llm-pipeline"),
+)
+def xi04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tiled = docs.select(
+        "doc_id",
+        F.ntile(CURRICULUM_TILES)
+        .over(Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
+        .alias("tile"),
+        F.expr(f"(doc_id * {_KNUTH}) % 4294967296").alias("h"),
+    )
+    rn = tiled.select(
+        "doc_id",
+        "tile",
+        F.row_number()
+        .over(Window.partitionBy("tile").orderBy(F.col("h").asc(), F.col("doc_id").asc()))
+        .alias("r"),
+    )
+    return rn.select(
+        "doc_id",
+        "tile",
+        ((F.col("r") - 1) * CURRICULUM_TILES + F.col("tile")).alias("ord"),
+    ).orderBy("ord", "doc_id")
