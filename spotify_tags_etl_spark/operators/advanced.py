@@ -2040,3 +2040,100 @@ def xr05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# xz09 — linear-touch revenue attribution (integer-conserving split)
+# ---------------------------------------------------------------------------
+
+#: Attribution lookback window (days before the purchase).
+ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "xz09_linear_attribution",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, event_id AS c_eid, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT user_id, event_id AS p_eid, epoch_us(ts) AS p_us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.p_eid, p.cents, c.c_eid,
+             COUNT(*) OVER (PARTITION BY p.p_eid) AS n,
+             ROW_NUMBER() OVER (PARTITION BY p.p_eid ORDER BY c.c_us DESC, c.c_eid DESC) AS rn
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_us < p.p_us
+       AND c.c_us >= p.p_us - {ATTR_WINDOW_DAYS * 86400 * 1_000_000}
+    )
+    SELECT c_eid AS event_id,
+           CAST(SUM(cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END) AS BIGINT)
+             AS attributed_cents,
+           COUNT(DISTINCT p_eid) AS n_purchases
+    FROM pairs GROUP BY c_eid ORDER BY c_eid
+    """,
+    doc=(
+        "Linear-touch revenue attribution: each purchase's cents split "
+        f"equally across the user's clicks in the prior {ATTR_WINDOW_DAYS} "
+        "days, integer floor shares with the REMAINDER credited to the "
+        "last touch — so attribution conserves revenue exactly (sum of "
+        "attributed cents == sum of attributed purchases' cents, "
+        "unit-pinned), which float percentage splits never do. The "
+        "user-keyed interval join co-partitions both event subsets on "
+        "user_id — one shuffle pair, candidate pairs bounded per user; "
+        "at 100 TB add av07's time-bucket blocking so the join "
+        "condition prunes buckets, not rows. Window functions keyed by "
+        "purchase ride the SAME user-partitioned exchange."
+    ),
+    tags=("join", "window", "attribution"),
+)
+def xz09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    # Distinct aliases on the self-join key: both subsets derive from the
+    # SAME parent plan, so purch["user_id"] == clicks["user_id"] resolves
+    # to one column (Spark warns "trivially true") and the join silently
+    # degenerates to a time-filtered cross join across users.
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"),
+        F.col("event_id").alias("c_eid"),
+        F.unix_micros(F.col("ts")).alias("c_us"),
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("p_eid"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    lookback = ATTR_WINDOW_DAYS * 86400 * 1_000_000
+    pairs = purch.join(
+        clicks,
+        (F.col("p_uid") == F.col("c_uid"))
+        & (F.col("c_us") < F.col("p_us"))
+        & (F.col("c_us") >= F.col("p_us") - F.lit(lookback)),
+    )
+    wn = Window.partitionBy("p_eid")
+    wr = Window.partitionBy("p_eid").orderBy(F.desc("c_us"), F.desc("c_eid"))
+    shared = pairs.select(
+        "p_eid",
+        "cents",
+        "c_eid",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        shared.groupBy(F.col("c_eid").alias("event_id"))
+        .agg(
+            F.sum(
+                F.expr("cents DIV n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("attributed_cents"),
+            F.count_distinct("p_eid").alias("n_purchases"),
+        )
+        .orderBy("event_id")
+    )

@@ -940,8 +940,8 @@ _KNUTH = 2654435761
         "rand() shuffle cannot give a resumable trainer). Two window "
         "passes: one global ntile (range-partitioned sort at scale, "
         "xh01's pattern), one per-tile rank — both integer. "
-        "Composes after tz07's mixture sampling and before tz05's "
-        "sequence packing in the tp01 pipeline."
+        "Slots between tz07's mixture sampling and tz05's sequence "
+        "packing in a full curriculum pipeline."
     ),
     tags=("training", "ordering", "llm-pipeline"),
 )

@@ -179,3 +179,35 @@ def test_xq10_ppm_long_division_is_overflow_safe():
     ppm = a * 1000 + (((np_ * 1000) % d) * 1000) // d
     assert ppm == (np_ * 1_000_000) // d  # python ints are exact
     assert np_ * 1000 < 2**63 and ((np_ * 1000) % d) * 1000 < 2**63
+
+
+def test_attribution_conserves_revenue(spark, sf_dir):
+    """Integer linear attribution must conserve cents exactly: the sum
+    of attributed cents equals the summed cents of every purchase that
+    had at least one touch in the lookback window."""
+    from spotify_tags_etl_spark.operators.advanced import ATTR_WINDOW_DAYS, xz09
+
+    ev = load_table(spark, sf_dir, "events")
+    attributed = xz09(spark, sf_dir).agg(F.sum("attributed_cents")).collect()[0][0]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.unix_micros("ts").alias("c_us")
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_uid"),
+        F.col("event_id").alias("p_eid"),
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    lb = ATTR_WINDOW_DAYS * 86400 * 1_000_000
+    touched = (
+        purch.join(
+            clicks,
+            (F.col("p_uid") == F.col("c_uid"))
+            & (F.col("c_us") < F.col("p_us"))
+            & (F.col("c_us") >= F.col("p_us") - F.lit(lb)),
+            "left_semi",
+        )
+        .agg(F.sum("cents"))
+        .collect()[0][0]
+    )
+    assert attributed == touched
