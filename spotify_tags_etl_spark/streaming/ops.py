@@ -1315,3 +1315,137 @@ def _cms_oracle() -> str:
 )
 def xw06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_cms_rollup(spark, sf_dir, read_events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# transformWithState running aggregates (Spark 4 arbitrary-state API)
+# ---------------------------------------------------------------------------
+
+
+def transform_with_state_available() -> bool:
+    """The transformWithState Python runner serializes its state-server
+    protocol with ``google.protobuf``, which pyspark does NOT vendor.
+    In environments without protobuf (this container), the query is
+    implemented but cannot execute — gate registration on the import so
+    the operator appears exactly where it can run (the brief's
+    import-try pattern; st03's applyInPandasWithState is the exercised
+    custom-stateful path everywhere else)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_running_stats_processor():
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState("st", "n BIGINT, s BIGINT, mx BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s, mx = (self._st.get() or (0, 0, None)) if self._st.exists() else (0, 0, None)
+            for pdf in rows:
+                if len(pdf):
+                    n += int(len(pdf))
+                    s += int(pdf["cents"].sum())
+                    m = int(pdf["cents"].max())
+                    mx = m if mx is None else max(mx, m)
+            self._st.update((n, s, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "sum_cents": [s], "max_cents": [mx]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return RunningStats()
+
+
+def stream_running_stats(spark: SparkSession, sf_dir: str, stream: DataFrame) -> DataFrame:
+    """Per-user running (count, sum, max) of event cents via the
+    arbitrary-state API, merged across micro-batches through a keyed
+    ValueState; every batch emits the keys it touched (Update mode) and
+    a foreachBatch LWW upsert keeps the serving table at the latest
+    emission — st08's versioned-store idiom with transformWithState
+    upstream. State is O(users) fixed-width tuples in the state store
+    (RocksDB at scale), NOT collected anywhere; at stream end the
+    serving table equals the batch groupBy exactly (integer additive
+    merges), which is what the oracle checks."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.maintenance import upsert
+
+    cents = stream.select(
+        "user_id", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    updated = cents.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_make_running_stats_processor(),
+        outputStructType="user_id BIGINT, n BIGINT, sum_cents BIGINT, max_cents BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+    root = tempfile.mkdtemp(prefix="xw08_tws_")
+    current: list[str] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = batch.dropDuplicates(["user_id"])
+        if current:
+            stored = spark.read.parquet(current[0])
+            merged = upsert(stored, latest, "user_id").drop("_op")
+        else:
+            merged = latest
+        target = os.path.join(root, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    run_foreach_batch(updated, apply_batch)
+
+    if not current:
+        return spark.createDataFrame(
+            [], "user_id long, n long, sum_cents long, max_cents long"
+        )
+    out = (
+        spark.read.parquet(current[0])
+        .select("user_id", "n", "sum_cents", "max_cents")
+        .orderBy("user_id")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def xw08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_running_stats(spark, sf_dir, read_events_stream(spark, sf_dir))
+
+
+if transform_with_state_available():  # pragma: no cover — env-dependent
+    register(
+        "xw08_stream_running_stats",
+        oracle="""
+    SELECT user_id,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+        doc=(
+            "Custom stateful streaming via the Spark 4 arbitrary-state "
+            "API (transformWithStateInPandas + ValueState): per-user "
+            "running count/sum/max of cents merged across micro-"
+            "batches, Update-mode emissions LWW-upserted into a "
+            "versioned serving table. Integer additive merges make the "
+            "end state equal the batch groupBy exactly. API-surface "
+            "complement to st03's applyInPandasWithState; registered "
+            "only where google.protobuf exists (the runner's wire "
+            "dependency, absent in this container)."
+        ),
+        tags=("streaming", "stateful", "transformWithState"),
+    )(xw08)

@@ -288,3 +288,32 @@ def test_stream_hll_rollup_layout_invariant(spark, sf_dir, multi_file_events):
     }
     assert multi == single
     assert multi and all(ok for _, _, ok in multi)
+
+
+def test_transform_with_state_gated_on_protobuf(spark, sf_dir):
+    """xw08 registers exactly when google.protobuf is importable (the
+    transformWithState runner's wire dependency); where available it
+    must match the batch groupBy."""
+    from spotify_tags_etl_spark.plans import registry
+    from spotify_tags_etl_spark.streaming import ops
+
+    registered = "xw08_stream_running_stats" in registry.all_queries()
+    assert registered == ops.transform_with_state_available()
+    if registered:
+        import pyspark.sql.functions as F
+
+        from spotify_tags_etl_spark.sources.tpch import load_table
+
+        got = {tuple(r) for r in ops.xw08(spark, sf_dir).collect()}
+        ev = load_table(spark, sf_dir, "events")
+        want = {
+            tuple(r)
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("sum_cents"),
+                F.max(F.round(F.col("value") * 100, 0).cast("bigint")).alias("max_cents"),
+            )
+            .collect()
+        }
+        assert got == want
