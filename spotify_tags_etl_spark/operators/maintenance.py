@@ -1289,3 +1289,73 @@ def xw07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# xv04 — cross-fact reconciliation audit (orders vs lineitem totals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xv04_reconciliation_audit",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+             li.li_cents,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) - li.li_cents AS delta
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT COUNT(*) AS n_checked,
+           SUM(CASE WHEN 100 * ABS(delta) <= o_cents THEN 1 ELSE 0 END) AS n_within_1pct,
+           SUM(CASE WHEN delta > 0 AND 100 * delta > o_cents THEN 1 ELSE 0 END) AS n_over,
+           SUM(CASE WHEN delta < 0 AND -100 * delta > o_cents THEN 1 ELSE 0 END) AS n_under,
+           MAX(ABS(delta)) AS max_abs_delta_cents
+    FROM j
+    """,
+    doc=(
+        "Cross-fact reconciliation: every order's header total against "
+        "the sum of its line items, classified by a 1% integer-cross-"
+        "multiplied tolerance (100*|delta| <= total_cents — no float "
+        "percent anywhere) into within/over/under, plus the worst "
+        "absolute discrepancy. The closing-the-books audit between any "
+        "summary fact and its detail fact; the fixture generates the "
+        "two independently, so the audit HONESTLY reports mass "
+        "mismatch — which is exactly the report shape. Lineitem "
+        "pre-aggregates to one row per order BELOW the join (q23's "
+        "pinned pattern), so the join carries O(orders) rows and the "
+        "final rollup is a 1-row global aggregate with map-side "
+        "partials."
+    ),
+    tags=("quality", "audit", "join"),
+)
+def xv04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("li_cents"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_cents")
+    )
+    j = o.join(li, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "o_cents", (F.col("o_cents") - F.col("li_cents")).alias("delta")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.expr("CASE WHEN 100 * ABS(delta) <= o_cents THEN 1 ELSE 0 END")).alias(
+            "n_within_1pct"
+        ),
+        F.sum(F.expr("CASE WHEN delta > 0 AND 100 * delta > o_cents THEN 1 ELSE 0 END")).alias(
+            "n_over"
+        ),
+        F.sum(
+            F.expr("CASE WHEN delta < 0 AND -100 * delta > o_cents THEN 1 ELSE 0 END")
+        ).alias("n_under"),
+        F.max(F.abs(F.col("delta"))).alias("max_abs_delta_cents"),
+    )
