@@ -1359,3 +1359,109 @@ def xv04(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_under"),
         F.max(F.abs(F.col("delta"))).alias("max_abs_delta_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xv05 — ORC interchange round trip (second columnar format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xv05_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc=(
+        "Columnar-format interchange: orders rewritten as ORC (Spark's "
+        "second first-class columnar format — Hive-ecosystem exchange), "
+        "read back with a pushed status filter, and aggregated; the "
+        "oracle reads the ORIGINAL parquet, so the round trip proves "
+        "byte-faithful value transport across formats, not just "
+        "self-consistency. ORC carries the same column pruning + "
+        "predicate pushdown machinery as parquet (min/max stripe "
+        "stats); the DECIMAL money discipline is format-independent. "
+        "At scale this is the migration path between Hive/ORC estates "
+        "and parquet lakes — same DataFrame plan either side."
+    ),
+    tags=("source", "format", "interchange"),
+)
+def xv05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_xv05", tag)
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# xs04 — observed scan metrics as a first-class result (Observation API)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xs04_observed_scan_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END) AS n_invalid,
+           MAX(user_id) AS max_user_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    """,
+    doc=(
+        "Single-pass observability: quality metrics (row count, "
+        "invalid count, distinct users, cents total) ride the SCAN "
+        "ITSELF via the Observation API — the metrics row is collected "
+        "from the action's accumulators, not from a second aggregation "
+        "job, so a 100 TB validation pass costs zero extra scans (the "
+        "batch cousin of streaming's progress listener; the media "
+        "pipeline uses the same mechanism inside its write action, "
+        "etl/media.py observe_quality). The oracle recomputes the "
+        "same metrics relationally and must agree exactly — pinning "
+        "that observed-on-the-way-through equals computed-after."
+    ),
+    tags=("quality", "observability"),
+)
+def xs04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("scan_metrics")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("value").isNull() | (F.col("value") < 0), 1).otherwise(0)
+        ).alias("n_invalid"),
+        F.max(F.col("user_id")).alias("max_user_id"),
+        F.sum(cents).cast("bigint").alias("sum_cents"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the one real pass
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_rows"]),
+                int(row["n_invalid"]),
+                int(row["max_user_id"]),
+                int(row["sum_cents"]),
+            )
+        ],
+        "n_rows long, n_invalid long, max_user_id long, sum_cents long",
+    )
