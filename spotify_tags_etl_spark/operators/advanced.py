@@ -2137,3 +2137,76 @@ def xz09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# xr06 — Kendall-tau trend detection over per-user daily volume
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xr06_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id, epoch_us(ts) // 86400000000
+    ),
+    pairs AS (
+      SELECT a.user_id,
+             SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) AS concordant,
+             SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END) AS discordant,
+             SUM(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) AS ties
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND b.day > a.day
+      GROUP BY a.user_id
+    )
+    SELECT user_id, concordant, discordant, ties,
+           CAST((1000 * (concordant - discordant))
+                // (concordant + discordant + ties) AS BIGINT) AS tau_permille
+    FROM pairs ORDER BY user_id
+    """,
+    doc=(
+        "Kendall-tau trend per user: concordant / discordant / tied "
+        "day-pair counts of daily spend (later day vs earlier day), "
+        "tau in integer permille — the nonparametric monotone-trend "
+        "detector (robust where xr02's least-squares slope is outlier-"
+        "sensitive, exact where it is float). Pairs are enumerated "
+        "per user over the ~30-row DAILY rollup, never raw events: "
+        "the O(n²) lives on O(days)² per key after a map-combined "
+        "pre-aggregate, so the wide stages are one groupBy and one "
+        "co-partitioned self-join on user_id (same-exchange reuse). "
+        "All-integer: the gate catches any engine disagreement to the "
+        "last pair."
+    ),
+    tags=("statistics", "trend", "join"),
+)
+def xr06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    a = daily.select(
+        F.col("user_id").alias("uid_a"), F.col("day").alias("day_a"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("user_id").alias("uid_b"), F.col("day").alias("day_b"), F.col("cents").alias("cb")
+    )
+    pairs = a.join(
+        b, (F.col("uid_a") == F.col("uid_b")) & (F.col("day_b") > F.col("day_a"))
+    ).groupBy(F.col("uid_a").alias("user_id")).agg(
+        F.sum(F.expr("CASE WHEN cb > ca THEN 1 ELSE 0 END")).alias("concordant"),
+        F.sum(F.expr("CASE WHEN cb < ca THEN 1 ELSE 0 END")).alias("discordant"),
+        F.sum(F.expr("CASE WHEN cb = ca THEN 1 ELSE 0 END")).alias("ties"),
+    )
+    return pairs.select(
+        "user_id",
+        "concordant",
+        "discordant",
+        "ties",
+        F.expr(
+            "CAST((1000 * (concordant - discordant))"
+            " DIV (concordant + discordant + ties) AS BIGINT)"
+        ).alias("tau_permille"),
+    ).orderBy("user_id")
