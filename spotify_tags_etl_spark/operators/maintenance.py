@@ -1465,3 +1465,95 @@ def xs04(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_invalid long, max_user_id long, sum_cents long",
     )
+
+
+# ---------------------------------------------------------------------------
+# xs05 — inclusion-dependency (FK) discovery audit
+# ---------------------------------------------------------------------------
+
+#: Candidate (child table, child col, parent table, parent col) edges the
+#: profiler scores. Fixed list: IND discovery enumerates type-compatible
+#: pairs from catalog metadata; the scoring below is the data-driven part.
+_FK_CANDIDATES = (
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    # deliberate negative control: value domains overlap only partially,
+    # so the audit must NOT flag it — guards against a scorer that
+    # saturates on any numeric pair.
+    ("nation", "n_nationkey", "region", "r_regionkey"),
+)
+
+
+def _fk_pair_sql(child: str, ccol: str, parent: str, pcol: str) -> str:
+    return f"""
+      SELECT '{child}.{ccol}' AS child, '{parent}.{pcol}' AS parent,
+             (SELECT COUNT(DISTINCT {ccol}) FROM {child} WHERE {ccol} IS NOT NULL) AS n_child,
+             (SELECT COUNT(DISTINCT c.{ccol}) FROM {child} c
+               WHERE c.{ccol} IS NOT NULL
+                 AND EXISTS (SELECT 1 FROM {parent} p WHERE p.{pcol} = c.{ccol})) AS n_matched"""
+
+
+@register(
+    "xs05_fk_discovery",
+    oracle="WITH pairs AS ("
+    + "\nUNION ALL".join(_fk_pair_sql(*c) for c in _FK_CANDIDATES)
+    + """
+    )
+    SELECT child, parent, n_child, n_matched,
+           CAST((n_matched * 1000000) // n_child AS BIGINT) AS containment_ppm,
+           n_matched = n_child AS is_inclusion
+    FROM pairs ORDER BY child, parent
+    """,
+    doc=(
+        "Inclusion-dependency (foreign-key) discovery: for each type-"
+        "compatible candidate edge, the fraction of distinct non-null "
+        "child values contained in the parent's key domain (integer "
+        "ppm; exact inclusion flagged) — the data-driven half of "
+        "schema discovery over an undocumented lake, with a deliberate "
+        "partial-overlap negative control that a saturating scorer "
+        "would wrongly flag. Each edge is a distinct-project + LEFT "
+        "SEMI probe: child side collapses to its distinct key set "
+        "BEFORE the join (O(distinct values) state, never O(rows)); "
+        "parent sides here are dimension-sized and broadcast. "
+        "Complements xv01's declared-constraint audit (this DISCOVERS "
+        "what xv01 then enforces)."
+    ),
+    tags=("quality", "profiling", "discovery"),
+)
+def xs05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, ccol, parent, pcol in _FK_CANDIDATES:
+        c = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ccol).alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+        )
+        p = load_table(spark, sf_dir, parent).select(F.col(pcol).alias("pv")).distinct()
+        stats = (
+            c.join(p, F.col("v") == F.col("pv"), "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count("pv").alias("n_matched"),
+            )
+            .select(
+                F.lit(f"{child}.{ccol}").alias("child"),
+                F.lit(f"{parent}.{pcol}").alias("parent"),
+                "n_child",
+                "n_matched",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.select(
+        "child",
+        "parent",
+        "n_child",
+        "n_matched",
+        F.expr("CAST((n_matched * 1000000) DIV n_child AS BIGINT)").alias("containment_ppm"),
+        (F.col("n_matched") == F.col("n_child")).alias("is_inclusion"),
+    ).orderBy("child", "parent")

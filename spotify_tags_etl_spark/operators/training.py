@@ -966,3 +966,126 @@ def xi04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tile",
         ((F.col("r") - 1) * CURRICULUM_TILES + F.col("tile")).alias("ord"),
     ).orderBy("ord", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# xz10 — greedy set-cover corpus selection (coverage-maximizing subset)
+# ---------------------------------------------------------------------------
+
+#: Greedy rounds (documents selected).
+COVER_ROUNDS = 5
+
+
+def _cover_oracle_sql(rounds: int = COVER_ROUNDS) -> str:
+    ctes = [
+        '''toks AS (
+      SELECT DISTINCT doc_id,
+             unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    )'''
+    ]
+    picked_union = None
+    cov = None
+    for r in range(1, rounds + 1):
+        if r == 1:
+            gain_src = "SELECT doc_id, COUNT(*) AS gain FROM toks GROUP BY doc_id"
+        else:
+            gain_src = f"""SELECT t.doc_id, COUNT(*) AS gain
+          FROM toks t
+          WHERE t.tok NOT IN (SELECT tok FROM cov{r - 1})
+            AND t.doc_id NOT IN ({picked_union})
+          GROUP BY t.doc_id"""
+        ctes.append(
+            f"""r{r} AS (
+      SELECT {r} AS round, doc_id, gain
+      FROM ({gain_src}) g
+      ORDER BY gain DESC, doc_id LIMIT 1
+    )"""
+        )
+        picked_union = " UNION ALL ".join(f"SELECT doc_id FROM r{i}" for i in range(1, r + 1))
+        cov = f"""cov{r} AS (
+      SELECT DISTINCT tok FROM toks WHERE doc_id IN ({picked_union})
+    )"""
+        ctes.append(cov)
+    sel = " UNION ALL ".join(f"SELECT * FROM r{i}" for i in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT p.round, p.doc_id, p.gain,
+           (SELECT COUNT(*) FROM cov{rounds}) AS final_covered
+    FROM ({sel}) p ORDER BY p.round"""
+    )
+
+
+@register(
+    "xz10_greedy_cover",
+    oracle=_cover_oracle_sql(),
+    doc=(
+        f"Greedy set-cover corpus selection: {COVER_ROUNDS} rounds, each "
+        "picking the document adding the most NOT-yet-covered bigrams "
+        "(marginal-gain argmax, doc_id tiebreak) — the classic "
+        "(1-1/e)-approximate coverage/facility-location selection that "
+        "underlies diversity-driven data curation. Spark loop per "
+        "round: anti-join against the covered-token set, map-combined "
+        "gain aggregate, 1-ROW argmax collect to fuse the pick into "
+        "the next plan (the tz07 plan-feeding pattern — O(rounds) "
+        "driver rows total, never data), covered set re-derived and "
+        "localCheckpointed. At 100 TB the anti-join probe is the only "
+        "wide op per round and the covered set stays a token-distinct "
+        "frame — lazy-greedy/priority-queue variants change the pick "
+        "schedule, not this data path. Oracle: the same greedy "
+        "unrolled as nested CTEs."
+    ),
+    tags=("training", "selection", "llm-pipeline"),
+)
+def xz10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(t) - 1),"
+                        " i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))"
+                    )
+                )
+            ).alias("tok"),
+        )
+    )
+    toks = toks.localCheckpoint(eager=True)  # 5 rounds re-probe this; derive once
+    picked: list[int] = []
+    rows: list[tuple[int, int, int]] = []
+    covered = None
+    for r in range(1, COVER_ROUNDS + 1):
+        cand = toks if covered is None else toks.join(covered, "tok", "left_anti")
+        if picked:
+            cand = cand.where(~F.col("doc_id").isin(picked))
+        hit = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not hit:
+            # vocabulary exhausted before the round budget: every
+            # remaining doc's token rows all dropped in the anti-join —
+            # greedy is done. The oracle's r{r} CTE goes empty the same
+            # way, so both sides emit the same truncated round list.
+            break
+        top = hit[0]
+        picked.append(int(top.doc_id))
+        rows.append((r, int(top.doc_id), int(top.gain)))
+        covered = (
+            toks.where(F.col("doc_id").isin(picked)).select("tok").distinct().localCheckpoint(eager=True)
+        )
+    final_covered = covered.count()
+    return spark.createDataFrame(
+        [(r, d, g, final_covered) for r, d, g in rows],
+        "round int, doc_id long, gain long, final_covered long",
+    )
