@@ -149,3 +149,115 @@ def cms_report(spark: SparkSession, sf_dir: str, sketch: DataFrame) -> DataFrame
 def xz06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return cms_report(spark, sf_dir, cms_sketch(ev, "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# xz11 / xz12 — the remaining Python-UDF surfaces, held to the same gate
+# ---------------------------------------------------------------------------
+#
+# The engine's standing rule is JVM-side expressions everywhere the
+# semantics allow (PLANS.md "Python boundary"); these two queries exist to
+# prove the OTHER Arrow lanes — a GROUPED_AGG pandas UDAF and a GROUPED_MAP
+# applyInPandas — run under the exact same DuckDB hash gate as the built-in
+# paths, not to bless Python for hot paths. Each docstring names the
+# built-in form that replaces it in production. Semantics are chosen
+# integer-exact (medians of ints interpolate to binary-exact halves), so
+# the cross-engine comparison is as strict as everywhere else.
+
+
+@register(
+    "xz11_grouped_agg_udaf_mad",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events
+    ),
+    med AS (SELECT event_type, quantile_cont(cents, 0.5) AS m FROM c GROUP BY event_type)
+    SELECT c.event_type,
+           quantile_cont(ABS(c.cents - med.m), 0.5) AS mad_cents
+    FROM c JOIN med USING (event_type)
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+    doc=(
+        "GROUPED_AGG pandas UDAF (Arrow-batched numpy median-absolute-"
+        "deviation per event type) checked against the relational "
+        "median-of-deviations oracle — proving the Arrow aggregation "
+        "lane produces gate-identical numbers. Production form is the "
+        "built-in percentile pipeline (xo01); this lane exists for "
+        "aggregations that genuinely need numpy/scipy kernels. Plan: "
+        "ObjectHashAggregate with partial merge — same two-level "
+        "shape as a JVM aggregate, state = the group's value buffer."
+    ),
+    tags=("udf", "grouped-agg", "statistics"),
+)
+def xz11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module runs under
+    # `from __future__ import annotations`, which stringifies the
+    # (pd.Series) -> float hints pandas_udf would otherwise sniff to
+    # classify the UDF as GROUPED_AGG.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mad(cents):
+        a = cents.to_numpy(dtype="int64")
+        return float(np.median(np.abs(a - np.median(a))))
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cents", F.round(F.col("value") * 100, 0).cast("bigint"))
+        .groupBy("event_type")
+        .agg(mad("cents").alias("mad_cents"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "xz12_grouped_map_demean",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events
+    ),
+    med AS (SELECT user_id, quantile_cont(cents, 0.5) AS m FROM c GROUP BY user_id)
+    SELECT c.event_id, c.user_id,
+           CAST(2 * c.cents - CAST(2 * med.m AS BIGINT) AS BIGINT) AS dev2_cents
+    FROM c JOIN med USING (user_id)
+    ORDER BY c.event_id
+    """,
+    doc=(
+        "GROUPED_MAP applyInPandas (per-user numpy median-centering, "
+        "emitted as 2*(x - median) so every output is an exact BIGINT "
+        "— the interpolated median's half survives the doubling) "
+        "against the window-join relational oracle. The lane for "
+        "per-group transforms needing a Python kernel (model scoring, "
+        "signal processing); relational equivalents stay the default "
+        "(a groupBy median + broadcast join back, as the oracle "
+        "shows). One shuffle on the group key; each group's rows "
+        "materialize as ONE Arrow batch — the documented constraint "
+        "that group size must fit an executor's batch memory."
+    ),
+    tags=("udf", "grouped-map", "statistics"),
+)
+def xz12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf["cents"].to_numpy(dtype="int64")
+        m2 = int(round(2 * float(np.median(a))))
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "dev2_cents": 2 * pdf["cents"] - m2,
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("cents", F.round(F.col("value") * 100, 0).cast("bigint"))
+        .select("event_id", "user_id", "cents")
+        .groupBy("user_id")
+        .applyInPandas(demean, "event_id long, user_id long, dev2_cents long")
+        .orderBy("event_id")
+    )
