@@ -809,3 +809,104 @@ def xm01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("op", F.lit("q1_excess"))
     )
     return common.unionByName(excess).select("l_suppkey", "op", "n")
+
+
+# ---------------------------------------------------------------------------
+# xz13 / xz14 — Spark 4 SQL surface: WITH RECURSIVE and LATERAL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xz13_recursive_reachability",
+    oracle="""
+    WITH RECURSIVE reach(node, d) AS (
+      SELECT CAST('click' AS VARCHAR), 0
+      UNION ALL
+      SELECT e.dst, r.d + 1
+      FROM reach r JOIN (
+        SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+          SELECT event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+          FROM events)
+        WHERE prev_type IS NOT NULL
+      ) e ON e.src = r.node
+      WHERE r.d < 4
+    )
+    SELECT node, MIN(d) AS hops FROM reach GROUP BY node ORDER BY node
+    """,
+    doc=(
+        "Recursive-CTE graph reachability (WITH RECURSIVE, Spark 4 SQL "
+        "surface): minimum hop count from the 'click' node over the "
+        "event-transition edge set, depth-bounded at 4 so the UNION "
+        "ALL expansion terminates independent of cycles, min-hop "
+        "aggregated outside the recursion. The declarative dual of "
+        "xg03's unrolled-iteration DataFrame form and vz01's label "
+        "propagation — the engine now exposes BOTH idioms for "
+        "iterative graph logic. The recursion's per-step work is a "
+        "join against the (tiny, re-derived once by the planner) edge "
+        "relation; at scale the same statement runs with edges as a "
+        "materialized table, which is where a bounded-depth BFS "
+        "belongs anyway."
+    ),
+    tags=("sql", "recursive", "graph"),
+)
+def xz13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, d) AS (
+          SELECT CAST('click' AS STRING), 0
+          UNION ALL
+          SELECT e.dst, r.d + 1
+          FROM reach r JOIN (
+            SELECT DISTINCT prev_type AS src, event_type AS dst FROM (
+              SELECT event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events)
+            WHERE prev_type IS NOT NULL
+          ) e ON e.src = r.node
+          WHERE r.d < 4
+        )
+        SELECT node, MIN(d) AS hops FROM reach GROUP BY node ORDER BY node
+        """
+    )
+
+
+@register(
+    "xz14_lateral_topk",
+    oracle="""
+    SELECT n.n_name, l.c_name, l.bal
+    FROM nation n, LATERAL (
+      SELECT c_name, ROUND(c_acctbal, 2) AS bal
+      FROM customer c WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) l
+    ORDER BY n.n_name, l.bal DESC, l.c_name
+    """,
+    doc=(
+        "Correlated LATERAL top-k (Spark 4 SQL surface): each nation's "
+        "two richest customers via a per-row correlated subquery with "
+        "ORDER BY/LIMIT — the SQL-standard spelling of q14/q24's "
+        "window row_number top-k (total-order tiebreak on c_name keeps "
+        "it deterministic). Catalyst decorrelates the lateral into a "
+        "ranked join rather than executing per-row — same physical "
+        "shape as the window form, so the 100 TB cost model is "
+        "unchanged; what this adds is the API: correlated-subquery "
+        "workloads port verbatim."
+    ),
+    tags=("sql", "lateral", "topk"),
+)
+def xz14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, l.c_name, l.bal
+        FROM nation n, LATERAL (
+          SELECT c_name, ROUND(c_acctbal, 2) AS bal
+          FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) l
+        ORDER BY n.n_name, l.bal DESC, l.c_name
+        """
+    )
