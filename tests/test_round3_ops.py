@@ -211,3 +211,50 @@ def test_attribution_conserves_revenue(spark, sf_dir):
         .collect()[0][0]
     )
     assert attributed == touched
+
+
+def test_xz09_windows_share_user_exchange(spark, sf_dir):
+    """Attribution's two purchase-keyed windows must ride the interval
+    join's exchanges — no third full-width shuffle for the window pair."""
+    from spotify_tags_etl_spark.operators.advanced import xz09
+
+    df = xz09(spark, sf_dir)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # join sides (2 exchanges) + p_eid window partitioning + final groupBy;
+    # the count+row_number pair share ONE Window partitioning
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_xs05_distinct_below_probe(spark, sf_dir):
+    """FK discovery must collapse the child side to its DISTINCT key set
+    before probing the parent — aggregates sit below the join."""
+    from spotify_tags_etl_spark.operators.maintenance import xs05
+
+    df = xs05(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_xz10_greedy_is_monotone_decreasing(spark, sf_dir):
+    """Greedy marginal gains must be non-increasing (submodularity of
+    coverage) and picks distinct."""
+    from spotify_tags_etl_spark.operators.training import xz10
+
+    rows = sorted(xz10(spark, sf_dir).collect(), key=lambda r: r.round)
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert all(g > 0 for g in gains)
+
+
+def test_xz14_lateral_decorrelates(spark, sf_dir):
+    """The LATERAL top-k must decorrelate into a ranked join — no
+    per-outer-row re-execution artifacts (a nested-loop over customer
+    per nation would show a CartesianProduct or repeated scans)."""
+    from spotify_tags_etl_spark.operators.relational import xz14
+
+    df = xz14(spark, sf_dir)
+    plan = _formatted_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan or "Join" in plan
