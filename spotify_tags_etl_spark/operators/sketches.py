@@ -261,3 +261,54 @@ def xz12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(demean, "event_id long, user_id long, dev2_cents long")
         .orderBy("event_id")
     )
+
+
+@register(
+    "xz15_map_in_arrow_partials",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "mapInArrow partial aggregation: each Arrow RecordBatch is "
+        "reduced to per-key (sum, count) partials with pyarrow.compute "
+        "— zero pandas materialization, the lowest-overhead Python "
+        "lane — then a JVM groupBy sums the partials. Integer partial "
+        "sums are associative, so the two-level result equals the "
+        "plain relational aggregate (the oracle) exactly on any batch "
+        "layout: the hand-built map-side-combine shape, demonstrating "
+        "the lane a binary-heavy kernel (codec, tokenizer) would use "
+        "when even Arrow→pandas conversion is too much. Per-task "
+        "output is O(keys-in-task); the one shuffle carries partials."
+    ),
+    tags=("udf", "arrow", "aggregate"),
+)
+def xz15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def partials(batches):
+        import pyarrow.compute as pc  # noqa: F401 — group_by pulls it in
+
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            g = t.group_by("event_type").aggregate([("cents", "sum"), ("cents", "count")])
+            out = pa.table(
+                {
+                    "event_type": g.column("event_type"),
+                    "s": g.column("cents_sum").cast(pa.int64()),
+                    "n": g.column("cents_count").cast(pa.int64()),
+                }
+            )
+            yield from out.to_batches()
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("cents")
+    )
+    part = ev.mapInArrow(partials, "event_type string, s long, n long")
+    return (
+        part.groupBy("event_type")
+        .agg(F.sum("s").cast("bigint").alias("sum_cents"), F.sum("n").cast("bigint").alias("n"))
+        .orderBy("event_type")
+    )
