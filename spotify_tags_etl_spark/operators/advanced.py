@@ -2210,3 +2210,77 @@ def xr06(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (concordant + discordant + ties) AS BIGINT)"
         ).alias("tau_permille"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# xz16 — association rules over per-user event-type baskets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xz16_association_rules",
+    oracle="""
+    WITH baskets AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT COUNT(DISTINCT user_id) AS total FROM baskets),
+    item AS (SELECT event_type, COUNT(*) AS cnt FROM baskets GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS ante, b.event_type AS cons, COUNT(*) AS both
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.ante, p.cons, p.both,
+           CAST((p.both * 1000000) // n.total AS BIGINT) AS support_ppm,
+           CAST((p.both * 1000000) // ia.cnt AS BIGINT) AS confidence_ppm,
+           CAST((p.both * n.total * 1000000) // (ia.cnt * ic.cnt) AS BIGINT) AS lift_ppm
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.ante
+    JOIN item ic ON ic.event_type = p.cons
+    CROSS JOIN n
+    ORDER BY p.ante, p.cons
+    """,
+    doc=(
+        "Market-basket association rules over per-user event-type "
+        "baskets: pairwise support / confidence / lift, every metric "
+        "an integer-ppm floor division (lift's cross-multiplied form "
+        "(both*total*1e6) DIV (cnt_a*cnt_b) keeps it exact — bounded "
+        "~1e17 at 1000x this scale, documented). The co-occurrence "
+        "self-join runs on the DISTINCT (user, item) basket relation "
+        "— one dedup shuffle, then a user-keyed join whose fan-out is "
+        "items-per-user choose 2, the Apriori candidate-pair step; "
+        "item supports broadcast back onto the pair frame. Token-"
+        "level cousin: xt01's PMI (log-scored, windowed); this is the "
+        "transaction-level rule-mining form with exact arithmetic."
+    ),
+    tags=("statistics", "association", "join"),
+)
+def xz16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    baskets = ev.select("user_id", "event_type").distinct()
+    total = baskets.agg(F.count_distinct("user_id").alias("total"))
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(F.col("user_id").alias("u"), F.col("event_type").alias("ante"))
+    b = baskets.select(F.col("user_id").alias("u2"), F.col("event_type").alias("cons"))
+    pair = (
+        a.join(b, (F.col("u") == F.col("u2")) & (F.col("ante") < F.col("cons")))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("both"))
+    )
+    ia = item.select(F.col("event_type").alias("ante"), F.col("cnt").alias("cnt_a"))
+    ic = item.select(F.col("event_type").alias("cons"), F.col("cnt").alias("cnt_c"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ante",
+            "cons",
+            "both",
+            F.expr("CAST((both * 1000000) DIV total AS BIGINT)").alias("support_ppm"),
+            F.expr("CAST((both * 1000000) DIV cnt_a AS BIGINT)").alias("confidence_ppm"),
+            F.expr("CAST((both * total * 1000000) DIV (cnt_a * cnt_c) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy("ante", "cons")
+    )
