@@ -910,3 +910,40 @@ def xz14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, l.bal DESC, l.c_name
         """
     )
+
+
+@register(
+    "xz17_pipe_syntax",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING COUNT(*) >= 2
+    ORDER BY user_id LIMIT 5
+    """,
+    doc=(
+        "SQL pipe syntax (Spark 4 `|>` operators): filter → aggregate "
+        "→ having-filter → order → limit written as a linear pipeline, "
+        "hash-checked against the equivalent classic SELECT. Pure "
+        "surface parity — Catalyst compiles both spellings to the "
+        "identical plan, so analysts migrating pipe-first SQL "
+        "(BigQuery/ZetaSQL style) port queries without rewrites. "
+        "user_id is unique per group, so ORDER BY + LIMIT is "
+        "deterministic without an extra tiebreak."
+    ),
+    tags=("sql", "pipe-syntax"),
+)
+def xz17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE event_type = 'purchase'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+           GROUP BY user_id
+        |> WHERE n >= 2
+        |> ORDER BY user_id
+        |> LIMIT 5
+        """
+    )
