@@ -2284,3 +2284,129 @@ def xz16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ante", "cons")
     )
+
+
+# ---------------------------------------------------------------------------
+# xs06 — A/B experiment analysis (integer-exact effect + chi-square parts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xs06_ab_test_analysis",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id, user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT CAST(SUM(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM arms
+    )
+    SELECT a, b, c, d,
+           CAST((a * 1000000) // (a + b) AS BIGINT) AS p0_ppm,
+           CAST((c * 1000000) // (c + d) AS BIGINT) AS p1_ppm,
+           CAST((c * 1000000) // (c + d) - (a * 1000000) // (a + b) AS BIGINT) AS delta_ppm,
+           CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS DECIMAL(38,0)) AS chi2_num,
+           CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DECIMAL(38,0)) AS chi2_den
+    FROM c
+    """,
+    doc=(
+        "Experiment (A/B) analysis: users split into arms by the "
+        "deterministic user_id parity, per-arm conversion (any "
+        "purchase) as a 2x2 contingency table, conversion rates and "
+        "uplift in integer ppm, and the chi-square statistic emitted "
+        "as its EXACT integer numerator N*(ad-bc)^2 and denominator "
+        "(row x column margins) — DECIMAL(38,0), no float division, "
+        "so the gate checks the test statistic to the last digit and "
+        "any consumer divides at display time. The per-user reduce is "
+        "one map-combined aggregate; the 2x2 rollup is O(1). At 100 "
+        "TB the arm column comes from the assignment log — the same "
+        "two aggregates, one scan."
+    ),
+    tags=("statistics", "experiment", "aggregate"),
+)
+def xs06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    arms = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    c = arms.agg(
+        F.sum(F.expr("CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END")).cast("bigint").alias("a"),
+        F.sum(F.expr("CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END")).cast("bigint").alias("b"),
+        F.sum(F.expr("CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END")).cast("bigint").alias("c"),
+        F.sum(F.expr("CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END")).cast("bigint").alias("d"),
+    )
+    return c.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("CAST((a * 1000000) DIV (a + b) AS BIGINT)").alias("p0_ppm"),
+        F.expr("CAST((c * 1000000) DIV (c + d) AS BIGINT)").alias("p1_ppm"),
+        F.expr(
+            "CAST((c * 1000000) DIV (c + d) - (a * 1000000) DIV (a + b) AS BIGINT)"
+        ).alias("delta_ppm"),
+        F.expr(
+            "CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a * d - b * c) * (a * d - b * c)"
+            " AS DECIMAL(38,0))"
+        ).alias("chi2_num"),
+        F.expr(
+            "CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DECIMAL(38,0))"
+        ).alias("chi2_den"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# xl04 — seasonal-naive forecast backtest (integer MAE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xl04_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY epoch_us(ts) // 86400000000
+    ),
+    j AS (
+      SELECT a.day, a.cents AS actual, f.cents AS forecast
+      FROM daily a JOIN daily f ON f.day = a.day - 7
+    )
+    SELECT COUNT(*) AS n_days,
+           CAST(SUM(ABS(actual - forecast)) AS BIGINT) AS mae_num_cents,
+           CAST(MAX(ABS(actual - forecast)) AS BIGINT) AS worst_abs_err_cents
+    FROM j
+    """,
+    doc=(
+        "Seasonal-naive forecast backtest: forecast(day) = actual(day "
+        "- 7), evaluated over every day with a week-old ancestor — "
+        "integer MAE numerator and worst-case error in cents (the "
+        "honest baseline every fancier forecaster must beat; xl02's "
+        "decomposition supplies the seasonal structure this exploits). "
+        "One daily rollup (map-combined), one self-join on the lagged "
+        "day key — at years of history both sides are the same tiny "
+        "daily table. Emitting the MAE as an exact numerator+count "
+        "pair keeps the gate integer-strict."
+    ),
+    tags=("timeseries", "forecast", "backtest"),
+)
+def xl04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(F.expr("unix_micros(ts) DIV 86400000000").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    a = daily.select(F.col("day").alias("d"), F.col("cents").alias("actual"))
+    f = daily.select((F.col("day") + 7).alias("d"), F.col("cents").alias("forecast"))
+    j = a.join(f, "d")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("actual") - F.col("forecast"))).cast("bigint").alias("mae_num_cents"),
+        F.max(F.abs(F.col("actual") - F.col("forecast"))).cast("bigint").alias(
+            "worst_abs_err_cents"
+        ),
+    )
