@@ -97,6 +97,17 @@ CURATION_SUITE = [
     "xv03_partition_prune_scan",
 ]
 
+#: Mining/analysis suite (round-3 batches 14-19): rule mining, robust
+#: trend, experiment analysis, backtesting, greedy selection, FK discovery.
+MINING_SUITE = [
+    "xz16_association_rules",
+    "xr06_kendall_trend",
+    "xs06_ab_test_analysis",
+    "xl04_seasonal_naive_backtest",
+    "xz10_greedy_cover",
+    "xs05_fk_discovery",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -106,7 +117,7 @@ def main() -> None:
     queries = registry.all_queries()
     names = [
         n
-        for n in HEADLINE + LLM_SUITE + STREAMING_SUITE + CLASSICS_SUITE + ANALYTICS_SUITE + CURATION_SUITE
+        for n in HEADLINE + LLM_SUITE + STREAMING_SUITE + CLASSICS_SUITE + ANALYTICS_SUITE + CURATION_SUITE + MINING_SUITE
         if registry.resolve(n) in queries
     ]
 
@@ -132,6 +143,7 @@ def main() -> None:
     classics_total = round(sum(timings[n] for n in names if n in CLASSICS_SUITE), 4)
     analytics_total = round(sum(timings[n] for n in names if n in ANALYTICS_SUITE), 4)
     curation_total = round(sum(timings[n] for n in names if n in CURATION_SUITE), 4)
+    mining_total = round(sum(timings[n] for n in names if n in MINING_SUITE), 4)
     print(
         json.dumps(
             {
@@ -147,6 +159,7 @@ def main() -> None:
                     "classics": classics_total,
                     "analytics": analytics_total,
                     "curation": curation_total,
+                    "mining": mining_total,
                 },
             }
         )

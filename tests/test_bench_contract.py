@@ -16,13 +16,13 @@ from spotify_tags_etl_spark.plans import registry
 
 def test_every_bench_suite_name_resolves():
     queries = registry.all_queries()
-    for suite in (bench.HEADLINE, bench.LLM_SUITE, bench.STREAMING_SUITE, bench.CLASSICS_SUITE, bench.ANALYTICS_SUITE, bench.CURATION_SUITE):
+    for suite in (bench.HEADLINE, bench.LLM_SUITE, bench.STREAMING_SUITE, bench.CLASSICS_SUITE, bench.ANALYTICS_SUITE, bench.CURATION_SUITE, bench.MINING_SUITE):
         for name in suite:
             assert registry.resolve(name) in queries, f"bench suite entry {name!r} lost"
 
 
 def test_suites_are_disjoint_and_nonempty():
-    suites = [bench.HEADLINE, bench.LLM_SUITE, bench.STREAMING_SUITE, bench.CLASSICS_SUITE, bench.ANALYTICS_SUITE, bench.CURATION_SUITE]
+    suites = [bench.HEADLINE, bench.LLM_SUITE, bench.STREAMING_SUITE, bench.CLASSICS_SUITE, bench.ANALYTICS_SUITE, bench.CURATION_SUITE, bench.MINING_SUITE]
     all_names = [n for s in suites for n in s]
     assert all(len(s) > 0 for s in suites)
     assert len(all_names) == len(set(all_names))
