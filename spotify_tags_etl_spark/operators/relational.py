@@ -947,3 +947,46 @@ def xz17(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> LIMIT 5
         """
     )
+
+
+@register(
+    "xz18_sql_scripting",
+    oracle="""
+    WITH t AS (
+      SELECT SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // COUNT(*) AS threshold
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_above
+    FROM events CROSS JOIN t
+    WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > t.threshold
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc=(
+        "SQL scripting (Spark 4 BEGIN/DECLARE/SET blocks): a session "
+        "variable captures the floor-average cents (SUM DIV COUNT — "
+        "integer-exact; a double AVG cast differs between engines: "
+        "Spark truncates, DuckDB rounds), then parameterizes "
+        "the above-average count per type; the oracle is the same "
+        "logic as one statement with the scalar via CROSS JOIN. "
+        "Procedural-SQL workloads (stored-procedure migrations) run "
+        "as-is; the variable materializes as an O(1) scalar subquery, "
+        "so the plan is two scans exactly like the relational form — "
+        "xq05's scalar-subquery shape behind procedural syntax."
+    ),
+    tags=("sql", "scripting"),
+)
+def xz18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold BIGINT DEFAULT 0;
+          SET threshold = (SELECT SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) DIV COUNT(*)
+                           FROM events);
+          SELECT event_type, COUNT(*) AS n_above
+          FROM events
+          WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > threshold
+          GROUP BY event_type ORDER BY event_type;
+        END
+        """
+    )
