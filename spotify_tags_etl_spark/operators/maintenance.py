@@ -1557,3 +1557,100 @@ def xs05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((n_matched * 1000000) DIV n_child AS BIGINT)").alias("containment_ppm"),
         (F.col("n_matched") == F.col("n_child")).alias("is_inclusion"),
     ).orderBy("child", "parent")
+
+
+# ---------------------------------------------------------------------------
+# xd03 — incremental SCD2 MERGE (close open intervals + append versions)
+# ---------------------------------------------------------------------------
+
+#: History/incoming split day (relative to the 2024-01-01 fixture epoch):
+#: purchases before day 20 form the standing SCD2 table, the rest arrive
+#: as the change batch. The split is BY TIME, so cross-boundary ordering
+#: ties are impossible and the merged table must equal a full rebuild.
+_XD03_SPLIT_DAY = 20
+_XD03_DAY0 = 19723  # 2024-01-01 in epoch days
+
+
+@register(
+    "xd03_scd2_merge",
+    oracle="""
+    SELECT user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS version,
+           event_id,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+           CAST(LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT)
+             AS valid_to_us,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "Incremental SCD2 MERGE: a standing history table (purchases "
+        "before day 20, xd01's interval form) receives a change batch "
+        "— each affected key's OPEN interval closes at the key's first "
+        "incoming change, incoming changes append as new versions "
+        "numbered past the key's previous max. The oracle is the FULL "
+        "REBUILD over all history: incremental maintenance must be "
+        "indistinguishable from recomputation (the lakehouse SCD2 "
+        "MERGE INTO contract; xz03's IVM delta is the same idea for "
+        "join views). Merge cost is O(affected keys + batch): the "
+        "open-interval close is a broadcast-joined update of one row "
+        "per changed key, never a history rewrite; version offsets "
+        "come from a per-key max aggregated on the same exchange."
+    ),
+    tags=("maintenance", "scd2", "cdc"),
+)
+def xd03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    us = F.unix_micros(F.col("ts"))
+    day = F.expr("unix_micros(ts) DIV 86400000000") - F.lit(_XD03_DAY0)
+    base_ev = ev.where(day < _XD03_SPLIT_DAY)
+    inc_ev = ev.where(day >= _XD03_SPLIT_DAY)
+
+    w = Window.partitionBy("user_id").orderBy(us.asc(), F.col("event_id").asc())
+    base = base_ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        "event_id",
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    inc = inc_ev.select(
+        "user_id",
+        F.row_number().over(w).alias("iver"),
+        "event_id",
+        us.alias("valid_from_us"),
+        F.lead(us).over(w).alias("valid_to_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    # per-key close point (first incoming change) and version offset
+    firsts = inc.where(F.col("iver") == 1).select(
+        "user_id", F.col("valid_from_us").alias("close_us")
+    )
+    offsets = base.groupBy("user_id").agg(F.max("version").alias("voff"))
+    closed = (
+        base.join(F.broadcast(firsts), "user_id", "left")
+        .withColumn(
+            "valid_to_us",
+            F.when(
+                F.col("valid_to_us").isNull() & F.col("close_us").isNotNull(),
+                F.col("close_us"),
+            ).otherwise(F.col("valid_to_us")),
+        )
+        .drop("close_us")
+    )
+    appended = (
+        inc.join(F.broadcast(offsets), "user_id", "left")
+        .select(
+            "user_id",
+            (F.col("iver") + F.coalesce(F.col("voff"), F.lit(0))).alias("version"),
+            "event_id",
+            "valid_from_us",
+            "valid_to_us",
+            "value_cents",
+        )
+    )
+    return closed.select(
+        "user_id", "version", "event_id", "valid_from_us", "valid_to_us", "value_cents"
+    ).unionByName(appended)

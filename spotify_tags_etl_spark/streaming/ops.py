@@ -1449,3 +1449,62 @@ if transform_with_state_available():  # pragma: no cover — env-dependent
         ),
         tags=("streaming", "stateful", "transformWithState"),
     )(xw08)
+
+
+# ---------------------------------------------------------------------------
+# xw09 — streaming orphan detection (the ANTI view of the outer join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xw09_stream_orphan_errors",
+    oracle=f"""
+    WITH m AS (SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'error'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'click')) AS mx)
+    SELECT e.event_id AS err_id, e.user_id,
+           CAST(epoch_us(e.ts) AS BIGINT) AS err_us
+    FROM (SELECT * FROM events WHERE event_type = 'error') e, m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = e.user_id
+          AND c.ts > e.ts
+          AND epoch_us(c.ts) - epoch_us(e.ts) <= CAST({_JOIN_RANGE_S} AS BIGINT) * 1000000
+      )
+      AND e.ts < date_trunc('second', m.mx - INTERVAL {_OUTER_SAFETY_S} SECONDS)
+    ORDER BY err_id
+    """,
+    doc=(
+        "Streaming orphan detection — errors with NO click follow-up "
+        "within the hour (abandoned-flow alerting): Structured "
+        "Streaming has no stream-stream anti join, so the engine form "
+        "is the standard idiom st07 enables — LEFT OUTER interval "
+        "join, keep the null-match rows, which by construction emit "
+        "only on watermark-driven state eviction (an anti verdict is "
+        "only FINAL once the other stream's watermark passes the "
+        "window; the cutoff from the query's own progress metrics "
+        "makes that deterministic). Oracle: batch NOT EXISTS under "
+        "the same eviction cutoff."
+    ),
+    tags=("streaming", "anti-join", "eventtime"),
+)
+def xw09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, wm_us = run_to_memory_with_progress(
+        stream_stream_outer_join(read_events_stream(spark, sf_dir)), "append"
+    )
+    if wm_us is None:
+        cutoff_us = -(2**62)
+    else:
+        cutoff_us = (wm_us // 1_000_000 - (_JOIN_RANGE_S + 60)) * 1_000_000
+    return (
+        res.where(
+            F.col("click_id").isNull() & (F.unix_micros(F.col("e_ts")) < F.lit(cutoff_us))
+        )
+        .select(
+            "err_id",
+            "user_id",
+            F.unix_micros(F.col("e_ts")).cast("bigint").alias("err_us"),
+        )
+        .orderBy("err_id")
+    )
