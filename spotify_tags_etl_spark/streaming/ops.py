@@ -1112,11 +1112,24 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
     run_foreach_batch(stream.select("user_id", "ts"), apply_batch)
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr(f"unix_micros(ts) DIV {7 * _DAY_US}").alias("wk")
+        "user_id",
+        F.expr(f"unix_micros(ts) DIV {7 * _DAY_US}").alias("wk"),
+        F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"),
     )
-    anchor = ev.groupBy("wk").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_direct"),
-        F.count_distinct("user_id").alias("n_exact"),
+    # Apples-to-apples anchor: batch-side UNION of the same daily partials,
+    # not a directly-built weekly sketch. Datasketches HLL estimates a
+    # directly-updated sketch with its HIP estimator but a UNIONED sketch
+    # with the composite estimator, so "union == direct" is NOT a true
+    # invariant — it held at sf0.01 by coincidence and broke at sf0.1.
+    # Union associativity (stream-merge layout invariance) is the property
+    # this query actually claims, and union-vs-union tests exactly that;
+    # closeness to ground truth is the separate 5% n_exact band.
+    anchor = (
+        ev.groupBy("wk", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("dsk"))
+        .groupBy("wk")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("dsk")).alias("_direct"))
+        .join(ev.groupBy("wk").agg(F.count_distinct("user_id").alias("n_exact")), "wk")
     )
     if not current:
         return spark.createDataFrame([], "wk long, n_exact long, merged_ok boolean")
