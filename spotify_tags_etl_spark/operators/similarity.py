@@ -1470,3 +1470,89 @@ def prefix_rerank_topk(
 def xe03(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return prefix_rerank_topk(emb.where(F.col("vec_id") < 8), emb)
+
+
+# ---------------------------------------------------------------------------
+# xe06 — recall evaluation of the prefix-rerank cascade
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xe06_prefix_recall_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_vec, embedding[1:{PREFIX_DIMS}] AS q_pre,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS q_norm
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS c_id, embedding AS c_vec, embedding[1:{PREFIX_DIMS}] AS c_pre,
+             sqrt({_ORACLE_DOT.format(a='embedding', b='embedding')}) AS c_norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q_id, c_id, q_vec, c_vec, q_norm, c_norm, q_pre, c_pre,
+             {_ORACLE_DOT.format(a='q_vec', b='c_vec')} / NULLIF(q_norm * c_norm, 0) AS cosine
+      FROM q, c WHERE q_id <> c_id
+    ),
+    exact AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+        FROM scored
+      ) WHERE rank <= 10
+    ),
+    coarse AS (
+      SELECT q_id, c_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id
+               ORDER BY {_ORACLE_DOT.format(a='q_pre', b='c_pre')} DESC, c_id
+             ) AS crank
+      FROM scored
+    ),
+    approx AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+        FROM coarse WHERE crank <= {RERANK_DEPTH}
+      ) WHERE rank <= 10
+    )
+    SELECT e.q_id,
+           COUNT(a.c_id) AS n_hits,
+           CAST((COUNT(a.c_id) * 1000000) // 10 AS BIGINT) AS recall_ppm
+    FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+    GROUP BY e.q_id ORDER BY e.q_id
+    """,
+    doc=(
+        "Recall@10 of the xe03 prefix-rerank cascade against ss01's "
+        "exact cosine truth, integer ppm per query — the measurement "
+        f"that calibrates RERANK_DEPTH ({RERANK_DEPTH}): evaluation "
+        "held to the same hash gate as the operators it evaluates "
+        "(binary-ranking cousin: xe05). Truth and cascade share one "
+        "scored frame, so the eval costs one corpus pass plus "
+        "windowed ranks."
+    ),
+    tags=("similarity", "ann", "evaluation"),
+)
+def xe06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = cosine_topk(queries, emb, k=10).select("q_id", "c_id")
+    approx = prefix_rerank_topk(queries, emb, k=10).select(
+        F.col("q_id").alias("a_qid"), F.col("c_id").alias("a_cid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("q_id") == F.col("a_qid")) & (F.col("c_id") == F.col("a_cid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("a_cid").alias("n_hits"))
+        .select(
+            "q_id",
+            "n_hits",
+            F.expr("CAST((n_hits * 1000000) DIV 10 AS BIGINT)").alias("recall_ppm"),
+        )
+        .orderBy("q_id")
+    )
