@@ -1654,3 +1654,58 @@ def xd03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.select(
         "user_id", "version", "event_id", "valid_from_us", "valid_to_us", "value_cents"
     ).unionByName(appended)
+
+
+# ---------------------------------------------------------------------------
+# xv06 — XML interchange round trip (Spark 4 built-in XML source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xv06_xml_roundtrip",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s.s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    doc=(
+        "XML interchange (Spark 4's built-in XML source — the "
+        "spark-xml lineage, no external package): the supplier "
+        "dimension rewritten as rowTag'd XML, read back with an "
+        "explicit schema, joined to nation, aggregated; the oracle "
+        "reads the ORIGINAL parquet, so the round trip proves value-"
+        "faithful transport through the text format (xv05's ORC "
+        "check, one format over). B2B/legacy-feed ingestion is where "
+        "XML still lives; per-row parse cost makes it a landing "
+        "format only — the first hop is always a columnar rewrite, "
+        "which is exactly what this query's plan does."
+    ),
+    tags=("source", "format", "interchange"),
+)
+def xv06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join("/tmp/spark_graft_xv06", tag)
+    sup = load_table(spark, sf_dir, "supplier")
+    sup.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
+        "rowTag", "supplier"
+    ).save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(sup.schema)
+        .load(path)
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(nation), back["s_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double").alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
