@@ -312,3 +312,79 @@ def xz15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("s").cast("bigint").alias("sum_cents"), F.sum("n").cast("bigint").alias("n"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# xz19 — sample-based distinct-count estimation (Chao1, exact rational)
+# ---------------------------------------------------------------------------
+
+#: Deterministic sample rate for the NDV estimator (md5-bucket, per
+#: functions/hashing.py — never rand()).
+NDV_SAMPLE_RATE = 0.10
+
+
+@register(
+    "xz19_chao_ndv_estimate",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id FROM events
+      WHERE {{frac}} < {NDV_SAMPLE_RATE}
+    ),
+    f AS (
+      SELECT user_id, COUNT(*) AS c FROM s GROUP BY user_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS d_sample,
+             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+      FROM f
+    )
+    SELECT d_sample, f1, f2,
+           CAST(2 * d_sample * GREATEST(f2, 1) + f1 * f1 AS BIGINT) AS chao_num,
+           CAST(2 * GREATEST(f2, 1) AS BIGINT) AS chao_den,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS true_ndv
+    FROM stats
+    """.replace(
+        "{frac}",
+        "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)"
+        " / 4294967296.0",
+    ),
+    doc=(
+        "Sample-based distinct-count (NDV) estimation — the optimizer-"
+        "statistics primitive behind join-cardinality planning when a "
+        "full count_distinct pass is too expensive: a deterministic "
+        f"{int(NDV_SAMPLE_RATE * 100)}% md5-bucket row sample, "
+        "frequency-of-frequency stats (f1 singletons, f2 doubletons), "
+        "and the Chao1 lower-bound estimate D + f1²/(2·max(f2,1)) "
+        "emitted as an EXACT integer numerator/denominator pair (one "
+        "division nobody performs — the gate checks the rational, "
+        "the consumer divides at display time), next to the true NDV "
+        "verdict column. Sample is a scan-time narrow filter (no "
+        "shuffle to sample); the estimator itself aggregates "
+        "O(sampled distinct keys). Sketch-based cousins: av11 KMV, "
+        "av14/xk02 HLL — this is the SAMPLING column of the NDV "
+        "toolbox, the one that also yields frequency skew (f1/f2) "
+        "for free."
+    ),
+    tags=("sketch", "statistics", "sampling"),
+)
+def xz19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.functions.hashing import hash_frac
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(hash_frac(F.col("event_id")) < NDV_SAMPLE_RATE)
+    f = s.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    stats = f.agg(
+        F.count(F.lit(1)).alias("d_sample"),
+        F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END")).alias("f1"),
+        F.sum(F.expr("CASE WHEN c = 2 THEN 1 ELSE 0 END")).alias("f2"),
+    )
+    true_ndv = ev.agg(F.count_distinct("user_id").alias("true_ndv"))
+    return stats.crossJoin(F.broadcast(true_ndv)).select(
+        "d_sample",
+        "f1",
+        "f2",
+        F.expr("CAST(2 * d_sample * GREATEST(f2, 1) + f1 * f1 AS BIGINT)").alias("chao_num"),
+        F.expr("CAST(2 * GREATEST(f2, 1) AS BIGINT)").alias("chao_den"),
+        "true_ndv",
+    )

@@ -258,3 +258,47 @@ def test_xz14_lateral_decorrelates(spark, sf_dir):
     plan = _formatted_plan(spark, df)
     assert "CartesianProduct" not in plan
     assert "Window" in plan or "Join" in plan
+
+
+def test_ppm_long_division_property():
+    """Property: the two-step base-1000 long division equals exact ppm
+    for ALL numerator<=denominator pairs whose intermediates fit int64."""
+    from hypothesis import given, strategies as st
+
+    @given(
+        st.integers(min_value=0, max_value=9_000_000_000_000_000),
+        st.integers(min_value=1, max_value=9_000_000_000_000_000),
+    )
+    def check(np_, d):
+        if np_ > d:
+            np_, d = d, np_
+        a = (np_ * 1000) // d
+        ppm = a * 1000 + (((np_ * 1000) % d) * 1000) // d
+        assert ppm == (np_ * 1_000_000) // d
+        assert np_ * 1000 < 2**63 and ((np_ * 1000) % d) * 1000 < 2**63
+
+    check()
+
+
+def test_hash_frac_cross_engine_property():
+    """Property: the md5 hash-fraction idiom produces identical doubles
+    in Python-computed form and DuckDB for arbitrary integer keys."""
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=-(2**62), max_value=2**62))
+    def check(key):
+        py = int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) / float(1 << 32)
+        sql = con.execute(
+            "SELECT CAST(('0x' || substr(md5(CAST(? AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)"
+            " / 4294967296.0",
+            [key],
+        ).fetchone()[0]
+        assert py == sql
+
+    check()
