@@ -2410,3 +2410,80 @@ def xl04(spark: SparkSession, sf_dir: str) -> DataFrame:
             "worst_abs_err_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# xc03 — net revenue retention by signup cohort (week over week)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xc03_net_revenue_retention",
+    oracle="""
+    WITH first_wk AS (
+      SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT e.user_id,
+             f.cohort_wk,
+             epoch_us(e.ts) // 604800000000 - f.cohort_wk AS age_wk,
+             CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents
+      FROM events e JOIN first_wk f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    base AS (
+      SELECT cohort_wk, SUM(cents) AS w0_cents FROM rev WHERE age_wk = 0 GROUP BY cohort_wk
+    ),
+    aged AS (
+      SELECT cohort_wk, age_wk, SUM(cents) AS cents
+      FROM rev GROUP BY cohort_wk, age_wk
+    )
+    SELECT a.cohort_wk, a.age_wk, a.cents,
+           CAST((a.cents * 1000000) // b.w0_cents AS BIGINT) AS nrr_ppm
+    FROM aged a JOIN base b ON b.cohort_wk = a.cohort_wk
+    WHERE b.w0_cents > 0
+    ORDER BY a.cohort_wk, a.age_wk
+    """,
+    doc=(
+        "Net revenue retention: per signup-week cohort (first event "
+        "week), purchase revenue at each cohort age as an integer-ppm "
+        "ratio to the cohort's week-0 revenue — the expansion/"
+        "contraction matrix behind every SaaS retention chart (the "
+        "revenue-weighted complement of xc01's user-count retention). "
+        "Cohort assignment is one per-user min aggregate broadcast "
+        "back onto the purchase stream; the (cohort, age) rollup "
+        "map-combines to a ~weeks² frame; week-0 bases broadcast for "
+        "the ratio. All integer cents/ppm."
+    ),
+    tags=("analytics", "cohort", "retention"),
+)
+def xc03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    wk = F.expr("unix_micros(ts) DIV 604800000000")
+    first_wk = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_wk"))
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_wk), "user_id")
+        .select(
+            "cohort_wk",
+            (wk - F.col("cohort_wk")).alias("age_wk"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    aged = rev.groupBy("cohort_wk", "age_wk").agg(F.sum("cents").alias("cents"))
+    base = (
+        aged.where(F.col("age_wk") == 0)
+        .select(F.col("cohort_wk").alias("b_wk"), F.col("cents").alias("w0_cents"))
+        .where(F.col("w0_cents") > 0)
+    )
+    return (
+        aged.join(F.broadcast(base), F.col("cohort_wk") == F.col("b_wk"))
+        .select(
+            "cohort_wk",
+            "age_wk",
+            "cents",
+            F.expr("CAST((cents * 1000000) DIV w0_cents AS BIGINT)").alias("nrr_ppm"),
+        )
+        .orderBy("cohort_wk", "age_wk")
+    )
