@@ -324,3 +324,65 @@ def xj02(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_key_rows"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# xj03 — join fan-out audit (pre-join cardinality accounting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xj03_join_fanout_audit",
+    oracle="""
+    WITH lo AS (SELECT l_orderkey AS k, COUNT(*) AS n_l FROM lineitem GROUP BY l_orderkey),
+    oo AS (SELECT o_orderkey AS k, COUNT(*) AS n_o FROM orders GROUP BY o_orderkey),
+    per_key AS (
+      SELECT lo.k, lo.n_l * oo.n_o AS prod FROM lo JOIN oo ON lo.k = oo.k
+    )
+    SELECT CAST(SUM(prod) AS BIGINT) AS predicted_rows,
+           (SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             AS actual_rows,
+           CAST(MAX(prod) AS BIGINT) AS max_key_fanout,
+           CAST(SUM(prod) AS BIGINT) = (SELECT COUNT(*) FROM lineitem l
+                                        JOIN orders o ON l.l_orderkey = o.o_orderkey)
+             AS accounting_ok
+    FROM per_key
+    """,
+    doc=(
+        "Join fan-out audit — the pre-flight cardinality guardrail: "
+        "the exact identity |A ⋈_k B| = Σ_k n_A(k)·n_B(k) computed "
+        "from two per-key count aggregates BEFORE running the join, "
+        "next to the actual join count and the hottest key's product "
+        "(the number that decides salting vs AQE skew-split — xj02's "
+        "ppm skew metrics are the relative view, this is the absolute "
+        "row-explosion bound). The accounting_ok verdict pins the "
+        "identity end-to-end. At 100 TB the per-key count frames are "
+        "what a planner can afford to materialize when it suspects "
+        "fan-out; the audit costs two map-combined aggregates + an "
+        "O(keys) join, never the full join it is guarding."
+    ),
+    tags=("skew", "diagnostics", "join"),
+)
+def xj03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lo = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("n_l"))
+    oo = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("n_o"))
+    per_key = lo.join(oo, "k").select((F.col("n_l") * F.col("n_o")).alias("prod"))
+    actual = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return (
+        per_key.agg(
+            F.sum("prod").cast("bigint").alias("predicted_rows"),
+            F.max("prod").cast("bigint").alias("max_key_fanout"),
+        )
+        .crossJoin(F.broadcast(actual))
+        .select(
+            "predicted_rows",
+            "actual_rows",
+            "max_key_fanout",
+            (F.col("predicted_rows") == F.col("actual_rows")).alias("accounting_ok"),
+        )
+    )

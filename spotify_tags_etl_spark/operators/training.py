@@ -1089,3 +1089,73 @@ def xz10(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, d, g, final_covered) for r, d, g in rows],
         "round int, doc_id long, gain long, final_covered long",
     )
+
+
+# ---------------------------------------------------------------------------
+# xi05 — importance reweighting to a target language mixture
+# ---------------------------------------------------------------------------
+
+#: Target language shares in ppm (must sum to 1e6): the uniform-ish
+#: mixture a multilingual training run wants, vs the corpus's skew.
+TARGET_MIX_PPM = {"en": 400_000, "de": 200_000, "fr": 200_000, "es": 100_000, "pt": 100_000}
+
+
+def _mix_case_sql(col: str = "d.lang") -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in TARGET_MIX_PPM.items())
+    return f"CASE {col} {whens} ELSE 0 END"
+
+
+@register(
+    "xi05_importance_reweight",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS total FROM documents),
+    share AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang AS lang,
+           CAST(({_mix_case_sql()} * n.total) // (1000000 * s.cnt) * 1000000
+                + ((({_mix_case_sql()} * n.total) % (1000000 * s.cnt)) * 1000000)
+                  // (1000000 * s.cnt) AS BIGINT) AS weight_ppm
+    FROM documents d
+    JOIN share s ON s.lang = d.lang
+    CROSS JOIN n
+    ORDER BY d.doc_id
+    """,
+    doc=(
+        "Importance reweighting to a target language mixture: each "
+        "document's loss weight = target_share / observed_share as "
+        "integer ppm (exact two-step long division — the weight is "
+        "target_ppm*total / (1e6*cnt_lang), computed quotient-then-"
+        "remainder so nothing overflows and no float appears). The "
+        "WEIGHTING counterpart of tz07's mixture SAMPLING: sampling "
+        "changes the corpus, reweighting changes the loss — both "
+        "driven by the same O(#strata) share statistics, here joined "
+        "back as a broadcast instead of fused as a when-ladder, "
+        "because every row gets a value (no filtering). Weights are "
+        "a pure function of (lang, corpus counts): retry/layout/"
+        "engine-invariant by construction."
+    ),
+    tags=("training", "weighting", "llm-pipeline"),
+)
+def xi05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    share = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tgt = F.element_at(
+        F.create_map(*[F.lit(x) for kv in TARGET_MIX_PPM.items() for x in kv]),
+        F.col("lang"),
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(share), "lang")
+        .crossJoin(F.broadcast(total))
+        .withColumn("tgt_ppm", F.coalesce(tgt, F.lit(0)).cast("bigint"))
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "CAST((tgt_ppm * total) DIV (1000000 * cnt) * 1000000"
+                " + (((tgt_ppm * total) % (1000000 * cnt)) * 1000000)"
+                " DIV (1000000 * cnt) AS BIGINT)"
+            ).alias("weight_ppm"),
+        )
+        .orderBy("doc_id")
+    )
