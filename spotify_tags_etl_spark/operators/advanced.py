@@ -2487,3 +2487,102 @@ def xc03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_wk", "age_wk")
     )
+
+
+# ---------------------------------------------------------------------------
+# xo04 — seasonality-adjusted anomaly days (xl02 residuals + MAD gate)
+# ---------------------------------------------------------------------------
+
+#: Robust gate: |residual - median| > MAD_K * MAD flags the day.
+MAD_K = 3
+
+
+@register(
+    "xo04_seasonal_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US} AS day, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, c,
+             CASE WHEN COUNT(*) OVER w7 = 7
+                  THEN SUM(c) OVER w7 // 7 END AS trend7
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dow AS (
+      SELECT day, c, trend7,
+             SUM(c - trend7) FILTER (WHERE trend7 IS NOT NULL)
+               OVER (PARTITION BY day % 7) AS dow_num,
+             COUNT(*) FILTER (WHERE trend7 IS NOT NULL)
+               OVER (PARTITION BY day % 7) AS dow_n
+      FROM trended
+    ),
+    res AS (
+      SELECT day, c, c - trend7 - dow_num // dow_n AS residual
+      FROM dow WHERE trend7 IS NOT NULL AND dow_n > 0
+    ),
+    med AS (SELECT quantile_cont(residual, 0.5) AS m FROM res),
+    mad AS (
+      SELECT quantile_cont(ABS(res.residual - med.m), 0.5) AS v, ANY_VALUE(med.m) AS m
+      FROM res, med
+    )
+    SELECT r.day, r.c, r.residual
+    FROM res r, mad
+    WHERE ABS(r.residual - mad.m) > {MAD_K} * mad.v
+    ORDER BY r.day
+    """,
+    doc=(
+        "Seasonality-adjusted anomaly detection: xl02's integer "
+        "decomposition residuals gated by the robust median ± "
+        f"{MAD_K}·MAD fence (xo01's statistic applied to the "
+        "deseasonalized series) — alarms fire on what trend and "
+        "weekly rhythm CANNOT explain, the composition that stops "
+        "Monday-morning pages. Medians over integer residuals "
+        "interpolate to exact halves, so the flagged-day set is "
+        "engine-exact. Everything past the daily rollup runs on the "
+        "O(#days) frame; the two quantiles are an O(1)-row broadcast "
+        "back onto it."
+    ),
+    tags=("timeseries", "anomaly", "robust"),
+)
+def xo04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _ev(spark, sf_dir)
+        .groupBy(F.expr(f"unix_micros(ts) DIV {_DAY_US}").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "trend7",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.floor(F.sum("c").over(w7) / 7).cast("bigint"),
+        ),
+    )
+    wd = Window.partitionBy(F.expr("day % 7"))
+    dow = trended.withColumn(
+        "dow_num", F.sum(F.when(F.col("trend7").isNotNull(), F.col("c") - F.col("trend7"))).over(wd)
+    ).withColumn(
+        "dow_n", F.count(F.when(F.col("trend7").isNotNull(), F.lit(1))).over(wd)
+    )
+    res = (
+        dow.where(F.col("trend7").isNotNull() & (F.col("dow_n") > 0))
+        .select(
+            "day",
+            "c",
+            (F.col("c") - F.col("trend7") - F.expr("dow_num DIV dow_n")).alias("residual"),
+        )
+    )
+    med = res.agg(F.expr("percentile(residual, 0.5)").alias("m"))
+    mad = (
+        res.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(ABS(residual - m), 0.5)").alias("v"), F.first("m").alias("m"))
+    )
+    return (
+        res.crossJoin(F.broadcast(mad))
+        .where(F.abs(F.col("residual") - F.col("m")) > F.lit(MAD_K) * F.col("v"))
+        .select("day", "c", "residual")
+        .orderBy("day")
+    )
