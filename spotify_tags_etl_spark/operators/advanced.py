@@ -2586,3 +2586,65 @@ def xo04(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "c", "residual")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# xz20 — user growth curve (daily new users, cumulative, WoW change)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xz20_user_growth_curve",
+    oracle=f"""
+    WITH first_day AS (
+      SELECT user_id, MIN(epoch_us(ts) // {_DAY_US}) AS day FROM events GROUP BY user_id
+    ),
+    daily AS (SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day),
+    curve AS (
+      SELECT day, new_users,
+             SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users,
+             LAG(new_users, 7) OVER (ORDER BY day) AS new_users_w_ago
+      FROM daily
+    )
+    SELECT day, new_users, cum_users,
+           CASE WHEN new_users_w_ago > 0
+                THEN CAST(((new_users - new_users_w_ago) * 1000000) // new_users_w_ago AS BIGINT)
+           END AS wow_delta_ppm
+    FROM curve ORDER BY day
+    """,
+    doc=(
+        "User growth curve: each user's first-seen day (one per-key "
+        "min aggregate), daily new-user counts, the cumulative "
+        "adoption running sum, and week-over-week growth in integer "
+        "ppm (NULL where the 7-day-ago base is missing or zero — "
+        "never a float division). The acquisition-side complement of "
+        "xc01/xc03's retention matrices. Post-aggregate work runs on "
+        "the O(#days) frame under one global-order window — gate-"
+        "scale formulation, range-partitioned prefix sum at 1e10 "
+        "users (xh01's documented swap)."
+    ),
+    tags=("analytics", "growth", "window"),
+)
+def xz20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.expr(f"unix_micros(ts) DIV {_DAY_US}")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wl = Window.orderBy("day")
+    curve = daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+        F.lag("new_users", 7).over(wl).alias("base"),
+    )
+    return curve.select(
+        "day",
+        "new_users",
+        "cum_users",
+        F.when(
+            F.col("base") > 0,
+            F.expr("CAST(((new_users - base) * 1000000) DIV base AS BIGINT)"),
+        ).alias("wow_delta_ppm"),
+    ).orderBy("day")
