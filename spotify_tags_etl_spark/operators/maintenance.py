@@ -1709,3 +1709,57 @@ def xv06(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# xs07 — distinct l-diversity audit (k-anonymity's sensitive-value check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xs07_l_diversity_audit",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment, c_nationkey,
+             COUNT(*) AS k,
+             COUNT(DISTINCT CAST(round(c_acctbal) AS BIGINT) // 1000) AS l_distinct
+      FROM customer
+      GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT COUNT(*) AS n_cells,
+           CAST(MIN(k) AS BIGINT) AS k_anonymity,
+           CAST(MIN(l_distinct) AS BIGINT) AS l_diversity,
+           CAST(SUM(CASE WHEN l_distinct < 3 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_in_low_diversity_cells
+    FROM cells
+    """,
+    doc=(
+        "Distinct l-diversity audit: for every quasi-identifier cell "
+        "(segment x nation), the count of DISTINCT sensitive-attribute "
+        "values (account-balance band) — k-anonymity (xs02) bounds "
+        "re-identification, l-diversity bounds attribute DISCLOSURE "
+        "when an attacker knows the cell (a k-anonymous cell whose "
+        "members all share one sensitive value still leaks it). "
+        "Reports the dataset's k, its distinct-l, and how many rows "
+        "sit in cells below l=3 — the release gate number. One "
+        "grouped aggregate with map-side partials; the sensitive "
+        "banding is an integer floor division."
+    ),
+    tags=("quality", "privacy", "audit"),
+)
+def xs07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.count_distinct(
+            F.expr("CAST(round(c_acctbal) AS BIGINT) DIV 1000")
+        ).alias("l_distinct"),
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("k").cast("bigint").alias("k_anonymity"),
+        F.min("l_distinct").cast("bigint").alias("l_diversity"),
+        F.sum(F.expr("CASE WHEN l_distinct < 3 THEN k ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_rows_in_low_diversity_cells"),
+    )
