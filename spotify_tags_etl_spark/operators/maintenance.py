@@ -1763,3 +1763,81 @@ def xs07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rows_in_low_diversity_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xz21 — order-independent table checksum (replication verification)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xz21_table_checksum",
+    oracle="""
+    WITH e AS (
+      SELECT ('0x' || substr(md5(
+               CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':'
+               || CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) || ':' || event_type
+             ), 1, 8))::UBIGINT AS h
+      FROM events
+    ),
+    o AS (
+      SELECT ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR) || ':'
+               || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || ':' || o_orderstatus
+             ), 1, 8))::UBIGINT AS h
+      FROM orders
+    )
+    SELECT 'events' AS tbl, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS checksum FROM e
+    UNION ALL
+    SELECT 'orders', COUNT(*), CAST(SUM(h) AS BIGINT) FROM o
+    ORDER BY tbl
+    """,
+    doc=(
+        "Order-independent table checksum: per row, a canonical "
+        "rendering of the key + integer-normalized measures is md5-"
+        "hashed to a uint32 and SUMMED — addition is commutative, so "
+        "the fingerprint is identical for any row order, partition "
+        "layout, or engine, and a single corrupted/missing/extra row "
+        "changes it with probability ~1-2^-32. The replication/"
+        "migration verification primitive: compare one (n_rows, "
+        "checksum) pair per table instead of shipping either side "
+        "(xw02's row-level diff is the drill-down when checksums "
+        "disagree). Map-combined sum, constant-size output; floats "
+        "enter only through the documented cents normalization — "
+        "raw float rendering is engine-dependent and is exactly what "
+        "a portable checksum must never include."
+    ),
+    tags=("quality", "checksum", "replication"),
+)
+def xz21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def chk(df: DataFrame, parts: list, tbl: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8), 16, 10
+        ).cast("bigint")
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum(h).cast("bigint").alias("checksum")
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    e_chk = chk(
+        ev,
+        [
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+            F.col("event_type"),
+        ],
+        "events",
+    )
+    o_chk = chk(
+        o,
+        [
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+            F.col("o_orderstatus"),
+        ],
+        "orders",
+    )
+    return e_chk.unionByName(o_chk).orderBy("tbl")

@@ -940,3 +940,47 @@ def xo02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("sum_cents_raw"),
         F.sum(wins).cast("bigint").alias("sum_cents_wins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# xt05 — Zipf rank-frequency table (corpus-law diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xt05_zipf_rank_frequency",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS f FROM tok WHERE t <> '' GROUP BY t),
+    ranked AS (
+      SELECT t, f, ROW_NUMBER() OVER (ORDER BY f DESC, t) AS r FROM freq
+    )
+    SELECT r, t, f, CAST(r * f AS BIGINT) AS rf_product
+    FROM ranked WHERE r <= 20 ORDER BY r
+    """,
+    doc=(
+        "Zipf rank-frequency diagnostics: the top-20 tokens with rank, "
+        "frequency, and the rank x frequency product — under Zipf's "
+        "law r·f is near-constant, so the column IS the law check "
+        "without any log-log float fit (the integer formulation of "
+        "the slope test; tx08's corpus frequency table is the same "
+        "aggregate without ranks). One token-key aggregate with "
+        "map-side partials + a top-k window with total-order "
+        "tiebreaks. Corpus-health probe: a collapsing rf curve means "
+        "boilerplate domination — feeds the tx07 repetition gate."
+    ),
+    tags=("text", "statistics", "llm-pipeline"),
+)
+def xt05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("t")).where(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("f"))
+    w = Window.orderBy(F.desc("f"), F.asc("t"))
+    return (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 20)
+        .select("r", "t", "f", (F.col("r") * F.col("f")).cast("bigint").alias("rf_product"))
+        .orderBy("r")
+    )
