@@ -1521,3 +1521,88 @@ def xw09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# xw10 — streaming checksum maintenance (incremental replication guard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xw10_stream_checksum",
+    oracle="""
+    SELECT 'events' AS tbl, COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+             CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':'
+             || CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) || ':' || event_type
+           ), 1, 8))::UBIGINT) AS BIGINT) AS checksum
+    FROM events
+    """,
+    doc=(
+        "Streaming maintenance of xz21's replication checksum: each "
+        "micro-batch reduces to ONE (n, checksum-partial) row summed "
+        "into the standing pair — row-hash addition is commutative "
+        "and associative, so the incrementally-maintained fingerprint "
+        "is bit-identical to the batch computation on any micro-batch "
+        "layout (xw06's CMS argument applied to integrity checking). "
+        "The continuously-current replica guard: O(1) state, zero "
+        "rescans, checked against the batch-side oracle."
+    ),
+    tags=("streaming", "checksum", "incremental"),
+)
+def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    stream = read_events_stream(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("event_id").cast("string"),
+                    F.col("user_id").cast("string"),
+                    F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+                    F.col("event_type"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    enriched = stream.select(h.alias("h"))
+
+    root = tempfile.mkdtemp(prefix="xw10_chk_")
+    current: list[str] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        part = batch.agg(
+            F.count(F.lit(1)).alias("n_rows"), F.sum("h").cast("bigint").alias("checksum")
+        )
+        if current:
+            stored = spark.read.parquet(current[0])
+            part = (
+                stored.unionByName(part)
+                .agg(
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                    F.sum("checksum").cast("bigint").alias("checksum"),
+                )
+            )
+        target = os.path.join(root, f"v{batch_id}")
+        part.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    run_foreach_batch(enriched, apply_batch)
+
+    if not current:
+        return spark.createDataFrame([], "tbl string, n_rows long, checksum long")
+    out = (
+        spark.read.parquet(current[0])
+        .select(F.lit("events").alias("tbl"), "n_rows", "checksum")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
