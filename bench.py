@@ -70,6 +70,9 @@ CLASSICS_SUITE = [
     "xq09_priority_late_ship",
     "xq10_promo_revenue_share",
     "xq11_disjunctive_revenue",
+    "xq12_customer_order_distribution",
+    "xq13_top_supplier_revenue",
+    "xq14_small_quantity_revenue",
 ]
 
 #: Analytics / curation suite (round-3 continuation): cohort retention,

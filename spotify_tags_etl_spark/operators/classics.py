@@ -802,3 +802,157 @@ def xo03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# xq12 — Q13 customer order-count distribution (left join + double agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xq12_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc=(
+        "TPC-H Q13 shape: the distribution of customers by how many "
+        "orders they placed — LEFT join so zero-order customers count "
+        "in the c_count=0 bucket (the reason this can never be an "
+        "inner join), then the double aggregation customers→counts→"
+        "histogram. First aggregate carries O(customers) groups (the "
+        "wide stage); the histogram re-aggregate is O(distinct "
+        "counts) and map-combines to nothing. Deterministic order by "
+        "(custdist, c_count) both DESC — a total order because "
+        "c_count is the group key."
+    ),
+    tags=("classic", "join", "histogram"),
+)
+def xq12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# xq13 — Q15 top supplier(s) by period revenue (agg + global-max semi)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xq13_top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    doc=(
+        "TPC-H Q15 shape (top supplier): quarterly revenue per "
+        "supplier (the view step), then every supplier matching the "
+        "GLOBAL max — the scalar-subquery-on-an-aggregate pattern "
+        "where ties legitimately return multiple rows (exact integer "
+        "revenue makes the tie semantics deterministic, which the "
+        "float original cannot promise). The revenue view is the one "
+        "wide aggregate; the max is O(1) broadcast back over it; "
+        "supplier dim broadcasts into the final join."
+    ),
+    tags=("classic", "aggregate", "scalar-subquery"),
+)
+def xq13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev_micros().alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# xq14 — Q17 small-quantity-order revenue (correlated avg subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xq14_small_quantity_revenue",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq, COUNT(*) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS small_order_rev_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND 10 * CAST(ROUND(l.l_quantity) AS BIGINT) * pq.n < 2 * pq.sq
+    """,
+    doc=(
+        "TPC-H Q17 shape (small-quantity order revenue): lines of one "
+        "brand whose quantity is below 20% of the part's average — "
+        "the correlated-average predicate decorrelated into a per-"
+        "part (sum, count) aggregate joined back, with the avg "
+        "comparison cross-multiplied to exact integers (10·qty·n < "
+        "2·sum ⇔ qty < 0.2·avg; no float division anywhere, so the "
+        "boundary rows are engine-exact). The per-part aggregate is "
+        "the wide stage; brand-filtered part broadcasts; at scale "
+        "the pq frame is the classic magic-set reduction of the "
+        "correlated subquery."
+    ),
+    tags=("classic", "join", "decorrelation"),
+)
+def xq14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(pq, li["l_partkey"] == pq["pk"])
+        .where(
+            F.lit(10) * F.round(F.col("l_quantity")).cast("bigint") * F.col("n")
+            < F.lit(2) * F.col("sq")
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("small_order_rev_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
