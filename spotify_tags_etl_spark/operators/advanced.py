@@ -2648,3 +2648,72 @@ def xz20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(((new_users - base) * 1000000) DIV base AS BIGINT)"),
         ).alias("wow_delta_ppm"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# xg05 — transition-graph degree census
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "xg05_degree_census",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT prev_type AS src, event_type AS dst
+      FROM seq WHERE prev_type IS NOT NULL
+    ),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events)
+    SELECT n.node,
+           (SELECT COUNT(*) FROM edges e WHERE e.src = n.node) AS out_degree,
+           (SELECT COUNT(*) FROM edges e WHERE e.dst = n.node) AS in_degree,
+           (SELECT COUNT(*) FROM edges e WHERE e.src = n.node AND e.dst = n.node) AS has_self_loop
+    FROM nodes n ORDER BY n.node
+    """,
+    doc=(
+        "Degree census of the event-transition graph: per node, "
+        "distinct out-/in-degree and self-loop flag — the structural "
+        "profile read before choosing graph algorithms (degree skew "
+        "decides xg03's broadcast-vs-partition strategy; xj02 is the "
+        "key-level analog for joins). One windowed pass derives "
+        "edges; the census is |V|-sized aggregates over the distinct "
+        "edge set."
+    ),
+    tags=("graph", "statistics"),
+)
+def xg05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")).asc(), F.col("event_id").asc()
+    )
+    edges = (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .select(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three census probes below reuse it
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    outd = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("out_degree"))
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("in_degree"))
+    loops = (
+        edges.where(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("has_self_loop"))
+    )
+    return (
+        nodes.join(F.broadcast(outd), "node", "left")
+        .join(F.broadcast(ind), "node", "left")
+        .join(F.broadcast(loops), "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("has_self_loop", F.lit(0)).alias("has_self_loop"),
+        )
+        .orderBy("node")
+    )
