@@ -394,8 +394,8 @@ _GAP_MIN = 30
     ),
     sessioned AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM ordered
     )
     SELECT user_id, session_seq,
@@ -1326,7 +1326,7 @@ def xw03(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH obs AS (
       SELECT user_id, epoch_us(ts) // {_DAY_US} AS day,
-             SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
       FROM events GROUP BY 1, 2
     ),
     span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM obs GROUP BY user_id),
@@ -1511,7 +1511,7 @@ _CUSUM_H_NUM, _CUSUM_H_DEN = 3, 1
       FROM daily d CROSS JOIN base b
     )
     SELECT day, c,
-           cusum_num,
+           CAST(cusum_num AS BIGINT) AS cusum_num,
            cusum_num * {_CUSUM_H_DEN} > {_CUSUM_H_NUM} * total AS alarm
     FROM dev
     """,
@@ -1574,7 +1574,7 @@ def xr03(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS UNBOUNDED PRECEDING)) AS m
       FROM sums
     )
-    SELECT user_id, event_id, d, s - m AS balance_cents
+    SELECT user_id, event_id, d, CAST(s - m AS BIGINT) AS balance_cents
     FROM pre
     """,
     doc=(
@@ -1635,10 +1635,10 @@ def xr04(spark: SparkSession, sf_dir: str) -> DataFrame:
                OVER (PARTITION BY day % 7) AS dow_n
       FROM trended
     )
-    SELECT day, c, trend7, dow,
-           CASE WHEN dow_n > 0 THEN dow_num // dow_n END AS dow_effect,
-           CASE WHEN trend7 IS NOT NULL AND dow_n > 0
-                THEN c - trend7 - dow_num // dow_n END AS residual
+    SELECT day, c, CAST(trend7 AS BIGINT) AS trend7, dow,
+           CAST(CASE WHEN dow_n > 0 THEN dow_num // dow_n END AS BIGINT) AS dow_effect,
+           CAST(CASE WHEN trend7 IS NOT NULL AND dow_n > 0
+                THEN c - trend7 - dow_num // dow_n END AS BIGINT) AS residual
     FROM dow
     """,
     doc=(
@@ -2155,9 +2155,9 @@ def xz09(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pairs AS (
       SELECT a.user_id,
-             SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) AS concordant,
-             SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END) AS discordant,
-             SUM(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) AS ties
+             CAST(SUM(CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             CAST(SUM(CASE WHEN b.cents < a.cents THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             CAST(SUM(CASE WHEN b.cents = a.cents THEN 1 ELSE 0 END) AS BIGINT) AS ties
       FROM daily a JOIN daily b
         ON a.user_id = b.user_id AND b.day > a.day
       GROUP BY a.user_id
@@ -2310,8 +2310,8 @@ def xz16(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((a * 1000000) // (a + b) AS BIGINT) AS p0_ppm,
            CAST((c * 1000000) // (c + d) AS BIGINT) AS p1_ppm,
            CAST((c * 1000000) // (c + d) - (a * 1000000) // (a + b) AS BIGINT) AS delta_ppm,
-           CAST((a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS DECIMAL(38,0)) AS chi2_num,
-           CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DECIMAL(38,0)) AS chi2_den
+           CAST(CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a * d - b * c) * (a * d - b * c) AS DECIMAL(38,0)) AS VARCHAR) AS chi2_num,
+           CAST(CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DECIMAL(38,0)) AS VARCHAR) AS chi2_den
     FROM c
     """,
     doc=(
@@ -2350,12 +2350,18 @@ def xs06(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((c * 1000000) DIV (c + d) - (a * 1000000) DIV (a + b) AS BIGINT)"
         ).alias("delta_ppm"),
+        # Emitted as strings: DECIMAL(38,0) round-trips lossily through
+        # the driver's pandas frames (DuckDB fetchdf → float64, Spark →
+        # Decimal objects) — VARCHAR is the one hash-stable spelling of
+        # an exact 38-digit statistic. The oracle multiplies DECIMAL-
+        # first too, so neither engine can int64-overflow at large SF.
         F.expr(
-            "CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a * d - b * c) * (a * d - b * c)"
-            " AS DECIMAL(38,0))"
+            "CAST(CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a * d - b * c) * (a * d - b * c)"
+            " AS DECIMAL(38,0)) AS STRING)"
         ).alias("chi2_num"),
         F.expr(
-            "CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) AS DECIMAL(38,0))"
+            "CAST(CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)"
+            " AS DECIMAL(38,0)) AS STRING)"
         ).alias("chi2_den"),
     )
 
@@ -2439,7 +2445,7 @@ def xl04(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cohort_wk, age_wk, SUM(cents) AS cents
       FROM rev GROUP BY cohort_wk, age_wk
     )
-    SELECT a.cohort_wk, a.age_wk, a.cents,
+    SELECT a.cohort_wk, a.age_wk, CAST(a.cents AS BIGINT) AS cents,
            CAST((a.cents * 1000000) // b.w0_cents AS BIGINT) AS nrr_ppm
     FROM aged a JOIN base b ON b.cohort_wk = a.cohort_wk
     WHERE b.w0_cents > 0
@@ -2520,7 +2526,7 @@ MAD_K = 3
       FROM trended
     ),
     res AS (
-      SELECT day, c, c - trend7 - dow_num // dow_n AS residual
+      SELECT day, c, CAST(c - trend7 - dow_num // dow_n AS BIGINT) AS residual
       FROM dow WHERE trend7 IS NOT NULL AND dow_n > 0
     ),
     med AS (SELECT quantile_cont(residual, 0.5) AS m FROM res),
@@ -2602,7 +2608,7 @@ def xo04(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily AS (SELECT day, COUNT(*) AS new_users FROM first_day GROUP BY day),
     curve AS (
       SELECT day, new_users,
-             SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum_users,
+             CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
              LAG(new_users, 7) OVER (ORDER BY day) AS new_users_w_ago
       FROM daily
     )

@@ -421,10 +421,10 @@ def xq06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xq07_late_shipment_priority",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -858,7 +858,7 @@ def xq12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xq13_top_supplier_revenue",
     oracle=f"""
     WITH rev AS (
-      SELECT l_suppkey AS supplier_no, {_REV_SQL} AS total_rev
+      SELECT l_suppkey AS supplier_no, CAST({_REV_SQL} AS BIGINT) AS total_rev
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'

@@ -167,7 +167,7 @@ def uz01(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT o_custkey) AS n_customers,
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_status,
            CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
            CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
            STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
@@ -464,22 +464,28 @@ def xv01(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Equi-depth histogram (ANALYZE-style optimizer statistics): 16 "
         "equal-count buckets over o_totalprice with per-bucket bounds — "
         "the selectivity-estimation statistic a cost-based planner "
-        "consumes. NTILE ordered by (value, key) so bucket assignment is "
-        "a total order (identical across engines); at scale the exact "
-        "global sort is replaced by approx_percentile boundaries (av12's "
-        "sketch) — this is the exact truth baseline for that, like av05 "
-        "is for quantiles."
+        "consumes. Bucket assignment is exact NTILE over the (value, "
+        "key) total order, but computed SCALE-SAFE: range-repartition + "
+        "per-partition parallel row_number + broadcast offsets "
+        "(operators/scalerank.py — no single-reducer ORDER BY window "
+        "anywhere in the plan, pinned by tests/test_scale_ranking.py), "
+        "then the closed-form NTILE bucket from the global rank. The "
+        "oracle keeps the literal NTILE spelling as the truth anchor; "
+        "both must agree bucket-for-bucket."
     ),
     tags=("maintenance", "statistics", "window"),
 )
 def xh01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .scalerank import global_rank, ntile_expr
 
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    ranked, n_rows = global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        rank_col="_rk",
+    )
     return (
-        orders.select("o_totalprice", "o_orderkey")
-        .withColumn("tile", F.ntile(16).over(w))
+        ranked.withColumn("tile", ntile_expr("_rk", n_rows, 16))
         .groupBy("tile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -638,8 +644,9 @@ def xv02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    # PID-keyed like xv03: concurrent runs must not race the overwrite.
     tag = hashlib.sha256(f"xv02:{_CSV_ROWS}:{_CSV_BAD_PERIOD}".encode()).hexdigest()[:12]
-    path = os.path.join("/tmp/spark_graft_csv", tag)
+    path = os.path.join("/tmp/spark_graft_csv", f"{tag}-{os.getpid()}")
     line = F.when(
         F.col("id") % _CSV_BAD_PERIOD == 0,
         F.concat_ws(",", F.lit("corrupt"), F.lit("not-a-number")),
@@ -890,9 +897,9 @@ _DRIFT_PPM = 10_000  # 1% absolute share shift
     ),
     tot AS (SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts)
     SELECT event_type, n_a, n_b,
-           (1000000 * n_a) // t_a AS share_a_ppm,
-           (1000000 * n_b) // t_b AS share_b_ppm,
-           abs((1000000 * n_a) // t_a - (1000000 * n_b) // t_b) AS drift_ppm,
+           CAST((1000000 * n_a) // t_a AS BIGINT) AS share_a_ppm,
+           CAST((1000000 * n_b) // t_b AS BIGINT) AS share_b_ppm,
+           CAST(abs((1000000 * n_a) // t_a - (1000000 * n_b) // t_b) AS BIGINT) AS drift_ppm,
            abs((1000000 * n_a) // t_a - (1000000 * n_b) // t_b) > {_DRIFT_PPM}
              AS drifted
     FROM counts CROSS JOIN tot
@@ -1106,12 +1113,15 @@ XV03_LO, XV03_HI = "2024-01-08", "2024-01-14"
 
 
 def partitioned_events_path(sf_dir: str) -> str:
-    """Deterministic per-sf-dir target under /tmp (overwritten each run)."""
+    """Deterministic per-(sf-dir, process) target under /tmp, overwritten
+    each run. The PID key means two CONCURRENT runs against the same
+    sf_dir (parallel pytest, overlapping sweeps) never race one run's
+    mode-overwrite write against the other's read."""
     import hashlib
     import os
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join("/tmp/spark_graft_xv03", tag)
+    return os.path.join("/tmp/spark_graft_xv03", f"{tag}-{os.getpid()}")
 
 
 def write_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
@@ -1312,10 +1322,10 @@ def xw07(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
     )
     SELECT COUNT(*) AS n_checked,
-           SUM(CASE WHEN 100 * ABS(delta) <= o_cents THEN 1 ELSE 0 END) AS n_within_1pct,
-           SUM(CASE WHEN delta > 0 AND 100 * delta > o_cents THEN 1 ELSE 0 END) AS n_over,
-           SUM(CASE WHEN delta < 0 AND -100 * delta > o_cents THEN 1 ELSE 0 END) AS n_under,
-           MAX(ABS(delta)) AS max_abs_delta_cents
+           CAST(SUM(CASE WHEN 100 * ABS(delta) <= o_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(SUM(CASE WHEN delta > 0 AND 100 * delta > o_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+           CAST(SUM(CASE WHEN delta < 0 AND -100 * delta > o_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+           CAST(MAX(ABS(delta)) AS BIGINT) AS max_abs_delta_cents
     FROM j
     """,
     doc=(
@@ -1394,8 +1404,9 @@ def xv05(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
+    # PID-keyed like xv03: concurrent runs must not race the overwrite.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join("/tmp/spark_graft_xv05", tag)
+    path = os.path.join("/tmp/spark_graft_xv05", f"{tag}-{os.getpid()}")
     load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (
@@ -1418,7 +1429,7 @@ def xv05(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xs04_observed_scan_metrics",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END) AS n_invalid,
+           CAST(SUM(CASE WHEN value < 0 OR value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
            MAX(user_id) AS max_user_id,
            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events
@@ -1687,8 +1698,9 @@ def xv06(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
+    # PID-keyed like xv03: concurrent runs must not race the overwrite.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join("/tmp/spark_graft_xv06", tag)
+    path = os.path.join("/tmp/spark_graft_xv06", f"{tag}-{os.getpid()}")
     sup = load_table(spark, sf_dir, "supplier")
     sup.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
         "rowTag", "supplier"
@@ -1775,15 +1787,19 @@ def xs07(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT ('0x' || substr(md5(
-               CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':'
-               || CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) || ':' || event_type
+               COALESCE(CAST(event_id AS VARCHAR), '~null~') || ':'
+               || COALESCE(CAST(user_id AS VARCHAR), '~null~') || ':'
+               || COALESCE(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR), '~null~')
+               || ':' || COALESCE(event_type, '~null~')
              ), 1, 8))::UBIGINT AS h
       FROM events
     ),
     o AS (
       SELECT ('0x' || substr(md5(
-               CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR) || ':'
-               || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || ':' || o_orderstatus
+               COALESCE(CAST(o_orderkey AS VARCHAR), '~null~') || ':'
+               || COALESCE(CAST(o_custkey AS VARCHAR), '~null~') || ':'
+               || COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), '~null~')
+               || ':' || COALESCE(o_orderstatus, '~null~')
              ), 1, 8))::UBIGINT AS h
       FROM orders
     )
@@ -1811,8 +1827,14 @@ def xs07(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def xz21(spark: SparkSession, sf_dir: str) -> DataFrame:
     def chk(df: DataFrame, parts: list, tbl: str) -> DataFrame:
+        # Explicit per-field NULL sentinel: concat_ws silently SKIPS null
+        # parts (row still hashed, differently) while the oracle's '||'
+        # propagates NULL (row silently dropped from the SUM) — the same
+        # row must hash identically on both sides even when a field is
+        # NULL, so both spell COALESCE(field, '~null~').
+        safe = [F.coalesce(p, F.lit("~null~")) for p in parts]
         h = F.conv(
-            F.substring(F.md5(F.concat_ws(":", *parts)), 1, 8), 16, 10
+            F.substring(F.md5(F.concat_ws(":", *safe)), 1, 8), 16, 10
         ).cast("bigint")
         return df.agg(
             F.count(F.lit(1)).alias("n_rows"), F.sum(h).cast("bigint").alias("checksum")

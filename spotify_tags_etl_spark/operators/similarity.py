@@ -518,7 +518,7 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
     SELECT vec_id,
            CASE WHEN absmax > 0
-                THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / absmax) AS INT))
+                THEN array_to_string(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / absmax) AS INT)), ',')
            END AS codes,
            ROUND(absmax / 127.0, 9) AS scale_r
     FROM m
@@ -526,13 +526,18 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     doc=(
         "Symmetric int8 vector quantization (floor-based so Spark and the "
         "oracle agree bit-for-bit): per-vector scale + code array. The 4x "
-        "compression step ahead of ANN scan/shuffle stages."
+        "compression step ahead of ANN scan/shuffle stages. The registered "
+        "query serializes the code array to a ','-joined string (the "
+        "driver's comparator cannot hash list cells — r3 vx02 `err`); the "
+        "array-returning ``quantize_int8`` API is unchanged."
     ),
     tags=("similarity", "quantize"),
 )
 def vx02(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantize_int8(emb).select("vec_id", "codes", "scale_r")
+    return quantize_int8(emb).select(
+        "vec_id", F.array_join("codes", ",").alias("codes"), "scale_r"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -874,7 +879,7 @@ def xe01(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label, pos, COUNT(*) AS n,
            CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
-           SUM(CAST(round(val * 1000000) AS BIGINT)) // COUNT(*) AS mean_micro
+           CAST(SUM(CAST(round(val * 1000000) AS BIGINT)) // COUNT(*) AS BIGINT) AS mean_micro
     FROM (
       SELECT e.label, g.i - 1 AS pos, e.embedding[g.i] AS val
       FROM embeddings e, UNNEST(generate_series(1, len(e.embedding))) AS g(i)

@@ -335,8 +335,8 @@ NDV_SAMPLE_RATE = 0.10
     ),
     stats AS (
       SELECT COUNT(*) AS d_sample,
-             SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
-             SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
       FROM f
     )
     SELECT d_sample, f1, f2,

@@ -281,7 +281,7 @@ def xb01(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT MAX(nk) AS n_keys,
            CAST(MAX(total) AS BIGINT) AS n_rows,
            MAX(c) AS max_key_rows,
-           (1000000 * MAX(c)) // MAX(total) AS max_share_ppm,
+           CAST((1000000 * MAX(c)) // MAX(total) AS BIGINT) AS max_share_ppm,
            MAX(CASE WHEN rn = (99 * nk + 99) // 100 THEN c END) AS p99_key_rows
     FROM ranked
     """,

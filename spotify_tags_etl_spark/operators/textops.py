@@ -491,7 +491,7 @@ def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY event_type
     )
     SELECT d.event_type, COUNT(*) AS n,
-           SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            ROUND(ANY_VALUE(d.med), 6) AS med_r,
            ROUND(m.mad, 6) AS mad_r
     FROM dev d JOIN mad m USING (event_type)
@@ -803,7 +803,7 @@ _PHRASE_TOP = 20
     )
     SELECT a, b, cab, score_ppm, rk FROM (
       SELECT p.a, p.b, p.cab,
-             ((p.cab - {_PHRASE_DELTA}) * 1000000 * n.n_tok) // (ua.c * ub.c) AS score_ppm,
+             CAST(((p.cab - {_PHRASE_DELTA}) * 1000000 * n.n_tok) // (ua.c * ub.c) AS BIGINT) AS score_ppm,
              ROW_NUMBER() OVER (
                ORDER BY ((p.cab - {_PHRASE_DELTA}) * 1000000 * n.n_tok) // (ua.c * ub.c) DESC,
                         p.a, p.b

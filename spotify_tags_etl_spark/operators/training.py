@@ -627,9 +627,9 @@ def pps_systematic_sample(docs: DataFrame, n: int = PPS_TARGET) -> DataFrame:
     )
     SELECT doc_id, w, multiplicity FROM (
       SELECT doc_id, w,
-        (CASE WHEN cw - 1 >= off THEN (cw - 1 - off) // stride + 1 ELSE 0 END)
+        CAST((CASE WHEN cw - 1 >= off THEN (cw - 1 - off) // stride + 1 ELSE 0 END)
         - (CASE WHEN cw - w - 1 >= off THEN (cw - w - 1 - off) // stride + 1 ELSE 0 END)
-          AS multiplicity
+          AS BIGINT) AS multiplicity
       FROM w CROSS JOIN par
     ) WHERE multiplicity > 0
     """,
@@ -668,7 +668,7 @@ BUDGET_NUM, BUDGET_DEN = 9, 10
              SUM(n_chars) OVER (PARTITION BY source) AS total
       FROM documents
     )
-    SELECT source, doc_id, n_chars, cum
+    SELECT source, doc_id, n_chars, CAST(cum AS BIGINT) AS cum
     FROM ranked
     WHERE {BUDGET_DEN} * (cum - n_chars) < {BUDGET_NUM} * total
     """,
@@ -937,29 +937,39 @@ _KNUTH = 2654435761
         "the full difficulty spectrum, yet the byte order of the "
         "epoch is a pure function of the corpus (re-runs, retries, "
         "and engine swaps read the same sequence; the property a "
-        "rand() shuffle cannot give a resumable trainer). Two window "
-        "passes: one global ntile (range-partitioned sort at scale, "
-        "xh01's pattern), one per-tile rank — both integer. "
-        "Slots between tz07's mixture sampling and tz05's sequence "
-        "packing in a full curriculum pipeline."
+        "rand() shuffle cannot give a resumable trainer). Both ranking "
+        "passes are SCALE-SAFE (operators/scalerank.py — range-"
+        "repartition + parallel per-partition row_number + broadcast "
+        "offsets; no single-reducer window, and no PARTITION BY tile "
+        f"either, which would funnel the corpus through "
+        f"{CURRICULUM_TILES} reducers): the tile comes from the closed-"
+        "form NTILE bucket of the first global rank, and the WITHIN-"
+        "tile rank is the second global rank over (tile, h, doc_id) "
+        "minus the tile's closed-form start offset — tile sizes are a "
+        "pure function of N and k, so no per-tile count pass is "
+        "needed. Slots between tz07's mixture sampling and tz05's "
+        "sequence packing in a full curriculum pipeline."
     ),
     tags=("training", "ordering", "llm-pipeline"),
 )
 def xi04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalerank import global_rank, ntile_expr, tile_start
+
     docs = load_table(spark, sf_dir, "documents")
-    tiled = docs.select(
+    ranked, n_rows = global_rank(
+        docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"], rank_col="_rk1"
+    )
+    tiled = ranked.select(
         "doc_id",
-        F.ntile(CURRICULUM_TILES)
-        .over(Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
-        .alias("tile"),
+        ntile_expr("_rk1", n_rows, CURRICULUM_TILES).alias("tile"),
         F.expr(f"(doc_id * {_KNUTH}) % 4294967296").alias("h"),
     )
-    rn = tiled.select(
-        "doc_id",
-        "tile",
-        F.row_number()
-        .over(Window.partitionBy("tile").orderBy(F.col("h").asc(), F.col("doc_id").asc()))
-        .alias("r"),
+    # Within-tile rank without a PARTITION BY tile window: global rank
+    # over (tile, h, doc_id) minus the tile's start offset — exact NTILE
+    # sizes make the offset a closed-form expression of (N, k).
+    reranked, _ = global_rank(tiled, ["tile", "h", "doc_id"], rank_col="_rk2")
+    rn = reranked.withColumn(
+        "r", F.col("_rk2") - tile_start(n_rows, CURRICULUM_TILES, "tile")
     )
     return rn.select(
         "doc_id",

@@ -69,9 +69,16 @@ VERIFIED = frozenset(
         "av03_grouping_sets",
         "av04_pivot",
         "av05_percentiles",
+        "av06_asof_join",
+        "av07_range_join",
+        "av09_lead_lag_gaps",
         "av10_rank_family",
         "av11_kmv_sketch",
+        "av12_approx_percentile",
         "av13_moments",
+        "av14_hll_distinct",
+        "av15_unpivot",
+        "av16_nearest_asof",
         "dd01_exact_hash",
         "dd02_minhash_lsh",
         "dd03_simhash",
@@ -114,10 +121,12 @@ VERIFIED = frozenset(
         "q22_anti_join",
         "q23_outer_join_agg",
         "q24_window_rank_topk",
+        "q25_cumulative_window",
         "q26_time_bucket_agg",
         "q27_json_extract",
         "q28_sorted_list_agg",
         "q29_fuzzy_topk_levenshtein",
+        "q30_fuzzy_ratio_top1",
         "q31_normalize_text",
         "q32_intersect_except",
         "q33_track_tag_format",
@@ -127,6 +136,43 @@ VERIFIED = frozenset(
         "sp03_udtf_pages",
         "ss01_bruteforce_cosine_topk",
         "ss02_lsh_ann",
+        "ss03_gemm_topk",
+        "st01_stream_windowed_agg",
+        "st02_stream_dedup",
+        "st04_stream_static_join",
+        "st05_stream_sliding_window",
+        "st06_stream_stream_join",
+        "st07_stream_outer_join",
+        "st08_stream_upsert",
+        "st09_stream_neardup",
+        "sz01_stream_paged_source",
+        "tp01_training_pipeline",
+        "tx01_lang_id",
+        "tx02_quality_score",
+        "tx03_token_count",
+        "tx04_fingerprint",
+        "tx05_redact_pii",
+        "tx06_chunk_tokens",
+        "tx07_repetition_ratio",
+        "tx08_mean_token_freq",
+        "tz01_stratified_sample",
+        "tz02_train_val_test_split",
+        "tz03_tfidf_top_terms",
+        "tz04_shard_plan",
+        "tz05_pack_sequences",
+        "tz06_decontaminate",
+        "tz07_mixture_sample",
+        "tz08_contamination_rate",
+        "uz01_upsert_merge",
+        "uz03_zorder_key",
+        "uz04_rollup_incremental",
+        "uz05_schema_evolution",
+        "vx01_ivf_ann",
+        "vx03_kmeans_clusters",
+        "vx04_cluster_capped_sample",
+        "vz01_dup_components",
+        "wz01_salted_agg",
+        "wz02_salted_join",
     }
 )
 
@@ -167,6 +213,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.advanced",
         "spotify_tags_etl_spark.operators.canned",
         "spotify_tags_etl_spark.operators.classics",
+        "spotify_tags_etl_spark.operators.classics2",
         "spotify_tags_etl_spark.operators.dedup",
         "spotify_tags_etl_spark.operators.similarity",
         "spotify_tags_etl_spark.operators.textops",

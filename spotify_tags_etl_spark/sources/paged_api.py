@@ -87,6 +87,121 @@ class _OffsetRange(InputPartition):
         self.end = end
 
 
+# ---------------------------------------------------------------------------
+# Adapter contract: point S4/S5 at a REAL paged API
+# ---------------------------------------------------------------------------
+#
+# The engine's paged source is deliberately split into (a) the Spark
+# machinery — probe → offset-range partitions → executor page cursors —
+# and (b) ONE user-supplied function that performs a page fetch:
+#
+#     def fetch_page(offset: int, limit: int) -> list[tuple]:
+#         '''Return the items at [offset, offset+limit) as tuples
+#         matching schema_ddl, [] when the cursor is past the end.'''
+#
+# That is the whole contract. ``make_paged_datasource`` wraps it in a
+# registrable Spark 4 DataSource; everything else (partition planning,
+# ≤50-item page loop, empty-page termination = the reference's S4
+# semantics, per-cursor rate limiting = the reference's ``api_timeout``
+# knob, spotify_client.py:136-138) is provided. The callback must be
+# importable/picklable (a module-level function, not a lambda closing
+# over sockets) because it executes on the executors.
+
+
+def make_paged_datasource(
+    fetch_page,
+    *,
+    name: str,
+    schema_ddl: str = SEARCH_SCHEMA_DDL,
+) -> type:
+    """Build a registrable paged-API DataSource around ``fetch_page``.
+
+    ``fetch_page(offset, limit) -> list[tuple]`` is the ONLY code a user
+    writes to point the engine at a real HTTP API (requests.get + token
+    refresh live inside it). Reader options, all strings per the
+    DataSource API:
+
+    * ``total``        — collection size (S5's probe result; run your
+                         probe request driver-side and pass it here);
+    * ``page_delay_s`` — seconds to sleep before each request, PER
+                         EXECUTOR CURSOR — the reference's
+                         ``api_timeout`` rate-limit knob
+                         (spotify_client.py:136-138);
+    * ``pages_per_partition`` — cursor granularity: fewer pages per
+                         partition ⇒ more parallel cursors.
+
+    The engine's own synthetic source (``PagedSearchDataSource``) runs
+    the identical partition-plan/page-loop machinery with its md5
+    catalog as the fetcher — the test path and the real-API path differ
+    only in this one function
+    (tests/test_paged_source.py::test_custom_fetch_callback injects a
+    user callback end-to-end)."""
+
+    class _AdapterReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self.total = int(options.get("total", "1000"))
+            self.page_delay_s = float(options.get("page_delay_s", "0"))
+            self.pages_per_partition = int(options.get("pages_per_partition", "4"))
+
+        def partitions(self) -> list[InputPartition]:
+            step = API_PAGE_LIMIT * self.pages_per_partition
+            return [
+                _OffsetRange(o, min(o + step, self.total))
+                for o in range(0, self.total, step)
+            ]
+
+        def read(self, partition: _OffsetRange) -> Iterator[tuple]:
+            offset = partition.start
+            while offset < partition.end:
+                if self.page_delay_s:
+                    time.sleep(self.page_delay_s)
+                page = fetch_page(offset, min(API_PAGE_LIMIT, partition.end - offset))
+                if not page:
+                    break  # S4 semantics: empty page terminates the cursor
+                yield from page
+                offset += API_PAGE_LIMIT
+
+    ds_name = name
+
+    class _AdapterSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return ds_name
+
+        def schema(self) -> str:
+            return schema_ddl
+
+        def reader(self, schema) -> _AdapterReader:
+            return _AdapterReader(self.options)
+
+    return _AdapterSource
+
+
+def read_paged_api(
+    spark: SparkSession,
+    fetch_page,
+    *,
+    name: str,
+    total: int,
+    schema_ddl: str = SEARCH_SCHEMA_DDL,
+    pages_per_partition: int = 4,
+    page_delay_s: float = 0.0,
+) -> DataFrame:
+    """One-call adapter entry point: register + read a paged API through
+    a user ``fetch_page(offset, limit)`` callback. See
+    :func:`make_paged_datasource` for the contract."""
+    spark.dataSource.register(
+        make_paged_datasource(fetch_page, name=name, schema_ddl=schema_ddl)
+    )
+    return (
+        spark.read.format(name)
+        .option("total", str(total))
+        .option("pages_per_partition", str(pages_per_partition))
+        .option("page_delay_s", str(page_delay_s))
+        .load()
+    )
+
+
 class PagedSearchReader(DataSourceReader):
     def __init__(self, options: dict):
         self.total = int(options.get("total", "1000"))  # S5 probe result

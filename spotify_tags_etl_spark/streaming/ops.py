@@ -386,8 +386,8 @@ def stateful_sessions(events: DataFrame) -> DataFrame:
     ),
     sessioned AS (
       SELECT user_id, ts, value,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM ordered
     )
     SELECT user_id, session_seq,
@@ -1533,8 +1533,10 @@ def xw09(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'events' AS tbl, COUNT(*) AS n_rows,
            CAST(SUM(('0x' || substr(md5(
-             CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':'
-             || CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR) || ':' || event_type
+             COALESCE(CAST(event_id AS VARCHAR), '~null~') || ':'
+             || COALESCE(CAST(user_id AS VARCHAR), '~null~') || ':'
+             || COALESCE(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR), '~null~')
+             || ':' || COALESCE(event_type, '~null~')
            ), 1, 8))::UBIGINT) AS BIGINT) AS checksum
     FROM events
     """,
@@ -1556,15 +1558,21 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     stream = read_events_stream(spark, sf_dir)
+    # Per-field NULL sentinel, mirroring xz21: concat_ws SKIPS null parts
+    # while the oracle's '||' propagates NULL — a NULL-bearing row must
+    # hash identically on both sides.
     h = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(
                     ":",
-                    F.col("event_id").cast("string"),
-                    F.col("user_id").cast("string"),
-                    F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
-                    F.col("event_type"),
+                    F.coalesce(F.col("event_id").cast("string"), F.lit("~null~")),
+                    F.coalesce(F.col("user_id").cast("string"), F.lit("~null~")),
+                    F.coalesce(
+                        F.round(F.col("value") * 100, 0).cast("bigint").cast("string"),
+                        F.lit("~null~"),
+                    ),
+                    F.coalesce(F.col("event_type"), F.lit("~null~")),
                 )
             ),
             1,

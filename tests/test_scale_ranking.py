@@ -1,0 +1,113 @@
+"""operators/scalerank.py — the range-partitioned exact-rank machinery
+that replaces single-reducer ORDER BY windows (round-3 verdict item 5).
+
+Pins three things:
+1. global_rank == row_number() over the single-reducer window, at
+   several partition counts (boundary placement must not matter);
+2. ntile_expr(rank) == F.ntile(k) over the same total order, for Ns
+   that exercise N % k == 0, != 0, and N < k;
+3. the xh01/xi04 executed plans contain NO single-partition Window —
+   every window in the plan carries a partition spec.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.scalerank import (
+    global_rank,
+    ntile_expr,
+    tile_start,
+)
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8])
+def test_global_rank_matches_window_rank(spark, sf_dir, num_partitions):
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, total = global_rank(
+        orders, ["o_totalprice", "o_orderkey"], rank_col="rk", num_partitions=num_partitions
+    )
+    got = {r.o_orderkey: r.rk for r in ranked.collect()}
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        r.o_orderkey: r.rk
+        for r in orders.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    assert total == len(want)
+    assert got == want
+
+
+@pytest.mark.parametrize("n,k", [(100, 16), (97, 16), (5, 16), (96, 16), (10, 10)])
+def test_ntile_expr_matches_builtin_ntile(spark, n, k):
+    df = spark.range(n).select(F.col("id"))
+    w = Window.orderBy("id")
+    builtin = {r.id: r.t for r in df.withColumn("t", F.ntile(k).over(w)).collect()}
+    via_rank = {
+        r.id: r.t
+        for r in df.withColumn("rk", F.row_number().over(w))
+        .withColumn("t", ntile_expr("rk", n, k))
+        .collect()
+    }
+    assert via_rank == builtin
+
+
+@pytest.mark.parametrize("n,k", [(100, 16), (97, 16), (5, 16)])
+def test_tile_start_matches_bucket_boundaries(spark, n, k):
+    df = spark.range(n)
+    w = Window.orderBy("id")
+    tiled = (
+        df.withColumn("rk", F.row_number().over(w))
+        .withColumn("t", F.ntile(k).over(w))
+    )
+    # min rank within each tile must equal tile_start + 1
+    starts = {
+        r.t: r.mn
+        for r in tiled.groupBy("t").agg(F.min("rk").alias("mn")).collect()
+    }
+    check = {
+        r.t: r.st
+        for r in tiled.select("t").distinct().withColumn(
+            "st", tile_start(n, k, "t")
+        ).collect()
+    }
+    for t, mn in starts.items():
+        assert check[t] + 1 == mn, (t, mn, check[t])
+
+
+def _executed_plan(df) -> str:
+    df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _has_global_order_window(plan: str) -> bool:
+    """True if any Window node in the executed plan has an empty
+    partition spec (the single-reducer shape)."""
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b", line) and "windowspecdefinition(" in line:
+            # partition-free spec renders as windowspecdefinition(<order>...
+            # with no leading partition columns before the sort spec; the
+            # reliable tell is a SinglePartition exchange feeding it —
+            # checked separately below.
+            pass
+    return "SinglePartition" in plan
+
+
+def test_xh01_plan_has_no_single_partition_exchange(spark, sf_dir):
+    from spotify_tags_etl_spark.plans.registry import get
+
+    df = get("xh01_equi_depth_histogram").builder(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert not _has_global_order_window(plan), plan
+
+
+def test_xi04_plan_has_no_single_partition_exchange(spark, sf_dir):
+    from spotify_tags_etl_spark.plans.registry import get
+
+    df = get("xi04_curriculum_order").builder(spark, sf_dir)
+    plan = _executed_plan(df)
+    assert not _has_global_order_window(plan), plan

@@ -78,10 +78,18 @@ def main() -> int:
         action="store_true",
         help="don't sweep; exit 0 iff driver_emu_last.json predates no input parquet change",
     )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="result JSON path (default tools/driver_emu_last.json for full "
+        "sweeps, tools/driver_emu_adhoc.json when explicit names are given "
+        "— so ad-hoc runs never clobber the round's sweep record)",
+    )
     ap.add_argument("names", nargs="*", help="explicit query names (overrides --window)")
     args = ap.parse_args()
 
-    out_path = os.path.join(_REPO, "tools", "driver_emu_last.json")
+    default_name = "driver_emu_adhoc.json" if args.names else "driver_emu_last.json"
+    out_path = args.out or os.path.join(_REPO, "tools", default_name)
     if args.check_fresh:
         return 0 if check_fresh(out_path) else 1
 
