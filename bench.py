@@ -73,6 +73,14 @@ CLASSICS_SUITE = [
     "xq12_customer_order_distribution",
     "xq13_top_supplier_revenue",
     "xq14_small_quantity_revenue",
+    # round-4 part 2 (operators/classics2.py): the remaining TPC-H shapes
+    "yq02_min_cost_supplier",
+    "yq08_market_share",
+    "yq09_product_profit",
+    "yq11_important_stock",
+    "yq16_supplier_relationship",
+    "yq20_majority_share_suppliers",
+    "yq21_sole_return_supplier",
 ]
 
 #: Analytics / curation suite (round-3 continuation): cohort retention,
