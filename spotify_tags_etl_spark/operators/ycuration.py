@@ -1,0 +1,381 @@
+"""Round-4 curation additions (``y*`` names sort after the driver
+window's queued x* backlog):
+
+* ya01 — n-gram novelty scoring (corpus-unique shingle share per doc);
+* yh01 — HLL set-INTERSECTION estimation via inclusion-exclusion over
+  mergeable sketches, tolerance-anchored against exact counts;
+* yt01 — asymmetric CONTAINMENT dedup over the MinHash/LSH candidate
+  machinery (catches near-subset docs that symmetric Jaccard misses);
+* yw01 — event-lateness audit, the measurement that picks a streaming
+  watermark delay.
+
+Same disciplines as the established families: banded candidates (never
+all-pairs), integer permille/ppm ratios, exact-count anchoring for
+sketches (av12/av14's tolerance-oracle pattern), per-key windows only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.dedup import (
+    BAND_ROWS,
+    N_HASHES,
+    _SHINGLE_SQL,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    word_shingles,
+)
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+# ---------------------------------------------------------------------------
+# ya01 — n-gram novelty (corpus-unique shingle share)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ya01_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_SQL.lstrip()},
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      FROM sh JOIN df ON df.s = sh.s
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, n_shingles, n_unique,
+           CAST((1000000 * n_unique) // n_shingles AS BIGINT) AS novelty_ppm
+    FROM per_doc
+    """,
+    doc=(
+        "N-gram novelty score: the share of a document's distinct word "
+        "3-gram shingles that appear NOWHERE else in the corpus, in "
+        "exact integer ppm — the curation metric that separates "
+        "template/boilerplate-heavy documents (low novelty) from "
+        "original text, and the inverse signal of dd02's near-dup "
+        "families (a doc whose shingles all have df>1 is a paste-up). "
+        "Shape: one shingle explode (dd02's shared frame), one gram-"
+        "keyed document-frequency aggregate, one join back on the gram "
+        "key (same exchange domain), one per-doc rollup. No pairwise "
+        "anything — cost is O(corpus shingles) at any scale."
+    ),
+    tags=("dedup", "text", "quality", "llm-pipeline"),
+)
+def ya01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = word_shingles(load_table(spark, sf_dir, "documents"))
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.expr("CAST((1000000 * n_unique) DIV n_shingles AS BIGINT)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# yt01 — containment (near-subset) dedup over the LSH candidate machinery
+# ---------------------------------------------------------------------------
+
+#: A pair is a containment dup when either direction's containment
+#: |A∩B|/|A| reaches this permille threshold.
+_CONT_PERMILLE = 850
+
+
+def _containment_oracle(threshold_permille: int) -> str:
+    """Bands + candidates exactly as dd02's oracle (same constants), but
+    verified by CONTAINMENT in both directions instead of Jaccard."""
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(N_HASHES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT l.doc_id AS d1, r.doc_id AS d2 FROM sig l JOIN sig r"
+        f" ON l.m{b * BAND_ROWS} || l.m{b * BAND_ROWS + 1} = r.m{b * BAND_ROWS} || r.m{b * BAND_ROWS + 1}"
+        f" AND l.doc_id < r.doc_id"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL.lstrip()},
+    sig AS (
+      SELECT doc_id, {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    cand AS (
+      SELECT DISTINCT d1, d2 FROM (
+{bands}
+      )
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
+      GROUP BY c.d1, c.d2
+    )
+    SELECT i.d1, i.d2,
+           CAST((1000 * i.n_inter) // sa.n AS BIGINT) AS cont_12_permille,
+           CAST((1000 * i.n_inter) // sb.n AS BIGINT) AS cont_21_permille
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.d1
+    JOIN sizes sb ON sb.doc_id = i.d2
+    WHERE 1000 * i.n_inter >= {threshold_permille} * sa.n
+       OR 1000 * i.n_inter >= {threshold_permille} * sb.n
+    """
+
+
+@register(
+    "yt01_containment_dedup",
+    oracle=_containment_oracle(_CONT_PERMILLE),
+    doc=(
+        "Asymmetric containment dedup: dd02's exact LSH candidate "
+        "machinery (shingle → minhash → banded single self-join), but "
+        "verified by CONTAINMENT |A∩B|/|A| in each direction instead "
+        "of symmetric Jaccard — the detector for near-SUBSET "
+        "duplication (a doc pasted inside a bigger one), which Jaccard "
+        "structurally under-scores when sizes differ (J ≤ |A|/|B|). "
+        "The standard second dedup pass of a training-data pipeline "
+        "after whole-doc near-dup. Same physical shape as dd02: one "
+        "banded self-join for candidates, exact set verify only on the "
+        "(rare) candidate pairs, integer permille both directions."
+    ),
+    tags=("dedup", "lsh", "containment", "llm-pipeline"),
+)
+def yt01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.withColumnsRenamed({"doc_id": "d1", "s": "s1"})
+    s2 = sh.withColumnsRenamed({"doc_id": "d2r", "s": "s2"})
+    inter = (
+        pairs.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("d2r")) & (F.col("s1") == F.col("s2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    t = F.lit(_CONT_PERMILLE)
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .where(
+            (F.lit(1000) * F.col("n_inter") >= t * F.col("n1"))
+            | (F.lit(1000) * F.col("n_inter") >= t * F.col("n2"))
+        )
+        .select(
+            "d1",
+            "d2",
+            F.expr("CAST((1000 * n_inter) DIV n1 AS BIGINT)").alias("cont_12_permille"),
+            F.expr("CAST((1000 * n_inter) DIV n2 AS BIGINT)").alias("cont_21_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# yh01 — HLL intersection estimate (inclusion-exclusion over sketches)
+# ---------------------------------------------------------------------------
+
+#: Tolerance for the inclusion-exclusion estimate, relative to the UNION
+#: size: |est_inter - exact_inter| <= _HLL_INTER_TOL_PPM * exact_union / 1e6.
+#: I-E error compounds three ~1.6%-rsd estimates and scales with the
+#: union, not the (smaller) intersection — anchoring to the union is the
+#: honest bound.
+_HLL_INTER_TOL_PPM = 50_000  # 5% of the union
+
+
+@register(
+    "yh01_hll_intersection",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_inter
+      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    ),
+    per AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type)
+    SELECT p.type_a, p.type_b,
+           pa.n AS exact_a, pb.n AS exact_b, p.exact_inter,
+           CAST(pa.n + pb.n - p.exact_inter AS BIGINT) AS exact_union,
+           TRUE AS inter_ok
+    FROM pairs p
+    JOIN per pa ON pa.event_type = p.type_a
+    JOIN per pb ON pb.event_type = p.type_b
+    ORDER BY p.type_a, p.type_b
+    """,
+    doc=(
+        "Sketch set-INTERSECTION estimation: per event type, one "
+        "mergeable HLL sketch of its user set (hll_sketch_agg — a "
+        "single corpus pass); per type pair, the intersection estimate "
+        "by inclusion-exclusion est(A) + est(B) - est(A∪B), with the "
+        "union estimated from hll_union of the two standing sketches "
+        "(never a re-scan — this is the audience-overlap query over "
+        "pre-aggregated per-segment sketches, at 100 TB an O(#segments"
+        "²) sketch-only computation). Tolerance oracle (av12/av14 "
+        "pattern): TRUE iff the estimate lands within 5% of the UNION "
+        "size of the exactly-computed intersection — I-E error scales "
+        "with the union, so that is the honest anchor; the exact "
+        "counts are recomputed relationally and hash-checked."
+    ),
+    tags=("sketch", "aggregate", "distinct"),
+)
+def yh01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    # one sketch + exact count per type, a single pass each
+    per = ut.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("exact_a"),
+    )
+    b = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("exact_b"),
+    )
+    # exact intersection per pair (the oracle anchor)
+    u1 = ut.withColumnsRenamed({"event_type": "type_a"})
+    u2 = ut.withColumnsRenamed({"event_type": "type_b", "user_id": "uid2"})
+    exact = (
+        u1.join(
+            u2,
+            (F.col("user_id") == F.col("uid2")) & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    est_inter = (
+        F.hll_sketch_estimate("sk_a") + F.hll_sketch_estimate("sk_b") - est_union
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("type_a") < F.col("type_b"))
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_inter",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("bigint")
+            .alias("exact_union"),
+            (
+                F.abs(est_inter - F.col("exact_inter")) * F.lit(1_000_000)
+                <= F.lit(_HLL_INTER_TOL_PPM)
+                * (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            ).alias("inter_ok"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yw01 — event-lateness audit (the watermark-delay decision table)
+# ---------------------------------------------------------------------------
+
+#: Lateness histogram fences in microseconds (1 min, 10 min, 1 h).
+_LATE_FENCES_US = (60_000_000, 600_000_000, 3_600_000_000)
+
+#: Deterministic arrival-delay model: each event reaches the pipeline
+#: md5(event_id) % 20min after its event time. The fixture's event_id
+#: sequence is already time-sorted per user (zero natural disorder), so
+#: the audit simulates the transport jitter a real ingest has — the
+#: same engine-exact md5 idiom as every sampler here, never rand().
+_ARRIVAL_JITTER_US = 1_200_000_000
+
+
+@register(
+    "yw01_lateness_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts)
+                        + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+                          % {_ARRIVAL_JITTER_US},
+                        event_id
+               ROWS UNBOUNDED PRECEDING) AS hi
+      FROM events
+    ),
+    late AS (SELECT CAST(hi - us AS BIGINT) AS late_us FROM arr)
+    SELECT CASE WHEN late_us = 0 THEN 0
+                WHEN late_us <= {_LATE_FENCES_US[0]} THEN 1
+                WHEN late_us <= {_LATE_FENCES_US[1]} THEN 2
+                WHEN late_us <= {_LATE_FENCES_US[2]} THEN 3
+                ELSE 4 END AS bucket,
+           COUNT(*) AS n,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM late
+    GROUP BY 1 ORDER BY bucket
+    """,
+    doc=(
+        "Event-lateness audit: events arrive in order of event time "
+        "plus a deterministic md5 transport jitter (≤20 min — the "
+        "fixture's raw sequence has zero natural disorder, so the "
+        "audit models the ingest delay a real pipeline has); an "
+        "event's lateness is how far its event time lags the running "
+        "MAXIMUM event time already arrived for its key — exactly the "
+        "quantity a streaming watermark must out-wait. "
+        "Bucketed census (on-time / ≤1m / ≤10m / ≤1h / beyond) with "
+        "the worst offset: read the row where the cumulative share "
+        "crosses your loss tolerance and that fence IS your "
+        "withWatermark delay (st01/st02/st05's knob, measured instead "
+        "of guessed). The window is per-user (parallel, O(1) running "
+        "state); the census is an O(5) aggregate."
+    ),
+    tags=("streaming", "eventtime", "quality"),
+)
+def yw01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    jitter = F.expr(
+        f"conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+        f" % {_ARRIVAL_JITTER_US}"
+    ).cast("bigint")
+    us = F.unix_micros("ts")
+    arr = ev.select("user_id", "event_id", us.alias("us"), (us + jitter).alias("arrival_us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = arr.select(
+        (F.max("us").over(w) - F.col("us")).cast("bigint").alias("late_us")
+    )
+    f0, f1, f2 = _LATE_FENCES_US
+    bucket = (
+        F.when(F.col("late_us") == 0, 0)
+        .when(F.col("late_us") <= f0, 1)
+        .when(F.col("late_us") <= f1, 2)
+        .when(F.col("late_us") <= f2, 3)
+        .otherwise(4)
+    )
+    return (
+        late.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("late_us").cast("bigint").alias("max_late_us"),
+        )
+        .orderBy("bucket")
+    )
