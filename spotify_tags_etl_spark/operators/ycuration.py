@@ -7,7 +7,9 @@ window's queued x* backlog):
 * yt01 — asymmetric CONTAINMENT dedup over the MinHash/LSH candidate
   machinery (catches near-subset docs that symmetric Jaccard misses);
 * yw01 — event-lateness audit, the measurement that picks a streaming
-  watermark delay.
+  watermark delay;
+* yn01 — deterministic contrastive negative sampling (hash-ranked
+  different-label draws, a pure function of the corpus).
 
 Same disciplines as the established families: banded candidates (never
 all-pairs), integer permille/ppm ratios, exact-count anchoring for
@@ -378,4 +380,76 @@ def yw01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_us").cast("bigint").alias("max_late_us"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yn01 — deterministic contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+#: Negatives drawn per anchor, and the ss01-convention anchor set bound.
+_NEG_K = 4
+_NEG_ANCHORS = 8
+
+
+@register(
+    "yn01_contrastive_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label FROM embeddings WHERE vec_id < {_NEG_ANCHORS}
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neg_id,
+             md5(CAST(q.q_id AS VARCHAR) || '|' || CAST(e.vec_id AS VARCHAR)) AS h
+      FROM q JOIN embeddings e ON e.label <> q.q_label
+    )
+    SELECT q_id, neg_rank, neg_id FROM (
+      SELECT q_id, neg_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY h, neg_id) AS neg_rank
+      FROM scored
+    ) WHERE neg_rank <= {_NEG_K}
+    ORDER BY q_id, neg_rank
+    """,
+    doc=(
+        f"Deterministic contrastive negative sampling: for each anchor "
+        f"(the ss01-convention vec_id < {_NEG_ANCHORS} set), the top-"
+        f"{_NEG_K} different-label corpus vectors ranked by the "
+        "portable md5(anchor|candidate) hash — negatives for embedding/"
+        "retrieval training that are a pure function of the corpus: "
+        "re-runs, retries, partition layouts, and engine swaps draw "
+        "byte-identical negative sets, which rand()-based samplers "
+        "cannot promise (xi01's discipline applied to pair mining). "
+        "Shape: anchors broadcast onto one corpus pass; per-anchor "
+        "rank windows are keyed (parallel). At 1e9-candidate scale, "
+        "pre-filter candidates by an md5 threshold (keep ~100x the "
+        "draw, deterministically) before ranking so the window input "
+        "is bounded — the sample is unchanged because the hash order "
+        "is preserved under hash-prefix filtering."
+    ),
+    tags=("training", "sampling", "contrastive", "llm-pipeline"),
+)
+def yn01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _NEG_ANCHORS).select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("q_label")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neg_id"), "label")
+        .join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "neg_id",
+            F.md5(
+                F.concat(
+                    F.col("q_id").cast("string"), F.lit("|"), F.col("neg_id").cast("string")
+                )
+            ).alias("h"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("h", "neg_id")
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= _NEG_K)
+        .select("q_id", "neg_rank", "neg_id")
+        .orderBy("q_id", "neg_rank")
     )
