@@ -77,30 +77,33 @@ def _rev_micros():
         "TPC-H Q2 shape (minimum-cost supplier, adapted: observed "
         "lineitem spend per (part, supplier) stands in for the missing "
         "partsupp.ps_supplycost): the correlated-min pattern — "
-        "per-group min computed ONCE as its own aggregate and joined "
-        "back on (group, value), never a per-row subquery. Ties "
-        "legitimately return multiple suppliers (exact integer cents "
-        "makes tie semantics deterministic). Both aggregates and the "
-        "re-join share the l_partkey key domain — one exchange, "
-        "reused; part/supplier dims broadcast."
+        "per-group min computed over the already-aggregated (part, "
+        "supplier) frame as a partitioned window (one exchange on the "
+        "rollup, one on the part key — no separate min-aggregate + "
+        "join-back, which would cost a third exchange), never a "
+        "per-row subquery. Ties legitimately return multiple suppliers "
+        "(exact integer cents makes tie semantics deterministic); "
+        "part/supplier dims broadcast."
     ),
     tags=("classic", "join", "correlated"),
 )
 def yq02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    mn = ps.groupBy("l_partkey").agg(F.min("cents").alias("min_cents"))
+    mn = F.min("cents").over(Window.partitionBy("l_partkey"))
     part = _t(spark, sf_dir, "part").where(F.col("p_size") <= 5).select("p_partkey", "p_name")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        ps.join(mn, ["l_partkey"])
+        ps.withColumn("min_cents", mn)
         .where(F.col("cents") == F.col("min_cents"))
-        .join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"])
-        .join(F.broadcast(sup), ps["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_name", "s_name", F.col("cents").alias("min_cents"))
         .orderBy("p_partkey", "s_name")
     )
@@ -483,26 +486,33 @@ def yq20(spark: SparkSession, sf_dir: str) -> DataFrame:
         "commit lateness; EXISTS other supplier / NOT EXISTS other "
         "late supplier becomes n_supp >= 2 AND n_r = 1): the double-"
         "EXISTS correlated pattern collapsed into ONE per-(order, "
-        "supplier) flag rollup + one per-order census join — the "
-        "classic rewrite that turns two correlated subqueries into "
-        "two co-keyed aggregates on the same exchange. The blamed "
+        "supplier) flag rollup + a per-order census WINDOW over it "
+        "(partitioned by orderkey — no separate census aggregate + "
+        "join-back, which would cost a third exchange). The blamed "
         "supplier is the unique has_r row; final census is "
         "O(#suppliers)."
     ),
     tags=("classic", "exists", "aggregate"),
 )
 def yq21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
     per = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
     )
-    ordc = per.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").cast("bigint").alias("n_r")
+    w = Window.partitionBy("l_orderkey")
+    census = per.select(
+        "l_suppkey",
+        "has_r",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("has_r").over(w).cast("bigint").alias("n_r"),
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per.join(ordc, "l_orderkey")
-        .where((F.col("n_supp") >= 2) & (F.col("n_r") == 1) & (F.col("has_r") == 1))
+        census.where(
+            (F.col("n_supp") >= 2) & (F.col("n_r") == 1) & (F.col("has_r") == 1)
+        )
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
