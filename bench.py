@@ -106,6 +106,12 @@ CURATION_SUITE = [
     "xg03_pagerank_transitions",
     "xl03_rolling_median",
     "xv03_partition_prune_scan",
+    # round-4 additions (operators/ycuration.py)
+    "ya01_ngram_novelty",
+    "yt01_containment_dedup",
+    "yh01_hll_intersection",
+    "yw01_lateness_audit",
+    "yn01_contrastive_negatives",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust
