@@ -94,6 +94,10 @@ ANALYTICS_SUITE = [
     "xb01_bitmap_runtime_filter",
     "xi01_pps_systematic_sample",
     "xz03_ivm_join_delta",
+    # round-4: the two ex-global-NTILE plans, now range-partitioned
+    # exact ranks (operators/scalerank.py) — benched to keep them honest
+    "xh01_equi_depth_histogram",
+    "xi04_curriculum_order",
 ]
 
 #: Curation/sketch suite (round-3 batch 6): count-min build+estimate

@@ -9,7 +9,9 @@ window's queued x* backlog):
 * yw01 — event-lateness audit, the measurement that picks a streaming
   watermark delay;
 * yn01 — deterministic contrastive negative sampling (hash-ranked
-  different-label draws, a pure function of the corpus).
+  different-label draws, a pure function of the corpus);
+* yk01 — kNN hold-out label eval (per-label exact-ppm accuracy), the
+  quality gate for an embedding column before ANN families trust it.
 
 Same disciplines as the established families: banded candidates (never
 all-pairs), integer permille/ppm ratios, exact-count anchoring for
@@ -452,4 +454,133 @@ def yn01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neg_rank") <= _NEG_K)
         .select("q_id", "neg_rank", "neg_id")
         .orderBy("q_id", "neg_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yk01 — kNN hold-out label eval (embedding-quality metric)
+# ---------------------------------------------------------------------------
+
+#: Every 25th vector is a held-out query; its label is predicted by the
+#: majority vote of its K nearest (cosine) neighbors among the rest.
+_KNN_QMOD = 25
+_KNN_K = 5
+
+
+@register(
+    "yk01_knn_holdout_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS true_label, embedding AS q_vec,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS q_norm
+      FROM embeddings WHERE vec_id % {_KNN_QMOD} = 0
+    ),
+    c AS (
+      SELECT vec_id AS c_id, label AS c_label, embedding AS c_vec,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS c_norm
+      FROM embeddings
+    ),
+    topk AS (
+      SELECT q_id, true_label, c_label FROM (
+        SELECT q.q_id, q.true_label, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[]))
+                          / NULLIF(q.q_norm * c.c_norm, 0) DESC,
+                          c.c_id
+               ) AS rk
+        FROM q, c WHERE q.q_id <> c.c_id
+      ) WHERE rk <= {_KNN_K}
+    ),
+    votes AS (
+      SELECT q_id, true_label, c_label, COUNT(*) AS n
+      FROM topk GROUP BY q_id, true_label, c_label
+    ),
+    pred AS (
+      SELECT q_id, true_label, c_label AS pred_label FROM (
+        SELECT q_id, true_label, c_label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n DESC, c_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label AS label,
+           COUNT(*) AS n_eval,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST((1000000 * SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM pred GROUP BY true_label ORDER BY label
+    """,
+    doc=(
+        f"Embedding-quality eval by kNN hold-out: every {_KNN_QMOD}th "
+        f"vector's label is predicted from the majority vote of its "
+        f"{_KNN_K} nearest cosine neighbors (leave-one-out), reported "
+        "as per-label exact-ppm accuracy — the cheap, label-grounded "
+        "quality gate for an embedding column before it backs ANN "
+        "dedup (dd05) or clustering (vx03): if kNN can't recover the "
+        "labels, the sketch-ANN families are bucketing noise. All "
+        "ordering deterministic (full-precision in-order fold for the "
+        "dot product — ss01's bit-identical discipline; c_id then "
+        "smallest-label tiebreaks), so the eval is engine-exact, not "
+        "just approximately equal. Query side broadcasts (it is 1/"
+        f"{_KNN_QMOD} of the corpus); at 1e9 vectors swap the exact "
+        "scorer for xe04's PQ-ADC cascade and keep this exact form as "
+        "the recall anchor on a sample (xe05's pattern)."
+    ),
+    tags=("similarity", "eval", "llm-pipeline"),
+)
+def yk01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.similarity import dot, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = with_norm(
+        emb.where(F.col("vec_id") % _KNN_QMOD == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("true_label"),
+            F.col("embedding").alias("q_vec"),
+        ),
+        "q_vec",
+    ).withColumnRenamed("_norm", "q_norm")
+    c = with_norm(
+        emb.select(
+            F.col("vec_id").alias("c_id"),
+            F.col("label").alias("c_label"),
+            F.col("embedding").alias("c_vec"),
+        ),
+        "c_vec",
+    ).withColumnRenamed("_norm", "c_norm")
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "cosine",
+            dot("q_vec", "c_vec") / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    topk = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= _KNN_K)
+        .select("q_id", "true_label", "c_label")
+    )
+    votes = topk.groupBy("q_id", "true_label", "c_label").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("c_label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select("q_id", "true_label", F.col("c_label").alias("pred_label"))
+    )
+    correct = F.sum(F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0))
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            correct.cast("bigint").alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_eval",
+            "n_correct",
+            F.expr("CAST((1000000 * n_correct) DIV n_eval AS BIGINT)").alias("acc_ppm"),
+        )
+        .orderBy("label")
     )
