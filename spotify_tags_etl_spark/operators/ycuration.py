@@ -11,7 +11,9 @@ window's queued x* backlog):
 * yn01 — deterministic contrastive negative sampling (hash-ranked
   different-label draws, a pure function of the corpus);
 * yk01 — kNN hold-out label eval (per-label exact-ppm accuracy), the
-  quality gate for an embedding column before ANN families trust it.
+  quality gate for an embedding column before ANN families trust it;
+* yr01 — exact-rational Pearson r² between two daily series (DECIMAL
+  string parts, xs06's hash-stable spelling).
 
 Same disciplines as the established families: banded candidates (never
 all-pairs), integer permille/ppm ratios, exact-count anchoring for
@@ -583,4 +585,85 @@ def yk01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * n_correct) DIV n_eval AS BIGINT)").alias("acc_ppm"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yr01 — exact-rational Pearson correlation of two daily series
+# ---------------------------------------------------------------------------
+
+_DAY_US_Y = 86_400 * 1_000_000
+
+
+@register(
+    "yr01_daily_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(ts) // {_DAY_US_Y} AS day,
+             COUNT(*) AS x,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM daily
+    )
+    SELECT n, sx, sy,
+           CAST(CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                AS DECIMAL(38,0)) AS VARCHAR) AS r2_num,
+           CAST(CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+                * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)
+                AS DECIMAL(38,0)) AS VARCHAR) AS r2_den
+    FROM s
+    """,
+    doc=(
+        "Pearson correlation between two daily series (event volume vs "
+        "revenue cents) as the EXACT rational r² = (nΣxy − ΣxΣy)² / "
+        "((nΣx² − Σx²ᵀ)(nΣy² − Σy²ᵀ)) — numerator and denominator "
+        "carried in DECIMAL(38,0) (the cross-term square passes 2^63 "
+        "at sf0.1) and emitted as strings, xs06's hash-stable "
+        "spelling; the consumer divides at display time. No float "
+        "summation anywhere, so the correlation is engine-exact — the "
+        "covariance-family completion of av13's moments and xr02's "
+        "slope. One O(#days) rollup + a 1-row global aggregate; at "
+        "scale the daily frame comes from uz04's standing rollup."
+    ),
+    tags=("statistics", "correlation", "aggregate"),
+)
+def yr01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr(f"unix_micros(ts) DIV {_DAY_US_Y}").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).cast("bigint").alias("y"),
+        )
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CAST(CAST((CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+            " * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)"
+            " AS DECIMAL(38,0)) AS STRING)"
+        ).alias("r2_num"),
+        F.expr(
+            "CAST(CAST((CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+            " * (CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy)"
+            " AS DECIMAL(38,0)) AS STRING)"
+        ).alias("r2_den"),
     )
