@@ -52,6 +52,9 @@ def test_yq21_no_fact_self_join(spark, sf_dir):
         "yq02_min_cost_supplier",
         "yq11_important_stock",
         "yq20_majority_share_suppliers",
+        "yn01_contrastive_negatives",
+        "yr01_daily_corr",
+        "yk01_knn_holdout_eval",
     ],
 )
 def test_round4_no_python_nodes(spark, sf_dir, name):
