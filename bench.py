@@ -43,6 +43,8 @@ LLM_SUITE = [
     "tx08_mean_token_freq",
     "tz07_mixture_sample",
     "tp01_training_pipeline",
+    # round-4: the composed curation pipeline (operators/ycuration.py)
+    "yp01_curation_pipeline",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

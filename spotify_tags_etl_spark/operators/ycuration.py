@@ -13,7 +13,9 @@ window's queued x* backlog):
 * yk01 — kNN hold-out label eval (per-label exact-ppm accuracy), the
   quality gate for an embedding column before ANN families trust it;
 * yr01 — exact-rational Pearson r² between two daily series (DECIMAL
-  string parts, xs06's hash-stable spelling).
+  string parts, xs06's hash-stable spelling);
+* yp01 — the curation ops COMPOSED: length gate → exact dedup →
+  containment prune → novelty floor → per-source budget, one oracle.
 
 Same disciplines as the established families: banded candidates (never
 all-pairs), integer permille/ppm ratios, exact-count anchoring for
@@ -667,3 +669,205 @@ def yr01(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS DECIMAL(38,0)) AS STRING)"
         ).alias("r2_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# yp01 — composed curation pipeline (the round-4 ops chained end to end)
+# ---------------------------------------------------------------------------
+
+#: Pipeline gates: minimum words, novelty floor (ppm of corpus-unique
+#: shingles), containment threshold (yt01's), per-source budget fraction.
+_P_WORD_MIN = 12
+_P_NOV_MIN_PPM = 50_000
+_P_BUDGET_NUM, _P_BUDGET_DEN = 9, 10
+
+
+def _yp01_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}|' || s)) AS m{i}" for i in range(N_HASHES)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT l.doc_id AS d1, r.doc_id AS d2 FROM sig l JOIN sig r"
+        f" ON l.m{b * BAND_ROWS} || l.m{b * BAND_ROWS + 1} = r.m{b * BAND_ROWS} || r.m{b * BAND_ROWS + 1}"
+        f" AND l.doc_id < r.doc_id"
+        for b in range(N_HASHES // BAND_ROWS)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL.lstrip()},
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    cand AS (SELECT DISTINCT d1, d2 FROM (
+{bands}
+    )),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.d1, c.d2, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.d1
+      JOIN sh b ON b.doc_id = c.d2 AND a.s = b.s
+      GROUP BY c.d1, c.d2
+    ),
+    contp AS (
+      SELECT i.d1, i.d2,
+             (1000 * i.n_inter >= {_CONT_PERMILLE} * sa.n) AS c12,
+             (1000 * i.n_inter >= {_CONT_PERMILLE} * sb.n) AS c21
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.d1
+      JOIN sizes sb ON sb.doc_id = i.d2
+      WHERE 1000 * i.n_inter >= {_CONT_PERMILLE} * sa.n
+         OR 1000 * i.n_inter >= {_CONT_PERMILLE} * sb.n
+    ),
+    dfreq AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    nov AS (
+      SELECT sh.doc_id,
+             (1000000 * SUM(CASE WHEN dfreq.df = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS novelty_ppm
+      FROM sh JOIN dfreq ON dfreq.s = sh.s
+      GROUP BY sh.doc_id
+    ),
+    s1 AS (
+      SELECT doc_id, source, n_chars, md5(text) AS h
+      FROM documents WHERE len(string_split(text, ' ')) >= {_P_WORD_MIN}
+    ),
+    s2 AS (
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               MIN(doc_id) OVER (PARTITION BY h) AS keep_id
+        FROM s1
+      ) WHERE doc_id = keep_id
+    ),
+    victims AS (
+      SELECT DISTINCT CASE WHEN c.c12 AND NOT c.c21 THEN c.d1 ELSE c.d2 END AS v
+      FROM contp c
+      JOIN s2 a ON a.doc_id = c.d1
+      JOIN s2 b ON b.doc_id = c.d2
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2 WHERE s2.doc_id NOT IN (SELECT v FROM victims)
+    ),
+    s4 AS (
+      SELECT s3.doc_id, s3.source, s3.n_chars
+      FROM s3 JOIN nov ON nov.doc_id = s3.doc_id
+      WHERE nov.novelty_ppm >= {_P_NOV_MIN_PPM}
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(n_chars) OVER (PARTITION BY source) AS total
+      FROM s4
+    )
+    SELECT source, doc_id, n_chars, CAST(cum AS BIGINT) AS cum
+    FROM ranked
+    WHERE {_P_BUDGET_DEN} * (cum - n_chars) < {_P_BUDGET_NUM} * total
+    """
+
+
+@register(
+    "yp01_curation_pipeline",
+    oracle=_yp01_oracle(),
+    doc=(
+        "The round-4 curation ops COMPOSED end to end — the corpus-"
+        f"curation pipeline a training run actually executes: (1) "
+        f"minimum-length gate (≥{_P_WORD_MIN} words), (2) exact dedup "
+        "keep-first (dd01's hash-group, as a per-hash window), (3) "
+        "containment prune — yt01's banded-LSH containment pairs "
+        "among survivors, dropping the contained side (the larger "
+        "doc survives; ties drop the higher id), (4) novelty floor "
+        f"(ya01's corpus-unique-shingle share ≥{_P_NOV_MIN_PPM} ppm "
+        "— boilerplate out), (5) xn02's per-source 90% greedy char "
+        "budget. One registered query, one oracle, every stage "
+        "exact-integer — proving the operators COMPOSE without "
+        "re-materialization: shingle/signature frames are computed "
+        "once and shared by the containment and novelty branches "
+        "(tp01's composition argument applied to curation). At 100 TB "
+        "each stage keeps its own documented scale path; no stage "
+        "adds a pairwise or single-reducer step."
+    ),
+    tags=("training", "pipeline", "dedup", "quality", "llm-pipeline"),
+)
+def yp01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+
+    # containment pairs (yt01's machinery, flags instead of ratios)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1g = sh.withColumnsRenamed({"doc_id": "d1", "s": "s1"})
+    s2g = sh.withColumnsRenamed({"doc_id": "d2r", "s": "s2"})
+    inter = (
+        pairs.join(s1g, "d1")
+        .join(s2g, (F.col("d2") == F.col("d2r")) & (F.col("s1") == F.col("s2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    t = F.lit(_CONT_PERMILLE)
+    contp = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "d1", "n": "n1"}), "d1")
+        .join(sizes.withColumnsRenamed({"doc_id": "d2", "n": "n2"}), "d2")
+        .select(
+            "d1",
+            "d2",
+            (F.lit(1000) * F.col("n_inter") >= t * F.col("n1")).alias("c12"),
+            (F.lit(1000) * F.col("n_inter") >= t * F.col("n2")).alias("c21"),
+        )
+        .where(F.col("c12") | F.col("c21"))
+    )
+
+    # novelty (ya01's frame)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    nov = (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)) DIV COUNT(*) AS BIGINT)"
+            ).alias("novelty_ppm")
+        )
+    )
+
+    # stage 1-2: length gate + exact dedup keep-first
+    s1 = docs.where(F.size(F.split("text", " ")) >= _P_WORD_MIN).select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    wkeep = Window.partitionBy("h")
+    s2 = (
+        s1.withColumn("keep_id", F.min("doc_id").over(wkeep))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id", "source", "n_chars")
+    )
+
+    # stage 3: containment prune among survivors
+    victims = (
+        contp.join(s2.select(F.col("doc_id").alias("d1")), "d1")
+        .join(s2.select(F.col("doc_id").alias("d2")), "d2")
+        .select(
+            F.when(F.col("c12") & ~F.col("c21"), F.col("d1"))
+            .otherwise(F.col("d2"))
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+    s3 = s2.join(victims, "doc_id", "left_anti")
+
+    # stage 4: novelty floor
+    s4 = s3.join(nov, "doc_id").where(F.col("novelty_ppm") >= _P_NOV_MIN_PPM).select(
+        "doc_id", "source", "n_chars"
+    )
+
+    # stage 5: xn02's per-source budget
+    w_ord = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    ranked = s4.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w_ord).cast("bigint").alias("cum"),
+        F.sum("n_chars").over(w_all).alias("total"),
+    )
+    return ranked.where(
+        F.lit(_P_BUDGET_DEN) * (F.col("cum") - F.col("n_chars"))
+        < F.lit(_P_BUDGET_NUM) * F.col("total")
+    ).select("source", "doc_id", "n_chars", "cum")
