@@ -111,3 +111,47 @@ def test_xi04_plan_has_no_single_partition_exchange(spark, sf_dir):
     df = get("xi04_curriculum_order").builder(spark, sf_dir)
     plan = _executed_plan(df)
     assert not _has_global_order_window(plan), plan
+
+
+def _ntile_reference(n: int, k: int) -> list[int]:
+    """Literal NTILE semantics: first n%k buckets get n//k+1 rows."""
+    q, m = divmod(n, k)
+    out = []
+    for tile in range(1, k + 1):
+        size = q + 1 if tile <= m else q
+        out.extend([tile] * size)
+    return out
+
+
+def test_ntile_expr_formula_matches_reference_exhaustive():
+    """The closed form in ntile_expr (evaluated as plain integer math)
+    must reproduce literal NTILE semantics for every (n, k) in a dense
+    grid — covers n % k == 0, n < k, k == 1, and every remainder class
+    without paying Spark startup per case."""
+    for n in range(1, 80):
+        for k in (1, 2, 3, 5, 7, 10, 16):
+            q, m = divmod(n, k)
+            big = m * (q + 1)
+            got = []
+            for r in range(1, n + 1):
+                if q == 0:
+                    got.append(r)
+                elif r <= big:
+                    got.append((r - 1) // (q + 1) + 1)
+                else:
+                    got.append(m + (r - big - 1) // q + 1)
+            assert got == _ntile_reference(n, k), (n, k)
+
+
+def test_tile_start_formula_matches_reference_exhaustive():
+    from spotify_tags_etl_spark.operators.scalerank import tile_start  # noqa: F401
+
+    for n in range(1, 80):
+        for k in (1, 2, 3, 5, 7, 10, 16):
+            q, m = divmod(n, k)
+            ref = _ntile_reference(n, k)
+            for tile in sorted(set(ref)):
+                expected_start = ref.index(tile)  # 0-based first rank - 1
+                t0 = tile - 1
+                got = t0 * (q + 1) if t0 <= m else m * (q + 1) + (t0 - m) * q
+                assert got == expected_start, (n, k, tile)
