@@ -388,3 +388,150 @@ def xz19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(2 * GREATEST(f2, 1) AS BIGINT)").alias("chao_den"),
         "true_ndv",
     )
+
+
+# ---------------------------------------------------------------------------
+# yj01 — AMS-sketch join-size estimation (the optimizer's join predictor)
+# ---------------------------------------------------------------------------
+
+#: AMS (Alon-Matias-Szegedy) geometry: 5 independent sign-hash rows of
+#: 128 counters. The row estimate Σ_j SA[j]·SB[j] is an unbiased
+#: estimator of the true join size Σ_k cA(k)·cB(k); the median over the
+#: 5 rows tames the variance. Everything — bucket, sign, counters,
+#: estimate, median — is integer md5 math, so the ESTIMATE ITSELF is
+#: engine-exact and hash-checked (no tolerance hedge needed, unlike the
+#: float-path sketches av12/av14).
+AMS_DEPTH = 5
+AMS_WIDTH = 128
+
+
+def _ams_bucket_spark(r: F.Column, key: F.Column) -> F.Column:
+    h = F.md5(F.concat_ws(":", F.lit("b"), r.cast("string"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % F.lit(AMS_WIDTH)).alias("bucket")
+
+
+def _ams_sign_spark(r: F.Column, key: F.Column) -> F.Column:
+    h = F.md5(F.concat_ws(":", F.lit("s"), r.cast("string"), key.cast("string")))
+    return F.when(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 2 == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def _ams_bucket_sql(r: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('b:' || CAST({r} AS VARCHAR) || ':' || CAST({key} AS VARCHAR)), 1, 8))::UBIGINT"
+        f" % {AMS_WIDTH} AS BIGINT)"
+    )
+
+
+def _ams_sign_sql(r: str, key: str) -> str:
+    return (
+        f"CASE WHEN ('0x' || substr(md5('s:' || CAST({r} AS VARCHAR) || ':' || CAST({key} AS VARCHAR)), 1, 8))::UBIGINT"
+        f" % 2 = 1 THEN 1 ELSE -1 END"
+    )
+
+
+def ams_sketch(df: DataFrame, key_col: str) -> DataFrame:
+    """(r, bucket, v) with v = Σ_keys sign(r,k) * count(k) — additive and
+    mergeable exactly like the CMS table above."""
+    counts = df.groupBy(F.col(key_col).cast("bigint").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    r = F.explode(F.array(*[F.lit(d) for d in range(AMS_DEPTH)])).alias("r")
+    rows = counts.select("k", "c", r)
+    return (
+        rows.select(
+            "r",
+            _ams_bucket_spark(F.col("r"), F.col("k")),
+            (_ams_sign_spark(F.col("r"), F.col("k")) * F.col("c")).alias("sv"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.sum("sv").cast("bigint").alias("v"))
+    )
+
+
+@register(
+    "yj01_ams_join_size",
+    oracle=f"""
+    WITH rr AS (SELECT unnest(range({AMS_DEPTH})) AS r),
+    ca AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+    cb AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+    sa AS (
+      SELECT rr.r, {_ams_bucket_sql('rr.r', 'ca.k')} AS bucket,
+             CAST(SUM({_ams_sign_sql('rr.r', 'ca.k')} * ca.c) AS BIGINT) AS v
+      FROM ca CROSS JOIN rr GROUP BY 1, 2
+    ),
+    sb AS (
+      SELECT rr.r, {_ams_bucket_sql('rr.r', 'cb.k')} AS bucket,
+             CAST(SUM({_ams_sign_sql('rr.r', 'cb.k')} * cb.c) AS BIGINT) AS v
+      FROM cb CROSS JOIN rr GROUP BY 1, 2
+    ),
+    per_row AS (
+      SELECT sa.r, CAST(SUM(sa.v * sb.v) AS BIGINT) AS est
+      FROM sa JOIN sb ON sb.r = sa.r AND sb.bucket = sa.bucket
+      GROUP BY sa.r
+    ),
+    exact AS (
+      SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact_join_rows
+      FROM ca JOIN cb ON cb.k = ca.k
+    )
+    SELECT exact.exact_join_rows,
+           CAST(list_sort(list(per_row.est))[{AMS_DEPTH // 2 + 1}] AS BIGINT) AS ams_estimate,
+           CAST((CAST(list_sort(list(per_row.est))[{AMS_DEPTH // 2 + 1}] AS BIGINT)
+                 - exact.exact_join_rows) * 1000000 // exact.exact_join_rows AS BIGINT) AS err_ppm
+    FROM per_row CROSS JOIN exact
+    GROUP BY exact.exact_join_rows
+    """,
+    doc=(
+        "AMS-sketch join-size estimation — the cost-based optimizer's "
+        "join-cardinality predictor: |events ⋈ orders| on the user/"
+        "customer key, estimated from two "
+        f"{AMS_DEPTH}x{AMS_WIDTH} signed-count sketches as the median "
+        "of per-row inner products Σ_j SA[j]·SB[j] (unbiased; median "
+        "tames variance), next to the exactly-computed join size and "
+        "the signed ppm error. The sketches are built in one pass per "
+        "side, are ADDITIVE (partition partials merge by +, same as "
+        "the CMS table), and never materialize the join. Because "
+        "bucket, sign, and median are all integer md5 math, the "
+        "estimate itself is engine-exact and value-hash-checked — no "
+        "tolerance verdict needed. At 100 TB this is how you decide "
+        "broadcast-vs-shuffle or pre-size shuffle partitions WITHOUT "
+        "running the join; the exact column here is the gate's anchor "
+        "and is exactly what the sketch spares you at scale."
+    ),
+    tags=("sketch", "join", "statistics"),
+)
+def yj01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    sa = ams_sketch(ev, "k")
+    sb = ams_sketch(orders, "k")
+    per_row = (
+        sa.alias("a")
+        .join(sb.alias("b"), ["r", "bucket"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).cast("bigint").alias("est"))
+    )
+    ca = ev.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    cb = orders.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        ca.alias("ca")
+        .join(cb.alias("cb"), "k")
+        .agg(F.sum(F.col("ca.c") * F.col("cb.c")).cast("bigint").alias("exact_join_rows"))
+    )
+    mid = AMS_DEPTH // 2 + 1
+    est = per_row.agg(
+        F.expr(f"CAST(element_at(array_sort(collect_list(est)), {mid}) AS BIGINT)").alias(
+            "ams_estimate"
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_join_rows",
+            "ams_estimate",
+            F.expr(
+                "CAST((ams_estimate - exact_join_rows) * 1000000 DIV exact_join_rows AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )
