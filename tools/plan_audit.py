@@ -1,0 +1,114 @@
+"""Snapshot physical-plan fingerprints for the benched queries.
+
+Records, per query, the executed-plan metrics that define its scale
+story — shuffle exchange count, broadcast join count, Python eval
+nodes, single-partition exchanges, cartesian products — into
+``tools/plans_snapshot.json``. ``tests/test_plan_snapshot.py`` then
+fails any future change that makes a query's plan WORSE than the
+committed snapshot (more shuffles, new Python nodes, a new
+single-reducer stage), while silently allowing improvements; re-run
+this tool to ratchet the snapshot down after an intentional
+improvement.
+
+This is the regression-proofing for the round-3/4 plan work: the LSH
+band-join rewrite (10 → 4 exchanges), the scalerank de-NTILE (no
+SinglePartition), and the yq window rewrites each moved a metric this
+file now pins.
+
+Usage:
+    python tools/plan_audit.py [--sf-dir /root/testdata/sf0.001] [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+SNAPSHOT_PATH = os.path.join(_REPO, "tools", "plans_snapshot.json")
+
+#: Metric name -> executed-plan substring counted. "Worse" = strictly
+#: greater than the snapshot for every metric here.
+METRICS = {
+    "exchanges": "Exchange hashpartitioning",
+    "single_partition": "Exchange SinglePartition",
+    "python_eval": "BatchEvalPython",
+    "arrow_eval": "ArrowEvalPython",
+    "cartesian": "CartesianProduct",
+    "sort_merge_joins": "SortMergeJoin",
+}
+
+
+def audited_names() -> list[str]:
+    """The bench population: every suite member that is a batch query
+    (streaming builders drive the streaming engine; their 'plan' is the
+    per-batch one and is pinned by the streaming tests instead)."""
+    import bench
+
+    names = (
+        bench.HEADLINE
+        + bench.LLM_SUITE
+        + bench.CLASSICS_SUITE
+        + bench.ANALYTICS_SUITE
+        + bench.CURATION_SUITE
+        + bench.MINING_SUITE
+    )
+    return [n for n in names if not n.startswith(("st0", "xw06", "xk03", "xw10"))]
+
+
+def fingerprint(df) -> dict[str, int]:
+    df.write.format("noop").mode("overwrite").save()  # force AQE final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {m: plan.count(sub) for m, sub in METRICS.items()}
+
+
+def collect(sf_dir: str) -> dict[str, dict[str, int]]:
+    from spotify_tags_etl_spark.plans import registry
+    from spotify_tags_etl_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+    out: dict[str, dict[str, int]] = {}
+    for name in audited_names():
+        key = registry.resolve(name)
+        if key not in queries:
+            continue
+        out[name] = fingerprint(queries[key](spark, sf_dir))
+        print(name, out[name], flush=True)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--write", action="store_true", help="update the snapshot file")
+    args = ap.parse_args()
+    current = collect(args.sf_dir)
+    if args.write:
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump({"sf_dir": args.sf_dir, "plans": current}, f, indent=1, sort_keys=True)
+        print(f"wrote {SNAPSHOT_PATH}")
+        return 0
+    snap = json.load(open(SNAPSHOT_PATH))["plans"]
+    worse = []
+    for name, cur in current.items():
+        base = snap.get(name)
+        if base is None:
+            worse.append((name, "not in snapshot", cur))
+            continue
+        for m, v in cur.items():
+            if v > base.get(m, 0):
+                worse.append((name, m, f"{base.get(m, 0)} -> {v}"))
+    for w in worse:
+        print("WORSE:", w)
+    print(f"{len(current)} audited, {len(worse)} regressions")
+    return 1 if worse else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
