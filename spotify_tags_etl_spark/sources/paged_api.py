@@ -514,3 +514,60 @@ def sz01(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out
+
+
+def make_paged_stream_datasource(
+    fetch_page,
+    *,
+    name: str,
+    schema_ddl: str = SEARCH_SCHEMA_DDL,
+) -> type:
+    """Streaming twin of :func:`make_paged_datasource`: wrap the same
+    ONE-function ``fetch_page(offset, limit) -> list[tuple]`` contract in
+    a ``SimpleDataSourceStreamReader`` whose stream offset IS the page
+    offset — micro-batches are page ranges, ``readBetweenOffsets`` is a
+    deterministic re-fetch, restarts resume from the checkpoint. Options:
+    ``total`` (stop polling past it; a live API would keep growing it)
+    and ``pages_per_batch``."""
+
+    class _AdapterStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict):
+            self.total = int(options.get("total", "1000"))
+            self.pages_per_batch = int(options.get("pages_per_batch", "2"))
+
+        def initialOffset(self) -> dict:
+            return {"offset": 0}
+
+        def _fetch_range(self, start: int, end: int) -> list[tuple]:
+            rows: list[tuple] = []
+            off = start
+            while off < end:
+                page = fetch_page(off, min(API_PAGE_LIMIT, end - off))
+                if not page:
+                    break
+                rows.extend(page)
+                off += API_PAGE_LIMIT
+            return rows
+
+        def read(self, start: dict):
+            o = start["offset"]
+            end = min(o + API_PAGE_LIMIT * self.pages_per_batch, self.total)
+            return iter(self._fetch_range(o, end)), {"offset": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(self._fetch_range(start["offset"], end["offset"]))
+
+    ds_name = name
+
+    class _AdapterStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return ds_name
+
+        def schema(self) -> str:
+            return schema_ddl
+
+        def simpleStreamReader(self, schema) -> _AdapterStreamReader:
+            return _AdapterStreamReader(self.options)
+
+    return _AdapterStreamSource

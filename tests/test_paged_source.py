@@ -146,3 +146,42 @@ def test_custom_fetch_callback_rate_limit_knob(spark):
     t0 = _time.time()
     assert df.count() == 100
     assert _time.time() - t0 >= 0.4
+
+
+def test_custom_fetch_callback_streaming(spark, tmp_path):
+    """The streaming adapter seam: the same fake fetch callback drained
+    through the streaming engine must yield the full collection exactly
+    once."""
+    import time as _time
+
+    from spotify_tags_etl_spark.sources.paged_api import make_paged_stream_datasource
+
+    spark.dataSource.register(
+        make_paged_stream_datasource(_fake_api_fetch, name="fake_api_stream_test")
+    )
+    stream = (
+        spark.readStream.format("fake_api_stream_test")
+        .option("total", "123")
+        .option("pages_per_batch", "1")
+        .load()
+    )
+    name = "fake_stream_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while spark.table(name).count() < 123:
+            if q.exception() is not None:
+                raise q.exception()
+            assert _time.time() < deadline, "stream did not drain in 60s"
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    idx = sorted(r.idx for r in spark.table(name).collect())
+    spark.catalog.dropTempView(name)
+    assert idx == list(range(123))
