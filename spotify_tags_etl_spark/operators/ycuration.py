@@ -15,7 +15,9 @@ window's queued x* backlog):
 * yr01 — exact-rational Pearson r² between two daily series (DECIMAL
   string parts, xs06's hash-stable spelling);
 * yp01 — the curation ops COMPOSED: length gate → exact dedup →
-  containment prune → novelty floor → per-source budget, one oracle.
+  containment prune → novelty floor → per-source budget, one oracle;
+* yo01 — split-conformal anomaly gate (distribution-free ≤α false-alarm
+  guarantee), its order statistic computed by scalerank's exact rank.
 
 Same disciplines as the established families: banded candidates (never
 all-pairs), integer permille/ppm ratios, exact-count anchoring for
@@ -35,6 +37,7 @@ from spotify_tags_etl_spark.operators.dedup import (
     minhash_signatures,
     word_shingles,
 )
+from spotify_tags_etl_spark.functions.hashing import hash_frac_sql
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.tpch import load_table
 
@@ -871,3 +874,95 @@ def yp01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_P_BUDGET_DEN) * (F.col("cum") - F.col("n_chars"))
         < F.lit(_P_BUDGET_NUM) * F.col("total")
     ).select("source", "doc_id", "n_chars", "cum")
+
+
+# ---------------------------------------------------------------------------
+# yo01 — conformal anomaly threshold (distribution-free outlier gate)
+# ---------------------------------------------------------------------------
+
+#: Split-conformal parameters: calibration fraction and miscoverage α.
+#: The threshold is the ⌈(1-α)(n_cal+1)⌉-th smallest calibration score,
+#: which guarantees ≤ α false-alarm rate on exchangeable data with NO
+#: distributional assumption (the rank-statistics guarantee; compare
+#: xo01's 3·MAD fence, which assumes a symmetric-ish bulk).
+_CONF_CAL_FRAC = 0.5
+_CONF_ALPHA_PCT = 5  # α = 5%
+
+
+@register(
+    "yo01_conformal_anomaly",
+    oracle=f"""
+    WITH cents AS (
+      SELECT event_id,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             {{frac}} AS frac
+      FROM events
+    ),
+    center AS (SELECT CAST(SUM(c) // COUNT(*) AS BIGINT) AS mean_c FROM cents),
+    scored AS (
+      SELECT event_id, frac, CAST(ABS(c - center.mean_c) AS BIGINT) AS score_cents
+      FROM cents CROSS JOIN center
+    ),
+    cal AS (
+      SELECT score_cents, event_id,
+             ROW_NUMBER() OVER (ORDER BY score_cents, event_id) AS rk,
+             COUNT(*) OVER () AS n_cal
+      FROM scored WHERE frac < {_CONF_CAL_FRAC}
+    ),
+    thr AS (
+      SELECT CAST(score_cents AS BIGINT) AS thr_cents, CAST(n_cal AS BIGINT) AS n_cal
+      FROM cal
+      WHERE rk = ({100 - _CONF_ALPHA_PCT} * (n_cal + 1) + 99) // 100
+    )
+    SELECT s.event_id, s.score_cents, thr.thr_cents, thr.n_cal
+    FROM scored s CROSS JOIN thr
+    WHERE s.frac >= {_CONF_CAL_FRAC} AND s.score_cents > thr.thr_cents
+    """.replace("{frac}", hash_frac_sql("event_id")),
+    doc=(
+        "Split-conformal anomaly gate: deterministic md5 calibration/"
+        "test split, nonconformity score = |cents − integer mean|, "
+        f"threshold = the ⌈{100 - _CONF_ALPHA_PCT}%·(n+1)⌉-th smallest "
+        "calibration score — the DISTRIBUTION-FREE guarantee (≤ "
+        f"{_CONF_ALPHA_PCT}% false alarms on exchangeable data) that "
+        "xo01's MAD fence and xo04's residual gate cannot give. The "
+        "order statistic is computed by operators/scalerank.py's "
+        "range-partitioned exact rank — the module dogfooding its own "
+        "scale path: no single-reducer window anywhere (the oracle "
+        "keeps the window spelling as the truth anchor, xh01's "
+        "pattern). Flagged test rows carry the threshold and "
+        "calibration size for auditability; all integer cents."
+    ),
+    tags=("statistics", "anomaly", "conformal"),
+)
+def yo01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.functions.hashing import hash_frac
+    from spotify_tags_etl_spark.operators.scalerank import global_rank
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        hash_frac(F.col("event_id")).alias("frac"),
+    )
+    center = cents.agg(F.expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").alias("mean_c"))
+    scored = cents.crossJoin(F.broadcast(center)).select(
+        "event_id",
+        "frac",
+        F.abs(F.col("c") - F.col("mean_c")).cast("bigint").alias("score_cents"),
+    )
+    cal = scored.where(F.col("frac") < _CONF_CAL_FRAC).select("score_cents", "event_id")
+    ranked, n_cal = global_rank(cal, ["score_cents", "event_id"], rank_col="rk")
+    target = ((100 - _CONF_ALPHA_PCT) * (n_cal + 1) + 99) // 100
+    thr = (
+        ranked.where(F.col("rk") == target)
+        .select(
+            F.col("score_cents").alias("thr_cents"),
+            F.lit(n_cal).cast("bigint").alias("n_cal"),
+        )
+    )
+    return (
+        scored.where(F.col("frac") >= _CONF_CAL_FRAC)
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("score_cents") > F.col("thr_cents"))
+        .select("event_id", "score_cents", "thr_cents", "n_cal")
+    )
