@@ -71,6 +71,7 @@ VERIFIED = frozenset(
         "av05_percentiles",
         "av06_asof_join",
         "av07_range_join",
+        "av08_sessionize",
         "av09_lead_lag_gaps",
         "av10_rank_family",
         "av11_kmv_sketch",
@@ -139,6 +140,7 @@ VERIFIED = frozenset(
         "ss03_gemm_topk",
         "st01_stream_windowed_agg",
         "st02_stream_dedup",
+        "st03_stream_sessions",
         "st04_stream_static_join",
         "st05_stream_sliding_window",
         "st06_stream_stream_join",
@@ -164,15 +166,63 @@ VERIFIED = frozenset(
         "tz07_mixture_sample",
         "tz08_contamination_rate",
         "uz01_upsert_merge",
+        "uz02_profile_table",
         "uz03_zorder_key",
         "uz04_rollup_incremental",
         "uz05_schema_evolution",
         "vx01_ivf_ann",
+        "vx02_int8_quantize",
         "vx03_kmeans_clusters",
         "vx04_cluster_capped_sample",
         "vz01_dup_components",
         "wz01_salted_agg",
         "wz02_salted_join",
+        "xa01_category_drift",
+        "xb01_bitmap_runtime_filter",
+        "xc01_cohort_retention",
+        "xc02_rfm_segments",
+        "xc03_net_revenue_retention",
+        "xd01_scd2_intervals",
+        "xd02_interval_union_audit",
+        "xd03_scd2_merge",
+        "xe01_product_quantize",
+        "xe02_binary_hamming_ann",
+        "xe03_prefix_rerank",
+        "xe04_pq_adc_topk",
+        "xe05_ann_recall_eval",
+        "xe06_prefix_recall_eval",
+        "xf01_funnel_steps",
+        "xf02_funnel_latency",
+        "xg01_event_transitions",
+        "xg02_user_paths",
+        "xg03_pagerank_transitions",
+        "xg04_triangle_list",
+        "xg05_degree_census",
+        "xh01_equi_depth_histogram",
+        "xi01_pps_systematic_sample",
+        "xi02_temporal_embargo_split",
+        "xi04_curriculum_order",
+        "xi05_importance_reweight",
+        "xj01_null_safe_join",
+        "xj02_key_skew_metrics",
+        "xj03_join_fanout_audit",
+        "xk01_dup_span_detect",
+        "xk02_hll_rollup_merge",
+        "xk03_stream_hll_rollup",
+        "xl01_gap_fill_locf",
+        "xl02_seasonal_decompose",
+        "xl03_rolling_median",
+        "xl04_seasonal_naive_backtest",
+        "xm01_bag_set_ops",
+        "xm02_grouped_centroids",
+        "xn01_variant_shred",
+        "xn02_token_budget_cap",
+        "xo01_mad_outliers",
+        "xo02_winsorize",
+        "xo03_benford_audit",
+        "xo04_seasonal_anomaly_days",
+        "xp01_point_in_time_join",
+        "xq01_shipping_priority",
     }
 )
 
