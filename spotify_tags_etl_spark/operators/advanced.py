@@ -1126,19 +1126,23 @@ def xc01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "RFM (recency / frequency / monetary) customer segmentation: "
-        "per-user aggregates scored into quartiles by three NTILE(4) "
-        "rankings (each with a user_id total-order tiebreak, so the "
+        "per-user aggregates scored into quartiles along three "
+        "orderings (each with a user_id total-order tiebreak, so the "
         "quartile boundaries are deterministic in both engines), then "
         "the <=64-cell segment census. Monetary goes through integer "
         "cents. Shape: the big reduction is the per-user aggregate "
-        "(one user_id shuffle, map-side partials); the NTILEs run on "
-        "the already-reduced O(users) frame — at 1e9 users swap the "
-        "global NTILE sort for approx_percentile cut points (xh01's "
-        "documented scale path) without changing the output contract."
+        "(one user_id shuffle, map-side partials); the three quartile "
+        "scores ride operators/scalerank.py — range-partitioned exact "
+        "global rank + the closed-form ntile_expr bucket map — so NO "
+        "stage funnels the O(users) frame through one reducer (the "
+        "NTILE-spelled oracle stays as the semantic truth anchor and "
+        "proves the rewrite hash-neutral)."
     ),
     tags=("aggregate", "window", "analytics"),
 )
 def xc02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .scalerank import global_rank, ntile_expr
+
     ev = _ev(spark, sf_dir)
     anchor = ev.agg(F.max("ts").alias("max_ts"))
     per_user = (
@@ -1150,18 +1154,23 @@ def xc02(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("monetary_cents"),
         )
     )
-    scored = per_user.select(
-        "monetary_cents",
-        F.ntile(4)
-        .over(Window.orderBy(F.col("recency_days").asc(), F.col("user_id")))
-        .alias("r_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("frequency").desc(), F.col("user_id")))
-        .alias("f_score"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id")))
-        .alias("m_score"),
+    # Three exact NTILE(4)s without a single-reducer sort: chain one
+    # scale-safe global_rank per ordering (each is a range shuffle of
+    # the already-reduced O(users) frame + a PARALLEL per-partition
+    # window), then map rank -> quartile with the closed-form bucket
+    # sizes both engines' NTILE implements.
+    r1, n_users = global_rank(
+        per_user, [F.col("recency_days").asc(), F.col("user_id").asc()], rank_col="_rk_r"
     )
+    r1 = r1.withColumn("r_score", ntile_expr("_rk_r", n_users, 4))
+    r2, _ = global_rank(
+        r1, [F.col("frequency").desc(), F.col("user_id").asc()], rank_col="_rk_f"
+    )
+    r2 = r2.withColumn("f_score", ntile_expr("_rk_f", n_users, 4))
+    r3, _ = global_rank(
+        r2, [F.col("monetary_cents").desc(), F.col("user_id").asc()], rank_col="_rk_m"
+    )
+    scored = r3.withColumn("m_score", ntile_expr("_rk_m", n_users, 4))
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_cents").cast("bigint").alias("sum_cents"),

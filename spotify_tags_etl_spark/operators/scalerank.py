@@ -35,6 +35,39 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _range_layout(
+    df: DataFrame, order_cols: list, num_partitions: int | None
+) -> tuple[DataFrame, list]:
+    """Freeze a range-partitioned layout over ``order_cols``: partition p
+    holds keys strictly below partition p+1. The layout is
+    ``localCheckpoint``-ed so the per-partition statistics job and the
+    final parallel window see the SAME physical placement (and the input
+    is scanned once, not twice). Returns ``(ranged frame + _pid, cols)``."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    return ranged, cols
+
+
+def _pid_map(offsets: dict) -> Column:
+    """Broadcast-literal map _pid -> offset (skipping None entries);
+    missing pids resolve to NULL at lookup."""
+    pairs: list[Column] = []
+    for pid in sorted(offsets):
+        if offsets[pid] is None:
+            continue
+        pairs.extend([F.lit(pid), F.lit(offsets[pid])])
+    if not pairs:
+        return F.lit(None).cast("bigint")
+    return F.element_at(F.create_map(*pairs), F.col("_pid"))
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list,
@@ -45,16 +78,7 @@ def global_rank(
     a TOTAL order — include a unique tiebreak) without a single-reducer
     window. Returns ``(frame + rank_col, total_row_count)``; the count
     comes from the same layout pass, so no extra scan."""
-    spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(num_partitions, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        # Counts and ranks MUST see one frozen layout (and one input scan).
-        .localCheckpoint(eager=True)
-    )
+    ranged, cols = _range_layout(df, order_cols, num_partitions)
     # O(#partitions) rows to the driver: plan-feeding statistics only.
     counts = {r["_pid"]: r["n"] for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     total = sum(counts.values())
@@ -63,18 +87,81 @@ def global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    pairs: list[Column] = []
-    for pid in sorted(offsets):
-        pairs.extend([F.lit(pid), F.lit(offsets[pid])])
-    offset_of = F.coalesce(
-        F.element_at(F.create_map(*pairs), F.col("_pid")) if pairs else F.lit(0),
-        F.lit(0),
-    )
+    offset_of = F.coalesce(_pid_map(offsets), F.lit(0))
     w = Window.partitionBy("_pid").orderBy(*cols)
     return (
         ranged.withColumn(rank_col, F.row_number().over(w) + offset_of).drop("_pid"),
         total,
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    weight_col: str,
+    sum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact INCLUSIVE running ``SUM(weight_col)`` over the total order
+    ``order_cols`` — the weighted generalization of :func:`global_rank`
+    (row_number is prefix_sum with weight 1). Same three-step shape:
+    range layout, one O(#partitions) subtotal job folded into cumulative
+    offsets on the driver, then a PARALLEL per-partition running sum plus
+    the broadcast offset literal. Returns ``(frame + sum_col,
+    total_weight)``; the total comes from the same statistics pass."""
+    ranged, cols = _range_layout(df, order_cols, num_partitions)
+    subtotals = {
+        r["_pid"]: (r["s"] or 0)
+        for r in ranged.groupBy("_pid").agg(F.sum(weight_col).alias("s")).collect()
+    }
+    total = sum(subtotals.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(subtotals):
+        offsets[pid] = acc
+        acc += subtotals[pid]
+    offset_of = F.coalesce(_pid_map(offsets), F.lit(0))
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranged.withColumn(sum_col, F.sum(weight_col).over(w) + offset_of).drop("_pid"),
+        total,
+    )
+
+
+def prefix_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "runmax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running ``MAX(value_col)`` over the total order
+    ``order_cols`` (a high-water mark) without a single-reducer window:
+    range layout, one O(#partitions) per-partition-max job, prefix-fold
+    the maxima on the driver (offset of partition p = max over all
+    partitions < p, NULL for the first), then GREATEST(parallel local
+    running max, broadcast offset) — both engines' GREATEST skips NULLs,
+    so the first partition needs no special case."""
+    ranged, cols = _range_layout(df, order_cols, num_partitions)
+    part_max = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy("_pid").agg(F.max(value_col).alias("m")).collect()
+    }
+    offsets: dict[int, int | None] = {}
+    acc: int | None = None
+    for pid in sorted(part_max):
+        offsets[pid] = acc
+        m = part_max[pid]
+        if m is not None:
+            acc = m if acc is None else max(acc, m)
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ranged.withColumn(
+        out_col, F.greatest(F.max(value_col).over(w), _pid_map(offsets))
+    ).drop("_pid")
 
 
 def ntile_expr(rank_col: str, n_rows: int, k: int) -> Column:

@@ -292,35 +292,36 @@ def xb01(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selected, xf02's discipline) — the measurement that DECIDES "
         "whether a join needs wz02's salting or can lean on AQE skew "
         "split (a max_share_ppm near 1e6/n_reducers means one reducer "
-        "owns the key). One key aggregate + an O(#keys) window; at "
+        "owns the key). Shape: n_keys/n_rows/max/share are PLAIN "
+        "aggregates (no window at all); the p99 order statistic rides "
+        "scalerank.global_rank (range-partitioned parallel rank), so "
+        "the O(#keys) frame never funnels through one reducer — the "
+        "skew-diagnosis tool is itself skew-free. The single-reducer "
+        "window lives only in the oracle as the truth anchor. At "
         "100 TB sample the census or sketch it (av11/av14) — the "
         "decision only needs the head of the distribution."
     ),
     tags=("skew", "statistics", "diagnostics"),
 )
 def xj02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from .scalerank import global_rank
 
     kc = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("k"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy("c", "k").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = kc.select(
-        "c",
-        F.row_number().over(Window.orderBy("c", "k")).alias("rn"),
-        F.count(F.lit(1)).over(w).alias("nk"),
-        F.sum("c").over(w).alias("total"),
-    )
+    # One frozen ranked layout feeds BOTH the scalar census and the
+    # rank-selected p99 (the checkpoint inside global_rank means the
+    # per-key aggregate is computed once, not twice).
+    ranked, nk = global_rank(kc, [F.col("c").asc(), F.col("k").asc()], rank_col="rn")
+    p99_rank = (99 * nk + 99) // 100
     return ranked.agg(
-        F.max("nk").alias("n_keys"),
-        F.max("total").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
         F.max("c").alias("max_key_rows"),
-        F.expr("(1000000 * MAX(c)) DIV MAX(total)").alias("max_share_ppm"),
-        F.max(F.when(F.expr("rn = (99 * nk + 99) DIV 100"), F.col("c"))).alias(
+        F.expr("(1000000 * MAX(c)) DIV SUM(c)").cast("bigint").alias("max_share_ppm"),
+        F.max(F.when(F.col("rn") == F.lit(p99_rank), F.col("c"))).alias(
             "p99_key_rows"
         ),
     )

@@ -588,25 +588,26 @@ def pps_systematic_sample(docs: DataFrame, n: int = PPS_TARGET) -> DataFrame:
     engines, retries, and layouts — the property rand()-based weighted
     sampling cannot give an incremental pipeline. Oversized documents
     legitimately receive multiplicity > 1 (classic PPS semantics).
+
+    Scale shape: the cumulative-weight axis rides
+    ``scalerank.prefix_sum`` (range-partitioned parallel running sum +
+    broadcast partition offsets — NO single-reducer window), and the
+    total weight falls out of the same statistics pass, so stride and
+    offset become plan literals instead of a crossJoin'd 1-row frame.
     """
+    from .scalerank import prefix_sum
+
     w = docs.select("doc_id", F.col("n_chars").alias("w"))
-    par = w.agg(F.sum("w").alias("tw")).select(
-        F.expr(f"tw DIV {n}").alias("stride"),
-        F.expr(f"(tw DIV {n}) DIV 2").alias("off"),
-    )
-    cw = w.withColumn(
-        "cw",
-        F.sum("w").over(
-            Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    picks = (
-        "(CASE WHEN {x} >= off THEN ({x} - off) DIV stride + 1 ELSE 0 END)"
-    )
-    m = f"{picks.format(x='(cw - 1)')} - {picks.format(x='(cw - w - 1)')}"
+    cw, tw = prefix_sum(w, [F.col("doc_id").asc()], "w", sum_col="cw")
+    stride = tw // n
+    off = stride // 2
+
+    def picks(x: str) -> str:
+        return f"(CASE WHEN {x} >= {off} THEN ({x} - {off}) DIV {stride} + 1 ELSE 0 END)"
+
+    m = f"{picks('(cw - 1)')} - {picks('(cw - w - 1)')}"
     return (
-        cw.crossJoin(F.broadcast(par))
-        .withColumn("multiplicity", F.expr(m))
+        cw.withColumn("multiplicity", F.expr(m))
         .where(F.col("multiplicity") > 0)
         .select("doc_id", "w", "multiplicity")
     )
@@ -640,13 +641,14 @@ def pps_systematic_sample(docs: DataFrame, n: int = PPS_TARGET) -> DataFrame:
         "to its size, with no rand() anywhere, so the drawn set is "
         "stable under retries, repartitions, and engine swaps "
         "(stratified-rate cousin: tz01; quality-weighted mixing "
-        "cousin: tz07). Shape: one O(1)-row total-weight aggregate "
-        "broadcast back, one running sum over the doc_id total order. "
-        "The global-order window is the gate-scale formulation "
-        "(xh01's documented pattern); at 1e10 docs swap in the "
-        "two-pass range-partitioned prefix sum — per-partition "
-        "subtotals collected once, partition offsets fused back as "
-        "literals — without changing the emitted sample."
+        "cousin: tz07). Shape: the cumulative-weight axis is "
+        "scalerank.prefix_sum — the two-pass range-partitioned "
+        "prefix sum (per-partition subtotals collected once, "
+        "partition offsets fused back as broadcast literals, running "
+        "sum PARALLEL per partition) — so no stage funnels the corpus "
+        "through one reducer; stride/offset are plan literals from "
+        "the same statistics pass. The single-reducer window lives "
+        "only in the oracle, which proves the rewrite hash-neutral."
     ),
     tags=("training", "sampling", "deterministic"),
 )

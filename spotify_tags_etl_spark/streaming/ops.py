@@ -1219,38 +1219,54 @@ _ARR_SPARK = "(unix_micros(ts) + ((event_id * 2654435761) % 4096) * 1000000)"
         "too-late — the measurement that chooses st01/st02's "
         "watermark instead of guessing it ('measure, don't guess' "
         "applied to streaming design; the drop rate IS the "
-        "correctness cost of each state-size choice). One running-max "
-        "window over arrival order + one conditional aggregate; at "
-        "scale the arrival order is the ingest log's own order, so "
-        "the window is a partition-local scan over log segments with "
-        "carried offsets."
+        "correctness cost of each state-size choice). The running max "
+        "rides scalerank.prefix_max — range-partitioned parallel "
+        "per-partition maxima + broadcast prefix offsets, exactly the "
+        "partition-local-scan-with-carried-offsets shape an ingest "
+        "log has at scale — followed by one conditional aggregate per "
+        "candidate over the checkpointed lateness frame."
     ),
     tags=("streaming", "watermark", "audit"),
 )
 def xw05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.scalerank import prefix_max
     from spotify_tags_etl_spark.sources.tpch import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events")
-    w = Window.orderBy(F.expr(_ARR_SPARK), F.col("event_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Running event-time high-water mark over ARRIVAL order via
+    # scalerank.prefix_max: range-partition on the arrival key, parallel
+    # per-partition running max, GREATEST with the broadcast prefix of
+    # preceding partitions' maxima — no single-reducer window (the
+    # global-order window lives only in the oracle as the truth anchor).
+    arr = _lt(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.expr(_ARR_SPARK).alias("_arr"),
     )
-    late = ev.select(
-        (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("late_us")
+    hwm = prefix_max(
+        arr, [F.col("_arr").asc(), F.col("event_id").asc()], "us", out_col="hwm"
     )
-    out = None
+    late = hwm.select((F.col("hwm") - F.col("us")).alias("late_us"))
+    # ONE aggregate pass counts every candidate's drops (the lateness
+    # frame and its running max are computed once, not once per
+    # candidate), then inline() unpacks the O(#candidates) row set.
+    aggs = [F.count(F.lit(1)).alias("n_events")]
     for m in _WM_CANDIDATES_MIN:
         thr = m * 60 * 1_000_000  # precomputed: a 60-min literal product
         # written inline would overflow INT32 in both engines' parsers
-        row = late.agg(
-            F.lit(m).alias("watermark_min"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.count(F.when(F.col("late_us") > thr, 1)).alias("n_dropped"),
-            F.expr(
-                f"(1000000 * COUNT(CASE WHEN late_us > {thr} THEN 1 END)) DIV COUNT(1)"
-            ).alias("drop_ppm"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        aggs.append(F.count(F.when(F.col("late_us") > thr, 1)).alias(f"_nd_{m}"))
+    one = late.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("watermark_min"),
+                F.col("n_events").alias("n_events"),
+                F.col(f"_nd_{m}").alias("n_dropped"),
+                F.expr(f"(1000000 * _nd_{m}) DIV n_events").alias("drop_ppm"),
+            )
+            for m in _WM_CANDIDATES_MIN
+        ]
+    )
+    return one.select(F.inline(rows))
 
 
 # ---------------------------------------------------------------------------

@@ -84,17 +84,22 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def _has_global_order_window(plan: str) -> bool:
-    """True if any Window node in the executed plan has an empty
-    partition spec (the single-reducer shape)."""
-    for line in plan.splitlines():
-        if re.search(r"\bWindow\b", line) and "windowspecdefinition(" in line:
-            # partition-free spec renders as windowspecdefinition(<order>...
-            # with no leading partition columns before the sort spec; the
-            # reliable tell is a SinglePartition exchange feeding it —
-            # checked separately below.
-            pass
-    return "SinglePartition" in plan
+def _global_order_windows(plan: str) -> list[str]:
+    """Window nodes whose partition spec is EMPTY (the single-reducer
+    shape). A partitioned Window renders three top-level bracket groups
+    — ``Window [exprs], [partitionCols], [orderCols]`` — while a
+    global-order one renders only two; this catches the shape even when
+    AQE coalesces the feeding exchange to one partition without a
+    literal ``Exchange SinglePartition`` node."""
+    return [
+        line.strip()
+        for line in plan.splitlines()
+        if re.search(r"\bWindow \[", line) and len(line.split("], [")) < 3
+    ]
+
+
+def _has_single_partition_exchange(plan: str) -> bool:
+    return "Exchange SinglePartition" in plan
 
 
 def test_xh01_plan_has_no_single_partition_exchange(spark, sf_dir):
@@ -102,7 +107,8 @@ def test_xh01_plan_has_no_single_partition_exchange(spark, sf_dir):
 
     df = get("xh01_equi_depth_histogram").builder(spark, sf_dir)
     plan = _executed_plan(df)
-    assert not _has_global_order_window(plan), plan
+    assert not _global_order_windows(plan), plan
+    assert not _has_single_partition_exchange(plan), plan
 
 
 def test_xi04_plan_has_no_single_partition_exchange(spark, sf_dir):
@@ -110,7 +116,81 @@ def test_xi04_plan_has_no_single_partition_exchange(spark, sf_dir):
 
     df = get("xi04_curriculum_order").builder(spark, sf_dir)
     plan = _executed_plan(df)
-    assert not _has_global_order_window(plan), plan
+    assert not _global_order_windows(plan), plan
+    assert not _has_single_partition_exchange(plan), plan
+
+
+def test_xc02_xi01_plans_have_no_single_partition_exchange(spark, sf_dir):
+    """The round-5 scalerank rewrites: the RFM triple-NTILE and the PPS
+    cumulative-weight axis must carry NO single-reducer stage at all."""
+    from spotify_tags_etl_spark.plans.registry import get
+
+    for name in ("xc02_rfm_segments", "xi01_pps_systematic_sample"):
+        plan = _executed_plan(get(name).builder(spark, sf_dir))
+        assert not _global_order_windows(plan), (name, plan)
+        assert not _has_single_partition_exchange(plan), (name, plan)
+
+
+def test_xj02_xw05_plans_have_no_global_order_window(spark, sf_dir):
+    """xj02/xw05 end in an O(#partitions)-row scalar aggregate (whose
+    tiny final-reduce exchange is fine); what must be GONE is any
+    global-order window over the data-sized frame."""
+    from spotify_tags_etl_spark.plans.registry import get
+
+    for name in ("xj02_key_skew_metrics", "xw05_watermark_lateness_audit"):
+        plan = _executed_plan(get(name).builder(spark, sf_dir))
+        assert not _global_order_windows(plan), (name, plan)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8])
+def test_prefix_sum_matches_window_sum(spark, sf_dir, num_partitions):
+    from spotify_tags_etl_spark.operators.scalerank import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    got_df, total = prefix_sum(
+        docs,
+        [F.col("doc_id").asc()],
+        "n_chars",
+        sum_col="cs",
+        num_partitions=num_partitions,
+    )
+    got = {r.doc_id: r.cs for r in got_df.collect()}
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.doc_id: r.cs
+        for r in docs.withColumn("cs", F.sum("n_chars").over(w)).collect()
+    }
+    assert got == want
+    assert total == max(want.values())
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 8])
+def test_prefix_max_matches_window_max(spark, sf_dir, num_partitions):
+    from spotify_tags_etl_spark.operators.scalerank import prefix_max
+
+    # Rank by a NON-monotone axis (totalprice) so the running max over
+    # orderkey order genuinely goes through partition-offset folding.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v")
+    )
+    got_df = prefix_max(
+        orders,
+        [F.col("o_orderkey").asc()],
+        "v",
+        out_col="hm",
+        num_partitions=num_partitions,
+    )
+    got = {r.o_orderkey: r.hm for r in got_df.collect()}
+    w = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.o_orderkey: r.hm
+        for r in orders.withColumn("hm", F.max("v").over(w)).collect()
+    }
+    assert got == want
 
 
 def _ntile_reference(n: int, k: int) -> list[int]:
