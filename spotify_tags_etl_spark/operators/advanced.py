@@ -2018,7 +2018,7 @@ def xg04(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT SUM(cents) AS total FROM g)
     SELECT g.event_type, g.cents,
-           CAST((g.cents * 1000000) // t.total AS BIGINT) AS share_ppm
+           CAST(CAST(g.cents AS HUGEINT) * 1000000 // t.total AS BIGINT) AS share_ppm
     FROM g CROSS JOIN t
     ORDER BY g.event_type
     """,
@@ -2045,7 +2045,10 @@ def xr05(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "cents",
-            F.expr("(cents * 1000000) DIV total").alias("share_ppm"),
+            # DECIMAL(38,0) DIV: cents*1e6 wraps int64 once the global
+            # total nears 1e13 cents (the yq08/xq10 ppm lesson); decimal
+            # integral division is exact and matches HUGEINT floor.
+            F.expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 DIV total AS BIGINT)").alias("share_ppm"),
         )
         .orderBy("event_type")
     )
@@ -2241,7 +2244,7 @@ def xr06(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.ante, p.cons, p.both,
            CAST((p.both * 1000000) // n.total AS BIGINT) AS support_ppm,
            CAST((p.both * 1000000) // ia.cnt AS BIGINT) AS confidence_ppm,
-           CAST((p.both * n.total * 1000000) // (ia.cnt * ic.cnt) AS BIGINT) AS lift_ppm
+           CAST(CAST(p.both AS HUGEINT) * n.total * 1000000 // (CAST(ia.cnt AS HUGEINT) * ic.cnt) AS BIGINT) AS lift_ppm
     FROM pair p
     JOIN item ia ON ia.event_type = p.ante
     JOIN item ic ON ic.event_type = p.cons
@@ -2287,7 +2290,9 @@ def xz16(spark: SparkSession, sf_dir: str) -> DataFrame:
             "both",
             F.expr("CAST((both * 1000000) DIV total AS BIGINT)").alias("support_ppm"),
             F.expr("CAST((both * 1000000) DIV cnt_a AS BIGINT)").alias("confidence_ppm"),
-            F.expr("CAST((both * total * 1000000) DIV (cnt_a * cnt_c) AS BIGINT)").alias(
+            # both*total*1e6 is a triple product of counts — wraps int64
+            # at ~1e9-row fact tables; DECIMAL(38,0) keeps it exact.
+            F.expr("CAST(CAST(both AS DECIMAL(38,0)) * total * 1000000 DIV (CAST(cnt_a AS DECIMAL(38,0)) * cnt_c) AS BIGINT)").alias(
                 "lift_ppm"
             ),
         )
@@ -2455,7 +2460,7 @@ def xl04(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rev GROUP BY cohort_wk, age_wk
     )
     SELECT a.cohort_wk, a.age_wk, CAST(a.cents AS BIGINT) AS cents,
-           CAST((a.cents * 1000000) // b.w0_cents AS BIGINT) AS nrr_ppm
+           CAST(CAST(a.cents AS HUGEINT) * 1000000 // b.w0_cents AS BIGINT) AS nrr_ppm
     FROM aged a JOIN base b ON b.cohort_wk = a.cohort_wk
     WHERE b.w0_cents > 0
     ORDER BY a.cohort_wk, a.age_wk
@@ -2498,7 +2503,8 @@ def xc03(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_wk",
             "age_wk",
             "cents",
-            F.expr("CAST((cents * 1000000) DIV w0_cents AS BIGINT)").alias("nrr_ppm"),
+            # money * 1e6: DECIMAL(38,0) DIV, the exact ppm spelling.
+            F.expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 DIV w0_cents AS BIGINT)").alias("nrr_ppm"),
         )
         .orderBy("cohort_wk", "age_wk")
     )

@@ -584,7 +584,7 @@ def xq09(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(rev) AS BIGINT) AS d
       FROM j
     )
-    SELECT CAST(((np * 1000) // d) * 1000 + (((np * 1000) % d) * 1000) // d AS BIGINT)
+    SELECT CAST(CAST(np AS HUGEINT) * 1000000 // d AS BIGINT)
            AS promo_share_ppm
     FROM s
     """,
@@ -592,13 +592,14 @@ def xq09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TPC-H Q14 shape: promotional revenue share for one month — "
         "fact-dim join + conditional aggregation, the ratio emitted in "
         "integer ppm by exact cross-division (no float percent). The "
-        "ppm is computed by two-step base-1000 long division "
-        "(a = 1000*np DIV d; ppm = 1000*a + 1000*(1000*np MOD d) DIV "
-        "d): numerator*1e6 overflows int64 at sf>=0.1 revenue sums — "
-        "Spark wraps silently with ANSI off while DuckDB promotes to "
-        "HUGEINT, so the naive form diverges EXACTLY when the data "
-        "gets big; the split keeps every intermediate under 1e18 at "
-        "1000x this scale. Month filter prunes the fact scan BEFORE "
+        "ppm is exact 128-bit long division: numerator*1e6 overflows "
+        "int64 at sf>=0.1 revenue sums (Spark wraps silently with ANSI "
+        "off, DuckDB errors), and staged base-1000 division is unsafe "
+        "too — its remainder*1000 is bounded by d*1000, past 2^63 once "
+        "monthly revenue nears 1e16 micros. Spark's DECIMAL(38,0) DIV "
+        "is exact integral division returning BIGINT and matches "
+        "DuckDB's HUGEINT floor bit-for-bit at any SF (yq08/xs06's "
+        "discipline). Month filter prunes the fact scan BEFORE "
         "the join; part broadcasts. Single wide aggregate, one row out."
     ),
     tags=("classic", "join", "aggregate"),
@@ -621,7 +622,7 @@ def xq10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.expr(
-                "CAST(((np * 1000) DIV d) * 1000 + (((np * 1000) % d) * 1000) DIV d AS BIGINT)"
+                "CAST(CAST(np AS DECIMAL(38,0)) * 1000000 DIV d AS BIGINT)"
             ).alias("promo_share_ppm")
         )
     )

@@ -198,14 +198,15 @@ def yq08(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_year",
             "nation_micros",
             "total_micros",
-            # Two-step base-1000 long division: nation_micros * 1e6 wraps
-            # int64 at this SF (the xq10 ppm lesson) — n*1000 and
-            # (n*1000 % t)*1000 both stay < 2^63, and the sum is exactly
-            # floor(n * 1e6 / t), matching the oracle's HUGEINT floor.
+            # DECIMAL(38,0) long division: nation_micros * 1e6 wraps int64
+            # already at this SF (the xq10 ppm lesson), and staged base-1000
+            # division is NOT safe either — its remainder*1000 is bounded by
+            # total_micros*1000 ~ 3e19 at SF1, past 2^63. Spark's decimal
+            # DIV is exact integral division returning BIGINT, matching the
+            # oracle's HUGEINT floor bit-for-bit (xs06/yr01's discipline).
             F.expr(
-                "CAST((nation_micros * 1000) DIV total_micros * 1000"
-                " + ((nation_micros * 1000) % total_micros) * 1000 DIV total_micros"
-                " AS BIGINT)"
+                "CAST(CAST(nation_micros AS DECIMAL(38,0)) * 1000000"
+                " DIV total_micros AS BIGINT)"
             ).alias("share_ppm"),
         )
         .orderBy("o_year")

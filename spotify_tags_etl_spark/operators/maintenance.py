@@ -34,6 +34,20 @@ from spotify_tags_etl_spark.sources.tpch import load_table
 _NEW_KEY_OFFSET = 10_000_000_000
 
 
+def _pid_tmp_path(base: str, tag: str) -> str:
+    """PID-keyed scratch dir under /tmp (concurrent runs must not race
+    one run's mode-overwrite write against another's read), removed at
+    interpreter exit so repeated sweeps/pytest runs don't accumulate
+    orphaned PID trees."""
+    import atexit
+    import os
+    import shutil
+
+    path = os.path.join(base, f"{tag}-{os.getpid()}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def upsert(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
     """Type-1 (overwrite) upsert: rows in ``changes`` replace same-key
     rows of ``base``; new keys append; other base rows pass through.
@@ -644,9 +658,8 @@ def xv02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    # PID-keyed like xv03: concurrent runs must not race the overwrite.
     tag = hashlib.sha256(f"xv02:{_CSV_ROWS}:{_CSV_BAD_PERIOD}".encode()).hexdigest()[:12]
-    path = os.path.join("/tmp/spark_graft_csv", f"{tag}-{os.getpid()}")
+    path = _pid_tmp_path("/tmp/spark_graft_csv", tag)
     line = F.when(
         F.col("id") % _CSV_BAD_PERIOD == 0,
         F.concat_ws(",", F.lit("corrupt"), F.lit("not-a-number")),
@@ -1121,7 +1134,7 @@ def partitioned_events_path(sf_dir: str) -> str:
     import os
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join("/tmp/spark_graft_xv03", f"{tag}-{os.getpid()}")
+    return _pid_tmp_path("/tmp/spark_graft_xv03", tag)
 
 
 def write_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
@@ -1404,9 +1417,8 @@ def xv05(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    # PID-keyed like xv03: concurrent runs must not race the overwrite.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join("/tmp/spark_graft_xv05", f"{tag}-{os.getpid()}")
+    path = _pid_tmp_path("/tmp/spark_graft_xv05", tag)
     load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return (
@@ -1698,9 +1710,8 @@ def xv06(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    # PID-keyed like xv03: concurrent runs must not race the overwrite.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join("/tmp/spark_graft_xv06", f"{tag}-{os.getpid()}")
+    path = _pid_tmp_path("/tmp/spark_graft_xv06", tag)
     sup = load_table(spark, sf_dir, "supplier")
     sup.write.mode("overwrite").format("xml").option("rootTag", "suppliers").option(
         "rowTag", "supplier"

@@ -171,14 +171,27 @@ def test_xq11_or_factored_filters_pushed(spark, sf_dir):
     assert "l_quantity" in plan.split("BroadcastHashJoin")[0] or "l_quantity" in plan
 
 
-def test_xq10_ppm_long_division_is_overflow_safe():
-    """The two-step base-1000 long division equals the exact ppm for
-    numerators that would overflow int64 under the naive *1e6 form."""
-    np_, d = 8_765_432_109_876_543, 9_876_543_210_987_654  # ~8.8e15 / 9.9e15
-    a = (np_ * 1000) // d
-    ppm = a * 1000 + (((np_ * 1000) % d) * 1000) // d
-    assert ppm == (np_ * 1_000_000) // d  # python ints are exact
-    assert np_ * 1000 < 2**63 and ((np_ * 1000) % d) * 1000 < 2**63
+def test_ppm_decimal_division_is_overflow_safe(spark):
+    """The DECIMAL(38,0) DIV ppm spelling (xq10/yq08) must equal exact
+    integer floor division at magnitudes where BOTH the naive *1e6 form
+    AND the old two-step base-1000 form wrap int64 — the ADVICE r4
+    scenario: remainder*1000 bounded by d*1000 ~ 3e19 at SF1 totals."""
+    cases = [
+        (8_765_432_109_876_543, 9_876_543_210_987_654),
+        # d large enough that ((n*1000) % d) * 1000 exceeds 2^63:
+        (29_999_999_999_999_999, 30_000_000_000_000_000),
+        (9_223_372_036_854_775_807, 9_223_372_036_854_775_807),
+        (1, 30_000_000_000_000_000),
+        (2_999_999_999_999_999_999, 3_000_000_000_000_000_000),
+    ]
+    rows = spark.createDataFrame(cases, "np BIGINT, d BIGINT").selectExpr(
+        "np", "d", "CAST(CAST(np AS DECIMAL(38,0)) * 1000000 DIV d AS BIGINT) AS ppm"
+    ).collect()
+    for r in rows:
+        assert r.ppm == (r.np * 1_000_000) // r.d, (r.np, r.d, r.ppm)
+    # the old two-step form really does wrap for the second case:
+    n, d = cases[1]
+    assert ((n * 1000) % d) * 1000 >= 2**63
 
 
 def test_attribution_conserves_revenue(spark, sf_dir):

@@ -39,8 +39,10 @@ def test_yq21_no_fact_self_join(spark, sf_dir):
     """Q21's double-EXISTS must be two co-keyed aggregates — the plan
     may join the AGGREGATED frames but never two raw lineitem scans."""
     plan = _plan(spark, sf_dir, "yq21_sole_return_supplier")
-    # one scan of lineitem only (the per-(order,supp) rollup feeds both sides)
-    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) <= 2, plan
+    # EXACTLY one scan of lineitem (the per-(order,supp) rollup feeds both
+    # window branches from a single pass); a second scan IS the raw fact
+    # self-join shape this test exists to forbid.
+    assert len(re.findall(r"FileScan parquet.*lineitem", plan)) <= 1, plan
 
 
 @pytest.mark.parametrize(
