@@ -44,10 +44,15 @@ METRICS = {
 
 
 def audited_names() -> list[str]:
-    """The bench population: every suite member that is a batch query
-    (streaming builders drive the streaming engine; their 'plan' is the
-    per-batch one and is pinned by the streaming tests instead)."""
+    """The bench population PLUS the current driver window: every suite
+    member that is a batch query (streaming builders drive the streaming
+    engine; their 'plan' is the per-batch one and is pinned by the
+    streaming tests instead), plus the first 50 registry names in sort
+    order — the queries the driver is about to freeze-verify, whose plan
+    regressions must be caught BEFORE rotation stops re-checking them —
+    plus every scalerank rewrite."""
     import bench
+    from spotify_tags_etl_spark.plans import registry
 
     names = (
         bench.HEADLINE
@@ -57,7 +62,26 @@ def audited_names() -> list[str]:
         + bench.CURATION_SUITE
         + bench.MINING_SUITE
     )
-    return [n for n in names if not n.startswith(("st0", "xw06", "xk03", "xw10"))]
+    window = sorted(registry.all_queries())[:50]
+    rewrites = [
+        "xc02_rfm_segments",
+        "xh01_equi_depth_histogram",
+        "xi01_pps_systematic_sample",
+        "xi04_curriculum_order",
+        "xj02_key_skew_metrics",
+        "xw05_watermark_lateness_audit",
+    ]
+    seen: set[str] = set()
+    out: list[str] = []
+    for n in names + window + rewrites:
+        base = n[3:] if n.startswith("zv_") else n
+        if base in seen:
+            continue
+        seen.add(base)
+        out.append(base)
+    # streaming builders (their per-batch plan is pinned by the streaming
+    # tests): skip anything that drives a writeStream under the hood.
+    return [n for n in out if not n.startswith(("st0", "xw01", "xw03", "xw06", "xw09", "xk03", "xw10", "sz0", "xz15"))]
 
 
 def fingerprint(df) -> dict[str, int]:
