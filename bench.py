@@ -45,6 +45,10 @@ LLM_SUITE = [
     "tp01_training_pipeline",
     # round-4: the composed curation pipeline (operators/ycuration.py)
     "yp01_curation_pipeline",
+    # round-5 (operators/yscale.py): inverted-index sparse retrieval +
+    # deterministic per-group reservoir
+    "yb02_tfidf_neighbors",
+    "yu01_grouped_reservoir_sample",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the
@@ -100,6 +104,10 @@ ANALYTICS_SUITE = [
     # exact ranks (operators/scalerank.py) — benched to keep them honest
     "xh01_equi_depth_histogram",
     "xi04_curriculum_order",
+    # round-5 (operators/yscale.py): prefix_sum-powered KS drift test and
+    # range-frame Pareto frontier
+    "yd02_ks_two_sample",
+    "ys01_pareto_frontier",
 ]
 
 #: Curation/sketch suite (round-3 batch 6): count-min build+estimate
@@ -118,6 +126,8 @@ CURATION_SUITE = [
     "yh01_hll_intersection",
     "yw01_lateness_audit",
     "yn01_contrastive_negatives",
+    # round-5 (operators/yscale.py): global first-fit compaction planner
+    "yz01_compaction_planner",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

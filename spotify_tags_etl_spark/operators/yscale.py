@@ -1,0 +1,391 @@
+"""Round-5 scale-machinery operators (``y*`` names sort after the
+round-5 driver window, before the ``zv_`` rotation band):
+
+* yb02 — integer TF-IDF document neighbors: inverted-index self-join
+  with a document-frequency prefix filter (never all-pairs), top-k per
+  doc — the sparse-retrieval complement of the dense ANN family;
+* yd02 — exact two-sample Kolmogorov–Smirnov distance in integer ppm,
+  its two ECDFs built on ``scalerank.prefix_sum`` (no single-reducer
+  cumulative window) and compared by 128-bit cross-multiplication;
+* ys01 — Pareto frontier (2-D skyline) via a strictly-greater RANGE
+  window stacked on the range-partition + broadcast-offset pattern —
+  the data-sized "best tradeoff" query that naive engines answer with
+  an O(n^2) NOT EXISTS;
+* yu01 — deterministic per-group reservoir downsample (hash-ranked
+  k-per-source), the uniform-subsample primitive of data mixing;
+* yz01 — small-file compaction planner: global first-fit bin packing
+  along the exact cumulative-size axis (``prefix_sum`` again), the
+  maintenance op every 100 TB parquet lake schedules nightly.
+
+Disciplines: integer arithmetic end-to-end (cents / days / ppm via
+DECIMAL(38,0) DIV where products can pass 2^63), md5 for deterministic
+pseudo-randomness, total-order tiebreaks, and no stage that funnels a
+data-sized frame through one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.scalerank import (
+    _pid_map,
+    _range_layout,
+    prefix_sum,
+)
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+# ---------------------------------------------------------------------------
+# yb02 — integer TF-IDF top-k document neighbors (inverted-index join)
+# ---------------------------------------------------------------------------
+
+#: Document-frequency cap: terms in more than this many documents are
+#: dropped from the index (classic prefix/stop-term filtering — they
+#: carry ~no signal and produce the quadratic posting-list joins).
+YB02_DF_CAP = 100
+
+#: Neighbors kept per document.
+YB02_K = 3
+
+
+@register(
+    "yb02_tfidf_neighbors",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        FROM documents
+      ) WHERE t <> ''
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    idf AS (SELECT t, 1000000 // df AS idf FROM df WHERE df <= {YB02_DF_CAP}),
+    p AS (SELECT tf.doc_id, tf.t, tf.tf, idf.idf FROM tf JOIN idf USING (t)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(SUM(a.tf * b.tf * a.idf) AS BIGINT) AS score
+      FROM p a JOIN p b ON a.t = b.t AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id, doc_b AS other_id, score FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS other_id, score FROM pairs
+    ),
+    ranked AS (
+      SELECT doc_id, other_id, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, other_id) AS rk
+      FROM sym
+    )
+    SELECT doc_id, other_id, score, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {YB02_K}
+    """,
+    doc=(
+        "Sparse-retrieval document similarity: integer TF-IDF scored "
+        "top-k neighbors per document via an INVERTED-INDEX self-join "
+        "— postings meet only on shared terms, and a document-"
+        "frequency cap (df <= 100) drops stop-terms before the join, "
+        "so pair work is bounded by sum-over-terms(df^2) with df "
+        "capped, never corpus^2 (the same prefix-filtering rationale "
+        "as xz01's exact sim-join). idf is the exact integer "
+        "1e6 DIV df — no log, no floats — so scores are engine-"
+        "identical. Top-k per doc is a per-partition window (doc-"
+        "keyed, parallel). The sparse complement of the dense "
+        "ss/xe ANN families for retrieval-augmented training data."
+    ),
+    tags=("text", "similarity", "llm-pipeline"),
+)
+def yb02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("t")
+    ).where(F.col("t") != "")
+    tf = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= YB02_DF_CAP)
+        .select("t", F.expr("1000000 DIV df").alias("idf"))
+    )
+    p = tf.join(idf, "t")
+    a = p.select(
+        F.col("t").alias("t_a"), F.col("doc_id").alias("doc_a"),
+        F.col("tf").alias("tf_a"), F.col("idf").alias("idf_a"),
+    )
+    b = p.select(F.col("t").alias("t_b"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b"))
+    pairs = (
+        a.join(b, (F.col("t_a") == F.col("t_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b") * F.col("idf_a")).cast("bigint").alias("score"))
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other_id"), "score"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other_id"), "score"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("other_id").asc())
+    return (
+        sym.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= YB02_K)
+        .select("doc_id", "other_id", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yd02 — exact two-sample Kolmogorov–Smirnov distance (integer ppm)
+# ---------------------------------------------------------------------------
+
+#: The two event populations whose value distributions are compared.
+YD02_A, YD02_B = "click", "purchase"
+
+
+@register(
+    "yd02_ks_two_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             COUNT(*) FILTER (WHERE event_type = '{YD02_A}') AS n1,
+             COUNT(*) FILTER (WHERE event_type = '{YD02_B}') AS n2
+      FROM events
+      WHERE event_type IN ('{YD02_A}', '{YD02_B}') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT c,
+             SUM(n1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(n2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM f
+    ),
+    t AS (SELECT CAST(SUM(n1) AS BIGINT) AS n, CAST(SUM(n2) AS BIGINT) AS m FROM f)
+    SELECT t.n AS n_a, t.m AS n_b,
+           CAST(MAX(ABS(CAST(cum.cum1 AS HUGEINT) * t.m - CAST(cum.cum2 AS HUGEINT) * t.n)
+                    * 1000000 // (CAST(t.n AS HUGEINT) * t.m)) AS BIGINT) AS ks_ppm
+    FROM cum CROSS JOIN t
+    GROUP BY t.n, t.m
+    """,
+    doc=(
+        "Exact two-sample Kolmogorov-Smirnov distance between the "
+        "click and purchase value distributions, in integer ppm — the "
+        "drift test that decides whether two data sources (or two "
+        "time windows of one source) can be mixed into one training "
+        "corpus. D = max_x |F1(x) - F2(x)| evaluated at every distinct "
+        "cents value by cross-multiplication (|cum1*m - cum2*n|, "
+        "DECIMAL(38,0) since the product passes 2^63 at ~1e10-row "
+        "samples), so the statistic is engine-exact with no float "
+        "ECDFs. Shape: one cents-keyed census, then BOTH cumulative "
+        "counts ride scalerank.prefix_sum over the shared range "
+        "layout (each a parallel per-partition running sum + "
+        "broadcast offsets — no single-reducer window; the oracle "
+        "keeps the windowed spelling as the truth anchor), then one "
+        "scalar max-aggregate. Sample sizes fall out of the "
+        "statistics passes as plan literals."
+    ),
+    tags=("statistics", "quality", "llm-pipeline"),
+)
+def yd02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(YD02_A, YD02_B) & F.col("value").isNotNull()
+    )
+    per = ev.groupBy(F.round(F.col("value") * 100).cast("bigint").alias("c")).agg(
+        F.count(F.when(F.col("event_type") == YD02_A, 1)).alias("n1"),
+        F.count(F.when(F.col("event_type") == YD02_B, 1)).alias("n2"),
+    )
+    cum1, n = prefix_sum(per, [F.col("c").asc()], "n1", sum_col="cum1")
+    cum2, m = prefix_sum(cum1, [F.col("c").asc()], "n2", sum_col="cum2")
+    diff_ppm = F.expr(
+        f"CAST(ABS(CAST(cum1 AS DECIMAL(38,0)) * {m} - CAST(cum2 AS DECIMAL(38,0)) * {n})"
+        f" * 1000000 DIV (CAST({n} AS DECIMAL(38,0)) * {m}) AS BIGINT)"
+    )
+    return cum2.agg(
+        F.lit(n).cast("bigint").alias("n_a"),
+        F.lit(m).cast("bigint").alias("n_b"),
+        F.max(diff_ppm).alias("ks_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ys01 — Pareto frontier / 2-D skyline (strict dominance)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ys01_pareto_frontier",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders
+    ),
+    w AS (
+      SELECT o_orderkey, cents, day,
+             MAX(day) OVER (ORDER BY cents DESC
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dmax
+      FROM p
+    )
+    SELECT o_orderkey, cents, CAST(day AS BIGINT) AS day
+    FROM w WHERE dmax IS NULL OR day >= dmax
+    """,
+    doc=(
+        "Pareto frontier (2-D skyline) of orders maximizing BOTH "
+        "total price and recency: keep every order no other order "
+        "strictly beats on both axes — the 'best tradeoffs' query "
+        "that naive engines answer with an O(n^2) NOT EXISTS anti-"
+        "join. Closed-form instead: a point survives iff its day >= "
+        "max(day) over all STRICTLY higher cents, i.e. one running "
+        "max over an exclusive value-RANGE frame. Scale shape: "
+        "range-partition on cents DESC (equal keys never straddle a "
+        "range boundary, so preceding partitions are strictly "
+        "greater), per-partition RANGE-frame running max in parallel, "
+        "GREATEST with the broadcast prefix of preceding partitions' "
+        "maxima — scalerank's offset pattern under a value-range "
+        "window. The single-reducer window lives only in the oracle."
+    ),
+    tags=("analytics", "skyline", "window"),
+)
+def ys01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("day"),
+    )
+    # Range layout on cents DESC: partition p holds cents strictly above
+    # partition p+1 (equal cents co-locate), so partition offsets are the
+    # running max over strictly-greater cents by construction.
+    ranged, _cols = _range_layout(pts, [F.col("cents").desc()], None)
+    part_max = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy("_pid").agg(F.max("day").alias("m")).collect()
+    }
+    offsets: dict[int, int | None] = {}
+    acc: int | None = None
+    for pid in sorted(part_max):
+        offsets[pid] = acc
+        v = part_max[pid]
+        if v is not None:
+            acc = v if acc is None else max(acc, v)
+    # Exclusive value-range frame: with ORDER BY cents DESC, the frame
+    # [unbounded, -1] holds rows whose cents >= current + 1 — exactly the
+    # strictly-dominating-x population (cents are integers).
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    dmax = F.greatest(F.max("day").over(w), _pid_map(offsets))
+    return (
+        ranged.withColumn("dmax", dmax)
+        .where(F.col("dmax").isNull() | (F.col("day") >= F.col("dmax")))
+        .select("o_orderkey", "cents", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yu01 — deterministic per-group reservoir downsample
+# ---------------------------------------------------------------------------
+
+#: Documents kept per source.
+YU01_K = 20
+
+
+@register(
+    "yu01_grouped_reservoir_sample",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= {YU01_K}
+    """,
+    doc=(
+        "Deterministic uniform k-per-group downsample: each source "
+        "keeps the k documents with the smallest md5(doc_id) — a "
+        "reservoir sample that is a PURE FUNCTION of the corpus "
+        "(stable under retries, repartitions, and engine swaps, the "
+        "property rand() reservoirs cannot give an incremental "
+        "pipeline; tz07 mixes by rate, this caps by exact count). "
+        "Shape: one source-keyed partitioned window — parallel per "
+        "group, top-k short-circuited by WindowGroupLimit at any "
+        "scale. The uniform-subsample primitive under data-mixing "
+        "recipes ('at most k docs per domain')."
+    ),
+    tags=("training", "sampling", "deterministic"),
+)
+def yu01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= YU01_K)
+        .select("doc_id", "source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yz01 — small-file compaction planner (global first-fit bin packing)
+# ---------------------------------------------------------------------------
+
+#: Target compacted size (chars stand in for bytes in the fixture).
+YZ01_TARGET = 64_000
+
+
+@register(
+    "yz01_compaction_planner",
+    oracle=f"""
+    WITH cw AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    binned AS (
+      SELECT CAST((cum - n_chars) // {YZ01_TARGET} AS BIGINT) AS bin, n_chars
+      FROM cw
+    )
+    SELECT bin, COUNT(*) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS bytes,
+           CAST(CAST(SUM(n_chars) AS HUGEINT) * 1000000 // {YZ01_TARGET} AS BIGINT)
+             AS fill_ppm
+    FROM binned GROUP BY bin
+    """,
+    doc=(
+        "Compaction planner: pack the table's files (documents stand "
+        "in, n_chars as size) into target-sized output bins by "
+        "first-fit along the stable doc_id order — each file joins "
+        "the bin its cumulative-size prefix starts in — then report "
+        "per-bin file count, bytes, and fill ratio (exact ppm via "
+        "128-bit division). This is the nightly maintenance op of "
+        "every parquet lake: small-file merge targets, sized so "
+        "post-compaction scans read O(target) chunks. Shape: the "
+        "cumulative-size axis is scalerank.prefix_sum (range-"
+        "partitioned parallel running sum + broadcast offsets — no "
+        "single-reducer window; the oracle keeps the windowed "
+        "spelling as truth anchor), then one bin-keyed aggregate. "
+        "Large files legitimately overflow their starting bin "
+        "(streaming first-fit semantics), and the plan never moves "
+        "data — it EMITS the merge schedule xv03-style writers "
+        "execute."
+    ),
+    tags=("maintenance", "layout", "planner"),
+)
+def yz01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cw, _total = prefix_sum(docs, [F.col("doc_id").asc()], "n_chars", sum_col="cum")
+    binned = cw.select(
+        F.expr(f"CAST((cum - n_chars) DIV {YZ01_TARGET} AS BIGINT)").alias("bin"),
+        "n_chars",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("bytes"),
+        F.expr(
+            f"CAST(CAST(SUM(n_chars) AS DECIMAL(38,0)) * 1000000 DIV {YZ01_TARGET} AS BIGINT)"
+        ).alias("fill_ppm"),
+    )

@@ -1,0 +1,174 @@
+"""operators/yscale.py — the round-5 scale-machinery family.
+
+Pins the semantic identities the oracles alone can't state:
+* ys01's closed-form skyline == the literal O(n^2) NOT-EXISTS strict-
+  dominance definition (the range-frame + partition-offset construction
+  must not drop or invent frontier points, at several partition counts);
+* yd02's KS statistic == a pure-Python exact recomputation;
+* yz01's packing conserves bytes and emits contiguous bins;
+* yu01 is layout-invariant (same sample whatever the partitioning).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.yscale import (
+    YD02_A,
+    YD02_B,
+    YU01_K,
+    YZ01_TARGET,
+    yd02,
+    ys01,
+    yu01,
+    yz01,
+)
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+
+def _brute_frontier(pts: list[tuple[int, int, int]]) -> set[int]:
+    keep = set()
+    for k, c, d in pts:
+        if not any(cj > c and dj > d for _, cj, dj in pts):
+            keep.add(k)
+    return keep
+
+
+def test_ys01_matches_brute_force_strict_dominance(spark, sf_dir):
+    got = {r.o_orderkey for r in ys01(spark, sf_dir).collect()}
+    pts = [
+        (r.o_orderkey, r.cents, r.day)
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("day"),
+        )
+        .collect()
+    ]
+    assert got == _brute_frontier(pts)
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3])
+def test_ys01_construction_partition_invariant(spark, sf_dir, num_partitions):
+    """The range-frame + offset construction at other partition counts
+    (exercised inline — the operator itself uses the session default)."""
+    from pyspark.sql import Window
+
+    from spotify_tags_etl_spark.operators.scalerank import _pid_map, _range_layout
+
+    pts = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr("unix_micros(o_orderdate) DIV 86400000000").alias("day"),
+    )
+    ranged, _ = _range_layout(pts, [F.col("cents").desc()], num_partitions)
+    part_max = {
+        r["_pid"]: r["m"]
+        for r in ranged.groupBy("_pid").agg(F.max("day").alias("m")).collect()
+    }
+    offsets: dict[int, int | None] = {}
+    acc = None
+    for pid in sorted(part_max):
+        offsets[pid] = acc
+        v = part_max[pid]
+        if v is not None:
+            acc = v if acc is None else max(acc, v)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("cents").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    dmax = F.greatest(F.max("day").over(w), _pid_map(offsets))
+    got = {
+        r.o_orderkey
+        for r in ranged.withColumn("dmax", dmax)
+        .where(F.col("dmax").isNull() | (F.col("day") >= F.col("dmax")))
+        .collect()
+    }
+    brute = _brute_frontier([(r.o_orderkey, r.cents, r.day) for r in pts.collect()])
+    assert got == brute
+
+
+def test_yd02_matches_python_exact_ks(spark, sf_dir):
+    row = yd02(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(YD02_A, YD02_B) & F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    a = sorted(r.c for r in ev if r.event_type == YD02_A)
+    b = sorted(r.c for r in ev if r.event_type == YD02_B)
+    n, m = len(a), len(b)
+    assert (row.n_a, row.n_b) == (n, m)
+    best = 0
+    for x in sorted(set(a) | set(b)):
+        i = sum(1 for v in a if v <= x)
+        j = sum(1 for v in b if v <= x)
+        best = max(best, abs(i * m - j * n))
+    assert row.ks_ppm == best * 1_000_000 // (n * m)
+
+
+def test_yz01_conserves_bytes_and_bins_are_contiguous(spark, sf_dir):
+    rows = yz01(spark, sf_dir).collect()
+    total = (
+        load_table(spark, sf_dir, "documents").agg(F.sum("n_chars")).collect()[0][0]
+    )
+    assert sum(r.bytes for r in rows) == total
+    bins = sorted(r.bin for r in rows)
+    assert bins == list(range(len(bins)))  # first-fit never skips a bin
+    # every bin except possibly the last starts full-or-overflowing
+    for r in rows:
+        assert r.fill_ppm == r.bytes * 1_000_000 // YZ01_TARGET
+
+
+def test_yu01_layout_invariant_and_capped(spark, sf_dir):
+    base = yu01(spark, sf_dir)
+    got = {(r.doc_id, r.source, r.rk) for r in base.collect()}
+    # identical sample from a deliberately different input layout
+    from spotify_tags_etl_spark.operators.yscale import YU01_K as K
+    docs = load_table(spark, sf_dir, "documents").repartition(7, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    alt = {
+        (r.doc_id, r.source, r.rk)
+        for r in docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= K)
+        .collect()
+    }
+    assert got == alt
+    per_source: dict[str, int] = {}
+    for _, s, rk in got:
+        assert 1 <= rk <= YU01_K
+        per_source[s] = per_source.get(s, 0) + 1
+    sizes = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for s, n in per_source.items():
+        assert n == min(YU01_K, sizes[s])
+
+
+def _executed_plan(df) -> str:
+    df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_yscale_plans_have_no_global_order_window(spark, sf_dir):
+    """yd02/yz01 ride prefix_sum; ys01 rides the range-frame offset
+    construction — none may realize a partition-spec-free Window."""
+    from tests.test_scale_ranking import _global_order_windows
+
+    for build in (yd02, yz01, ys01):
+        plan = _executed_plan(build(spark, sf_dir))
+        assert not _global_order_windows(plan), (build.__name__, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
