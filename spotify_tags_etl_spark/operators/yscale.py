@@ -389,3 +389,324 @@ def yz01(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CAST(SUM(n_chars) AS DECIMAL(38,0)) * 1000000 DIV {YZ01_TARGET} AS BIGINT)"
         ).alias("fill_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# yc01 — RAG chunking (fixed-size overlapping token windows)
+# ---------------------------------------------------------------------------
+
+#: Chunk size / stride in tokens (stride < size => overlapping windows).
+YC01_SIZE, YC01_STRIDE = 64, 48
+
+
+@register(
+    "yc01_chunk_documents",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             list_slice(t, i * {YC01_STRIDE} + 1,
+                        least(i * {YC01_STRIDE} + {YC01_SIZE}, len(t))) AS c
+      FROM tk, unnest(range(0, (len(t) - 1) // {YC01_STRIDE} + 1)) AS u(i)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(c) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    doc=(
+        "RAG chunking: split every document into fixed-size overlapping "
+        "token windows (64-token chunks, 48-token stride) with stable "
+        "(doc_id, chunk_idx) identity and a content hash — the "
+        "retrieval-corpus preparation step between curation and "
+        "embedding. Pure map-side: tokenize, generate chunk starts with "
+        "sequence(), slice() each window, hash — no shuffle, no UDF, "
+        "perfectly scalable (a chunker that shuffles is a broken "
+        "chunker). The final short chunk is kept (standard RAG "
+        "practice: trailing context must not be dropped); determinism "
+        "comes from the tokenizer alone, so chunks are reproducible "
+        "across engines and reruns — which is what makes downstream "
+        "embedding caches (keyed on chunk_hash) valid."
+    ),
+    tags=("text", "llm-pipeline", "chunking"),
+)
+def yc01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = docs.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").alias("t"),
+    ).where(F.size("t") > 0)
+    return (
+        tk.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(f"sequence(0, CAST((size(t) - 1) DIV {YC01_STRIDE} AS INT))")
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.expr(f"slice(t, chunk_idx * {YC01_STRIDE} + 1, {YC01_SIZE})").alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c").cast("bigint").alias("n_tokens"),
+            F.md5(F.array_join("c", " ")).alias("chunk_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# yf01 — within-document repetition score (duplicate n-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yf01_repetition_score",
+    oracle="""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             len(t) - 2 AS n_grams,
+             len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)])) AS n_distinct
+      FROM tk WHERE len(t) >= 3
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST((1000000 * (n_grams - n_distinct)) // n_grams AS BIGINT) AS rep_ppm
+    FROM g
+    """,
+    doc=(
+        "Within-document repetition score: the fraction of a doc's "
+        "word 3-gram OCCURRENCES that are repeats of an earlier gram "
+        "in the same doc, in exact integer ppm — the Gopher-style "
+        "quality signal that catches degenerate/looping text "
+        "(boilerplate lists, keyword stuffing, decode loops) that "
+        "cross-corpus novelty (ya01) cannot see because the "
+        "repetition is local. Shape: ENTIRELY map-side — tokenize, "
+        "build the gram array, array_distinct, two sizes, one "
+        "integer division; no explode, no shuffle, no UDF. The "
+        "cheapest possible quality gate at 100 TB: it composes into "
+        "any scan for free (whole-stage codegen, one pass)."
+    ),
+    tags=("text", "quality", "llm-pipeline"),
+)
+def yf01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        "transform(sequence(1, size(t) - 2), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
+    )
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            (F.size("t") - 2).cast("bigint").alias("n_grams"),
+            F.expr(f"CAST(size(array_distinct({grams})) AS BIGINT)").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.expr("(1000000 * (n_grams - n_distinct)) DIV n_grams").alias("rep_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# yg02 — Mann-Whitney rank-sum test (exact midranks, integer AUC)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yg02_rank_sum_test",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             COUNT(*) FILTER (WHERE event_type = '{YD02_A}') AS n1,
+             COUNT(*) AS cnt
+      FROM events
+      WHERE event_type IN ('{YD02_A}', '{YD02_B}') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT c, n1, cnt,
+             SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - cnt AS cum_prev
+      FROM f
+    ),
+    t AS (
+      SELECT CAST(SUM(n1) AS BIGINT) AS n,
+             CAST(SUM(cnt) - SUM(n1) AS BIGINT) AS m
+      FROM f
+    )
+    SELECT t.n AS n_a, t.m AS n_b,
+           CAST(CAST(SUM(CAST(n1 AS HUGEINT) * (2 * cum_prev + cnt + 1)) AS HUGEINT)
+                - CAST(t.n AS HUGEINT) * (t.n + 1) AS VARCHAR) AS two_u,
+           CAST((CAST(SUM(CAST(n1 AS HUGEINT) * (2 * cum_prev + cnt + 1)) AS HUGEINT)
+                 - CAST(t.n AS HUGEINT) * (t.n + 1)) * 1000000
+                // (2 * CAST(t.n AS HUGEINT) * t.m) AS BIGINT) AS auc_ppm
+    FROM cum CROSS JOIN t
+    GROUP BY t.n, t.m
+    """,
+    doc=(
+        "Mann-Whitney rank-sum test between the click and purchase "
+        "value samples with EXACT tie midranks, all in integer "
+        "arithmetic: for each distinct cents value the doubled "
+        "midrank-sum contribution is n1*(2*cum_prev + cnt + 1), so "
+        "2*U = sum - n*(n+1) and AUC = U/(n*m) in exact ppm — the "
+        "nonparametric sibling of yd02's KS distance (KS asks 'same "
+        "distribution?', rank-sum asks 'is one stochastically "
+        "larger?' — the A/B effect direction). 128-bit products "
+        "(DECIMAL(38,0)/HUGEINT, rendered as strings — xs06's "
+        "discipline) since rank sums pass 2^63 at ~1e10-row samples. "
+        "Shape: cents census, ONE prefix_sum for the shared "
+        "cumulative axis (parallel, offset-broadcast), one scalar "
+        "aggregate."
+    ),
+    tags=("statistics", "quality", "llm-pipeline"),
+)
+def yg02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(YD02_A, YD02_B) & F.col("value").isNotNull()
+    )
+    per = ev.groupBy(F.round(F.col("value") * 100).cast("bigint").alias("c")).agg(
+        F.count(F.when(F.col("event_type") == YD02_A, 1)).alias("n1"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    cum, total = prefix_sum(per, [F.col("c").asc()], "cnt", sum_col="cum_incl")
+    rows = cum.withColumn("cum_prev", F.col("cum_incl") - F.col("cnt"))
+    n = None  # n (sample A size) comes from a second statistics column
+    # The A-sample total is a plain aggregate over the checkpointed frame
+    # (O(#distinct cents) rows — not a data-sized pass).
+    n = rows.agg(F.sum("n1")).collect()[0][0]
+    m = total - n
+    two_r1 = F.sum(
+        F.expr("CAST(n1 AS DECIMAL(38,0)) * (2 * cum_prev + cnt + 1)")
+    )
+    return rows.agg(
+        F.lit(n).cast("bigint").alias("n_a"),
+        F.lit(m).cast("bigint").alias("n_b"),
+        F.expr(
+            f"CAST(CAST(SUM(CAST(n1 AS DECIMAL(38,0)) * (2 * cum_prev + cnt + 1)) "
+            f"- CAST({n} AS DECIMAL(38,0)) * {n + 1} AS DECIMAL(38,0)) AS STRING)"
+        ).alias("two_u"),
+        F.expr(
+            f"CAST((SUM(CAST(n1 AS DECIMAL(38,0)) * (2 * cum_prev + cnt + 1)) "
+            f"- CAST({n} AS DECIMAL(38,0)) * {n + 1}) * 1000000 "
+            f"DIV (2 * CAST({n} AS DECIMAL(38,0)) * {m}) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# yl01 — partition stats manifest (data-skipping index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yl01_partition_stats_manifest",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n_rows,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           COUNT(DISTINCT user_id) AS ndv_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Partition stats manifest: per day-partition min/max/count/"
+        "NDV/sum column statistics — the data-skipping index every "
+        "100 TB lake keeps beside its files (parquet footer stats "
+        "lifted to the manifest level, the Iceberg/Delta mechanism "
+        "xv03's directory pruning approximates). A scan with a "
+        "user_id or ts predicate consults O(#partitions) manifest "
+        "rows and prunes whole files before any I/O; the stats are "
+        "all associative aggregates, so incremental maintenance is "
+        "a per-new-file merge (uz04's rollup discipline). One "
+        "map-combined groupBy; NDV exact here, av14's HLL sketch at "
+        "manifest-merge scale."
+    ),
+    tags=("maintenance", "layout", "statistics"),
+)
+def yl01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.unix_micros("ts")).cast("bigint").alias("min_ts_us"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("max_ts_us"),
+        F.count_distinct("user_id").alias("ndv_users"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ym01 — sequence pattern match (MATCH_RECOGNIZE-lite funnel regex)
+# ---------------------------------------------------------------------------
+
+#: The ordered event-type pattern counted per user.
+YM01_PATTERN = "view,click,purchase"
+
+
+@register(
+    "ym01_sequence_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((length(seq) - length(replace(seq, '{YM01_PATTERN}', '')))
+                // {len(YM01_PATTERN)} AS BIGINT) AS n_matches
+    FROM seqs
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-lite sequence pattern matching: count the "
+        "non-overlapping occurrences of the ordered event pattern "
+        "view->click->purchase (IMMEDIATELY consecutive — stricter "
+        "than xf01's eventually-after funnel, which tolerates "
+        "interleaved noise) per user, via the length-delta-of-replace "
+        "identity over the user's (ts, event_id)-ordered type string. "
+        "Both engines replace left-to-right non-overlapping, so the "
+        "count is engine-exact with a total-order tiebreak. Shape: "
+        "one user-keyed aggregate builds each sequence (sort_array "
+        "over the collected (ts,event_id,type) structs — per-key, "
+        "parallel, no global sort), then per-row string arithmetic; "
+        "per-user sequences are bounded by per-user activity, the "
+        "same state bound st03's sessionizer lives with."
+    ),
+    tags=("eventtime", "pattern", "analytics"),
+)
+def ym01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"
+            ),
+            ",",
+        ).alias("seq")
+    )
+    plen = len(YM01_PATTERN)
+    return seqs.select(
+        "user_id",
+        F.expr(
+            f"CAST((length(seq) - length(replace(seq, '{YM01_PATTERN}', ''))) DIV {plen} AS BIGINT)"
+        ).alias("n_matches"),
+    )

@@ -172,3 +172,103 @@ def test_yscale_plans_have_no_global_order_window(spark, sf_dir):
         plan = _executed_plan(build(spark, sf_dir))
         assert not _global_order_windows(plan), (build.__name__, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# batch 2: yc01 / yf01 / yg02 / ym01
+# ---------------------------------------------------------------------------
+
+
+def test_yc01_chunks_cover_tokens_exactly(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import YC01_SIZE, YC01_STRIDE, yc01
+
+    chunks = yc01(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, toks in docs.items():
+        rows = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_idx)
+        n = len(toks)
+        assert len(rows) == (n - 1) // YC01_STRIDE + 1
+        for r in rows:
+            start = r.chunk_idx * YC01_STRIDE
+            want = toks[start : start + YC01_SIZE]
+            assert r.n_tokens == len(want)
+            import hashlib
+
+            assert r.chunk_hash == hashlib.md5(" ".join(want).encode()).hexdigest()
+
+
+def test_yf01_matches_python_recount(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import yf01
+
+    got = {r.doc_id: (r.n_grams, r.n_distinct, r.rep_ppm) for r in yf01(spark, sf_dir).collect()}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        toks = r.text.split(" ")
+        if len(toks) < 3:
+            assert r.doc_id not in got
+            continue
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        T, D = len(grams), len(set(grams))
+        assert got[r.doc_id] == (T, D, 1_000_000 * (T - D) // T)
+
+
+def test_yg02_matches_python_midrank_u(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import YD02_A, YD02_B, yg02
+
+    row = yg02(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(YD02_A, YD02_B) & F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    a = [r.c for r in ev if r.event_type == YD02_A]
+    b = [r.c for r in ev if r.event_type == YD02_B]
+    merged = sorted(a + b)
+    # doubled midrank of value v = 2*min_rank + (ties-1) + ... : compute
+    # 2*R1 directly as sum over a of (2*rank_lo(v) + cnt(v) + 1)
+    import collections
+
+    cnt = collections.Counter(merged)
+    lo = {}
+    run = 0
+    for v in sorted(cnt):
+        lo[v] = run
+        run += cnt[v]
+    two_r1 = sum(2 * lo[v] + cnt[v] + 1 for v in a)
+    n, m = len(a), len(b)
+    two_u = two_r1 - n * (n + 1)
+    assert (row.n_a, row.n_b) == (n, m)
+    assert row.two_u == str(two_u)
+    assert row.auc_ppm == two_u * 1_000_000 // (2 * n * m)
+
+
+def test_ym01_matches_python_scan(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import YM01_PATTERN, ym01
+
+    got = {r.user_id: r.n_matches for r in ym01(spark, sf_dir).collect()}
+    rows = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    seqs: dict[int, list] = {}
+    for r in rows:
+        seqs.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    for uid, evs in seqs.items():
+        seq = ",".join(t for _, _, t in sorted(evs, key=lambda x: (x[0], x[1])))
+        want = (len(seq) - len(seq.replace(YM01_PATTERN, ""))) // len(YM01_PATTERN)
+        assert got[uid] == want, uid
+
+
+def test_batch2_plans_clean(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import yc01, yf01, yg02, yl01, ym01
+    from tests.test_scale_ranking import _global_order_windows
+
+    for build in (yc01, yf01, yg02, yl01, ym01):
+        plan = _executed_plan(build(spark, sf_dir))
+        assert not _global_order_windows(plan), (build.__name__, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
