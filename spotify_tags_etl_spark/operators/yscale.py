@@ -710,3 +710,172 @@ def ym01(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((length(seq) - length(replace(seq, '{YM01_PATTERN}', ''))) DIV {plen} AS BIGINT)"
         ).alias("n_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ye01 — int8 embedding projection (relational matrix multiply)
+# ---------------------------------------------------------------------------
+
+#: Output dimensionality of the projection head.
+YE01_D_OUT = 8
+
+#: Deterministic weight in {-3..3} for (input dim i, output dim j) —
+#: md5-derived so both engines synthesize the IDENTICAL matrix with no
+#: shipped artifact.
+_W_SPARK = (
+    "CAST(conv(substring(md5(concat(CAST(i AS STRING), ':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 7 - 3"
+)
+_W_DUCK = (
+    "('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 7 - 3"
+)
+
+
+@register(
+    "ye01_int8_projection",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT) AS q
+      FROM ex
+    ),
+    w AS (
+      SELECT i, j, {_W_DUCK} AS w
+      FROM generate_series(1, 64) AS gi(i), generate_series(1, {YE01_D_OUT}) AS gj(j)
+    )
+    SELECT q.vec_id, w.j AS out_dim,
+           CAST(SUM(q.q * w.w) AS BIGINT) AS dot
+    FROM q JOIN w ON w.i = q.i
+    GROUP BY q.vec_id, w.j
+    """,
+    doc=(
+        "Linear projection head over the embedding column as RELATIONAL "
+        "algebra — the 'tensor op in the engine' pattern: quantize to "
+        "int8 (floor-based, vx02's engine-exact spelling), posexplode "
+        "to (vec_id, i, q) triples, broadcast-join the 64x8 weight "
+        "matrix (synthesized in-plan from md5, so both engines "
+        "materialize the identical matrix with no shipped artifact), "
+        "and sum-reduce to (vec_id, out_dim, dot) — exact integer "
+        "dot products at any scale. This is how a linear probe / "
+        "dimensionality reduction runs over 100 TB of embeddings "
+        "WITHOUT exporting to a training framework: the weight side "
+        "is O(d_in*d_out) and broadcasts; the data side scans once "
+        "and reduces on (vec_id, j) with map-side partials."
+    ),
+    tags=("similarity", "llm-pipeline", "linear-algebra"),
+)
+def ye01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.expr("CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT)").alias("q"),
+    )
+    w = (
+        spark.range(1, 65)
+        .select(F.col("id").alias("i"))
+        .crossJoin(
+            spark.range(1, YE01_D_OUT + 1).select(F.col("id").alias("j"))
+        )
+        .select("i", "j", F.expr(_W_SPARK).alias("w"))
+    )
+    return (
+        q.join(F.broadcast(w), "i")
+        .groupBy("vec_id", F.col("j").alias("out_dim"))
+        .agg(F.sum(F.col("q") * F.col("w")).cast("bigint").alias("dot"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# yn02 — grid-blocked spatial neighbor join
+# ---------------------------------------------------------------------------
+
+#: Coordinate domain, neighbor radius, and its square (grid cell = R).
+YN02_DOMAIN, YN02_R = 100_000, 500
+
+_X_SPARK = (
+    "CAST(conv(substring(md5(concat('x:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100000"
+)
+_Y_SPARK = (
+    "CAST(conv(substring(md5(concat('y:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100000"
+)
+_X_DUCK = "('0x' || substr(md5('x:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100000"
+_Y_DUCK = "('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100000"
+
+
+@register(
+    "yn02_grid_neighbor_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id, {_X_DUCK} AS x, {_Y_DUCK} AS y FROM events
+    ),
+    a AS (SELECT event_id, x, y, x // {YN02_R} AS cx, y // {YN02_R} AS cy FROM pts),
+    b AS (
+      SELECT event_id, x, y, x // {YN02_R} + dx AS cx, y // {YN02_R} + dy AS cy
+      FROM pts, generate_series(-1, 1) AS gx(dx), generate_series(-1, 1) AS gy(dy)
+    ),
+    pairs AS (
+      SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.event_id < b.event_id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {YN02_R * YN02_R}
+    )
+    SELECT COUNT(*) AS n_pairs,
+           CAST(COALESCE(SUM(d2), 0) AS BIGINT) AS sum_d2
+    FROM pairs
+    """,
+    doc=(
+        "Spatial neighbor join (all point pairs within radius R) via "
+        "GRID BLOCKING — the canonical distributed spatial-join "
+        "pattern: bucket points into R-sized cells, replicate ONE side "
+        "into its 3x3 cell neighborhood, equi-join on cell id, then "
+        "exact integer squared-distance filter. Each qualifying pair "
+        "meets exactly once (the replica lands in the anchor's home "
+        "cell; the id ordering kills the mirror match), so no distinct "
+        "is needed. Work is sum-over-cells(density^2) — local density, "
+        "never corpus^2 — and the 9x replication is the bounded price "
+        "that turns a theta-join into an equi-join Spark can hash-"
+        "partition (same move as dd02's LSH bands and xz01's prefix "
+        "filter, in coordinate space). Coordinates are md5-derived "
+        "from event ids, so both engines synthesize the identical "
+        "deterministic point set."
+    ),
+    tags=("join", "spatial", "blocking"),
+)
+def yn02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = YN02_R
+    pts = load_table(spark, sf_dir, "events").select(
+        "event_id", F.expr(_X_SPARK).alias("x"), F.expr(_Y_SPARK).alias("y")
+    )
+    a = pts.select(
+        F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.expr(f"x DIV {r}").alias("cx"), F.expr(f"y DIV {r}").alias("cy"),
+    )
+    b = (
+        pts.select(
+            F.col("event_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"),
+            F.expr(f"x DIV {r}").alias("hcx"), F.expr(f"y DIV {r}").alias("hcy"),
+        )
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .select(
+            "b_id", "bx", "by",
+            (F.col("hcx") + F.col("dx")).alias("cx"),
+            (F.col("hcy") + F.col("dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    pairs = a.join(b, ["cx", "cy"]).where(
+        (F.col("a_id") < F.col("b_id")) & (d2 <= r * r)
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(d2), F.lit(0)).cast("bigint").alias("sum_d2"),
+    )

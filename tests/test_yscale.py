@@ -272,3 +272,62 @@ def test_batch2_plans_clean(spark, sf_dir):
         plan = _executed_plan(build(spark, sf_dir))
         assert not _global_order_windows(plan), (build.__name__, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# batch 3: ye01 / yn02
+# ---------------------------------------------------------------------------
+
+
+def test_ye01_matches_numpy_matmul(spark, sf_dir):
+    import hashlib
+    import math
+
+    from spotify_tags_etl_spark.operators.yscale import YE01_D_OUT, ye01
+
+    got = {(r.vec_id, r.out_dim): r.dot for r in ye01(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+
+    def w(i: int, j: int) -> int:
+        return int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % 7 - 3
+
+    for r in emb:
+        q = [math.floor(float(v) * 127) for v in r.embedding]
+        for j in range(1, YE01_D_OUT + 1):
+            want = sum(q[i - 1] * w(i, j) for i in range(1, len(q) + 1))
+            assert got[(r.vec_id, j)] == want, (r.vec_id, j)
+
+
+def test_yn02_matches_brute_force_pairs(spark, sf_dir):
+    import hashlib
+
+    from spotify_tags_etl_spark.operators.yscale import YN02_R, yn02
+
+    row = yn02(spark, sf_dir).collect()[0]
+    ids = [r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()]
+
+    def coord(prefix: str, eid: int) -> int:
+        return int(hashlib.md5(f"{prefix}:{eid}".encode()).hexdigest()[:8], 16) % 100_000
+
+    pts = sorted((eid, coord("x", eid), coord("y", eid)) for eid in ids)
+    n_pairs = 0
+    sum_d2 = 0
+    r2 = YN02_R * YN02_R
+    for idx, (ia, xa, ya) in enumerate(pts):
+        for ib, xb, yb in pts[idx + 1 :]:
+            d2 = (xa - xb) ** 2 + (ya - yb) ** 2
+            if d2 <= r2:
+                n_pairs += 1
+                sum_d2 += d2
+    assert (row.n_pairs, row.sum_d2) == (n_pairs, sum_d2)
+
+
+def test_batch3_plans_clean(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import ye01, yn02
+    from tests.test_scale_ranking import _global_order_windows
+
+    for build in (ye01, yn02):
+        plan = _executed_plan(build(spark, sf_dir))
+        assert not _global_order_windows(plan), (build.__name__, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan, (build.__name__, plan)
