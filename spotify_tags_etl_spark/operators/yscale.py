@@ -879,3 +879,81 @@ def yn02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.coalesce(F.sum(d2), F.lit(0)).cast("bigint").alias("sum_d2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# yx01 — train/test split leakage audit (cross-split near-dup detection)
+# ---------------------------------------------------------------------------
+
+#: Near-dup threshold for a cross-split pair to count as leakage —
+#: dd02's 0.8 Jaccard, in integer permille.
+YX01_PERMILLE = 800
+
+
+def _yx01_oracle() -> str:
+    from spotify_tags_etl_spark.functions.hashing import hash_frac_sql
+    from spotify_tags_etl_spark.operators.dedup import _minhash_ctes
+
+    return f"""
+    WITH {_minhash_ctes(YX01_PERMILLE)},
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {hash_frac_sql('doc_id')} < 0.8 THEN 'train'
+                  WHEN {hash_frac_sql('doc_id')} < 0.9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT v.d1, v.d2, sa.split AS split_1, sb.split AS split_2,
+           CAST(v.jaccard_permille AS BIGINT) AS jaccard_permille
+    FROM verified v
+    JOIN sp sa ON sa.doc_id = v.d1
+    JOIN sp sb ON sb.doc_id = v.d2
+    WHERE sa.split <> sb.split
+    """
+
+
+@register(
+    "yx01_split_leakage_audit",
+    oracle=_yx01_oracle(),
+    doc=(
+        "Train/test LEAKAGE audit: after the deterministic 80/10/10 "
+        "hash split (tz02's assignment), find every verified near-dup "
+        "pair (dd02's MinHash->LSH bands->exact-Jaccard machinery, "
+        "same 0.8 threshold) whose two documents landed in DIFFERENT "
+        "splits — the contamination that silently inflates eval "
+        "numbers and that xu02's benchmark decontamination cannot see "
+        "because both sides live inside the training corpus. Exact "
+        "hash-split twins ARE leakage here: near-dup of an eval doc "
+        "in train is the definition of the problem. Shape: the full "
+        "banded-LSH candidate path (single self-join, never "
+        "all-pairs) + two broadcast-sized split-label joins; at "
+        "100 TB this rides the SAME signature/band frames the dedup "
+        "pass already computes, so the audit is an incremental "
+        "join-filter on work the pipeline has to do anyway."
+    ),
+    tags=("training", "dedup", "llm-pipeline", "audit"),
+)
+def yx01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from spotify_tags_etl_spark.operators.training import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    sig = minhash_signatures(sh)
+    verified = jaccard_verify(lsh_candidate_pairs(sig), sh, YX01_PERMILLE)
+    sp = train_val_test_split(docs.select("doc_id"), "doc_id")
+    s1 = sp.select(F.col("doc_id").alias("d1"), F.col("split").alias("split_1"))
+    s2 = sp.select(F.col("doc_id").alias("d2"), F.col("split").alias("split_2"))
+    return (
+        verified.join(s1, "d1")
+        .join(s2, "d2")
+        .where(F.col("split_1") != F.col("split_2"))
+        .select("d1", "d2", "split_1", "split_2",
+                F.col("jaccard_permille").cast("bigint").alias("jaccard_permille"))
+    )
+

@@ -1630,3 +1630,91 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# yi03 — streaming partition-stats manifest maintenance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yi03_stream_stats_manifest",
+    oracle="""
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n_rows,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+    """,
+    doc=(
+        "Streaming maintenance of yl01's data-skipping manifest: each "
+        "micro-batch reduces to O(days-in-batch) stat partials "
+        "(count/min/max/sum — every one associative and commutative), "
+        "merged into the versioned standing store by the same algebra "
+        "(st08/xk03's idiom: write v{batch_id}, driver holds only the "
+        "version pointer, retries idempotent). Because the merge is "
+        "pure monoid algebra the final manifest is micro-batch-layout "
+        "invariant and equals the batch-built manifest EXACTLY — so "
+        "this query checks against yl01's own oracle minus the NDV "
+        "column (exact distinct is the one stat that does not merge; "
+        "at scale it rides xk03's HLL union instead). This is how a "
+        "100 TB lake keeps its skipping index current WITHOUT nightly "
+        "re-scans: stats arrive with the data."
+    ),
+    tags=("streaming", "maintenance", "incremental"),
+)
+def yi03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    stream = read_events_stream(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="yi03_manifest_")
+    current: list[str] = []  # version pointer, not state
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        part = batch.groupBy(
+            F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.unix_micros("ts")).cast("bigint").alias("min_ts_us"),
+            F.max(F.unix_micros("ts")).cast("bigint").alias("max_ts_us"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+            F.max("user_id").cast("bigint").alias("max_user"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+        )
+        if current:
+            stored = spark.read.parquet(current[0])
+            part = (
+                stored.unionByName(part)
+                .groupBy("day")
+                .agg(
+                    F.sum("n_rows").cast("bigint").alias("n_rows"),
+                    F.min("min_ts_us").cast("bigint").alias("min_ts_us"),
+                    F.max("max_ts_us").cast("bigint").alias("max_ts_us"),
+                    F.min("min_user").cast("bigint").alias("min_user"),
+                    F.max("max_user").cast("bigint").alias("max_user"),
+                    F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+                )
+            )
+        target = os.path.join(root, f"v{batch_id}")
+        part.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    run_foreach_batch(stream.select("ts", "user_id", "value"), apply_batch)
+
+    if not current:
+        return spark.createDataFrame(
+            [],
+            "day long, n_rows long, min_ts_us long, max_ts_us long, "
+            "min_user long, max_user long, sum_cents long",
+        )
+    out = (
+        spark.read.parquet(current[0])
+        .select("day", "n_rows", "min_ts_us", "max_ts_us", "min_user", "max_user", "sum_cents")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out

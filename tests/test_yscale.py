@@ -331,3 +331,61 @@ def test_batch3_plans_clean(spark, sf_dir):
         assert not _global_order_windows(plan), (build.__name__, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan, (build.__name__, plan)
+
+
+# ---------------------------------------------------------------------------
+# batch 4: yx01 / yi03
+# ---------------------------------------------------------------------------
+
+
+def test_yx01_is_cross_split_slice_of_dd02(spark, sf_dir):
+    """Leakage rows must be exactly the dd02-verified near-dup pairs
+    whose endpoints hash into different splits."""
+    from spotify_tags_etl_spark.functions.hashing import hash_frac
+    from spotify_tags_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from spotify_tags_etl_spark.operators.yscale import YX01_PERMILLE, yx01
+
+    got = {(r.d1, r.d2): (r.split_1, r.split_2) for r in yx01(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs)
+    verified = {
+        (r.d1, r.d2)
+        for r in jaccard_verify(
+            lsh_candidate_pairs(minhash_signatures(sh)), sh, YX01_PERMILLE
+        ).collect()
+    }
+    fracs = {
+        r.doc_id: r.f
+        for r in docs.select("doc_id", hash_frac(F.col("doc_id")).alias("f")).collect()
+    }
+
+    def split(d: int) -> str:
+        f = fracs[d]
+        return "train" if f < 0.8 else ("val" if f < 0.9 else "test")
+
+    want = {
+        (d1, d2): (split(d1), split(d2))
+        for d1, d2 in verified
+        if split(d1) != split(d2)
+    }
+    assert got == want
+
+
+def test_yi03_equals_batch_manifest_minus_ndv(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import yl01
+    from spotify_tags_etl_spark.streaming.ops import yi03
+
+    stream_rows = {tuple(r) for r in yi03(spark, sf_dir).collect()}
+    batch_rows = {
+        tuple(r)
+        for r in yl01(spark, sf_dir)
+        .drop("ndv_users")
+        .select("day", "n_rows", "min_ts_us", "max_ts_us", "min_user", "max_user", "sum_cents")
+        .collect()
+    }
+    assert stream_rows == batch_rows

@@ -62,7 +62,10 @@ def audited_names() -> list[str]:
         + bench.CURATION_SUITE
         + bench.MINING_SUITE
     )
-    window = sorted(registry.all_queries())[:50]
+    # Every query the driver has NOT yet frozen (the current window plus
+    # the whole unverified backlog): these are the plans that must not
+    # regress before their one-shot driver check.
+    unfrozen = sorted(n for n in registry.all_queries() if not n.startswith("zv_"))
     rewrites = [
         "xc02_rfm_segments",
         "xh01_equi_depth_histogram",
@@ -73,7 +76,7 @@ def audited_names() -> list[str]:
     ]
     seen: set[str] = set()
     out: list[str] = []
-    for n in names + window + rewrites:
+    for n in names + unfrozen + rewrites:
         base = n[3:] if n.startswith("zv_") else n
         if base in seen:
             continue
@@ -81,7 +84,7 @@ def audited_names() -> list[str]:
         out.append(base)
     # streaming builders (their per-batch plan is pinned by the streaming
     # tests): skip anything that drives a writeStream under the hood.
-    return [n for n in out if not n.startswith(("st0", "xw01", "xw03", "xw06", "xw09", "xk03", "xw10", "sz0", "xz15"))]
+    return [n for n in out if not n.startswith(("st0", "xw01", "xw03", "xw06", "xw09", "xk03", "xw10", "sz0", "xz15", "yi03"))]
 
 
 def fingerprint(df) -> dict[str, int]:
