@@ -957,3 +957,200 @@ def yx01(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("jaccard_permille").cast("bigint").alias("jaccard_permille"))
     )
 
+
+
+# ---------------------------------------------------------------------------
+# yl02 — deterministic class balancing (downsample to minority count)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yl02_class_balance",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    r AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM embeddings
+    )
+    SELECT vec_id, label, CAST(rk AS BIGINT) AS rk
+    FROM r CROSS JOIN m WHERE rk <= mn
+    """,
+    doc=(
+        "Deterministic class balancing: every label downsampled to the "
+        "MINORITY class count by md5-ranked selection — the classifier-"
+        "training prep that prevents majority-class collapse, as a "
+        "pure function of the corpus (yu01's reservoir discipline "
+        "applied to label strata; tz01 rates are per-stratum "
+        "fractions, this equalizes absolute counts). Shape: one "
+        "O(#labels) census collected as a plan literal (the "
+        "sanctioned plan-feeding-statistic collect), one label-"
+        "partitioned window with WindowGroupLimit pushdown — per-"
+        "class top-k short-circuits map-side, so the shuffle carries "
+        "O(#labels * minority) rows whatever the corpus size."
+    ),
+    tags=("training", "sampling", "deterministic"),
+)
+def yl02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    mn = min(r.n for r in counts)
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= mn)
+        .select("vec_id", "label", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yl03 — DAU / trailing-MAU stickiness
+# ---------------------------------------------------------------------------
+
+#: Trailing window (days) for the MAU denominator.
+YL03_WINDOW = 30
+
+
+@register(
+    "yl03_dau_mau_stickiness",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    mau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+      FROM days d JOIN du u ON u.day BETWEEN d.day - {YL03_WINDOW - 1} AND d.day
+      GROUP BY d.day
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day)
+    SELECT dau.day, dau.dau, mau.mau,
+           CAST((1000000 * dau.dau) // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau JOIN mau ON mau.day = dau.day
+    """,
+    doc=(
+        "DAU/MAU stickiness: per day, the distinct-actives ratio "
+        "against the TRAILING 30-day distinct actives, in exact ppm — "
+        "the engagement metric whose denominator is a sliding-window "
+        "COUNT DISTINCT (not decomposable into per-day partials, the "
+        "reason naive rollups get it wrong). Exact shape: reduce "
+        "events to the distinct (day, user) frame ONCE (the only "
+        "data-sized stage), then a broadcast range-join of the tiny "
+        "O(#days) day list against that frame re-buckets each "
+        "day-user pair into every window it serves — work is "
+        "O(pairs * window/periods-per-pair), never a rescan of raw "
+        "events. At extreme scale the exact distinct swaps for "
+        "xk02's mergeable HLL per day, unioned over the trailing "
+        "window — same plan shape, sketch algebra."
+    ),
+    tags=("eventtime", "analytics", "window"),
+)
+def yl03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day"),
+        "user_id",
+    ).distinct()
+    days = du.select("day").distinct().select(F.col("day").alias("d"))
+    mau = (
+        du.join(
+            F.broadcast(days),
+            (F.col("day") >= F.col("d") - (YL03_WINDOW - 1)) & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("mau"))
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(mau, dau["day"] == mau["d"])
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.expr("CAST((1000000 * dau) DIV mau AS BIGINT)").alias("stickiness_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# yl04 — top-k population drift between time halves
+# ---------------------------------------------------------------------------
+
+#: Top-k population size compared across the two halves.
+YL04_K = 50
+
+
+@register(
+    "yl04_topk_drift",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT MIN(epoch_us(ts) // 86400000000) AS lo,
+             MAX(epoch_us(ts) // 86400000000) AS hi
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) // 86400000000 <= (b.lo + b.hi) // 2
+                  THEN 0 ELSE 1 END AS half
+      FROM events CROSS JOIN bounds b
+    ),
+    counts AS (SELECT half, user_id, COUNT(*) AS c FROM tagged GROUP BY half, user_id),
+    topk AS (
+      SELECT half, user_id FROM (
+        SELECT half, user_id,
+               ROW_NUMBER() OVER (PARTITION BY half ORDER BY c DESC, user_id) AS rk
+        FROM counts
+      ) WHERE rk <= {YL04_K}
+    )
+    SELECT CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST((1000 * SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+             AS jaccard_permille
+    FROM (SELECT user_id, COUNT(*) AS n FROM topk GROUP BY user_id)
+    """,
+    doc=(
+        "Top-k population drift: how much the top-50 most-active user "
+        "set changed between the first and second half of the time "
+        "range — set Jaccard in integer permille, the heavy-hitter "
+        "stability check behind cache sizing, skew-salt lists (wz02), "
+        "and 'did the workload shift' alerts (xa01 compares "
+        "DISTRIBUTIONS; this compares the top POPULATION, which is "
+        "what the infrastructure actually keys on). Shape: per-half "
+        "activity census (one shuffle), per-half top-k via "
+        "WindowGroupLimit (map-side short-circuit to k rows per task "
+        "— a 2-partition window is NOT a bottleneck because only "
+        "O(k) rows per map task ever reach the reducer), then an "
+        "O(k) set comparison. The time midpoint comes from a 1-row "
+        "min/max broadcast."
+    ),
+    tags=("analytics", "skew", "drift"),
+)
+def yl04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    )
+    bounds = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("day") <= F.expr("(lo + hi) DIV 2"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("half"),
+    )
+    counts = tagged.groupBy("half", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("half").orderBy(F.col("c").desc(), F.col("user_id").asc())
+    topk = counts.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= YL04_K
+    ).select("half", "user_id")
+    per_user = topk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_user.agg(
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("bigint").alias("n_common"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.expr(
+            "CAST((1000 * SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)) DIV COUNT(1) AS BIGINT)"
+        ).alias("jaccard_permille"),
+    )

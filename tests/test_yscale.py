@@ -389,3 +389,70 @@ def test_yi03_equals_batch_manifest_minus_ndv(spark, sf_dir):
         .collect()
     }
     assert stream_rows == batch_rows
+
+
+# ---------------------------------------------------------------------------
+# batch 5: yl02 / yl03 / yl04
+# ---------------------------------------------------------------------------
+
+
+def test_yl02_equalizes_class_counts(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import yl02
+
+    rows = yl02(spark, sf_dir).collect()
+    sizes = {
+        r.label: r.n
+        for r in load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    mn = min(sizes.values())
+    per_label: dict[int, int] = {}
+    for r in rows:
+        per_label[r.label] = per_label.get(r.label, 0) + 1
+        assert 1 <= r.rk <= mn
+    assert set(per_label) == set(sizes)
+    assert all(n == mn for n in per_label.values())
+
+
+def test_yl03_matches_python_sliding_distinct(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yscale import YL03_WINDOW, yl03
+
+    got = {r.day: (r.dau, r.mau, r.stickiness_ppm) for r in yl03(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day"), "user_id"
+    ).collect()
+    by_day: dict[int, set] = {}
+    for r in ev:
+        by_day.setdefault(r.day, set()).add(r.user_id)
+    for d, users in by_day.items():
+        window_users: set = set()
+        for d2, u2 in by_day.items():
+            if d - (YL03_WINDOW - 1) <= d2 <= d:
+                window_users |= u2
+        dau, mau = len(users), len(window_users)
+        assert got[d] == (dau, mau, 1_000_000 * dau // mau), d
+
+
+def test_yl04_matches_python_topk_overlap(spark, sf_dir):
+    import collections
+
+    from spotify_tags_etl_spark.operators.yscale import YL04_K, yl04
+
+    row = yl04(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+    ).collect()
+    lo, hi = min(r.day for r in ev), max(r.day for r in ev)
+    mid = (lo + hi) // 2
+    halves = [collections.Counter(), collections.Counter()]
+    for r in ev:
+        halves[0 if r.day <= mid else 1][r.user_id] += 1
+
+    def topk(c: "collections.Counter") -> set:
+        return {u for u, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:YL04_K]}
+
+    a, b = topk(halves[0]), topk(halves[1])
+    assert (row.n_common, row.n_union) == (len(a & b), len(a | b))
+    assert row.jaccard_permille == 1000 * len(a & b) // len(a | b)
