@@ -49,6 +49,9 @@ LLM_SUITE = [
     # deterministic per-group reservoir
     "yb02_tfidf_neighbors",
     "yu01_grouped_reservoir_sample",
+    "yc01_chunk_documents",
+    "yf01_repetition_score",
+    "yx01_split_leakage_audit",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the
@@ -108,6 +111,9 @@ ANALYTICS_SUITE = [
     # range-frame Pareto frontier
     "yd02_ks_two_sample",
     "ys01_pareto_frontier",
+    "ym01_sequence_pattern_match",
+    "yl03_dau_mau_stickiness",
+    "yl04_topk_drift",
 ]
 
 #: Curation/sketch suite (round-3 batch 6): count-min build+estimate
@@ -127,7 +133,9 @@ CURATION_SUITE = [
     "yw01_lateness_audit",
     "yn01_contrastive_negatives",
     # round-5 (operators/yscale.py): global first-fit compaction planner
+    # and the per-day stats manifest it pairs with
     "yz01_compaction_planner",
+    "yl01_partition_stats_manifest",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust
@@ -139,6 +147,12 @@ MINING_SUITE = [
     "xl04_seasonal_naive_backtest",
     "xz10_greedy_cover",
     "xs05_fk_discovery",
+    # round-5 (operators/yscale.py): statistical tests, relational matmul,
+    # grid spatial join, projection recall eval
+    "yg02_rank_sum_test",
+    "ye01_int8_projection",
+    "yn02_grid_neighbor_join",
+    "ye02_projection_recall_eval",
 ]
 
 

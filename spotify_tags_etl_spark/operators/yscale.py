@@ -1154,3 +1154,132 @@ def yl04(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)) DIV COUNT(1) AS BIGINT)"
         ).alias("jaccard_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ye02 — projection recall eval (does the 8-d space preserve neighbors?)
+# ---------------------------------------------------------------------------
+
+#: Every STRIDE-th vector is a query; top-K neighborhoods compared.
+YE02_STRIDE, YE02_K = 25, 10
+
+
+@register(
+    "ye02_projection_recall_eval",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT) AS q
+      FROM ex
+    ),
+    tq AS (SELECT * FROM q WHERE vec_id % {YE02_STRIDE} = 0),
+    truth AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY SUM(a.q * b.q) DESC, b.vec_id) AS rk
+        FROM tq a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id, b.vec_id
+      ) WHERE rk <= {YE02_K}
+    ),
+    w AS (
+      SELECT i, j, {_W_DUCK} AS w
+      FROM generate_series(1, 64) AS gi(i), generate_series(1, {YE01_D_OUT}) AS gj(j)
+    ),
+    proj AS (
+      SELECT q.vec_id, w.j, CAST(SUM(q.q * w.w) AS BIGINT) AS p
+      FROM q JOIN w ON w.i = q.i
+      GROUP BY q.vec_id, w.j
+    ),
+    pq AS (SELECT * FROM proj WHERE vec_id % {YE02_STRIDE} = 0),
+    approx AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY SUM(a.p * b.p) DESC, b.vec_id) AS rk
+        FROM pq a JOIN proj b ON b.j = a.j AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id, b.vec_id
+      ) WHERE rk <= {YE02_K}
+    )
+    SELECT t.q_id,
+           CAST(COUNT(a.c_id) AS BIGINT) AS n_match,
+           CAST((1000 * COUNT(a.c_id)) // {YE02_K} AS BIGINT) AS recall_permille
+    FROM truth t
+    LEFT JOIN approx a ON a.q_id = t.q_id AND a.c_id = t.c_id
+    GROUP BY t.q_id
+    """,
+    doc=(
+        "Projection-quality recall eval: for a deterministic query "
+        "sample, compare the top-10 neighborhood under the FULL 64-d "
+        "int8 dot product against the neighborhood under ye01's 8-d "
+        "projection — recall@10 in integer permille per query. The "
+        "accept/reject gate for using the cheap projected space in "
+        "retrieval (xe05/xe06's eval discipline applied to the "
+        "learned-free random projection): if recall is high, ANN "
+        "candidate generation can run on vectors 8x smaller. ALL "
+        "integer — quantized dots, relational dot products (sum over "
+        "a shared index join), id tiebreaks — so the eval itself is "
+        "engine-exact, no tolerance verdict needed. Brute force is "
+        "the documented EVAL shape (bounded query sample, yk01's "
+        "argument); the production path is the xe family."
+    ),
+    tags=("similarity", "llm-pipeline", "evaluation"),
+)
+def ye02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("i"),
+        F.expr("CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT)").alias("q"),
+    )
+    tq = q.where(F.col("vec_id") % YE02_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("i").alias("qi"), F.col("q").alias("qv")
+    )
+    wnd = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
+    truth = (
+        tq.join(
+            q.select(F.col("vec_id").alias("c_id"), "i", F.col("q").alias("cv")),
+            (F.col("qi") == F.col("i")) & (F.col("q_id") != F.col("c_id")),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= YE02_K)
+        .select("q_id", "c_id")
+    )
+    proj = ye01(spark, sf_dir).select("vec_id", "out_dim", F.col("dot").alias("p"))
+    pq = proj.where(F.col("vec_id") % YE02_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("out_dim").alias("qj"), F.col("p").alias("qp")
+    )
+    approx = (
+        pq.join(
+            proj.select(F.col("vec_id").alias("c_id"), "out_dim", F.col("p").alias("cp")),
+            (F.col("qj") == F.col("out_dim")) & (F.col("q_id") != F.col("c_id")),
+        )
+        .groupBy("q_id", "c_id")
+        .agg(F.sum(F.col("qp") * F.col("cp")).alias("dot"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= YE02_K)
+        .select(F.col("q_id").alias("a_q"), F.col("c_id").alias("a_c"))
+    )
+    return (
+        truth.join(
+            approx,
+            (F.col("q_id") == F.col("a_q")) & (F.col("c_id") == F.col("a_c")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count(F.col("a_c")).alias("n_match"),
+            F.expr(f"CAST((1000 * COUNT(a_c)) DIV {YE02_K} AS BIGINT)").alias(
+                "recall_permille"
+            ),
+        )
+    )
