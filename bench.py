@@ -114,6 +114,7 @@ ANALYTICS_SUITE = [
     "ym01_sequence_pattern_match",
     "yl03_dau_mau_stickiness",
     "yl04_topk_drift",
+    "yy01_pipeline_health_report",
 ]
 
 #: Curation/sketch suite (round-3 batch 6): count-min build+estimate

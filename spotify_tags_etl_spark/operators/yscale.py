@@ -1283,3 +1283,122 @@ def ye02(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# yy01 — composed pipeline health report
+# ---------------------------------------------------------------------------
+
+# xw05's deterministic arrival-jitter model, reused verbatim so the
+# lateness metric here and the full audit there agree by construction.
+from spotify_tags_etl_spark.streaming.ops import (  # noqa: E402
+    _ARR as _ARR_ORACLE,
+    _ARR_SPARK as _ARR_SPARK_EXPR,
+)
+
+
+@register(
+    "yy01_pipeline_health_report",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    kc AS (SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY o_custkey),
+    skew AS (
+      SELECT CAST((1000000 * MAX(c)) // SUM(c) AS BIGINT) AS max_share_ppm FROM kc
+    ),
+    arr AS (
+      SELECT event_id, epoch_us(ts) AS us,
+             MAX(epoch_us(ts)) OVER (ORDER BY {_ARR_ORACLE}, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS hwm
+      FROM events
+    ),
+    lateness AS (
+      SELECT CAST((1000000 * COUNT(*) FILTER (WHERE hwm - us > {10 * 60 * 1_000_000}))
+                  // COUNT(*) AS BIGINT) AS drop_ppm_10m
+      FROM arr
+    ),
+    f AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS c,
+             COUNT(*) FILTER (WHERE event_type = '{YD02_A}') AS n1,
+             COUNT(*) FILTER (WHERE event_type = '{YD02_B}') AS n2
+      FROM events
+      WHERE event_type IN ('{YD02_A}', '{YD02_B}') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT SUM(n1) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum1,
+             SUM(n2) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum2
+      FROM f
+    ),
+    t AS (SELECT CAST(SUM(n1) AS BIGINT) AS n, CAST(SUM(n2) AS BIGINT) AS m FROM f),
+    ks AS (
+      SELECT CAST(MAX(ABS(CAST(cum.cum1 AS HUGEINT) * t.m - CAST(cum.cum2 AS HUGEINT) * t.n)
+                   * 1000000 // (CAST(t.n AS HUGEINT) * t.m)) AS BIGINT) AS ks_ppm
+      FROM cum CROSS JOIN t GROUP BY t.n, t.m
+    )
+    SELECT 'days_covered' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM manifest
+    UNION ALL
+    SELECT 'total_events', CAST(SUM(n) AS BIGINT) FROM manifest
+    UNION ALL
+    SELECT 'hottest_key_share_ppm', max_share_ppm FROM skew
+    UNION ALL
+    SELECT 'late_drop_ppm_10m', drop_ppm_10m FROM lateness
+    UNION ALL
+    SELECT 'value_drift_ks_ppm', ks_ppm FROM ks
+    """,
+    doc=(
+        "The composed PIPELINE HEALTH REPORT: one metric/value row set "
+        "unifying the monitoring family — manifest coverage (yl01's "
+        "day census), join-key skew (xj02's hottest-key share), "
+        "watermark lateness cost (xw05's 10-minute drop rate under "
+        "the arrival-jitter model), and source drift (yd02's KS "
+        "distance) — the single dashboard query a 100 TB pipeline "
+        "pages on. Composition discipline: every metric reduces to "
+        "an O(1) scalar BEFORE the union (tp01/yp01's argument "
+        "applied to observability), each branch keeps its family's "
+        "scale shape, and all values are exact integers so the "
+        "report itself is hash-checkable. The oracle keeps the "
+        "single-reducer window spellings as the truth anchor; the "
+        "Spark side rides prefix_max/prefix_sum."
+    ),
+    tags=("analytics", "monitoring", "composed"),
+)
+def yy01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.scalerank import prefix_max
+
+    ev = load_table(spark, sf_dir, "events")
+    manifest = ev.groupBy(
+        F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    coverage = manifest.agg(
+        F.lit("days_covered").alias("metric"), F.count(F.lit(1)).alias("value")
+    )
+    volume = manifest.agg(
+        F.lit("total_events").alias("metric"), F.sum("n").cast("bigint").alias("value")
+    )
+    kc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    skew = kc.agg(
+        F.lit("hottest_key_share_ppm").alias("metric"),
+        F.expr("CAST((1000000 * MAX(c)) DIV SUM(c) AS BIGINT)").alias("value"),
+    )
+    arr = ev.select(
+        "event_id", F.unix_micros("ts").alias("us"), F.expr(_ARR_SPARK_EXPR).alias("_arr")
+    )
+    hwm = prefix_max(arr, [F.col("_arr").asc(), F.col("event_id").asc()], "us", out_col="hwm")
+    thr = 10 * 60 * 1_000_000
+    lateness = hwm.agg(
+        F.lit("late_drop_ppm_10m").alias("metric"),
+        F.expr(
+            f"CAST((1000000 * COUNT(CASE WHEN hwm - us > {thr} THEN 1 END)) DIV COUNT(1) AS BIGINT)"
+        ).alias("value"),
+    )
+    ks = yd02(spark, sf_dir).select(
+        F.lit("value_drift_ks_ppm").alias("metric"), F.col("ks_ppm").alias("value")
+    )
+    return coverage.unionByName(volume).unionByName(skew).unionByName(lateness).unionByName(ks)

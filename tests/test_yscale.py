@@ -456,3 +456,22 @@ def test_yl04_matches_python_topk_overlap(spark, sf_dir):
     a, b = topk(halves[0]), topk(halves[1])
     assert (row.n_common, row.n_union) == (len(a & b), len(a | b))
     assert row.jaccard_permille == 1000 * len(a & b) // len(a | b)
+
+
+def test_yy01_metrics_agree_with_components(spark, sf_dir):
+    """The composed health report must equal the component operators'
+    own numbers — composition may not drift from its parts."""
+    from spotify_tags_etl_spark.operators.yscale import yd02, yl01, yy01
+
+    got = {r.metric: r.value for r in yy01(spark, sf_dir).collect()}
+    manifest = yl01(spark, sf_dir).collect()
+    assert got["days_covered"] == len(manifest)
+    assert got["total_events"] == sum(r.n_rows for r in manifest)
+    assert got["value_drift_ks_ppm"] == yd02(spark, sf_dir).collect()[0].ks_ppm
+    from spotify_tags_etl_spark.plans.registry import get
+
+    skew = get("xj02_key_skew_metrics").builder(spark, sf_dir).collect()[0]
+    assert got["hottest_key_share_ppm"] == skew.max_share_ppm
+    xw05 = get("xw05_watermark_lateness_audit").builder(spark, sf_dir).collect()
+    ten = next(r for r in xw05 if r.watermark_min == 10)
+    assert got["late_drop_ppm_10m"] == ten.drop_ppm
