@@ -169,8 +169,15 @@ def xq02(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "TPC-H Q10 shape (returned items): top-20 customers by revenue "
         "lost to returns in one quarter. orders⋈lineitem shuffle + "
-        "broadcast nation; deterministic top-k via row_number with "
-        "c_custkey tiebreak."
+        "broadcast nation; deterministic top-k with c_custkey "
+        "tiebreak. Because the rank is PROJECTED (not just filtered), "
+        "a plain row_number()<=k global window would keep a real "
+        "WindowExec over the O(customers) frame (the filter-only form "
+        "xq01 uses compiles to TakeOrderedAndProject; the projected "
+        "form does not) — so the top-20 is taken first with "
+        "orderBy+limit (TakeOrderedAndProject, parallel partial "
+        "top-k per task) and the rank window runs over the CONSTANT "
+        "20-row result. Oracle keeps the one-window spelling."
     ),
     tags=("join", "aggregate", "topk", "tpch"),
 )
@@ -191,10 +198,10 @@ def xq03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((_rev_micros() / 1000000.0).alias("revenue"))
     )
+    top = agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
+        top.withColumn("rk", F.row_number().over(w))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name", "rk")
     )
 
