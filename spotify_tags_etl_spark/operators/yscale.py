@@ -1402,3 +1402,109 @@ def yy01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("value_drift_ks_ppm").alias("metric"), F.col("ks_ppm").alias("value")
     )
     return coverage.unionByName(volume).unionByName(skew).unionByName(lateness).unionByName(ks)
+
+
+# ---------------------------------------------------------------------------
+# yd03 — exact two-sample energy distance (O(n log n), integer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yd03_energy_distance",
+    oracle=f"""
+    WITH f AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             COUNT(*) FILTER (WHERE event_type = '{YD02_A}') AS cx,
+             COUNT(*) FILTER (WHERE event_type = '{YD02_B}') AS cy
+      FROM events
+      WHERE event_type IN ('{YD02_A}', '{YD02_B}') AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, cx, cy,
+             SUM(cx) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_cx,
+             SUM(cx * v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_sx,
+             SUM(cy) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_cy,
+             SUM(cy * v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_sy
+      FROM f
+    ),
+    t AS (
+      SELECT CAST(SUM(cx) AS HUGEINT) AS n, CAST(SUM(cy) AS HUGEINT) AS m,
+             CAST(SUM(cx * v) AS HUGEINT) AS sx_tot,
+             CAST(SUM(cy * v) AS HUGEINT) AS sy_tot
+      FROM f
+    ),
+    s AS (
+      SELECT
+        SUM(CAST(cy AS HUGEINT) * (CAST(v AS HUGEINT) * (2 * CAST(cum_cx AS HUGEINT) - t.n)
+            + t.sx_tot - 2 * CAST(cum_sx AS HUGEINT))) AS sxy,
+        SUM(CAST(cx AS HUGEINT) * (CAST(v AS HUGEINT) * (2 * CAST(cum_cx AS HUGEINT) - t.n)
+            + t.sx_tot - 2 * CAST(cum_sx AS HUGEINT))) AS sxx,
+        SUM(CAST(cy AS HUGEINT) * (CAST(v AS HUGEINT) * (2 * CAST(cum_cy AS HUGEINT) - t.m)
+            + t.sy_tot - 2 * CAST(cum_sy AS HUGEINT))) AS syy,
+        MAX(t.n) AS n, MAX(t.m) AS m
+      FROM cum CROSS JOIN t
+    )
+    SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+           CAST(sxy AS VARCHAR) AS sxy,
+           CAST(sxx AS VARCHAR) AS sxx,
+           CAST(syy AS VARCHAR) AS syy,
+           CAST(2 * sxy * n * m - sxx * m * m - syy * n * n AS VARCHAR) AS energy_num
+    FROM s
+    """,
+    doc=(
+        "Exact two-sample ENERGY DISTANCE between the click and "
+        "purchase value distributions — the pairwise statistic "
+        "D^2 = 2E|X-Y| - E|X-X'| - E|Y-Y'| that detects ANY "
+        "distributional difference (location, scale, shape), "
+        "complementing yd02's KS (max-gap) and yg02's rank-sum "
+        "(direction). The naive form is O(n*m) pairs; the closed "
+        "form here is O(n log n): with the value census sorted, "
+        "sum|x_i - v| = v*(2*CX(v) - n) + SX_tot - 2*SX(v) from the "
+        "running count CX and running sum SX, so all three pairwise "
+        "sums fall out of FOUR chained prefix_sum passes over one "
+        "shared census frame (parallel, offset-broadcast — the "
+        "single-reducer windows live only in the oracle). 128-bit "
+        "products (energy_num ~ cents*n^2*m^2 passes 2^63 "
+        "immediately), rendered as strings (xs06's discipline); the "
+        "exact rational D^2 = energy_num / (n^2*m^2) cents."
+    ),
+    tags=("statistics", "quality", "llm-pipeline"),
+)
+def yd03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(YD02_A, YD02_B) & F.col("value").isNotNull()
+    )
+    f = ev.groupBy(F.round(F.col("value") * 100).cast("bigint").alias("v")).agg(
+        F.count(F.when(F.col("event_type") == YD02_A, 1)).alias("cx"),
+        F.count(F.when(F.col("event_type") == YD02_B, 1)).alias("cy"),
+    ).withColumn("xv", F.col("cx") * F.col("v")).withColumn("yv", F.col("cy") * F.col("v"))
+    c1, n = prefix_sum(f, [F.col("v").asc()], "cx", sum_col="cum_cx")
+    c2, sx_tot = prefix_sum(c1, [F.col("v").asc()], "xv", sum_col="cum_sx")
+    c3, m = prefix_sum(c2, [F.col("v").asc()], "cy", sum_col="cum_cy")
+    c4, sy_tot = prefix_sum(c3, [F.col("v").asc()], "yv", sum_col="cum_sy")
+    dec = "DECIMAL(38,0)"
+    sxy = (
+        f"SUM(CAST(cy AS {dec}) * (CAST(v AS {dec}) * (2 * cum_cx - {n})"
+        f" + CAST({sx_tot} AS {dec}) - 2 * cum_sx))"
+    )
+    sxx = (
+        f"SUM(CAST(cx AS {dec}) * (CAST(v AS {dec}) * (2 * cum_cx - {n})"
+        f" + CAST({sx_tot} AS {dec}) - 2 * cum_sx))"
+    )
+    syy = (
+        f"SUM(CAST(cy AS {dec}) * (CAST(v AS {dec}) * (2 * cum_cy - {m})"
+        f" + CAST({sy_tot} AS {dec}) - 2 * cum_sy))"
+    )
+    return c4.agg(
+        F.lit(n).cast("bigint").alias("n_a"),
+        F.lit(m).cast("bigint").alias("n_b"),
+        F.expr(f"CAST({sxy} AS STRING)").alias("sxy"),
+        F.expr(f"CAST({sxx} AS STRING)").alias("sxx"),
+        F.expr(f"CAST({syy} AS STRING)").alias("syy"),
+        F.expr(
+            f"CAST(CAST(2 AS {dec}) * ({sxy}) * {n} * {m}"
+            f" - ({sxx}) * CAST({m} AS {dec}) * {m}"
+            f" - ({syy}) * CAST({n} AS {dec}) * {n} AS STRING)"
+        ).alias("energy_num"),
+    )

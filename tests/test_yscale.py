@@ -475,3 +475,26 @@ def test_yy01_metrics_agree_with_components(spark, sf_dir):
     xw05 = get("xw05_watermark_lateness_audit").builder(spark, sf_dir).collect()
     ten = next(r for r in xw05 if r.watermark_min == 10)
     assert got["late_drop_ppm_10m"] == ten.drop_ppm
+
+
+def test_yd03_matches_brute_force_pair_sums(spark, sf_dir):
+    """The O(n log n) prefix-sum closed form must equal the literal
+    O(n*m) pairwise |x - y| sums."""
+    from spotify_tags_etl_spark.operators.yscale import yd03
+
+    row = yd03(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(YD02_A, YD02_B) & F.col("value").isNotNull())
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("c"))
+        .collect()
+    )
+    xs = [r.c for r in ev if r.event_type == YD02_A]
+    ys = [r.c for r in ev if r.event_type == YD02_B]
+    sxy = sum(abs(x - y) for x in xs for y in ys)
+    sxx = sum(abs(a - b) for a in xs for b in xs)
+    syy = sum(abs(a - b) for a in ys for b in ys)
+    n, m = len(xs), len(ys)
+    assert (row.n_a, row.n_b) == (n, m)
+    assert (row.sxy, row.sxx, row.syy) == (str(sxy), str(sxx), str(syy))
+    assert row.energy_num == str(2 * sxy * n * m - sxx * m * m - syy * n * n)
