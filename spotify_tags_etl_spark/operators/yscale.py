@@ -1508,3 +1508,102 @@ def yd03(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" - ({syy}) * CAST({n} AS {dec}) * {n} AS STRING)"
         ).alias("energy_num"),
     )
+
+
+# ---------------------------------------------------------------------------
+# yw02 — write-audit-publish (WAP) gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yw02_write_audit_publish",
+    oracle="""
+    WITH base AS (
+      SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS nd,
+             COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS k_null,
+             COUNT(*) FILTER (WHERE o_custkey IS NULL) AS fk_null
+      FROM orders
+    ),
+    verdicts AS (
+      SELECT 'clean' AS candidate, 'pk_not_null' AS chk,
+             CAST(k_null AS BIGINT) AS n_bad FROM base
+      UNION ALL SELECT 'clean', 'pk_unique', CAST(n - nd AS BIGINT) FROM base
+      UNION ALL SELECT 'clean', 'fk_not_null', CAST(fk_null AS BIGINT) FROM base
+      UNION ALL SELECT 'clean', 'rowcount_min', CAST(CASE WHEN n >= 1 THEN 0 ELSE 1 END AS BIGINT) FROM base
+      UNION ALL SELECT 'dirty', 'pk_not_null', CAST(k_null AS BIGINT) FROM base
+      UNION ALL SELECT 'dirty', 'pk_unique', CAST((n + 4) - (nd + 3) AS BIGINT) FROM base
+      UNION ALL SELECT 'dirty', 'fk_not_null', CAST(fk_null + 3 AS BIGINT) FROM base
+      UNION ALL SELECT 'dirty', 'rowcount_min', CAST(CASE WHEN n + 4 >= 1 THEN 0 ELSE 1 END AS BIGINT) FROM base
+    )
+    SELECT v.candidate, v.chk, v.n_bad,
+           MIN(CASE WHEN w.n_bad > 0 THEN 0 ELSE 1 END) = 1 AS published
+    FROM verdicts v JOIN verdicts w ON w.candidate = v.candidate
+    GROUP BY v.candidate, v.chk, v.n_bad
+    """,
+    doc=(
+        "Write-Audit-Publish: the lakehouse commit protocol — a "
+        "candidate table version is STAGED to its own path, audited "
+        "against declared constraints by reading the staged files "
+        "back (auditing the pre-write frame would miss writer bugs; "
+        "the read-back IS the point), and only a fully-clean "
+        "candidate is published by atomic pointer swap; a failing "
+        "one leaves the published version untouched. Two "
+        "deterministic candidates exercise BOTH outcomes: the clean "
+        "copy publishes; the dirty one (three NULL-foreign-key rows "
+        "+ one duplicated primary key injected) is rejected with "
+        "per-check violation counts. Checks are xv01's constraint-"
+        "audit family (NOT NULL, key uniqueness via count-vs-"
+        "distinct, row-count floor) — each a map-combined aggregate "
+        "over the staged scan, so the audit costs one pass at any "
+        "scale. The oracle derives the same verdict table "
+        "relationally; the staging/publish side effects are pinned "
+        "by unit test (xv03/xv05's file-roundtrip discipline)."
+    ),
+    tags=("maintenance", "audit", "lakehouse"),
+)
+def yw02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from spotify_tags_etl_spark.operators.maintenance import _pid_tmp_path
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dup_key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    bad = spark.createDataFrame(
+        [(-1, None, 0.0), (-2, None, 0.0), (-3, None, 0.0), (dup_key, 1, 0.0)],
+        "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE",
+    )
+    candidates = {"clean": orders, "dirty": orders.unionByName(bad)}
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = _pid_tmp_path("/tmp/spark_graft_yw02", tag)
+    out = None
+    for name, cand in sorted(candidates.items()):
+        staged_path = os.path.join(root, "staging", name)
+        cand.write.mode("overwrite").parquet(staged_path)
+        staged = spark.read.parquet(staged_path)  # audit the STAGED files
+        verdict = staged.agg(
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("pk_not_null"),
+            (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("pk_unique"),
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("fk_not_null"),
+            F.when(F.count(F.lit(1)) >= 1, F.lit(0)).otherwise(F.lit(1)).alias("rowcount_min"),
+        ).collect()[0]
+        checks = {
+            "pk_not_null": verdict["pk_not_null"],
+            "pk_unique": verdict["pk_unique"],
+            "fk_not_null": verdict["fk_not_null"],
+            "rowcount_min": verdict["rowcount_min"],
+        }
+        published = all(v == 0 for v in checks.values())
+        if published:  # atomic publish: write the pointer beside the data
+            marker = os.path.join(root, "published")
+            os.makedirs(marker, exist_ok=True)
+            with open(os.path.join(marker, "CURRENT"), "w") as fh:
+                fh.write(staged_path)
+        rows = spark.createDataFrame(
+            [(name, chk, int(n_bad), published) for chk, n_bad in sorted(checks.items())],
+            "candidate STRING, chk STRING, n_bad LONG, published BOOLEAN",
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out

@@ -498,3 +498,23 @@ def test_yd03_matches_brute_force_pair_sums(spark, sf_dir):
     assert (row.n_a, row.n_b) == (n, m)
     assert (row.sxy, row.sxx, row.syy) == (str(sxy), str(sxx), str(syy))
     assert row.energy_num == str(2 * sxy * n * m - sxx * m * m - syy * n * n)
+
+
+def test_yw02_publishes_only_the_clean_candidate(spark, sf_dir):
+    """Side-effect contract: the publish pointer must exist and point at
+    the CLEAN candidate's staging path; the dirty candidate must be
+    rejected with the exact injected violation counts."""
+    import glob
+    import os
+
+    from spotify_tags_etl_spark.operators.yscale import yw02
+
+    rows = {(r.candidate, r.chk): (r.n_bad, r.published) for r in yw02(spark, sf_dir).collect()}
+    assert rows[("clean", "pk_unique")] == (0, True)
+    assert rows[("dirty", "fk_not_null")] == (3, False)
+    assert rows[("dirty", "pk_unique")] == (1, False)
+    markers = glob.glob("/tmp/spark_graft_yw02/*/published/CURRENT")
+    assert markers, "publish pointer missing"
+    pointed = open(sorted(markers, key=os.path.getmtime)[-1]).read()
+    assert pointed.endswith("/staging/clean")
+    assert os.path.isdir(pointed)
