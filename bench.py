@@ -137,6 +137,7 @@ CURATION_SUITE = [
     # and the per-day stats manifest it pairs with
     "yz01_compaction_planner",
     "yl01_partition_stats_manifest",
+    "yw02_write_audit_publish",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust
@@ -154,6 +155,7 @@ MINING_SUITE = [
     "ye01_int8_projection",
     "yn02_grid_neighbor_join",
     "ye02_projection_recall_eval",
+    "yd03_energy_distance",
 ]
 
 
