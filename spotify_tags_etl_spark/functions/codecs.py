@@ -1,0 +1,200 @@
+"""REAL pure-stdlib media codecs for the multimodal family.
+
+The container has no PIL/ffmpeg, but PNG and WAV need neither: PNG is
+zlib (stdlib) + per-scanline filter reconstruction, WAV is RIFF/PCM
+struct parsing (stdlib ``wave``). These are real decoders — they parse
+the actual byte formats, undo all five PNG scanline filters (None/Sub/
+Up/Average/Paeth, RFC 2083 §6), and read PCM16 frames — so the
+multimodal decode stage is no longer a stub for these formats; only
+codec families that genuinely need native libraries (JPEG, MP3, H.264)
+remain behind the documented fake gate in operators/multimodal.py.
+
+Encoders are included so pipelines (and tests) can synthesize valid
+payloads; the encoder deliberately CYCLES through all five PNG filter
+types so a round-trip exercises every reconstruction branch.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a real PNG.
+
+    Each scanline uses filter type ``row % 5``, so decoding the result
+    exercises every filter reconstruction branch."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.int32)
+        ftype = y % 5
+        if ftype == 0:  # None
+            filt = line
+        elif ftype == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            filt = (line - left) % 256
+        elif ftype == 2:  # Up
+            filt = (line - prev) % 256
+        elif ftype == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            filt = (line - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = (line - pred) % 256
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int32) + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB or RGBA non-interlaced PNG to (h, w, c) uint8.
+
+    A real decoder: validates the signature, walks chunks, inflates the
+    concatenated IDAT stream, and reconstructs every scanline filter."""
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos = len(_PNG_SIG)
+    width = height = None
+    bitdepth = colortype = interlace = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bitdepth, colortype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bitdepth != 8 or colortype not in (2, 6) or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (bitdepth={bitdepth}, colortype={colortype}, "
+            f"interlace={interlace}); this decoder handles 8-bit RGB/RGBA non-interlaced"
+        )
+    bpp = 3 if colortype == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    off = 0
+    for y in range(height):
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1 : off + 1 + stride], dtype=np.uint8).astype(np.int32)
+        off += 1 + stride
+        if ftype == 0:
+            recon = line
+        elif ftype == 1:
+            recon = line.copy()
+            for i in range(bpp, stride):
+                recon[i] = (recon[i] + recon[i - bpp]) % 256
+        elif ftype == 2:
+            recon = (line + prev) % 256
+        elif ftype == 3:
+            recon = line.copy()
+            for i in range(stride):
+                left = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (recon[i] + (int(left) + int(prev[i])) // 2) % 256
+        elif ftype == 4:
+            recon = line.copy()
+            for i in range(stride):
+                left = recon[i - bpp] if i >= bpp else 0
+                upleft = prev[i - bpp] if i >= bpp else 0
+                recon[i] = (recon[i] + _paeth(
+                    np.array(left), np.array(int(prev[i])), np.array(int(upleft))
+                )) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = recon.astype(np.uint8)
+        prev = out[y]
+    return out.reshape(height, width, bpp)
+
+
+def resize_nearest(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (integer index map — no
+    float rounding ambiguity across platforms)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# WAV (PCM16)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 8000) -> bytes:
+    """Encode int16 mono samples as a real RIFF/WAVE (PCM16) payload."""
+    assert samples.dtype == np.int16
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM16 payload to (int16 samples, framerate)."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("this decoder handles PCM16 only")
+        frames = w.readframes(w.getnframes())
+        samples = np.frombuffer(frames, dtype="<i2")
+        if w.getnchannels() > 1:
+            samples = samples.reshape(-1, w.getnchannels())[:, 0]
+        return samples.copy(), w.getframerate()
+
+
+def frame_sample(samples: np.ndarray, every: int) -> np.ndarray:
+    """Every k-th frame (deterministic frame sampling for features)."""
+    return samples[::every]

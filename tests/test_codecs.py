@@ -1,0 +1,82 @@
+"""functions/codecs.py — the pure-stdlib PNG/WAV codecs behind the
+multimodal decode stage, pinned against round-trip identity, format
+edge cases, and the real-vs-gated dispatch in decode_image_batch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from spotify_tags_etl_spark.functions.codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    frame_sample,
+    resize_nearest,
+)
+from spotify_tags_etl_spark.operators.multimodal import decode_image_batch
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (11, 13), (24, 16), (5, 1), (1, 7)])
+def test_png_roundtrip_exercises_all_filters(shape):
+    rng = np.random.default_rng(sum(shape))
+    px = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+    data = encode_png(px)
+    assert data.startswith(b"\x89PNG\r\n\x1a\n")
+    back = decode_png(data)
+    assert back.shape == px.shape
+    assert (back == px).all()
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth header: unsupported variant must be refused, not
+    # silently misdecoded
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_body = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    bad = sig + chunk(b"IHDR", ihdr_body) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
+
+
+def test_wav_roundtrip_and_framerate():
+    s = (np.arange(1234) * 37 % 65536 - 32768).astype(np.int16)
+    data = encode_wav(s, 16000)
+    assert data.startswith(b"RIFF") and data[8:12] == b"WAVE"
+    back, rate = decode_wav(data)
+    assert rate == 16000
+    assert (back == s).all()
+
+
+def test_resize_and_frame_sample_are_deterministic():
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    small = resize_nearest(px, 3, 2)
+    assert small.shape == (3, 2, 3)
+    assert (small == px[[0, 2, 4]][:, [0, 2]]).all()
+    s = np.arange(100, dtype=np.int16)
+    assert (frame_sample(s, 7) == s[::7]).all()
+
+
+def test_decode_image_batch_real_dispatch():
+    """fake=False now REALLY decodes PNG and WAV payloads; only formats
+    that need native libs still raise."""
+    px = np.full((4, 6, 3), 9, dtype=np.uint8)
+    wav = encode_wav(np.ones(250, dtype=np.int16), 8000)
+    out = decode_image_batch(pd.Series([encode_png(px), wav]), fake=False)
+    assert (out.loc[0, "width"], out.loc[0, "height"], out.loc[0, "n_frames"]) == (6, 4, 1)
+    assert out.loc[1, "n_frames"] == 250
+    assert out.loc[0, "feature_hash"] != out.loc[1, "feature_hash"]
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"\xff\xd8\xff jpeg-ish"]), fake=False)
