@@ -88,10 +88,18 @@ def main() -> int:
     ap.add_argument("names", nargs="*", help="explicit query names (overrides --window)")
     args = ap.parse_args()
 
-    default_name = "driver_emu_adhoc.json" if args.names else "driver_emu_last.json"
+    # driver_emu_last.json is the round's FULL-sweep record; only a sweep
+    # that can cover the whole registry may write it. Named runs AND
+    # window-limited runs (the default 50-name gate replication) go to
+    # the gitignored adhoc file so they never clobber the record.
+    full_sweep = not args.names and args.window >= 400
+    default_name = "driver_emu_last.json" if full_sweep else "driver_emu_adhoc.json"
     out_path = args.out or os.path.join(_REPO, "tools", default_name)
     if args.check_fresh:
-        return 0 if check_fresh(out_path) else 1
+        # freshness is always judged against the round RECORD, whatever
+        # window this invocation would have swept
+        record = args.out or os.path.join(_REPO, "tools", "driver_emu_last.json")
+        return 0 if check_fresh(record) else 1
 
     from pyspark.sql import SparkSession
 
