@@ -35,9 +35,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 #: revenue in micros of a currency unit: cents(price) * (10000 - bp(disc))
 def _rev_micros():
+    # Per-row product stays < 2^63 (cents * bp ~ 3.6e10), but the SUM
+    # accumulator must not: Spark SUM(BIGINT) silently wraps near SF40+
+    # fact volumes while the DuckDB oracle's SUM promotes to HUGEINT —
+    # accumulate in DECIMAL(38,0) (exact 128-bit, identical partials
+    # algebra) and let each call site cast the total down.
     return F.sum(
-        F.round(F.col("l_extendedprice") * 100).cast("bigint")
-        * (F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint"))
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint"))
+        ).cast("decimal(38,0)")
     )
 
 
@@ -895,7 +902,7 @@ def xq13(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _rev_micros().alias("total_rev")
+        _rev_micros().cast("bigint").alias("total_rev")
     )
     mx = rev.agg(F.max("total_rev").alias("mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -45,9 +45,13 @@ _REV_MICROS_SQL = (
 
 
 def _rev_micros():
+    # DECIMAL(38,0) accumulator: Spark SUM(BIGINT) wraps near SF40+ fact
+    # volumes; the oracle's SUM is HUGEINT-exact (see classics.py twin).
     return F.sum(
-        F.round(F.col("l_extendedprice") * 100).cast("bigint")
-        * (F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint"))
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint"))
+        ).cast("decimal(38,0)")
     )
 
 
