@@ -584,14 +584,10 @@ def yg02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum, total = prefix_sum(per, [F.col("c").asc()], "cnt", sum_col="cum_incl")
     rows = cum.withColumn("cum_prev", F.col("cum_incl") - F.col("cnt"))
-    n = None  # n (sample A size) comes from a second statistics column
     # The A-sample total is a plain aggregate over the checkpointed frame
     # (O(#distinct cents) rows — not a data-sized pass).
     n = rows.agg(F.sum("n1")).collect()[0][0]
     m = total - n
-    two_r1 = F.sum(
-        F.expr("CAST(n1 AS DECIMAL(38,0)) * (2 * cum_prev + cnt + 1)")
-    )
     return rows.agg(
         F.lit(n).cast("bigint").alias("n_a"),
         F.lit(m).cast("bigint").alias("n_b"),
