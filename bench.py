@@ -138,6 +138,7 @@ CURATION_SUITE = [
     "yz01_compaction_planner",
     "yl01_partition_stats_manifest",
     "yw02_write_audit_publish",
+    "yz02_retention_delete_plan",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

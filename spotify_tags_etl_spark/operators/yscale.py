@@ -1609,3 +1609,61 @@ def yw02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+# ---------------------------------------------------------------------------
+# yz02 — retention delete plan (partition-drop planner)
+# ---------------------------------------------------------------------------
+
+#: Days of event history kept; older day-partitions are dropped whole.
+YZ02_RETENTION_DAYS = 21
+
+
+@register(
+    "yz02_retention_delete_plan",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             COUNT(*) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    hi AS (SELECT MAX(day) AS max_day FROM m)
+    SELECT m.day, m.n_rows,
+           CASE WHEN m.day <= hi.max_day - {YZ02_RETENTION_DAYS} THEN 'drop'
+                ELSE 'keep' END AS action
+    FROM m CROSS JOIN hi
+    """,
+    doc=(
+        "Retention delete planner: against the per-day partition "
+        "manifest (yl01's frame), mark every day-partition older than "
+        "the 21-day window for WHOLE-DIRECTORY drop — the only delete "
+        "mechanism that works at 100 TB (partition-aligned retention "
+        "costs one directory unlink per day, xv03's layout contract; "
+        "row-level deletes cost a rewrite of everything they touch). "
+        "The watermark is data-derived (max observed day, one 1-row "
+        "broadcast), so the plan is reproducible from the table alone; "
+        "emitting keep AND drop rows makes the plan auditable (row "
+        "counts about to be destroyed are in the output, yw02's "
+        "audit-before-destruct discipline). Compaction (yz01) and "
+        "retention (yz02) are the two standing maintenance jobs of a "
+        "parquet lake; both plan in O(#partitions) after one manifest "
+        "aggregate."
+    ),
+    tags=("maintenance", "layout", "planner"),
+)
+def yz02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    hi = m.agg(F.max("day").alias("max_day"))
+    return m.crossJoin(F.broadcast(hi)).select(
+        "day",
+        "n_rows",
+        F.when(
+            F.col("day") <= F.col("max_day") - YZ02_RETENTION_DAYS, F.lit("drop")
+        )
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
