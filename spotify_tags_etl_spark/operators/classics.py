@@ -518,7 +518,14 @@ def xq08(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint") * bp)
+            # DECIMAL(38,0) accumulator (the _rev_micros discipline): the
+            # per-row cents*bp product fits int64 but the global SUM wraps
+            # silently past 2^63 while the oracle's HUGEINT stays exact.
+            F.sum(
+                (F.round(F.col("l_extendedprice") * 100).cast("bigint") * bp).cast(
+                    "decimal(38,0)"
+                )
+            )
             .cast("bigint")
             .alias("rev_micro_bp")
         )
@@ -594,11 +601,11 @@ def xq09(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l.l_shipdate <  TIMESTAMP '1996-10-01'
     ),
     s AS (
-      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS np,
-             CAST(SUM(rev) AS BIGINT) AS d
+      SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS np,
+             SUM(rev) AS d
       FROM j
     )
-    SELECT CAST(CAST(np AS HUGEINT) * 1000000 // d AS BIGINT)
+    SELECT CAST(np * 1000000 // d AS BIGINT)
            AS promo_share_ppm
     FROM s
     """,
@@ -631,13 +638,17 @@ def xq10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select(F.col("p_type"), rev.alias("rev"))
         .agg(
-            F.expr("CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)").alias("np"),
-            F.expr("CAST(SUM(rev) AS BIGINT)").alias("d"),
+            # DECIMAL(38,0) accumulators: monthly revenue micros pass 2^63
+            # near SF3500 — the BIGINT intermediates would wrap in Spark and
+            # error in the oracle's down-cast; only the ppm quotient is int64.
+            F.expr(
+                "SUM(CAST(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END"
+                " AS DECIMAL(38,0)))"
+            ).alias("np"),
+            F.expr("SUM(CAST(rev AS DECIMAL(38,0)))").alias("d"),
         )
         .select(
-            F.expr(
-                "CAST(CAST(np AS DECIMAL(38,0)) * 1000000 DIV d AS BIGINT)"
-            ).alias("promo_share_ppm")
+            F.expr("CAST(np * 1000000 DIV d AS BIGINT)").alias("promo_share_ppm")
         )
     )
 
@@ -686,7 +697,9 @@ def xq11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .where(cond)
-        .agg(F.sum(rev).cast("bigint").alias("rev_micro"))
+        # DECIMAL(38,0) accumulator — micros sums wrap int64 at large SF
+        # while the oracle's HUGEINT stays exact (_rev_micros discipline).
+        .agg(F.sum(rev.cast("decimal(38,0)")).cast("bigint").alias("rev_micro"))
     )
 
 

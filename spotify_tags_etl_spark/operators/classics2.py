@@ -194,24 +194,27 @@ def yq08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("o_year")
+        # DECIMAL(38,0) accumulators: per-year total micros ~3e16 already at
+        # SF1, so a BIGINT SUM wraps near SF300 while the oracle's HUGEINT
+        # stays exact. The int64 output casts stay loud (Spark NULLs, DuckDB
+        # errors) instead of silently wrapping once a year's total passes
+        # 2^63 — at that point the micros columns themselves outgrow the
+        # contract, but the ppm below never does.
         .agg(
-            F.sum("nm").cast("bigint").alias("nation_micros"),
-            F.sum("tm").cast("bigint").alias("total_micros"),
+            F.sum(F.col("nm").cast("decimal(38,0)")).alias("nm_d"),
+            F.sum(F.col("tm").cast("decimal(38,0)")).alias("tm_d"),
         )
         .select(
             "o_year",
-            "nation_micros",
-            "total_micros",
-            # DECIMAL(38,0) long division: nation_micros * 1e6 wraps int64
-            # already at this SF (the xq10 ppm lesson), and staged base-1000
-            # division is NOT safe either — its remainder*1000 is bounded by
-            # total_micros*1000 ~ 3e19 at SF1, past 2^63. Spark's decimal
-            # DIV is exact integral division returning BIGINT, matching the
-            # oracle's HUGEINT floor bit-for-bit (xs06/yr01's discipline).
-            F.expr(
-                "CAST(CAST(nation_micros AS DECIMAL(38,0)) * 1000000"
-                " DIV total_micros AS BIGINT)"
-            ).alias("share_ppm"),
+            F.col("nm_d").cast("bigint").alias("nation_micros"),
+            F.col("tm_d").cast("bigint").alias("total_micros"),
+            # DECIMAL(38,0) long division on the PRE-cast sums: nation_micros
+            # * 1e6 wraps int64 already at this SF (the xq10 ppm lesson), and
+            # staged base-1000 division is NOT safe either — its remainder
+            # *1000 is bounded by total_micros*1000 ~ 3e19 at SF1, past 2^63.
+            # Spark's decimal DIV is exact integral division returning
+            # BIGINT, matching the oracle's HUGEINT floor bit-for-bit.
+            F.expr("CAST(nm_d * 1000000 DIV tm_d AS BIGINT)").alias("share_ppm"),
         )
         .orderBy("o_year")
     )
@@ -283,7 +286,10 @@ def yq09(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(F.sum(profit).cast("bigint").alias("profit_micros"))
+        # DECIMAL(38,0) accumulator: the profit addend is micros-scale
+        # (~1e11/row), so per-(nation,year) BIGINT sums wrap at large SF
+        # while the oracle's HUGEINT stays exact (_rev_micros discipline).
+        .agg(F.sum(profit.cast("decimal(38,0)")).cast("bigint").alias("profit_micros"))
         .orderBy("nation", "o_year")
     )
 
@@ -292,8 +298,12 @@ def yq09(spark: SparkSession, sf_dir: str) -> DataFrame:
 # yq11 — Q11 shape: important stock (global-threshold scalar subquery)
 # ---------------------------------------------------------------------------
 
-#: Keep (nation, part) positions above total/“fraction”: value * DEN > total.
-_Q11_DEN = 2000  # i.e. > 0.05% of the global position value
+#: Keep (nation, part) positions above MULT × the mean position value.
+#: TPC-H's literal fraction-of-total cut (0.0001/SF) shrinks with data
+#: volume, so any fixed fraction degenerates to an empty (vacuous-oracle)
+#: or all-rows result away from one SF; anchoring to the mean is
+#: SF-invariant and keeps the check non-trivial at every test SF.
+_Q11_MULT = 3
 
 
 @register(
@@ -307,21 +317,21 @@ _Q11_DEN = 2000  # i.e. > 0.05% of the global position value
       JOIN nation n ON n.n_nationkey = s.s_nationkey
       GROUP BY n.n_name, l.l_partkey
     ),
-    tot AS (SELECT CAST(SUM(value_micros) AS BIGINT) AS total FROM pos)
+    tot AS (SELECT SUM(value_micros) AS total, COUNT(*) AS n FROM pos)
     SELECT pos.nation, pos.l_partkey, pos.value_micros
     FROM pos, tot
-    WHERE pos.value_micros * {_Q11_DEN} > tot.total
+    WHERE CAST(pos.value_micros AS HUGEINT) * tot.n > {_Q11_MULT} * tot.total
     ORDER BY pos.value_micros DESC, pos.nation, pos.l_partkey
     """,
     doc=(
         "TPC-H Q11 shape (important stock, adapted: lineitem revenue "
         "position per (supplier nation, part) stands in for partsupp "
-        "availqty × supplycost): positions exceeding a fixed fraction "
-        "of the GLOBAL total — the scalar-subquery-threshold pattern, "
+        "availqty × supplycost): positions exceeding a multiple of the "
+        "GLOBAL mean position — the scalar-subquery-threshold pattern, "
         "spelled as a 1-row broadcast crossJoin and an integer cross-"
-        "multiplication (value × 2000 > total ⟺ value > 0.05% — no "
-        "float division anywhere). One fact rollup shuffle on the "
-        "composite key; the threshold compare is free."
+        "multiplication (value × n > 3 × total ⟺ value > 3·mean — no "
+        "float division anywhere; exact 128-bit on both factors). One "
+        "fact rollup shuffle on the composite key; the compare is free."
     ),
     tags=("classic", "aggregate", "scalar-subquery"),
 )
@@ -335,10 +345,20 @@ def yq11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), "l_partkey")
         .agg(_rev_micros().cast("bigint").alias("value_micros"))
     )
-    tot = pos.agg(F.sum("value_micros").cast("bigint").alias("total"))
+    # The GLOBAL position total is full-corpus revenue micros — a BIGINT
+    # accumulator wraps near SF40 (per-position sums stay comfortably
+    # int64). Total and threshold compare run in exact DECIMAL(38,0) /
+    # HUGEINT on both sides; no down-cast anywhere on this path.
+    tot = pos.agg(
+        F.sum(F.col("value_micros").cast("decimal(38,0)")).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
         pos.crossJoin(F.broadcast(tot))
-        .where(F.col("value_micros") * _Q11_DEN > F.col("total"))
+        .where(
+            F.col("value_micros").cast("decimal(38,0)") * F.col("n")
+            > _Q11_MULT * F.col("total")
+        )
         .select("nation", "l_partkey", "value_micros")
         .orderBy(F.col("value_micros").desc(), "nation", "l_partkey")
     )

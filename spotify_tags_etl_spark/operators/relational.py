@@ -285,10 +285,11 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Pricing-summary group-by (TPC-H Q1 shape; beyond-reference core agg). "
         "Exact sums via integer cents (2dp measures ×100, discount factor ×10⁴): "
-        "order-independent like DECIMAL but ~3× faster in codegen (long adds vs "
-        "decimal adds). Exact while Σ(price_cents × 10⁴) < 2⁶³ ≈ 9×10¹² currency "
-        "units — fine through SF~10³; beyond that switch the final agg to "
-        "DECIMAL(38,4) (partials stay long). Filter pushed to parquet scan."
+        "order-independent like DECIMAL. The cents sums stay long (addend ≤1e7, "
+        "int64-safe past 100 TB row counts); the micros-scale disc-price sum "
+        "accumulates in DECIMAL(38,0) — its BIGINT form wraps near SF250 with "
+        "only ~6 groups, while the oracle's HUGEINT stays exact. Filter pushed "
+        "to parquet scan."
     ),
     tags=("aggregate", "groupby"),
 )
@@ -298,9 +299,14 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         (F.sum(cents("l_quantity")) / 100.0).alias("sum_qty"),
         (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
-        (F.sum(cents("l_extendedprice") * (F.lit(10000) - cents("l_discount", 10000))) / 1000000.0).alias(
-            "sum_disc_price"
-        ),
+        (
+            F.sum(
+                (cents("l_extendedprice") * (F.lit(10000) - cents("l_discount", 10000))).cast(
+                    "decimal(38,0)"
+                )
+            )
+            / 1000000.0
+        ).alias("sum_disc_price"),
         F.count("*").alias("count_order"),
     )
 
