@@ -625,10 +625,10 @@ def av12(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              COUNT(*) AS n,
              SUM(CAST(round(value * 100) AS BIGINT)) AS sc,
-             SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS sc2,
+             SUM(CAST(round(value * 100) AS HUGEINT) * CAST(round(value * 100) AS BIGINT)) AS sc2,
              SUM(user_id) AS su,
-             SUM(user_id * user_id) AS su2,
-             SUM(CAST(round(value * 100) AS BIGINT) * user_id) AS scu
+             SUM(CAST(user_id AS HUGEINT) * user_id) AS su2,
+             SUM(CAST(round(value * 100) AS HUGEINT) * user_id) AS scu
       FROM events GROUP BY event_type
     )
     SELECT event_type, n,
@@ -652,13 +652,19 @@ def av12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def av13(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.round(F.col("value") * 100).cast("bigint")
     u = F.col("user_id")
+    # Second moments in DECIMAL(38,0) / HUGEINT on both sides: u*u can
+    # pass 2^63 PER ROW at real id widths (Spark wraps, DuckDB errors on
+    # the int64 multiply), and every product sum wraps long before the
+    # plain sums do. The decimal→double at the end is the same double
+    # the long path produced at every test SF (values < 2^53).
+    cd, ud = c.cast("decimal(38,0)"), u.cast("decimal(38,0)")
     s = _ev(spark, sf_dir).groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum(c).alias("sc"),
-        F.sum(c * c).alias("sc2"),
-        F.sum(u).alias("su"),
-        F.sum(u * u).alias("su2"),
-        F.sum(c * u).alias("scu"),
+        F.sum(cd).alias("sc"),
+        F.sum(cd * c).alias("sc2"),
+        F.sum(ud).alias("su"),
+        F.sum(ud * u).alias("su2"),
+        F.sum(cd * u).alias("scu"),
     )
     n, sc, sc2, su, su2, scu = [F.col(x) for x in ("n", "sc", "sc2", "su", "su2", "scu")]
     return s.select(
@@ -1265,15 +1271,21 @@ def xk02(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xr02(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast("bigint")
     y = F.round(F.col("value") * 100).cast("bigint")
+    # DECIMAL(38,0) sufficient statistics (av13's hardening): the Σxy
+    # accumulator and the derived n·Σx² − (Σx)² products wrap int64 at
+    # fact-scale row counts; the oracle's HUGEINT sums are exact
+    # throughout, so the long spelling diverges silently at scale. The
+    # final doubles are unchanged at every test SF.
+    xd, yd = x.cast("decimal(38,0)"), y.cast("decimal(38,0)")
     s = (
         _ev(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(x * x).alias("sx2"),
-            F.sum(y).alias("sy"),
-            F.sum(x * y).alias("sxy"),
+            F.sum(xd).alias("sx"),
+            F.sum(xd * x).alias("sx2"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * y).alias("sxy"),
         )
     )
     den = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double")

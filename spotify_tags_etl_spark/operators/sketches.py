@@ -467,12 +467,12 @@ def ams_sketch(df: DataFrame, key_col: str) -> DataFrame:
       FROM cb CROSS JOIN rr GROUP BY 1, 2
     ),
     per_row AS (
-      SELECT sa.r, CAST(SUM(sa.v * sb.v) AS BIGINT) AS est
+      SELECT sa.r, CAST(SUM(CAST(sa.v AS HUGEINT) * sb.v) AS BIGINT) AS est
       FROM sa JOIN sb ON sb.r = sa.r AND sb.bucket = sa.bucket
       GROUP BY sa.r
     ),
     exact AS (
-      SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact_join_rows
+      SELECT CAST(SUM(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS exact_join_rows
       FROM ca JOIN cb ON cb.k = ca.k
     )
     SELECT exact.exact_join_rows,
@@ -506,18 +506,31 @@ def yj01(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
     sa = ams_sketch(ev, "k")
     sb = ams_sketch(orders, "k")
+    # 128-bit inner products on both sides: a bucket's signed count |v|
+    # is bounded only by the side's row count, so v_a*v_b (and a hot
+    # key's c_a*c_b) can pass 2^63 PER ROW at fact scale — Spark wraps
+    # silently, DuckDB errors on the int64 multiply. DECIMAL(38,0)
+    # accumulate, cast the (join-size-scale) totals down at the end.
     per_row = (
         sa.alias("a")
         .join(sb.alias("b"), ["r", "bucket"])
         .groupBy("r")
-        .agg(F.sum(F.col("a.v") * F.col("b.v")).cast("bigint").alias("est"))
+        .agg(
+            F.sum(F.col("a.v").cast("decimal(38,0)") * F.col("b.v"))
+            .cast("bigint")
+            .alias("est")
+        )
     )
     ca = ev.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
     cb = orders.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
     exact = (
         ca.alias("ca")
         .join(cb.alias("cb"), "k")
-        .agg(F.sum(F.col("ca.c") * F.col("cb.c")).cast("bigint").alias("exact_join_rows"))
+        .agg(
+            F.sum(F.col("ca.c").cast("decimal(38,0)") * F.col("cb.c"))
+            .cast("bigint")
+            .alias("exact_join_rows")
+        )
     )
     mid = AMS_DEPTH // 2 + 1
     est = per_row.agg(

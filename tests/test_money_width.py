@@ -77,6 +77,30 @@ def test_micros_sum_accumulates_in_decimal(spark, sf_dir, name):
     ), f"{name}: no DECIMAL(38,0)-accumulated sum in optimized plan:\n{plan}"
 
 
+#: Second-moment / product-sum sites (the audit's other class): the
+#: addend is itself a product (cents^2, id^2, signed-count x signed-
+#: count), so even the PER-ROW value can pass 2^63 at fact scale —
+#: these render as sum((cast(... as decimal(38,0)) * ...)) rather than
+#: a bare sum(cast(...)), so they get a looser same-line pattern.
+_PRODUCT_AUDITED = [
+    "av13_moments",
+    "xr02_grouped_linreg",
+    "yj01_ams_join_size",
+]
+
+
+@pytest.mark.parametrize("name", _PRODUCT_AUDITED)
+def test_product_sum_accumulates_in_decimal(spark, sf_dir, name):
+    try:
+        entry = get(name)
+    except KeyError:
+        entry = get("zv_" + name)
+    plan = _optimized_plan(entry.builder(spark, sf_dir))
+    assert re.search(
+        r"sum\(.*decimal\(38,0\)", plan, re.IGNORECASE
+    ), f"{name}: no DECIMAL(38,0)-accumulated product sum in optimized plan:\n{plan}"
+
+
 def test_q13_cents_sums_stay_long(spark, sf_dir):
     """The flip side of the audit: q13's quantity/base-price cents sums
     must NOT pay the decimal-adds tax — only the micros measure is wide."""
