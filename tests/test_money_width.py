@@ -77,6 +77,34 @@ def test_micros_sum_accumulates_in_decimal(spark, sf_dir, name):
     ), f"{name}: no DECIMAL(38,0)-accumulated sum in optimized plan:\n{plan}"
 
 
+def test_cross_engine_agreement_at_wrap_magnitudes(spark):
+    """End-to-end pin of the audit's claim: at per-row-square magnitudes
+    beyond 2^63 the hardened spellings agree ACROSS ENGINES, while the
+    long spellings wrap (Spark) or error (DuckDB) — i.e. the divergence
+    the audit removed is real and the fix is the cross-engine-exact one."""
+    import duckdb
+
+    x = 3_040_000_000  # x*x = 9.2416e18 > 2^63 - 1 ~ 9.2233e18
+    rows = [(x,), (x,)]
+    sdf = spark.createDataFrame(rows, "x BIGINT")
+    hardened = sdf.agg(
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s")
+    ).collect()[0].s
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"SELECT SUM(CAST(x AS HUGEINT) * x) FROM (VALUES ({x}), ({x})) t(x)"
+    ).fetchone()[0]
+    assert int(hardened) == int(oracle) == 2 * x * x
+    # the long spellings really do fail: Spark wraps (mod 2^64 — here it
+    # lands on a PLAUSIBLE-LOOKING positive number, the worst case)...
+    wrapped = sdf.agg(F.sum(F.col("x") * F.col("x")).alias("s")).collect()[0].s
+    assert wrapped == 2 * x * x - 2**64  # silently wrong, not an error
+    assert wrapped != 2 * x * x
+    # ...and DuckDB refuses the int64 multiply outright.
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute(f"SELECT SUM(x * x) FROM (VALUES ({x}), ({x})) t(x)").fetchone()
+
+
 #: Second-moment / product-sum sites (the audit's other class): the
 #: addend is itself a product (cents^2, id^2, signed-count x signed-
 #: count), so even the PER-ROW value can pass 2^63 at fact scale —
