@@ -223,8 +223,59 @@ VERIFIED = frozenset(
         "xo04_seasonal_anomaly_days",
         "xp01_point_in_time_join",
         "xq01_shipping_priority",
+        "xq02_local_supplier_volume",
+        "xq03_returned_items",
+        "xq04_large_volume_customers",
+        "xq05_global_avg_filter",
+        "xq06_nation_volume_shipping",
+        "xq07_late_shipment_priority",
+        "xq08_forecast_revenue",
+        "xq09_priority_late_ship",
+        "xq10_promo_revenue_share",
+        "xq11_disjunctive_revenue",
+        "xq12_customer_order_distribution",
+        "xq13_top_supplier_revenue",
+        "xq14_small_quantity_revenue",
+        "xr01_range_frame_sum",
+        "xr02_grouped_linreg",
+        "xr03_cusum_changepoint",
+        "xr04_clamped_running_balance",
+        "xr05_ratio_to_report",
+        "xr06_kendall_trend",
+        "xs01_source_quality_gate",
+        "xs02_k_anonymity_audit",
+        "xs04_observed_scan_metrics",
+        "xs05_fk_discovery",
+        "xs06_ab_test_analysis",
+        "xs07_l_diversity_audit",
+        "xt01_pmi_cooccurrence",
+        "xt02_phrase_merge",
+        "xt03_containment_join",
+        "xt05_zipf_rank_frequency",
+        "xu01_dedup_survivorship",
+        "xu02_bloom_decontaminate",
+        "xv01_constraint_audit",
+        "xv02_csv_quarantine",
+        "xv03_partition_prune_scan",
+        "xv04_reconciliation_audit",
+        "xv05_orc_roundtrip",
+        "xv06_xml_roundtrip",
+        "xw01_stream_funnel",
+        "xw02_table_diff",
+        "xw03_rolling_distinct_users",
+        "xw04_cdc_log_compaction",
+        "xw05_watermark_lateness_audit",
+        "xw06_stream_cms_rollup",
+        "xw07_version_travel",
+        "xw09_stream_orphan_errors",
+        "xw10_stream_checksum",
+        "xy01_builtin_session_window",
+        "xz01_exact_simjoin_prefix",
+        "xz03_ivm_join_delta",
+        "xz05_rrf_hybrid_fusion",
     }
 )
+# 209 verified; registry window frees 50 new slots next round
 
 
 def register(
