@@ -139,3 +139,27 @@ def test_q13_cents_sums_stay_long(spark, sf_dir):
     plan = _optimized_plan(entry.builder(spark, sf_dir))
     hits = re.findall(r"sum\(cast\(.*?as decimal\(38,0\)\)\)", plan, re.IGNORECASE)
     assert len(hits) == 1, f"expected exactly one decimal sum (sum_disc_price): {hits}\n{plan}"
+
+
+def test_width_audit_clean():
+    """The source-level lint (tools/width_audit.py) backs the per-query
+    plan pins above with repo-wide coverage: any NEW Spark-side sum
+    whose addend multiplies two non-literal terms fails here until it
+    is DECIMAL(38,0)-widened (in the argument or at the factor's
+    definition site) or allowlisted with a boundedness justification."""
+    import tools.width_audit as wa
+
+    hits = wa.scan()
+    assert not hits, "unaudited product sum(s):\n" + "\n".join(
+        f"  {p}:{ln}  SUM({snip}...)" for p, ln, snip in hits
+    )
+
+
+def test_width_audit_dec_placeholder_is_pinned():
+    """The lint treats the ``{dec}`` f-string placeholder as widening
+    evidence — valid only while every ``dec = ...`` assignment under
+    the package is exactly DECIMAL(38,0)."""
+    import tools.width_audit as wa
+
+    for path, lineno, value in wa.pinned_dec_placeholders():
+        assert value == "DECIMAL(38,0)", f"{path}:{lineno} dec = {value!r}"

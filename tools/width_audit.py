@@ -1,23 +1,44 @@
 #!/usr/bin/env python
-"""Source-level numeric-width lint: every product-valued SUM must be
-128-bit or allowlisted.
+"""Source-level numeric-width lint: Spark-side product sums must be
+128-bit, operand-widened, or allowlisted with a justification.
 
 The round-5 width audit (BASELINE.md, tests/test_money_width.py) found
 that Spark's ``SUM(BIGINT)`` silently wraps mod 2^64 once a group's
 total passes 2^63 while the DuckDB oracles promote to HUGEINT — so any
-sum whose addend is a PRODUCT (micros = cents x basis-points, second
-moments, sketch inner products) must accumulate in DECIMAL(38,0) /
-HUGEINT on the respective side. This lint keeps that a property of the
-whole repo rather than of the sites the audit happened to visit: it
-extracts the balanced-paren argument of every ``F.sum(...)`` and SQL
-``SUM(...)`` under ``spotify_tags_etl_spark/`` and flags arguments that
-multiply two non-literal terms without a DECIMAL/HUGEINT widening.
+Spark-side sum whose addend is a PRODUCT (micros = cents x basis-points,
+second moments, sketch inner products) must accumulate in DECIMAL(38,0).
+This lint keeps that a property of the whole repo rather than of the
+sites the audit happened to visit. ``tests/test_money_width.py::
+test_width_audit_clean`` runs ``scan()`` and fails on any new
+unhardened product sum until it is widened or allowlisted with a reason.
 
-Bounded product sums are fine in long arithmetic when the addend or the
-group cardinality is provably small — those sites are allowlisted BELOW
-WITH THEIR JUSTIFICATION so a reviewer can audit the claims, and any
-new unhardened product sum fails tests/test_money_width.py until it is
-either widened or allowlisted with a reason.
+What counts as a product sum: a SUM argument containing a multiply
+whose operands are BOTH non-literal (``value * 100`` is a scale
+conversion, not a product — its addend is one bounded term).
+
+What counts as widened:
+
+* ``DECIMAL(38,...)`` / ``HUGEINT`` spelled inside the argument (either
+  engine's syntax), or the ``{dec}`` f-string placeholder — every
+  ``dec = ...`` assignment under the package is pinned to
+  ``"DECIMAL(38,0)"`` by the same test, so the placeholder IS the
+  widening;
+* a factor that is a bare identifier whose defining assignment (earlier
+  in the same file) casts it to ``decimal(38,...)`` — Spark promotes a
+  ``decimal * long`` multiply to decimal, so widening one factor at its
+  definition site widens every product it enters (the ``cd, ud =
+  c.cast("decimal(38,0)"), ...`` pattern).
+
+SQL-string sums that are NOT Spark SQL (no ``spark.sql`` / ``F.expr`` /
+``selectExpr`` adjacent) are DuckDB oracle text and are exempt: DuckDB's
+integer SUM accumulator promotes to HUGEINT (exact), and a per-row
+multiply that overflows int64 ERRORS loudly there rather than wrapping —
+the silent-divergence class this lint hunts lives on the Spark side.
+The per-row-overflow class (factors themselves near 2^63, av13's u*u)
+was audited separately and those sites carry explicit HUGEINT casts.
+
+Indicator sums (``CASE WHEN <product cond> THEN 1 ELSE 0``,
+``F.when(cond, 1).otherwise(0)``) sum a 0/1 value — exempt.
 """
 
 from __future__ import annotations
@@ -29,32 +50,29 @@ import sys
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PKG = os.path.join(ROOT, "spotify_tags_etl_spark")
 
-#: Allowlisted product-sum snippets (normalized whitespace, prefix
-#: match) with the boundedness argument that justifies long arithmetic.
+#: Allowlisted product-sum arguments (normalized whitespace, ANCHORED:
+#: the normalized argument must START with the key) with the
+#: boundedness argument that justifies long arithmetic.
 ALLOWLIST = {
-    # pagerank fixed-point contributions: Σ contrib per dst is bounded by
-    # the CONSERVED total mass |V|*PR_SCALE (mass only leaks to floors),
-    # which stays well under 2^63 at any graph the event corpus induces.
-    "(rank * cnt) DIV out_w": "conserved fixed-point mass <= |V|*PR_SCALE",
-    "(85 * coalesce(contrib, 0)) DIV 100": "damped share of conserved mass",
     # yb02 TF-IDF pair scores: per-pair shared vocabulary is bounded by
     # document length and the df<=100 cap bounds posting lists; addend
     # tf*tf*idf <= len^2 * 1e6 with len the SHORTER doc's term count.
-    "a.tf * b.tf * a.idf": "per-pair shared-vocab sum, df-capped index",
-    "tf_a * tf_b * idf_a": "per-pair shared-vocab sum, df-capped index",
+    'F.col("tf_a") * F.col("tf_b") * F.col("idf_a")': "per-pair shared-vocab sum, df-capped index",
     # int8-quantized dot products: |q|,|w| <= 127, dimension fixed (64),
     # so a dot is <= 127*127*64 ~ 1e6 — int64-safe by ~12 orders.
-    "q.q * w.w": "int8 x int8 over fixed dim",
-    "a.q * b.q": "int8 x int8 over fixed dim",
-    "a.p * b.p": "int8 PQ codes over fixed dim",
-    "q.c * c.c": "int8 PQ distance table over fixed dim",
-    # yd03 census prefix sums: Σ(cx*v) over the whole census equals the
-    # side's total cents (<= ~1e17 at 100 TB event volumes) — the 128-bit
-    # work happens in the downstream pairwise terms, which ARE widened.
-    "cx * v": "census count x cents; total = side's exact cents sum",
-    "cy * v": "census count x cents; total = side's exact cents sum",
+    'F.col("q") * F.col("w")': "int8 x int8 over fixed dim 64",
+    'F.col("qv") * F.col("cv")': "int8 x int8 over fixed dim 64",
+    'F.col("qp") * F.col("cp")': "int8 PQ distance table over fixed dim",
     # daily-gap window: addend day-count x #days, frame is O(#days).
-    "d.c * b.nd - b.total": "O(#days) frame of day-count products",
+    'F.col("c") * F.col("nd") - F.col("total")': "O(#days) frame of day-count products",
+    # pagerank fixed-point contributions: Σ contrib per dst is bounded by
+    # the CONSERVED total mass |V|*PR_SCALE (mass only leaks to floors),
+    # which stays well under 2^63 at any graph the event corpus induces.
+    'F.expr("(rank * cnt) DIV out_w")': "conserved fixed-point mass <= |V|*PR_SCALE",
+    # same bound, the DuckDB spelling — built by a shared f-string helper
+    # far from any oracle=/spark.sql marker, so the context classifier
+    # cannot see which engine it is; the bound holds for both.
+    "(r.rank * e.cnt) // o.out_w": "conserved fixed-point mass <= |V|*PR_SCALE",
 }
 
 
@@ -75,21 +93,121 @@ def _balanced_arg(text: str, start: int) -> str:
     return text[start + 1 : start + 4000]
 
 
-#: a multiply between two term-like operands (identifier/paren/number on
-#: both sides) — excludes '**', glob stars, and SQL comments.
-_MUL = re.compile(r"[\w\)\]]\s*\*\s*[\w\(]")
+_NUM_LIT = re.compile(r"^\d+(\.\d+)?$")
 
-#: evidence the site is already widened (either engine's spelling).
-_WIDE = re.compile(r"decimal\s*\(\s*38|HUGEINT", re.IGNORECASE)
+#: evidence the site is already widened (either engine's spelling, or
+#: the pinned {dec} f-string placeholder).
+_WIDE = re.compile(r"decimal\s*\(\s*38|HUGEINT|\{dec\}", re.IGNORECASE)
 
-#: CASE WHEN <cond> THEN 0/1-style indicator sums: the product lives in
-#: the comparison, the SUMMED value is an indicator — long is correct.
-_INDICATOR = re.compile(r"CASE\s+WHEN\s+.*\bTHEN\s+1\b.*\bELSE\s+0\b", re.IGNORECASE | re.DOTALL)
+#: CASE WHEN <cond> THEN 0/1-style indicator sums (SQL and F.when
+#: spellings): the product lives in the comparison, the SUMMED value is
+#: an indicator — long is correct.
+_INDICATOR = re.compile(
+    r"CASE\s+WHEN\s+.*\bTHEN\s+1\b.*\bELSE\s+0\b|F\.when\s*\(.*\)\s*\.otherwise\s*\(\s*0\s*\)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+#: markers classifying a SQL-text SUM: Spark SQL (wraps silently) vs a
+#: DuckDB oracle string (SUM promotes to HUGEINT). The NEAREST preceding
+#: marker wins — an F.expr from the previous query must not claim the
+#: next query's oracle="..." block.
+_SPARK_MARK = re.compile(r"spark\.sql\s*\(|F\.expr\s*\(|selectExpr\s*\(")
+_ORACLE_MARK = re.compile(r"\boracle\s*=")
+
+
+def _sql_is_spark(text: str, pos: int) -> bool:
+    window = text[max(0, pos - 2000) : pos]
+    spark_at = max((m.end() for m in _SPARK_MARK.finditer(window)), default=-1)
+    oracle_at = max((m.end() for m in _ORACLE_MARK.finditer(window)), default=-1)
+    return spark_at > oracle_at
+
+
+def _left_operand(arg: str, star: int) -> str:
+    """Token ending at arg[star] == '*' (identifier chain or paren group)."""
+    i = star - 1
+    while i >= 0 and arg[i].isspace():
+        i -= 1
+    if i < 0:
+        return ""
+    if arg[i] in ")]":
+        close, open_ = arg[i], "(" if arg[i] == ")" else "["
+        depth = 0
+        j = i
+        while j >= 0:
+            if arg[j] == close:
+                depth += 1
+            elif arg[j] == open_:
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        # include a leading callee name (e.g. CAST(...), F.col(...))
+        k = j - 1
+        while k >= 0 and (arg[k].isalnum() or arg[k] in "._"):
+            k -= 1
+        return arg[k + 1 : i + 1]
+    j = i
+    while j >= 0 and (arg[j].isalnum() or arg[j] in "._'\""):
+        j -= 1
+    return arg[j + 1 : i + 1]
+
+
+def _right_operand(arg: str, star: int) -> str:
+    i = star + 1
+    while i < len(arg) and arg[i].isspace():
+        i += 1
+    if i >= len(arg):
+        return ""
+    if arg[i] == "(":
+        return "(" + _balanced_arg(arg, i) + ")"
+    j = i
+    while j < len(arg) and (arg[j].isalnum() or arg[j] in "._'\""):
+        j += 1
+    # a call like DATEDIFF(...): swallow the paren group too
+    if j < len(arg) and arg[j] == "(":
+        return arg[i:j] + "(" + _balanced_arg(arg, j) + ")"
+    return arg[i:j]
+
+
+def _real_products(arg: str) -> list[tuple[str, str]]:
+    """(left, right) operand pairs for every multiply where BOTH sides
+    are non-literal — scale conversions (``x * 100``) are not products."""
+    out = []
+    for m in re.finditer(r"\*", arg):
+        if m.start() > 0 and arg[m.start() - 1] == "*":  # '**'
+            continue
+        if m.end() < len(arg) and arg[m.end()] == "*":
+            continue
+        left, right = _left_operand(arg, m.start()), _right_operand(arg, m.start())
+        if not left or not right:
+            continue
+        if _NUM_LIT.match(left) or _NUM_LIT.match(right):
+            continue
+        out.append((left, right))
+    return out
+
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _operand_widened_upstream(text: str, match_start: int, operand: str) -> bool:
+    """True when ``operand`` is a bare identifier whose defining
+    assignment earlier in the file casts it to decimal(38,...) — the
+    ``cd, ud = c.cast("decimal(38,0)"), ...`` pattern. One widened
+    factor widens the whole product (Spark promotes decimal*long)."""
+    if not _IDENT.match(operand):
+        return False
+    before = text[:match_start]
+    pat = re.compile(
+        r"^[^\n#]*\b" + re.escape(operand) + r"\b[^\n=]*=[^\n]*decimal\s*\(\s*38",
+        re.IGNORECASE | re.MULTILINE,
+    )
+    return bool(pat.search(before))
 
 
 def scan() -> list[tuple[str, int, str]]:
     """(relpath, lineno, normalized-arg) for every unhardened, non-
-    allowlisted product sum under the package."""
+    allowlisted Spark-side product sum under the package."""
     hits: list[tuple[str, int, str]] = []
     for dirpath, _dirnames, filenames in os.walk(PKG):
         for fn in sorted(filenames):
@@ -97,29 +215,55 @@ def scan() -> list[tuple[str, int, str]]:
                 continue
             path = os.path.join(dirpath, fn)
             text = open(path, encoding="utf-8").read()
-            for m in re.finditer(r"(?:F\.sum|\bSUM)\s*(\()", text):
-                arg = _balanced_arg(text, m.start(1))
-                if not _MUL.search(arg):
+            for m in re.finditer(r"(F\.sum|\bSUM)\s*(\()", text):
+                is_spark = m.group(1) == "F.sum" or _sql_is_spark(text, m.start())
+                if not is_spark:
+                    continue  # DuckDB oracle text: SUM promotes to HUGEINT
+                arg = _balanced_arg(text, m.start(2))
+                products = _real_products(arg)
+                if not products:
                     continue
                 if _WIDE.search(arg) or _INDICATOR.search(arg):
                     continue
+                if any(
+                    _operand_widened_upstream(text, m.start(), op)
+                    for pair in products
+                    for op in pair
+                ):
+                    continue
                 norm = _normalize(arg)
-                if any(norm.startswith(a) or a in norm for a in ALLOWLIST):
+                if any(norm.startswith(_normalize(a)) for a in ALLOWLIST):
                     continue
                 lineno = text.count("\n", 0, m.start()) + 1
                 hits.append((os.path.relpath(path, ROOT), lineno, norm[:120]))
     return hits
 
 
+def pinned_dec_placeholders() -> list[tuple[str, int, str]]:
+    """Every ``dec = "..."`` assignment under the package — the test
+    pins each to DECIMAL(38,0) so the {dec} widening evidence is real."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(PKG):
+        for fn in sorted(filenames):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            text = open(path, encoding="utf-8").read()
+            for m in re.finditer(r'^\s*dec\s*=\s*"([^"]*)"', text, re.MULTILINE):
+                lineno = text.count("\n", 0, m.start()) + 1
+                out.append((os.path.relpath(path, ROOT), lineno, m.group(1)))
+    return out
+
+
 def main() -> int:
     hits = scan()
     if not hits:
-        print("width audit clean: every product sum is 128-bit or allowlisted")
+        print("width audit clean: every Spark-side product sum is 128-bit, operand-widened, or allowlisted")
         return 0
     print(f"{len(hits)} unaudited product sum(s):")
     for path, lineno, snippet in hits:
         print(f"  {path}:{lineno}  SUM({snippet}...)")
-    print("widen to DECIMAL(38,0)/HUGEINT or allowlist WITH JUSTIFICATION in tools/width_audit.py")
+    print("widen to DECIMAL(38,0) or allowlist WITH JUSTIFICATION in tools/width_audit.py")
     return 1
 
 
