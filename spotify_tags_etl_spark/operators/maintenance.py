@@ -1814,9 +1814,9 @@ def xs07(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 1, 8))::UBIGINT AS h
       FROM orders
     )
-    SELECT 'events' AS tbl, COUNT(*) AS n_rows, CAST(SUM(h) AS BIGINT) AS checksum FROM e
+    SELECT 'events' AS tbl, COUNT(*) AS n_rows, CAST(SUM(h::HUGEINT) AS VARCHAR) AS checksum FROM e
     UNION ALL
-    SELECT 'orders', COUNT(*), CAST(SUM(h) AS BIGINT) FROM o
+    SELECT 'orders', COUNT(*), CAST(SUM(h::HUGEINT) AS VARCHAR) FROM o
     ORDER BY tbl
     """,
     doc=(
@@ -1832,7 +1832,12 @@ def xs07(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disagree). Map-combined sum, constant-size output; floats "
         "enter only through the documented cents normalization — "
         "raw float rendering is engine-dependent and is exactly what "
-        "a portable checksum must never include."
+        "a portable checksum must never include. The sum of uint32 "
+        "chunks accumulates in DECIMAL(38,0)/HUGEINT (rendered as a "
+        "digit string): an int64 accumulator passes 2^63 at ~2.1e9 "
+        "rows — Spark would wrap silently while the oracle's down-"
+        "cast errors, the exact silent-divergence class the width "
+        "audit exists to kill, and 2e9 rows is ordinary at 100 TB."
     ),
     tags=("quality", "checksum", "replication"),
 )
@@ -1848,7 +1853,11 @@ def xz21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.concat_ws(":", *safe)), 1, 8), 16, 10
         ).cast("bigint")
         return df.agg(
-            F.count(F.lit(1)).alias("n_rows"), F.sum(h).cast("bigint").alias("checksum")
+            F.count(F.lit(1)).alias("n_rows"),
+            # DECIMAL(38,0) accumulator: uint32 addends pass an int64
+            # accumulator's 2^63 at ~2.1e9 rows (Spark wraps silently,
+            # the oracle's HUGEINT is exact) — emit as a digit string.
+            F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
         ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
 
     ev = load_table(spark, sf_dir, "events")

@@ -1553,7 +1553,7 @@ def xw09(spark: SparkSession, sf_dir: str) -> DataFrame:
              || COALESCE(CAST(user_id AS VARCHAR), '~null~') || ':'
              || COALESCE(CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR), '~null~')
              || ':' || COALESCE(event_type, '~null~')
-           ), 1, 8))::UBIGINT) AS BIGINT) AS checksum
+           ), 1, 8))::UBIGINT::HUGEINT) AS VARCHAR) AS checksum
     FROM events
     """,
     doc=(
@@ -1597,14 +1597,18 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    enriched = stream.select(h.alias("h"))
+    # DECIMAL(38,0) accumulator, mirroring xz21: the standing checksum
+    # passes int64's 2^63 at ~2.1e9 rows (Spark wraps silently, the
+    # oracle's HUGEINT is exact) — state and output stay 128-bit.
+    enriched = stream.select(h.cast("decimal(38,0)").alias("h"))
 
     root = tempfile.mkdtemp(prefix="xw10_chk_")
     current: list[str] = []
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         part = batch.agg(
-            F.count(F.lit(1)).alias("n_rows"), F.sum("h").cast("bigint").alias("checksum")
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("decimal(38,0)").alias("checksum"),
         )
         if current:
             stored = spark.read.parquet(current[0])
@@ -1612,7 +1616,7 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stored.unionByName(part)
                 .agg(
                     F.sum("n_rows").cast("bigint").alias("n_rows"),
-                    F.sum("checksum").cast("bigint").alias("checksum"),
+                    F.sum("checksum").cast("decimal(38,0)").alias("checksum"),
                 )
             )
         target = os.path.join(root, f"v{batch_id}")
@@ -1622,10 +1626,14 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_foreach_batch(enriched, apply_batch)
 
     if not current:
-        return spark.createDataFrame([], "tbl string, n_rows long, checksum long")
+        return spark.createDataFrame([], "tbl string, n_rows long, checksum string")
     out = (
         spark.read.parquet(current[0])
-        .select(F.lit("events").alias("tbl"), "n_rows", "checksum")
+        .select(
+            F.lit("events").alias("tbl"),
+            "n_rows",
+            F.col("checksum").cast("string").alias("checksum"),
+        )
         .localCheckpoint(eager=True)
     )
     shutil.rmtree(root, ignore_errors=True)
