@@ -100,11 +100,17 @@ def decode_png(data: bytes) -> np.ndarray:
     bitdepth = colortype = interlace = None
     idat = bytearray()
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG (partial chunk header)")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated PNG ({tag!r} chunk exceeds payload)")
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if length != 13:
+                raise ValueError("corrupt PNG (IHDR length != 13)")
             width, height, bitdepth, colortype, _, _, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
@@ -120,8 +126,16 @@ def decode_png(data: bytes) -> np.ndarray:
             f"interlace={interlace}); this decoder handles 8-bit RGB/RGBA non-interlaced"
         )
     bpp = 3 if colortype == 2 else 4
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG (IDAT inflate failed: {exc})") from exc
     stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"truncated PNG (inflated {len(raw)} bytes, "
+            f"need {height * (1 + stride)} for {width}x{height}x{bpp})"
+        )
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     off = 0

@@ -197,6 +197,11 @@ def yd02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum1, n = prefix_sum(per, [F.col("c").asc()], "n1", sum_col="cum1")
     cum2, m = prefix_sum(cum1, [F.col("c").asc()], "n2", sum_col="cum2")
+    if not n or not m:
+        # One sample empty: D is undefined and the oracle's GROUP BY
+        # over an empty census emits ZERO rows — mirror that instead of
+        # Spark's one all-NULL global-aggregate row (and a 0-divisor).
+        return spark.createDataFrame([], "n_a bigint, n_b bigint, ks_ppm bigint")
     diff_ppm = F.expr(
         f"CAST(ABS(CAST(cum1 AS DECIMAL(38,0)) * {m} - CAST(cum2 AS DECIMAL(38,0)) * {n})"
         f" * 1000000 DIV (CAST({n} AS DECIMAL(38,0)) * {m}) AS BIGINT)"
@@ -587,6 +592,13 @@ def yg02(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The A-sample total is a plain aggregate over the checkpointed frame
     # (O(#distinct cents) rows — not a data-sized pass).
     n = rows.agg(F.sum("n1")).collect()[0][0]
+    if not n or not (total - n):
+        # Empty census → SUM(n1) is NULL (f-string would render the
+        # literal token None); one-sided census → 0 divisor. The
+        # oracle's GROUP BY emits zero rows in both cases — mirror it.
+        return spark.createDataFrame(
+            [], "n_a bigint, n_b bigint, two_u string, auc_ppm bigint"
+        )
     m = total - n
     return rows.agg(
         F.lit(n).cast("bigint").alias("n_a"),
@@ -1485,6 +1497,13 @@ def yd03(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2, sx_tot = prefix_sum(c1, [F.col("v").asc()], "xv", sum_col="cum_sx")
     c3, m = prefix_sum(c2, [F.col("v").asc()], "cy", sum_col="cum_cy")
     c4, sy_tot = prefix_sum(c3, [F.col("v").asc()], "yv", sum_col="cum_sy")
+    if not n or not m:
+        # One sample empty: the statistic is undefined and the oracle's
+        # grouped spelling emits zero rows — mirror it (no all-NULL row).
+        return spark.createDataFrame(
+            [],
+            "n_a bigint, n_b bigint, sxy string, sxx string, syy string, energy_num string",
+        )
     dec = "DECIMAL(38,0)"
     sxy = (
         f"SUM(CAST(cy AS {dec}) * (CAST(v AS {dec}) * (2 * cum_cx - {n})"

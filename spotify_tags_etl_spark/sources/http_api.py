@@ -119,9 +119,16 @@ def _get_with_retry(cfg: HttpApiConfig, url: str) -> "requests.Response":
             last = resp
             continue
         if resp.status_code == 429 or resp.status_code >= 500:
-            delay = float(resp.headers.get("Retry-After", BACKOFF_S * (attempt + 1)))
-            time.sleep(delay)
             last = resp
+            if attempt == MAX_ATTEMPTS - 1:
+                break  # no retry left — don't burn the backoff delay
+            try:
+                # RFC 7231 also allows an HTTP-date here; on anything
+                # non-numeric fall back to linear backoff.
+                delay = float(resp.headers["Retry-After"])
+            except (KeyError, ValueError):
+                delay = BACKOFF_S * (attempt + 1)
+            time.sleep(delay)
             continue
         resp.raise_for_status()
         return resp

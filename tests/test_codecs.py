@@ -80,3 +80,27 @@ def test_decode_image_batch_real_dispatch():
     assert out.loc[0, "feature_hash"] != out.loc[1, "feature_hash"]
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"\xff\xd8\xff jpeg-ish"]), fake=False)
+
+
+@pytest.mark.parametrize(
+    "mangle",
+    [
+        pytest.param(lambda b: b[: len(b) - 20], id="truncated-tail"),
+        pytest.param(lambda b: b[:14], id="partial-chunk-header"),
+        pytest.param(
+            lambda b: b[:33] + b"\x00\x00\x00\x08IDATnope" + b[33:], id="garbage-idat"
+        ),
+        pytest.param(
+            # IHDR claims a taller image than the IDAT stream carries
+            lambda b: b[:16] + b"\x00\x00\x01\x00" + b[20:], id="short-scanlines"
+        ),
+    ],
+)
+def test_decode_png_rejects_corrupt_payloads_cleanly(mangle):
+    """Truncated/corrupt PNGs must surface as ValueError('…PNG…'), not
+    struct.error/IndexError/zlib.error from inside the scanline loop —
+    decode_image_batch(fake=False) routes any PNG-magic payload here."""
+    good = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    bad = mangle(good)
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(bad)

@@ -178,3 +178,68 @@ def test_spark_reads_full_catalog_through_http(spark, api_server):
     )
     # the whole catalog came over HTTP in <=50-item pages + the probe
     assert state.search_calls >= N_ITEMS // 50 + 1
+
+
+@pytest.fixture()
+def always_429_server():
+    """A server whose /search always answers 429 with an HTTP-date
+    Retry-After — the RFC 7231 form float() cannot parse."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code, body, extra=None):
+            payload = json.dumps(body).encode()
+            self.send_response(code)
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            self._json(200, {"access_token": "tok-x", "expires_in": 3600})
+
+        def do_GET(self):
+            self._json(
+                429,
+                {"error": "rate"},
+                {"Retry-After": "Fri, 15 Aug 2026 00:00:00 GMT"},
+            )
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    cfg = HttpApiConfig(
+        search_url=f"{base}/search",
+        token_url=f"{base}/token",
+        client_id=CLIENT_ID,
+        client_secret=CLIENT_SECRET,
+    )
+    _TOKENS.clear()
+    try:
+        yield cfg
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_date_retry_after_falls_back_and_final_attempt_does_not_sleep(
+    always_429_server, monkeypatch
+):
+    """RFC 7231 allows an HTTP-date Retry-After: the parse must fall
+    back to linear backoff instead of raising ValueError, and the FINAL
+    attempt must raise immediately instead of sleeping a delay no retry
+    will ever use."""
+    import spotify_tags_etl_spark.sources.http_api as ha
+
+    slept: list[float] = []
+    monkeypatch.setattr(ha.time, "sleep", slept.append)
+    with pytest.raises(RuntimeError, match="429"):
+        ha._get_with_retry(always_429_server, always_429_server.search_url)
+    # linear-backoff fallback values, one per NON-final attempt
+    assert slept == [ha.BACKOFF_S * (i + 1) for i in range(ha.MAX_ATTEMPTS - 1)]

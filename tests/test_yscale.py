@@ -518,3 +518,42 @@ def test_yw02_publishes_only_the_clean_candidate(spark, sf_dir):
     pointed = open(sorted(markers, key=os.path.getmtime)[-1]).read()
     assert pointed.endswith("/staging/clean")
     assert os.path.isdir(pointed)
+
+
+def test_two_sample_stats_emit_zero_rows_on_empty_or_one_sided_input(spark, tmp_path):
+    """yd02/yg02/yd03 on a fixture with no qualifying click/purchase
+    rows: the DuckDB oracles' grouped spellings emit ZERO rows, so the
+    Spark side must short-circuit to an empty frame — not crash on a
+    None plan literal (yg02) or emit one all-NULL aggregate row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spotify_tags_etl_spark.operators.yscale import yd02, yd03, yg02
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    # one 'view' row: nonempty table, but ZERO click/purchase rows
+    tbl = pa.table(
+        {
+            "event_id": [1],
+            "ts": [1700000000000000],
+            "user_id": [7],
+            "event_type": ["view"],
+            "value": [1.5],
+            "props": ["{}"],
+        },
+        schema=schema,
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    for fn in (yd02, yg02, yd03):
+        out = fn(spark, str(tmp_path))
+        assert out.count() == 0, fn.__name__
+        assert len(out.schema) >= 3, fn.__name__
