@@ -44,39 +44,18 @@ METRICS = {
 
 
 def audited_names() -> list[str]:
-    """The bench population PLUS the current driver window: every suite
-    member that is a batch query (streaming builders drive the streaming
-    engine; their 'plan' is the per-batch one and is pinned by the
-    streaming tests instead), plus the first 50 registry names in sort
-    order — the queries the driver is about to freeze-verify, whose plan
-    regressions must be caught BEFORE rotation stops re-checking them —
-    plus every scalerank rewrite."""
-    import bench
+    """EVERY registered batch query (streaming builders drive the
+    streaming engine; their 'plan' is the per-batch one and is pinned by
+    the streaming tests instead). The round-5 audit covered only
+    bench ∪ unfrozen — which made the 159 driver-frozen ``zv_`` queries
+    exactly the ones whose plan regressions nothing would catch (the
+    driver never re-checks them, and the ratchet didn't either). Full
+    coverage closes that blind spot."""
     from spotify_tags_etl_spark.plans import registry
 
-    names = (
-        bench.HEADLINE
-        + bench.LLM_SUITE
-        + bench.CLASSICS_SUITE
-        + bench.ANALYTICS_SUITE
-        + bench.CURATION_SUITE
-        + bench.MINING_SUITE
-    )
-    # Every query the driver has NOT yet frozen (the current window plus
-    # the whole unverified backlog): these are the plans that must not
-    # regress before their one-shot driver check.
-    unfrozen = sorted(n for n in registry.all_queries() if not n.startswith("zv_"))
-    rewrites = [
-        "xc02_rfm_segments",
-        "xh01_equi_depth_histogram",
-        "xi01_pps_systematic_sample",
-        "xi04_curriculum_order",
-        "xj02_key_skew_metrics",
-        "xw05_watermark_lateness_audit",
-    ]
     seen: set[str] = set()
     out: list[str] = []
-    for n in names + unfrozen + rewrites:
+    for n in sorted(registry.all_queries()):
         base = n[3:] if n.startswith("zv_") else n
         if base in seen:
             continue
