@@ -1,0 +1,392 @@
+"""Training-run planner / eval operators (round 6).
+
+The four queries here cover the last planning steps between a curated
+corpus (yp01) and a training job actually consuming it — the pieces a
+dataloader needs answered ahead of time, each as exact-integer
+relational algebra with a DuckDB oracle:
+
+* ``yv01_mixing_schedule`` — largest-remainder apportionment of a
+  fixed-size training block across sources (the source-mixing quota
+  table a sampler consumes);
+* ``yv02_mrr_eval`` — retrieval-quality eval as exact integer MRR over
+  int8-quantized dot products;
+* ``yv03_vocab_coverage`` — smallest frequency-ranked vocabulary
+  covering ≥99% of token occurrences (tokenizer sizing);
+* ``yv04_epoch_shuffle`` — deterministic per-epoch reshuffle plan
+  (hash-derived positions, no stored permutation).
+
+Reference parity: the reference ETL (averille-demo/spotify-tags-etl)
+stops at loading curated rows; these extend the engine along the
+training-data axis the build brief mandates, composing with tz04/tz07
+(sharding, temperature mixing) and xi04 (curriculum order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+#: Training-block size apportioned by yv01 (docs per block).
+YV01_BLOCK = 1024
+
+#: Query-set stride for yv02 (every 20th vector is a query).
+YV02_STRIDE = 20
+
+#: Rank-key scale: key = score * 2^24 - cand_id encodes (score DESC,
+#: cand_id ASC) in one int64 (|score| <= 127*127*64 ~ 1.04e6, so
+#: |key| <= 1.8e13 — exact in both engines).
+YV02_KEY_SCALE = 1 << 24
+
+#: Coverage target for yv03 in permille.
+YV03_TARGET_PERMILLE = 990
+
+#: Epochs planned / shard count for yv04.
+YV04_EPOCHS, YV04_SHARDS = 3, 8
+
+
+# ---------------------------------------------------------------------------
+# yv01 — largest-remainder source-mixing schedule
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv01_mixing_schedule",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+      FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(chars) AS total FROM s),
+    fl AS (
+      SELECT source, n_docs, chars,
+             CAST(CAST(chars AS HUGEINT) * {YV01_BLOCK} // t.total AS BIGINT) AS fl,
+             CAST(CAST(chars AS HUGEINT) * {YV01_BLOCK} % t.total AS BIGINT) AS rem
+      FROM s, t
+    ),
+    e AS (SELECT CAST({YV01_BLOCK} - SUM(fl) AS BIGINT) AS extra FROM fl),
+    r AS (
+      SELECT fl.*, ROW_NUMBER() OVER (ORDER BY rem DESC, chars DESC, source ASC) AS rk
+      FROM fl
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(chars AS BIGINT) AS chars,
+           CAST(fl + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r, e ORDER BY source
+    """,
+    doc=(
+        "Largest-remainder (Hamilton) apportionment of a "
+        f"{YV01_BLOCK}-doc training block across sources, proportional "
+        "to each source's char mass — the mixing-quota table a "
+        "dataloader consumes per block. Exact by construction: floor "
+        "quotas via 128-bit product division (chars x block passes "
+        "2^63 once a source holds ~9e15 chars — real at 100 TB), "
+        "remainders ranked (rem DESC, chars DESC, source ASC — total "
+        "order), the leftover seats topped up one each; quotas sum to "
+        "EXACTLY the block size, which the test pins. Shape: one "
+        "map-combined groupBy(source), then every remaining step on "
+        "the O(#sources) quota frame (broadcast scalars, one tiny "
+        "window — xr03's documented bounded-frame pattern). Composes "
+        "with tz07 (which draws the sample this schedule sizes)."
+    ),
+    tags=("training", "planner", "llm-pipeline"),
+)
+def yv01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    total = s.agg(F.sum("chars").cast("bigint").alias("total"))
+    fl = s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.expr(
+            f"CAST(CAST(chars AS DECIMAL(38,0)) * {YV01_BLOCK} DIV total AS BIGINT)"
+        ).alias("fl"),
+        F.expr(
+            f"CAST(CAST(chars AS DECIMAL(38,0)) * {YV01_BLOCK} % total AS BIGINT)"
+        ).alias("rem"),
+    )
+    extra = fl.agg((F.lit(YV01_BLOCK) - F.sum("fl")).cast("bigint").alias("extra"))
+    # O(#sources) frame: the global window is the xr03 bounded-frame
+    # pattern (thousands of sources at most), not a data-sized reducer.
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("chars").desc(), F.col("source").asc())
+    )
+    return (
+        fl.withColumn("rk", rk)
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "source",
+            "n_docs",
+            "chars",
+            (F.col("fl") + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv02 — exact integer MRR retrieval eval
+# ---------------------------------------------------------------------------
+
+_Q8 = "CAST(floor(CAST({v} AS DOUBLE) * 127) AS BIGINT)"
+
+
+@register(
+    "yv02_mrr_eval",
+    oracle=f"""
+    WITH qx AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             {_Q8.format(v='unnest(embedding)')} AS q
+      FROM embeddings WHERE vec_id % {YV02_STRIDE} = 0
+    ),
+    cx AS (
+      SELECT vec_id AS cid, label AS clabel,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             {_Q8.format(v='unnest(embedding)')} AS q
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT qx.qid, qx.qlabel, cx.cid, cx.clabel,
+             SUM(qx.q * cx.q) * {YV02_KEY_SCALE} - cx.cid AS key
+      FROM qx JOIN cx ON cx.i = qx.i
+      WHERE cx.cid <> qx.qid
+      GROUP BY qx.qid, qx.qlabel, cx.cid, cx.clabel
+    ),
+    rel AS (
+      SELECT qid, MAX(key) AS bkey FROM pairs
+      WHERE clabel = qlabel GROUP BY qid
+    ),
+    rk AS (
+      SELECT p.qid,
+             1 + COUNT(*) FILTER (WHERE p.key > rel.bkey) AS r
+      FROM pairs p JOIN rel ON rel.qid = p.qid
+      GROUP BY p.qid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(1000000 // r) AS BIGINT) AS sum_rr_ppm,
+           CAST(SUM(1000000 // r) // COUNT(*) AS BIGINT) AS mrr_ppm
+    FROM rk
+    """,
+    doc=(
+        "Retrieval eval as EXACT integer MRR: every "
+        f"{YV02_STRIDE}th vector queries the full candidate set, "
+        "scored by int8-quantized dot product (vx02/ye01's floor "
+        "spelling — engine-exact); the first relevant hit's rank is "
+        "computed WITHOUT sorting anything: encode (score DESC, id "
+        "ASC) into one int64 key, take the best relevant key per "
+        "query (one groupBy), then rank = 1 + count of strictly "
+        "better keys (second groupBy). Reciprocal ranks in truncated "
+        "ppm — deterministic cross-engine, unlike float MRR. Shape: "
+        "query side is O(n/stride) and BROADCASTS; candidates stream "
+        "through one scan (ss01's quarantined-exact-baseline shape "
+        "with a bounded query set — the production ANN path is "
+        "xe04/ss02, this is its recall/MRR anchor, xe05's pattern). "
+        "Sum widths: rr <= 1e6 per query, int64-safe to 9e12 queries."
+    ),
+    tags=("similarity", "eval", "llm-pipeline"),
+)
+def yv02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % YV02_STRIDE == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+    )
+    score = F.expr(
+        "aggregate(zip_with(qe, ce, (a, b) -> "
+        "CAST(floor(CAST(a AS DOUBLE) * 127) AS BIGINT)"
+        " * CAST(floor(CAST(b AS DOUBLE) * 127) AS BIGINT)), 0L, (acc, x) -> acc + x)"
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "cid",
+            "clabel",
+            (score * YV02_KEY_SCALE - F.col("cid")).alias("key"),
+        )
+    )
+    rel = (
+        pairs.where(F.col("clabel") == F.col("qlabel"))
+        .groupBy("qid")
+        .agg(F.max("key").alias("bkey"))
+    )
+    rk = (
+        # rel is O(#queries) rows — broadcast, or the planner SMJs the
+        # data-sized pair frame against it.
+        pairs.join(F.broadcast(rel), "qid")
+        .groupBy("qid")
+        .agg((1 + F.sum(F.when(F.col("key") > F.col("bkey"), 1).otherwise(0))).alias("r"))
+    )
+    return rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.expr("1000000 DIV r")).cast("bigint").alias("sum_rr_ppm"),
+        F.expr("CAST(SUM(1000000 DIV r) DIV COUNT(*) AS BIGINT)").alias("mrr_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv03 — frequency-ranked vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv03_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM tf),
+    ranked AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token ASC ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tf
+    )
+    SELECT CAST(MIN(r) AS BIGINT) AS vocab_size,
+           MIN_BY(token, r) AS boundary_token,
+           CAST(CAST(MIN_BY(cum, r) AS HUGEINT) * 1000000 // tot.total AS BIGINT)
+             AS coverage_ppm,
+           CAST(tot.total AS BIGINT) AS total_tokens
+    FROM ranked, tot
+    WHERE 1000 * cum >= {YV03_TARGET_PERMILLE} * tot.total
+    GROUP BY tot.total
+    """,
+    doc=(
+        "Tokenizer sizing: the smallest frequency-ranked vocabulary "
+        f"covering >={YV03_TARGET_PERMILLE}permille of corpus token "
+        "occurrences — emitted as (vocab_size, boundary token, exact "
+        "coverage ppm, total). The Zipf curve xt05 plots, turned into "
+        "the planning decision (vocab budget) a tokenizer build "
+        "needs. Shape: one token groupBy, then BOTH the global rank "
+        "and the running occurrence total ride scalerank (range "
+        "layout + parallel per-partition windows + broadcast offsets "
+        "— no single-reducer pass over the ~1e8-term vocabulary a "
+        "100 TB corpus induces; the oracle keeps the windowed "
+        "spelling as truth anchor). Crossing row selected by one "
+        "min_by aggregate. Coverage ppm through a 128-bit product "
+        "(cum x 1e6 wraps int64 past 9e12 occurrences — real at "
+        "100 TB)."
+    ),
+    tags=("text", "planner", "llm-pipeline"),
+)
+def yv03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.scalerank import global_rank, prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    cum_df, total = prefix_sum(tf, order, "cnt", sum_col="cum")
+    ranked, _n = global_rank(cum_df, order, rank_col="r")
+    crossing = ranked.where(F.lit(1000) * F.col("cum") >= F.lit(YV03_TARGET_PERMILLE) * F.lit(total))
+    return crossing.agg(
+        F.min("r").cast("bigint").alias("vocab_size"),
+        F.expr("min_by(token, r)").alias("boundary_token"),
+        F.expr(
+            f"CAST(CAST(min_by(cum, r) AS DECIMAL(38,0)) * 1000000 DIV {total} AS BIGINT)"
+        ).alias("coverage_ppm"),
+        F.lit(total).cast("bigint").alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv04 — deterministic per-epoch shuffle plan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv04_epoch_shuffle",
+    oracle=f"""
+    WITH p AS (
+      SELECT ge.epoch, d.doc_id, d.n_chars,
+             ('0x' || substr(md5('e:' || CAST(ge.epoch AS VARCHAR) || ':'
+                                 || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS pos
+      FROM documents d, generate_series(0, {YV04_EPOCHS - 1}) AS ge(epoch)
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch,
+           CAST(pos % {YV04_SHARDS} AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(pos) AS BIGINT) AS min_pos,
+           CAST(MAX(pos) AS BIGINT) AS max_pos
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc=(
+        f"Deterministic per-epoch reshuffle plan: for {YV04_EPOCHS} "
+        "epochs, each doc gets a pseudo-random 32-bit position "
+        "hash(epoch, doc_id) and a shard = position mod "
+        f"{YV04_SHARDS}; the plan emits per-(epoch, shard) doc/char "
+        "loads plus position bounds. This is how multi-epoch training "
+        "re-shuffles 100 TB WITHOUT materializing (or storing) a "
+        "permutation per epoch: position is a pure column expression, "
+        "so epoch N's order is reproducible from the seed alone, "
+        "restartable mid-epoch (resume = filter pos > checkpoint), "
+        "and maps to ONE hash exchange on (epoch, shard) here — the "
+        "same md5-derived uniformity argument as tz01's stratified "
+        "sampler, so shard skew is binomial-tight. Composes with "
+        "tz04 (static shard plan) and xi04 (curriculum overrides "
+        "epoch 0's order)."
+    ),
+    tags=("training", "planner", "llm-pipeline"),
+)
+def yv04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    p = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(YV04_EPOCHS - 1))).alias("epoch"),
+    ).select(
+        "epoch",
+        "n_chars",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("e:"),
+                        F.col("epoch").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("pos"),
+    )
+    return (
+        p.groupBy(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            (F.col("pos") % YV04_SHARDS).cast("bigint").alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("pos").cast("bigint").alias("min_pos"),
+            F.max("pos").cast("bigint").alias("max_pos"),
+        )
+        .orderBy("epoch", "shard")
+    )

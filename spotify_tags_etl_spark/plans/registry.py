@@ -317,6 +317,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.classics2",
         "spotify_tags_etl_spark.operators.ycuration",
         "spotify_tags_etl_spark.operators.yscale",
+        "spotify_tags_etl_spark.operators.ytrain",
         "spotify_tags_etl_spark.operators.dedup",
         "spotify_tags_etl_spark.operators.similarity",
         "spotify_tags_etl_spark.operators.textops",
