@@ -52,6 +52,11 @@ LLM_SUITE = [
     "yc01_chunk_documents",
     "yf01_repetition_score",
     "yx01_split_leakage_audit",
+    # round-6 (operators/ytrain.py): training-run planners/evals
+    "yv01_mixing_schedule",
+    "yv02_mrr_eval",
+    "yv03_vocab_coverage",
+    "yv04_epoch_shuffle",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the
