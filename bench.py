@@ -57,6 +57,10 @@ LLM_SUITE = [
     "yv02_mrr_eval",
     "yv03_vocab_coverage",
     "yv04_epoch_shuffle",
+    # round-6 (operators/yrlhf.py): preference-data construction + eval
+    # scoring — the RLHF-era half of the training-data story
+    "yv05_preference_pairs",
+    "yv08_pass_at_k",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

@@ -1,0 +1,783 @@
+"""Preference-data / eval operators for an RLHF-era pipeline (round 6).
+
+The reference ETL (averille-demo/spotify-tags-etl) ends at curated rows;
+a modern training-data platform also has to PREPARE PREFERENCE DATA and
+SCORE MODEL OUTPUTS. This module adds that axis, each op as exact-integer
+relational algebra with a DuckDB oracle (labels/ratings are md5-derived
+from stable ids — the ye01/yv04 synthesis pattern, so every SF is
+deterministic and the oracle is closed-form):
+
+* ``yv05_preference_pairs`` — DPO-style (chosen, rejected) pair
+  construction per prompt group with total-order tiebreaks;
+* ``yv06_annotator_kappa`` — Cohen's kappa inter-annotator agreement,
+  exact ppm via 128-bit cross-multiplication;
+* ``yv07_winrate_matrix`` — pairwise head-to-head win-rate matrix
+  (the arena-style table a model-selection loop reads);
+* ``yv08_pass_at_k`` — the unbiased pass@k estimator
+  (1 - C(n-c,k)/C(n,k)) as exact integer ppm, histogrammed;
+* ``yv09_grpo_advantage`` — group-relative advantage summary
+  (GRPO-style r_i - mean(group), kept integer as n*r_i - sum_r);
+* ``yv11_best_of_n_value`` — expected best-of-n policy value via the
+  exact order-statistics identity sum r_(i)*C(i-1,k-1)/C(n,k);
+* ``yv12_calibration_bins`` — reliability diagram (accuracy vs stated
+  confidence per decile) in exact 128-bit ppm;
+* ``yv13_preference_cycles`` — intransitivity audit over the arena
+  matrix (cyclic triads), the gate before fitting Elo/BT rankings.
+
+Scale notes are per-op; none of these introduces a data-sized
+single-reducer stage (the only global ORDER BY sites are final
+O(#groups) result orderings, which the driver consumes sorted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+#: Docs per prompt group in yv05 (doc_id DIV 5).
+YV05_GROUP = 5
+
+#: Rating modulus shared by yv05/yv07/yv09.
+_RMOD = 1000
+
+#: (rating DESC, doc_id ASC) one-int64 encoding: key = r*1e12 - doc_id.
+#: Exact while doc_id < 1e12 (|key| <= 1e15) — documented bound; at
+#: larger id widths widen to DECIMAL(38,0) on both sides.
+_KEY_SCALE = 10**12
+
+#: Number of synthetic models in yv07's arena.
+YV07_MODELS = 6
+
+#: Samples per problem-group (event_id DIV 20) and k for yv08.
+YV08_GROUP, YV08_K = 20, 5
+
+#: Samples per prompt group for yv09 (event_id DIV 16).
+YV09_GROUP = 16
+
+
+def _h(tag: str, col: str) -> str:
+    """Spark SQL: first-32-bits-of-md5 integer from a tagged id."""
+    return (
+        f"CAST(conv(substring(md5(concat('{tag}:', CAST({col} AS STRING))), 1, 8),"
+        f" 16, 10) AS BIGINT)"
+    )
+
+
+def _hd(tag: str, col: str) -> str:
+    """DuckDB twin of :func:`_h` (same bytes, same integer)."""
+    return f"('0x' || substr(md5('{tag}:' || CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# yv05 — DPO-style preference-pair construction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv05_preference_pairs",
+    oracle=f"""
+    WITH rated AS (
+      SELECT doc_id // {YV05_GROUP} AS pid, doc_id,
+             {_hd('r', 'doc_id')} % {_RMOD} AS rating
+      FROM documents
+    ),
+    keyed AS (
+      SELECT pid, doc_id, rating,
+             rating * {_KEY_SCALE} - doc_id AS key
+      FROM rated
+    ),
+    g AS (
+      SELECT pid,
+             COUNT(*) AS n_cands,
+             MAX_BY(doc_id, key) AS chosen_doc,
+             MAX_BY(rating, key) AS chosen_rating,
+             MIN_BY(doc_id, key) AS rejected_doc,
+             MIN_BY(rating, key) AS rejected_rating
+      FROM keyed GROUP BY pid
+    )
+    SELECT CAST(pid AS BIGINT) AS pid,
+           CAST(n_cands AS BIGINT) AS n_cands,
+           CAST(chosen_doc AS BIGINT) AS chosen_doc,
+           CAST(rejected_doc AS BIGINT) AS rejected_doc,
+           CAST(chosen_rating AS BIGINT) AS chosen_rating,
+           CAST(rejected_rating AS BIGINT) AS rejected_rating,
+           CAST(chosen_rating - rejected_rating AS BIGINT) AS margin
+    FROM g
+    WHERE n_cands >= 2 AND chosen_rating > rejected_rating
+    ORDER BY pid
+    """,
+    doc=(
+        "DPO-style preference-pair construction: responses (documents) "
+        f"are grouped into prompts of {YV05_GROUP}; per prompt the "
+        "highest- and lowest-rated responses become (chosen, rejected), "
+        "tie-broken by doc_id through a single injective int64 key "
+        "(rating * 1e12 - doc_id encodes rating DESC, id ASC — no "
+        "sort, no window: two max_by/min_by aggregates). Groups with "
+        "<2 candidates or a zero margin are dropped, matching DPO "
+        "practice of discarding ties. Shape: ONE map-combined "
+        "groupBy(pid) — a 100 TB response log becomes pairs in a "
+        "single hash exchange. Ratings are md5-derived (ye01/yv04 "
+        "synthesis pattern) so the oracle is closed-form."
+    ),
+    tags=("rlhf", "training", "llm-pipeline"),
+)
+def yv05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        F.expr(f"doc_id DIV {YV05_GROUP}").alias("pid"),
+        "doc_id",
+        (F.expr(_h("r", "doc_id")) % _RMOD).alias("rating"),
+    ).withColumn("key", F.col("rating") * _KEY_SCALE - F.col("doc_id"))
+    g = keyed.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.expr("max_by(doc_id, key)").alias("chosen_doc"),
+        F.expr("max_by(rating, key)").alias("chosen_rating"),
+        F.expr("min_by(doc_id, key)").alias("rejected_doc"),
+        F.expr("min_by(rating, key)").alias("rejected_rating"),
+    )
+    return (
+        g.where((F.col("n_cands") >= 2) & (F.col("chosen_rating") > F.col("rejected_rating")))
+        .select(
+            F.col("pid").cast("bigint").alias("pid"),
+            F.col("n_cands").cast("bigint").alias("n_cands"),
+            F.col("chosen_doc").cast("bigint").alias("chosen_doc"),
+            F.col("rejected_doc").cast("bigint").alias("rejected_doc"),
+            F.col("chosen_rating").cast("bigint").alias("chosen_rating"),
+            F.col("rejected_rating").cast("bigint").alias("rejected_rating"),
+            (F.col("chosen_rating") - F.col("rejected_rating")).cast("bigint").alias("margin"),
+        )
+        .orderBy("pid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv06 — Cohen's kappa inter-annotator agreement (exact ppm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv06_annotator_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT {_hd('a', 'event_id')} % 3 AS la,
+             {_hd('b', 'event_id')} % 3 AS lb
+      FROM events
+    ),
+    cells AS (SELECT la, lb, COUNT(*) AS c FROM lab GROUP BY la, lb),
+    rowm AS (SELECT la AS lbl, SUM(c) AS rm FROM cells GROUP BY la),
+    colm AS (SELECT lb AS lbl, SUM(c) AS cm FROM cells GROUP BY lb),
+    pe AS (
+      SELECT SUM(CAST(COALESCE(rm, 0) AS HUGEINT) * COALESCE(cm, 0)) AS pe_num
+      FROM rowm FULL JOIN colm USING (lbl)
+    ),
+    tot AS (
+      SELECT SUM(c) AS n, SUM(c) FILTER (WHERE la = lb) AS agree FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(agree AS BIGINT) AS agree,
+           CAST(CAST(agree AS HUGEINT) * 1000000 // n AS BIGINT) AS po_ppm,
+           CAST(pe_num * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm,
+           CAST((CAST(n AS HUGEINT) * agree - pe_num) * 1000000
+                // (CAST(n AS HUGEINT) * n - pe_num) AS BIGINT) AS kappa_ppm
+    FROM tot, pe
+    """,
+    doc=(
+        "Cohen's kappa between two annotators (md5-derived 3-class "
+        "labels per event — the annotation-QA gate a labeling pipeline "
+        "runs before trusting a batch): observed agreement po, chance "
+        "agreement pe from the confusion-matrix marginals, and "
+        "kappa = (po-pe)/(1-pe), ALL as exact truncated ppm — the "
+        "kappa numerator/denominator are cross-multiplied in 128-bit "
+        "(n*agree and n*n pass 2^63 at n ~ 3e9 rows, real at 100 TB; "
+        "Spark DECIMAL(38,0) / DuckDB HUGEINT, both truncate DIV "
+        "toward zero so negative kappa agrees bit-for-bit). Shape: "
+        "one map-combined groupBy onto a <=9-row confusion frame; "
+        "every later step is O(#classes). Composes with yl02 (class "
+        "balance) and tz02 (split assignment)."
+    ),
+    tags=("rlhf", "eval", "llm-pipeline"),
+)
+def yv06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    lab = ev.select(
+        (F.expr(_h("a", "event_id")) % 3).alias("la"),
+        (F.expr(_h("b", "event_id")) % 3).alias("lb"),
+    )
+    cells = lab.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("c"))
+    rowm = cells.groupBy(F.col("la").alias("lbl")).agg(F.sum("c").alias("rm"))
+    colm = cells.groupBy(F.col("lb").alias("lbl")).agg(F.sum("c").alias("cm"))
+    pe = (
+        rowm.join(colm, "lbl", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rm"), F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce(F.col("cm"), F.lit(0))
+            ).alias("pe_num")
+        )
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("la") == F.col("lb"), F.col("c")).otherwise(0)).alias("agree"),
+    )
+    return tot.crossJoin(F.broadcast(pe)).selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(agree AS BIGINT) AS agree",
+        "CAST(CAST(agree AS DECIMAL(38,0)) * 1000000 DIV n AS BIGINT) AS po_ppm",
+        "CAST(pe_num * 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT) AS pe_ppm",
+        "CAST((CAST(n AS DECIMAL(38,0)) * agree - pe_num) * 1000000"
+        " DIV (CAST(n AS DECIMAL(38,0)) * n - pe_num) AS BIGINT) AS kappa_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv07 — pairwise win-rate matrix (arena table)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv07_winrate_matrix",
+    oracle=f"""
+    WITH battles AS (
+      SELECT {_hd('m', 'event_id')} % {YV07_MODELS} AS ma,
+             {_hd('n', 'event_id')} % {YV07_MODELS} AS mb,
+             {_hd('wa', 'event_id')} % {_RMOD} AS sa,
+             {_hd('wb', 'event_id')} % {_RMOD} AS sb
+      FROM events
+    ),
+    oriented AS (
+      SELECT LEAST(ma, mb) AS m_lo, GREATEST(ma, mb) AS m_hi,
+             CASE WHEN ma < mb THEN sa ELSE sb END AS s_lo,
+             CASE WHEN ma < mb THEN sb ELSE sa END AS s_hi
+      FROM battles WHERE ma <> mb
+    )
+    SELECT CAST(m_lo AS BIGINT) AS m_lo,
+           CAST(m_hi AS BIGINT) AS m_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_battles,
+           CAST(SUM(CASE WHEN s_lo > s_hi THEN 1 ELSE 0 END) AS BIGINT) AS wins_lo,
+           CAST(SUM(CASE WHEN s_hi > s_lo THEN 1 ELSE 0 END) AS BIGINT) AS wins_hi,
+           CAST(SUM(CASE WHEN s_lo = s_hi THEN 1 ELSE 0 END) AS BIGINT) AS draws,
+           CAST(CAST(2 * SUM(CASE WHEN s_lo > s_hi THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN s_lo = s_hi THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // (2 * COUNT(*)) AS BIGINT) AS winrate_lo_ppm
+    FROM oriented GROUP BY m_lo, m_hi ORDER BY m_lo, m_hi
+    """,
+    doc=(
+        f"Arena-style head-to-head table over {YV07_MODELS} synthetic "
+        "models: every event is a battle (contestants and scores "
+        "md5-derived), canonically oriented to the unordered pair "
+        "(LEAST, GREATEST) so each matchup aggregates once; emits "
+        "wins/draws and the draw-adjusted win rate "
+        "(2*wins + draws) / (2*n) in exact truncated ppm, "
+        "128-bit-multiplied (wraps int64 past ~9e12 battles per cell). "
+        "This is the model-selection summary an RLHF loop reads to "
+        "pick a policy checkpoint. Shape: pure map-side label "
+        "derivation + ONE map-combined groupBy onto an O(models^2) "
+        "frame; the final ORDER BY is over 15 rows."
+    ),
+    tags=("rlhf", "eval", "llm-pipeline"),
+)
+def yv07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    battles = ev.select(
+        (F.expr(_h("m", "event_id")) % YV07_MODELS).alias("ma"),
+        (F.expr(_h("n", "event_id")) % YV07_MODELS).alias("mb"),
+        (F.expr(_h("wa", "event_id")) % _RMOD).alias("sa"),
+        (F.expr(_h("wb", "event_id")) % _RMOD).alias("sb"),
+    ).where(F.col("ma") != F.col("mb"))
+    oriented = battles.select(
+        F.least("ma", "mb").alias("m_lo"),
+        F.greatest("ma", "mb").alias("m_hi"),
+        F.when(F.col("ma") < F.col("mb"), F.col("sa")).otherwise(F.col("sb")).alias("s_lo"),
+        F.when(F.col("ma") < F.col("mb"), F.col("sb")).otherwise(F.col("sa")).alias("s_hi"),
+    )
+    wins_lo = F.sum(F.when(F.col("s_lo") > F.col("s_hi"), 1).otherwise(0))
+    wins_hi = F.sum(F.when(F.col("s_hi") > F.col("s_lo"), 1).otherwise(0))
+    draws = F.sum(F.when(F.col("s_lo") == F.col("s_hi"), 1).otherwise(0))
+    return (
+        oriented.groupBy(
+            F.col("m_lo").cast("bigint").alias("m_lo"),
+            F.col("m_hi").cast("bigint").alias("m_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_battles"),
+            wins_lo.cast("bigint").alias("wins_lo"),
+            wins_hi.cast("bigint").alias("wins_hi"),
+            draws.cast("bigint").alias("draws"),
+        )
+        .withColumn(
+            "winrate_lo_ppm",
+            F.expr(
+                "CAST(CAST(2 * wins_lo + draws AS DECIMAL(38,0)) * 1000000"
+                " DIV (2 * n_battles) AS BIGINT)"
+            ),
+        )
+        .orderBy("m_lo", "m_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv08 — unbiased pass@k estimator (exact integer ppm)
+# ---------------------------------------------------------------------------
+
+# C(n-c,k)/C(n,k) as the k-term falling-factorial ratio, k=5 unrolled so
+# both engines evaluate the SAME exact integer product (128-bit: nf^5
+# passes 2^63 once a problem holds ~6600 samples — real for big evals).
+_FF5_SPARK = (
+    "CAST(nf AS DECIMAL(38,0)) * (nf-1) * (nf-2) * (nf-3) * (nf-4)"
+)
+_FF5_DEN_SPARK = "CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2) * (n-3) * (n-4)"
+_FF5_DUCK = "CAST(nf AS HUGEINT) * (nf-1) * (nf-2) * (nf-3) * (nf-4)"
+_FF5_DEN_DUCK = "CAST(n AS HUGEINT) * (n-1) * (n-2) * (n-3) * (n-4)"
+
+
+@register(
+    "yv08_pass_at_k",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id // {YV08_GROUP} AS problem,
+             CASE WHEN {_hd('p', 'event_id')} % 5 = 0 THEN 1 ELSE 0 END AS pass
+      FROM events
+    ),
+    g AS (
+      SELECT problem, COUNT(*) AS n, SUM(pass) AS c, COUNT(*) - SUM(pass) AS nf
+      FROM s GROUP BY problem HAVING COUNT(*) >= {YV08_K}
+    ),
+    p AS (
+      SELECT problem, n, c,
+             1000000 - CAST(CASE WHEN nf >= {YV08_K}
+                  THEN ({_FF5_DUCK}) * 1000000 // ({_FF5_DEN_DUCK})
+                  ELSE 0 END AS BIGINT) AS pass5_ppm
+      FROM g
+    )
+    SELECT CAST(pass5_ppm // 100000 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_problems,
+           CAST(SUM(n) AS BIGINT) AS n_samples,
+           CAST(SUM(c) AS BIGINT) AS n_passing,
+           CAST(SUM(pass5_ppm) // COUNT(*) AS BIGINT) AS mean_pass5_ppm
+    FROM p GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "The unbiased pass@k estimator (Chen et al. 2021, HumanEval): "
+        f"per problem ({YV08_GROUP} samples via event_id DIV), "
+        "pass@5 = 1 - C(n-c,5)/C(n,5), computed as the EXACT k-term "
+        "falling-factorial ratio in truncated ppm — no floats, no "
+        "binomial tables: the 5-term products run 128-bit on both "
+        "sides (nf^5 wraps int64 past ~6.6e3 samples/problem). "
+        "Problems with n<k are excluded (the estimator is undefined), "
+        "results histogrammed by pass@5 decile so the output is an "
+        "O(11)-row eval summary. Shape: one groupBy(problem) with "
+        "map-side combine, then O(#problems) arithmetic and a second "
+        "tiny groupBy — two exchanges total at any scale."
+    ),
+    tags=("rlhf", "eval", "llm-pipeline"),
+)
+def yv08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    s = ev.select(
+        F.expr(f"event_id DIV {YV08_GROUP}").alias("problem"),
+        F.when(F.expr(_h("p", "event_id")) % 5 == 0, 1).otherwise(0).alias("pass"),
+    )
+    g = (
+        s.groupBy("problem")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pass").alias("c"),
+            (F.count(F.lit(1)) - F.sum("pass")).alias("nf"),
+        )
+        .where(F.col("n") >= YV08_K)
+    )
+    p = g.select(
+        "problem",
+        "n",
+        "c",
+        (
+            F.lit(1000000)
+            - F.expr(
+                f"CAST(CASE WHEN nf >= {YV08_K}"
+                f" THEN ({_FF5_SPARK}) * 1000000 DIV ({_FF5_DEN_SPARK})"
+                f" ELSE 0 END AS BIGINT)"
+            )
+        ).alias("pass5_ppm"),
+    )
+    return (
+        p.groupBy(F.expr("pass5_ppm DIV 100000").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_problems"),
+            F.sum("n").cast("bigint").alias("n_samples"),
+            F.sum("c").cast("bigint").alias("n_passing"),
+            F.expr("CAST(SUM(pass5_ppm) DIV COUNT(*) AS BIGINT)").alias("mean_pass5_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv09 — group-relative (GRPO-style) advantage summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv09_grpo_advantage",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id // {YV09_GROUP} AS gid, event_id,
+             {_hd('g', 'event_id')} % {_RMOD} AS reward
+      FROM events
+    ),
+    w AS (
+      SELECT gid, event_id, reward,
+             COUNT(*) OVER (PARTITION BY gid) AS n,
+             SUM(reward) OVER (PARTITION BY gid) AS sum_r
+      FROM s
+    )
+    SELECT CAST(gid AS BIGINT) AS gid,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(sum_r) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN n * reward - sum_r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(MAX(n * reward - sum_r) AS BIGINT) AS max_adv,
+           CAST(MIN(n * reward - sum_r) AS BIGINT) AS min_adv,
+           CAST(MAX_BY(event_id, reward * {_KEY_SCALE} - event_id) AS BIGINT)
+             AS best_event
+    FROM w GROUP BY gid ORDER BY gid
+    """,
+    doc=(
+        "GRPO-style group-relative advantage: rewards (md5-derived) "
+        f"are compared to their prompt group's mean ({YV09_GROUP} "
+        "samples per group); to stay integer-exact the advantage is "
+        "kept as the cross-multiplied numerator n*r_i - sum(r) "
+        "(sign-identical to r_i - mean, no float division anywhere). "
+        "Emits per group: sample count, reward mass, how many samples "
+        "sit above the group mean, the advantage extremes, and the "
+        "argmax sample (injective rating*1e12 - id tiebreak). Shape: "
+        "ONE hash exchange on gid feeds both the partitioned window "
+        "and the groupBy (same key, partitioning reused — verified in "
+        "the pinned plan); group frames are O(16) rows, so no "
+        "data-sized sort or reducer exists at any scale. n*reward "
+        "stays int64-safe while group size * reward < 9e18 (group "
+        "size is a constant here; widen for unbounded groups)."
+    ),
+    tags=("rlhf", "training", "llm-pipeline"),
+)
+def yv09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    s = ev.select(
+        F.expr(f"event_id DIV {YV09_GROUP}").alias("gid"),
+        "event_id",
+        (F.expr(_h("g", "event_id")) % _RMOD).alias("reward"),
+    )
+    w = Window.partitionBy("gid")
+    adv = (F.col("n") * F.col("reward") - F.col("sum_r"))
+    enriched = s.select(
+        "gid",
+        "event_id",
+        "reward",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("reward").over(w).alias("sum_r"),
+    )
+    return (
+        enriched.groupBy("gid")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("sum_r").cast("bigint").alias("sum_r"),
+            F.sum(F.when(adv > 0, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+            F.max(adv).cast("bigint").alias("max_adv"),
+            F.min(adv).cast("bigint").alias("min_adv"),
+            F.expr(f"max_by(event_id, reward * {_KEY_SCALE} - event_id)")
+            .cast("bigint")
+            .alias("best_event"),
+        )
+        .select(
+            F.col("gid").cast("bigint").alias("gid"),
+            "n",
+            "sum_r",
+            "n_pos",
+            "max_adv",
+            "min_adv",
+            "best_event",
+        )
+        .orderBy("gid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv11 — expected best-of-n policy value (exact order statistics)
+# ---------------------------------------------------------------------------
+
+#: Samples per prompt group (event_id DIV 16) and the "n" of best-of-n.
+YV11_GROUP, YV11_K = 16, 4
+
+# E[max of a uniform random k-subset] = sum_i r_(i) * C(i-1,k-1) / C(n,k)
+# over ascending ranks i. For k=4: C(i-1,3) = (i-1)(i-2)(i-3)/6 and
+# C(n,4) = n(n-1)(n-2)(n-3)/24 — products of consecutive integers, so the
+# divisions are exact in integers on both engines (DIV / `//` truncate the
+# same way, and the operands are non-negative). int64-safe while
+# C(n,4)*maxr*1e6 < 2^63, i.e. group size <~700 — group size is the
+# compile-time constant 16 here; widen to 128-bit for unbounded groups.
+_W3_SPARK = "(CASE WHEN i >= 4 THEN (i-1)*(i-2)*(i-3) DIV 6 ELSE 0 END)"
+_W3_DUCK = "(CASE WHEN i >= 4 THEN (i-1)*(i-2)*(i-3) // 6 ELSE 0 END)"
+_C4_SPARK = "(n*(n-1)*(n-2)*(n-3) DIV 24)"
+_C4_DUCK = "(n*(n-1)*(n-2)*(n-3) // 24)"
+
+
+@register(
+    "yv11_best_of_n_value",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id // {YV11_GROUP} AS gid, event_id,
+             {_hd('v', 'event_id')} % {_RMOD} AS reward
+      FROM events
+    ),
+    r AS (
+      SELECT gid, reward,
+             ROW_NUMBER() OVER (PARTITION BY gid ORDER BY reward, event_id) AS i
+      FROM s
+    ),
+    g AS (
+      SELECT gid, COUNT(*) AS n, SUM(reward) AS sum_r, MAX(reward) AS max_r,
+             SUM(reward * {_W3_DUCK}) AS num
+      FROM r GROUP BY gid HAVING COUNT(*) >= {YV11_K}
+    )
+    SELECT CAST(gid AS BIGINT) AS gid,
+           CAST(n AS BIGINT) AS n,
+           CAST(max_r AS BIGINT) AS max_r,
+           CAST(num * 1000000 // {_C4_DUCK} AS BIGINT) AS e_bo4_micro,
+           CAST(sum_r * 1000000 // n AS BIGINT) AS mean_micro,
+           CAST(num * 1000000 // {_C4_DUCK}
+                - sum_r * 1000000 // n AS BIGINT) AS uplift_micro
+    FROM g ORDER BY gid
+    """,
+    doc=(
+        "Expected best-of-n policy value (the quantity a best-of-n / "
+        "rejection-sampling deployment actually realizes): per prompt "
+        f"group ({YV11_GROUP} samples), E[max of a random "
+        f"{YV11_K}-subset] via the exact order-statistics identity "
+        "sum r_(i)*C(i-1,k-1)/C(n,k) — the same falling-factorial "
+        "discipline as yv08, fully integer (micro-reward units, "
+        "truncated), plus the group mean and the best-of-n uplift "
+        "over it. Ranks come from a window PARTITIONED BY gid "
+        "(O(16)-row frames) and the follow-up groupBy reuses the SAME "
+        "hash exchange — one wire pass at any scale, no global sort. "
+        "Rewards are md5-derived so the oracle is closed-form."
+    ),
+    tags=("rlhf", "eval", "llm-pipeline"),
+)
+def yv11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    s = ev.select(
+        F.expr(f"event_id DIV {YV11_GROUP}").alias("gid"),
+        "event_id",
+        (F.expr(_h("v", "event_id")) % _RMOD).alias("reward"),
+    )
+    r = s.withColumn(
+        "i", F.row_number().over(W.partitionBy("gid").orderBy("reward", "event_id"))
+    )
+    g = (
+        r.groupBy("gid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("reward").alias("sum_r"),
+            F.max("reward").alias("max_r"),
+            F.sum(F.expr(f"reward * {_W3_SPARK}")).alias("num"),
+        )
+        .where(F.col("n") >= YV11_K)
+    )
+    return g.selectExpr(
+        "CAST(gid AS BIGINT) AS gid",
+        "CAST(n AS BIGINT) AS n",
+        "CAST(max_r AS BIGINT) AS max_r",
+        f"CAST(num * 1000000 DIV {_C4_SPARK} AS BIGINT) AS e_bo4_micro",
+        "CAST(sum_r * 1000000 DIV n AS BIGINT) AS mean_micro",
+        f"CAST(num * 1000000 DIV {_C4_SPARK}"
+        " - sum_r * 1000000 DIV n AS BIGINT) AS uplift_micro",
+    ).orderBy("gid")
+
+
+# ---------------------------------------------------------------------------
+# yv12 — confidence calibration bins (reliability diagram, exact ppm)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv12_calibration_bins",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_hd('c', 'event_id')} % 1001 AS conf,
+             CASE WHEN {_hd('y', 'event_id')} % 1000000
+                  < ({_hd('c', 'event_id')} % 1001)
+                    * ({_hd('c', 'event_id')} % 1001)
+                  THEN 1 ELSE 0 END AS correct
+      FROM events
+    )
+    SELECT CAST(conf // 100 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(correct) AS BIGINT) AS n_correct,
+           CAST(CAST(SUM(correct) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+             AS acc_ppm,
+           CAST(CAST(SUM(conf) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT)
+             AS conf_ppm,
+           CAST(CAST(SUM(conf) AS HUGEINT) * 1000 // COUNT(*)
+                - CAST(SUM(correct) AS HUGEINT) * 1000000 // COUNT(*) AS BIGINT)
+             AS gap_ppm
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Reliability diagram for a scored classifier/judge: md5-derived "
+        "permille confidences with a deliberately OVERCONFIDENT "
+        "synthetic truth (P(correct) = conf² — quadratic, so every bin "
+        "shows a positive calibration gap and the op provably measures "
+        "something); per confidence decile emits count, accuracy, mean "
+        "stated confidence, and the gap, all exact truncated ppm with "
+        "128-bit numerators (n_correct*1e6 and sum_conf*1e3 pass 2^63 "
+        "near 1e13 events — real at 100 TB). This is the judge-QA "
+        "table an RLHF pipeline reads before trusting a reward model. "
+        "Shape: pure map-side label derivation + ONE map-combined "
+        "groupBy onto an O(11)-row frame; ORDER BY is over 11 rows."
+    ),
+    tags=("rlhf", "eval", "llm-pipeline"),
+)
+def yv12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    s = ev.select(
+        (F.expr(_h("c", "event_id")) % 1001).alias("conf"),
+        F.when(
+            (F.expr(_h("y", "event_id")) % 1000000)
+            < (F.expr(_h("c", "event_id")) % 1001) * (F.expr(_h("c", "event_id")) % 1001),
+            1,
+        )
+        .otherwise(0)
+        .alias("correct"),
+    )
+    return (
+        s.groupBy(F.expr("conf DIV 100").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("correct").alias("nc"),
+            F.sum("conf").alias("sc"),
+        )
+        .selectExpr(
+            "bucket",
+            "CAST(cnt AS BIGINT) AS n",
+            "CAST(nc AS BIGINT) AS n_correct",
+            "CAST(CAST(nc AS DECIMAL(38,0)) * 1000000 DIV cnt AS BIGINT) AS acc_ppm",
+            "CAST(CAST(sc AS DECIMAL(38,0)) * 1000 DIV cnt AS BIGINT) AS conf_ppm",
+            "CAST(CAST(sc AS DECIMAL(38,0)) * 1000 DIV cnt"
+            " - CAST(nc AS DECIMAL(38,0)) * 1000000 DIV cnt AS BIGINT) AS gap_ppm",
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv13 — preference-cycle (intransitivity) audit over the arena matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv13_preference_cycles",
+    oracle=f"""
+    WITH battles AS (
+      SELECT {_hd('m', 'event_id')} % {YV07_MODELS} AS ma,
+             {_hd('n', 'event_id')} % {YV07_MODELS} AS mb,
+             {_hd('wa', 'event_id')} % {_RMOD} AS sa,
+             {_hd('wb', 'event_id')} % {_RMOD} AS sb
+      FROM events
+    ),
+    oriented AS (
+      SELECT LEAST(ma, mb) AS m_lo, GREATEST(ma, mb) AS m_hi,
+             CASE WHEN ma < mb THEN sa ELSE sb END AS s_lo,
+             CASE WHEN ma < mb THEN sb ELSE sa END AS s_hi
+      FROM battles WHERE ma <> mb
+    ),
+    edges AS (
+      SELECT m_lo, m_hi,
+             CASE WHEN SUM(CASE WHEN s_lo > s_hi THEN 1 ELSE 0 END)
+                       >= SUM(CASE WHEN s_hi > s_lo THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS lo_wins
+      FROM oriented GROUP BY m_lo, m_hi
+    ),
+    triads AS (
+      SELECT ab.lo_wins AS ab_w, bc.lo_wins AS bc_w, ac.lo_wins AS ac_w
+      FROM edges ab
+      JOIN edges bc ON bc.m_lo = ab.m_hi
+      JOIN edges ac ON ac.m_lo = ab.m_lo AND ac.m_hi = bc.m_hi
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triads,
+           CAST(SUM(CASE WHEN (ab_w = 1 AND bc_w = 1 AND ac_w = 0)
+                           OR (ab_w = 0 AND bc_w = 0 AND ac_w = 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic,
+           CAST(CAST(SUM(CASE WHEN (ab_w = 1 AND bc_w = 1 AND ac_w = 0)
+                                OR (ab_w = 0 AND bc_w = 0 AND ac_w = 1)
+                         THEN 1 ELSE 0 END) AS HUGEINT)
+                * 1000000 // COUNT(*) AS BIGINT) AS cyclic_ppm
+    FROM triads
+    """,
+    doc=(
+        "Intransitivity audit over yv07's arena: per unordered pair the "
+        "majority winner (ties toward the lower id — deterministic "
+        "total tournament), then every model triad a<b<c is checked "
+        "for a preference cycle (a>b>c>a or its reverse: "
+        "lo_wins patterns 110 / 001 on edges ab/bc/ac). A high cyclic "
+        "rate means pairwise win rates cannot be summarized by any "
+        "single ranking — the sanity gate before fitting Elo/BT "
+        "scores. Shape: the corpus-sized work is yv07's ONE "
+        "map-combined groupBy; the triple join runs on the O(models²) "
+        "edge frame (broadcast, 20 triads for 6 models) and emits one "
+        "row. 128-bit ppm keeps the division exact at any triad count."
+    ),
+    tags=("rlhf", "eval", "llm-pipeline"),
+)
+def yv13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    battles = ev.select(
+        (F.expr(_h("m", "event_id")) % YV07_MODELS).alias("ma"),
+        (F.expr(_h("n", "event_id")) % YV07_MODELS).alias("mb"),
+        (F.expr(_h("wa", "event_id")) % _RMOD).alias("sa"),
+        (F.expr(_h("wb", "event_id")) % _RMOD).alias("sb"),
+    ).where(F.col("ma") != F.col("mb"))
+    oriented = battles.select(
+        F.least("ma", "mb").alias("m_lo"),
+        F.greatest("ma", "mb").alias("m_hi"),
+        F.when(F.col("ma") < F.col("mb"), F.col("sa")).otherwise(F.col("sb")).alias("s_lo"),
+        F.when(F.col("ma") < F.col("mb"), F.col("sb")).otherwise(F.col("sa")).alias("s_hi"),
+    )
+    edges = oriented.groupBy("m_lo", "m_hi").agg(
+        F.when(
+            F.sum(F.when(F.col("s_lo") > F.col("s_hi"), 1).otherwise(0))
+            >= F.sum(F.when(F.col("s_hi") > F.col("s_lo"), 1).otherwise(0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("lo_wins")
+    )
+    ab = edges.select(
+        F.col("m_lo").alias("a"), F.col("m_hi").alias("b"), F.col("lo_wins").alias("ab_w")
+    )
+    bc = edges.select(
+        F.col("m_lo").alias("b"), F.col("m_hi").alias("c"), F.col("lo_wins").alias("bc_w")
+    )
+    ac = edges.select(
+        F.col("m_lo").alias("a"), F.col("m_hi").alias("c"), F.col("lo_wins").alias("ac_w")
+    )
+    triads = ab.join(F.broadcast(bc), "b").join(F.broadcast(ac), ["a", "c"])
+    cyc = F.sum(
+        F.when(
+            ((F.col("ab_w") == 1) & (F.col("bc_w") == 1) & (F.col("ac_w") == 0))
+            | ((F.col("ab_w") == 0) & (F.col("bc_w") == 0) & (F.col("ac_w") == 1)),
+            1,
+        ).otherwise(0)
+    )
+    return triads.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triads"),
+        cyc.cast("bigint").alias("n_cyclic"),
+    ).selectExpr(
+        "n_triads",
+        "n_cyclic",
+        "CAST(CAST(n_cyclic AS DECIMAL(38,0)) * 1000000 DIV n_triads AS BIGINT)"
+        " AS cyclic_ppm",
+    )

@@ -318,6 +318,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.ycuration",
         "spotify_tags_etl_spark.operators.yscale",
         "spotify_tags_etl_spark.operators.ytrain",
+        "spotify_tags_etl_spark.operators.yrlhf",
         "spotify_tags_etl_spark.operators.dedup",
         "spotify_tags_etl_spark.operators.similarity",
         "spotify_tags_etl_spark.operators.textops",
