@@ -61,6 +61,9 @@ LLM_SUITE = [
     # scoring — the RLHF-era half of the training-data story
     "yv05_preference_pairs",
     "yv08_pass_at_k",
+    # round-6 late: BPE merge learning + the per-domain curation gate
+    "yv10_bpe_merge_rounds",
+    "yv15_domain_quality_gate",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

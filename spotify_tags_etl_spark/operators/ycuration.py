@@ -17,7 +17,9 @@ window's queued x* backlog):
 * yp01 — the curation ops COMPOSED: length gate → exact dedup →
   containment prune → novelty floor → per-source budget, one oracle;
 * yo01 — split-conformal anomaly gate (distribution-free ≤α false-alarm
-  guarantee), its order statistic computed by scalerank's exact rank.
+  guarantee), its order statistic computed by scalerank's exact rank;
+* yv15 — per-domain quality gate (round 6: FineWeb/C4-style source
+  filtering — blocklist + 128-bit-exact mean-quality threshold).
 
 Same disciplines as the established families: banded candidates (never
 all-pairs), integer permille/ppm ratios, exact-count anchoring for
@@ -965,4 +967,107 @@ def yo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(thr))
         .where(F.col("score_cents") > F.col("thr_cents"))
         .select("event_id", "score_cents", "thr_cents", "n_cal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv15 — per-domain quality gate (FineWeb/C4-style source filtering)
+# ---------------------------------------------------------------------------
+
+#: Domains hard-dropped regardless of quality (the curated blocklist a
+#: web pipeline maintains: spam nets, opt-out hosts, license-risk).
+YV15_BLOCKLIST = ("src13", "src7")
+
+#: Keep a domain only if its mean doc quality is >= this percent of the
+#: corpus-wide mean (compared exactly via 128-bit cross-multiplication).
+YV15_MIN_MEAN_PCT = 97
+
+
+@register(
+    "yv15_domain_quality_gate",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source, n_chars,
+             1000 * len(list_distinct(string_split(text, ' ')))
+               // len(string_split(text, ' ')) AS ttr_pm
+      FROM documents
+    ),
+    dom AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+             SUM(ttr_pm) AS sum_ttr
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_docs) AS n_total, SUM(sum_ttr) AS ttr_total FROM dom
+    )
+    SELECT d.source,
+           CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(d.sum_chars AS BIGINT) AS sum_chars,
+           CAST(d.sum_ttr // d.n_docs AS BIGINT) AS mean_ttr_pm,
+           CAST(CASE WHEN d.source IN {YV15_BLOCKLIST} THEN 1 ELSE 0 END AS BIGINT)
+             AS blocklisted,
+           CAST(CASE WHEN CAST(d.sum_ttr AS HUGEINT) * t.n_total * 100
+                          < {YV15_MIN_MEAN_PCT} * CAST(t.ttr_total AS HUGEINT) * d.n_docs
+                     THEN 1 ELSE 0 END AS BIGINT) AS low_quality,
+           CAST(CASE WHEN d.source NOT IN {YV15_BLOCKLIST}
+                      AND CAST(d.sum_ttr AS HUGEINT) * t.n_total * 100
+                          >= {YV15_MIN_MEAN_PCT} * CAST(t.ttr_total AS HUGEINT) * d.n_docs
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM dom d, tot t ORDER BY d.source
+    """,
+    doc=(
+        "Per-domain curation gate (the FineWeb/C4 source-filtering "
+        "step): each doc gets an exact type-token-ratio permille "
+        "(distinct words / words — integer DIV, no floats); domains "
+        "aggregate to (n_docs, chars, mean TTR) and are gated by (a) a "
+        f"literal blocklist {YV15_BLOCKLIST} (broadcast NOT IN — the "
+        "spam/opt-out list every web pipeline maintains) and (b) mean "
+        f"quality >= {YV15_MIN_MEAN_PCT}% of the corpus mean, compared "
+        "via 128-bit cross-multiplication (sum_ttr * n_total * 100 "
+        "passes 2^63 at ~1e12 docs — real at 100 TB; Spark "
+        "DECIMAL(38,0) / DuckDB HUGEINT). Shape: one map-combined "
+        "groupBy(source) over the corpus, a 1-row global total "
+        "broadcast back, and an O(#domains) decision frame — the "
+        "whole gate is a single wide pass no matter the corpus size. "
+        "Composes upstream of yp01 (doc-level curation) and yl02 "
+        "(class balance)."
+    ),
+    tags=("curation", "quality", "llm-pipeline"),
+)
+def yv15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "n_chars",
+        F.expr(
+            "1000 * size(array_distinct(split(text, ' '))) DIV size(split(text, ' '))"
+        ).alias("ttr_pm"),
+    )
+    dom = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("ttr_pm").alias("sum_ttr"),
+    )
+    tot = dom.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("sum_ttr").alias("ttr_total")
+    )
+    block = [f"'{s}'" for s in YV15_BLOCKLIST]
+    in_block = f"source IN ({', '.join(block)})"
+    low_q = (
+        f"CAST(sum_ttr AS DECIMAL(38,0)) * n_total * 100"
+        f" < {YV15_MIN_MEAN_PCT} * CAST(ttr_total AS DECIMAL(38,0)) * n_docs"
+    )
+    return (
+        dom.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(sum_chars AS BIGINT) AS sum_chars",
+            "CAST(sum_ttr DIV n_docs AS BIGINT) AS mean_ttr_pm",
+            f"CAST(CASE WHEN {in_block} THEN 1 ELSE 0 END AS BIGINT) AS blocklisted",
+            f"CAST(CASE WHEN {low_q} THEN 1 ELSE 0 END AS BIGINT) AS low_quality",
+            f"CAST(CASE WHEN NOT ({in_block}) AND NOT ({low_q}) THEN 1 ELSE 0 END"
+            " AS BIGINT) AS keep",
+        )
+        .orderBy("source")
     )

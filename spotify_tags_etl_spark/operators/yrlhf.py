@@ -22,7 +22,10 @@ deterministic and the oracle is closed-form):
 * ``yv12_calibration_bins`` — reliability diagram (accuracy vs stated
   confidence per decile) in exact 128-bit ppm;
 * ``yv13_preference_cycles`` — intransitivity audit over the arena
-  matrix (cyclic triads), the gate before fitting Elo/BT rankings.
+  matrix (cyclic triads), the gate before fitting Elo/BT rankings;
+* ``yv14_label_majority`` — weighted annotator majority-vote
+  aggregation with exact dominance margins (the step upstream of
+  yv06's kappa QA).
 
 Scale notes are per-op; none of these introduces a data-sized
 single-reducer stage (the only global ORDER BY sites are final
@@ -780,4 +783,113 @@ def yv13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cyclic",
         "CAST(CAST(n_cyclic AS DECIMAL(38,0)) * 1000000 DIV n_triads AS BIGINT)"
         " AS cyclic_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv14 — weighted annotator majority-vote aggregation
+# ---------------------------------------------------------------------------
+
+#: Annotators per item and label classes for yv14.
+YV14_ANNOTATORS, YV14_CLASSES = 5, 4
+
+#: Injective (weight DESC, label ASC) key: weight <= 45 = 5*9, label
+#: <= 3 < 8, so key = w*8 - label separates weight steps by >= 8.
+_YV14_KEY = 8
+
+
+@register(
+    "yv14_label_majority",
+    oracle=f"""
+    WITH votes AS (
+      SELECT e.event_id,
+             ('0x' || substr(md5('l' || CAST(t.i AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {YV14_CLASSES} AS label,
+             ('0x' || substr(md5('w' || CAST(t.i AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 9 + 1 AS weight
+      FROM events e, UNNEST(generate_series(0, {YV14_ANNOTATORS - 1})) AS t(i)
+    ),
+    lw AS (
+      SELECT event_id, label, SUM(weight) AS w
+      FROM votes GROUP BY 1, 2
+    ),
+    item AS (
+      SELECT event_id,
+             MAX_BY(label, w * {_YV14_KEY} - label) AS winner,
+             MAX(w) AS top_w,
+             SUM(w) AS total_w
+      FROM lw GROUP BY 1
+    )
+    SELECT CAST(winner AS BIGINT) AS winner,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CASE WHEN 2 * top_w > total_w THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_majority,
+           CAST(SUM(CASE WHEN 2 * top_w > total_w THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS majority_ppm,
+           CAST(SUM(2 * top_w - total_w) AS BIGINT) AS sum_margin
+    FROM item GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        f"Weighted annotator label aggregation: {YV14_ANNOTATORS} "
+        "md5-derived annotators each cast a weighted vote over "
+        f"{YV14_CLASSES} classes per item; per item the winning label "
+        "is the weight argmax (weight DESC, label ASC through one "
+        "injective int key — no window), with the dominance margin "
+        "2*top_w - total_w (positive iff absolute majority). Emitted "
+        "as the per-winner consensus table (n_items, majority count "
+        "and exact ppm, total margin) a labeling pipeline reads before "
+        "trusting a batch — the aggregation step yv06's kappa QA "
+        "assumes. Shape: one map-combined groupBy(item, label), one "
+        "groupBy(item), then an O(#classes) final frame; the "
+        "annotator explode is map-side. At 100 TB both wide stages "
+        "hash-partition on the item key with no skew (md5-uniform)."
+    ),
+    tags=("rlhf", "labeling", "llm-pipeline"),
+)
+def yv14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    votes = ev.select(
+        "event_id", F.explode(F.sequence(F.lit(0), F.lit(YV14_ANNOTATORS - 1))).alias("i")
+    ).select(
+        "event_id",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('l', CAST(i AS STRING), ':',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % YV14_CLASSES
+        ).alias("label"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('w', CAST(i AS STRING), ':',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % 9
+            + 1
+        ).alias("weight"),
+    )
+    lw = votes.groupBy("event_id", "label").agg(F.sum("weight").alias("w"))
+    item = lw.groupBy("event_id").agg(
+        F.expr(f"max_by(label, w * {_YV14_KEY} - label)").alias("winner"),
+        F.max("w").alias("top_w"),
+        F.sum("w").alias("total_w"),
+    )
+    maj = F.when(2 * F.col("top_w") > F.col("total_w"), 1).otherwise(0)
+    return (
+        item.groupBy(F.col("winner").cast("bigint").alias("winner"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(maj).alias("n_majority"),
+            F.sum(2 * F.col("top_w") - F.col("total_w")).cast("bigint").alias("sum_margin"),
+        )
+        .select(
+            "winner",
+            F.col("n_items").cast("bigint").alias("n_items"),
+            F.col("n_majority").cast("bigint").alias("n_majority"),
+            F.expr("CAST(n_majority * 1000000 DIV n_items AS BIGINT)").alias("majority_ppm"),
+            "sum_margin",
+        )
+        .orderBy("winner")
     )

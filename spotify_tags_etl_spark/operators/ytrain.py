@@ -13,7 +13,10 @@ relational algebra with a DuckDB oracle:
 * ``yv03_vocab_coverage`` — smallest frequency-ranked vocabulary
   covering ≥99% of token occurrences (tokenizer sizing);
 * ``yv04_epoch_shuffle`` — deterministic per-epoch reshuffle plan
-  (hash-derived positions, no stored permutation).
+  (hash-derived positions, no stored permutation);
+* ``yv10_bpe_merge_rounds`` — BPE tokenizer training as relational
+  algebra (per-round pair argmax + greedy-left fold merge, one
+  corpus-sized pass total).
 
 Reference parity: the reference ETL (averille-demo/spotify-tags-etl)
 stops at loading curated rows; these extend the engine along the
@@ -389,4 +392,155 @@ def yv04(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("pos").cast("bigint").alias("max_pos"),
         )
         .orderBy("epoch", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv10 — BPE merge-rule learning as relational algebra
+# ---------------------------------------------------------------------------
+
+#: Merge rounds learned by yv10 (the first R rules of a BPE tokenizer).
+YV10_ROUNDS = 8
+
+#: Word-length band kept for training (chars); bounds the pair index so
+#: the oracle's fixed generate_series cross join stays exact.
+YV10_MIN_LEN, YV10_MAX_LEN = 2, 12
+
+#: The greedy-left fold that applies ONE merge rule (pa, pb) to a
+#: '|'-separated symbol string, exactly Sennrich-BPE's per-round merge:
+#: scan symbols left to right, gluing x onto the accumulator whenever
+#: the accumulator's LAST symbol is pa and x is pb. A cascade (the
+#: just-merged symbol re-matching pa) is impossible: merged = pa||pb
+#: can only equal pa if pb were empty. The accumulator is the joined
+#: string itself, so the fold is expressible in both engines' lambda
+#: dialects; '|' never occurs in symbols ([a-z] only), so the
+#: "acc ends with symbol pa" test (acc = pa OR acc LIKE '%|pa') is a
+#: boundary-exact match with no LIKE-wildcard risk.
+
+
+def _bpe_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
+    """Unrolled DuckDB twin: R chained (count pairs -> argmax -> fold)
+    stages; fixed generate_series + WHERE (no lateral) for the pair
+    explode, list_reduce for the fold."""
+    ctes = [
+        f"""tok AS (
+      SELECT t.w AS w, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents) t
+      WHERE len(t.w) BETWEEN {YV10_MIN_LEN} AND {YV10_MAX_LEN}
+      GROUP BY 1
+    )""",
+        """w0 AS (
+      SELECT array_to_string(regexp_extract_all(w, '[a-z]'), '|') AS seq, cnt
+      FROM tok
+    )""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""p{r} AS (
+      SELECT l[i] AS pa, l[i + 1] AS pb, SUM(cnt) AS c
+      FROM (SELECT string_split(seq, '|') AS l, cnt FROM w{r}) s,
+           UNNEST(generate_series(1, {YV10_MAX_LEN - 1})) AS t(i)
+      WHERE i <= len(l) - 1
+      GROUP BY 1, 2
+    )"""
+        )
+        ctes.append(f"b{r} AS (SELECT pa, pb, c FROM p{r} ORDER BY c DESC, pa, pb LIMIT 1)")
+        ctes.append(
+            f"""w{r + 1} AS (
+      SELECT CASE WHEN len(l) <= 1 THEN seq ELSE
+        list_reduce(l, (acc, x) -> CASE
+          WHEN (acc = b.pa OR acc LIKE '%|' || b.pa) AND x = b.pb THEN acc || b.pb
+          ELSE acc || '|' || x END) END AS seq, cnt
+      FROM (SELECT seq, string_split(seq, '|') AS l, cnt FROM w{r}) s, b{r} b
+    )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {r + 1} AS round, pa, pb, CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM ({sel}) u ORDER BY round"
+
+
+@register(
+    "yv10_bpe_merge_rounds",
+    oracle=_bpe_oracle_sql(),
+    doc=(
+        f"BPE tokenizer training as relational algebra: the first "
+        f"{YV10_ROUNDS} merge rules learned from the corpus "
+        "(Sennrich-style: count adjacent symbol pairs weighted by word "
+        "frequency, merge the most frequent pair everywhere greedy-left, "
+        "repeat), emitted as the ordered merge table (round, pa, pb, "
+        "pair_count) a tokenizer build consumes. The corpus is first "
+        "collapsed to a (word, count) vocabulary — at 100 TB that one "
+        "map-combined groupBy is the ONLY corpus-sized pass; every "
+        "round after it runs on the ~1e7-row vocab frame: one "
+        "map-combined pair aggregate, a 1-ROW argmax collect fused "
+        "into the next plan (the xz10 plan-feeding pattern), and a "
+        "map-only fold applying the merge (aggregate() higher-order "
+        "function — no UDF, no shuffle). localCheckpoint per round "
+        "caps the lineage at O(1) instead of O(rounds) re-derivation. "
+        "Tie-break (count DESC, pa ASC, pb ASC) totally orders rule "
+        "selection, so the learned table is deterministic and the "
+        "unrolled-CTE DuckDB oracle (list_reduce fold twin) is "
+        "bit-exact. Composes with yv03 (vocab sizing) and tx03/tx06 "
+        "(token counting/chunking)."
+    ),
+    tags=("text", "tokenizer", "training", "llm-pipeline"),
+)
+def yv10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .where(
+            (F.length("w") >= YV10_MIN_LEN) & (F.length("w") <= YV10_MAX_LEN)
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = tok.select(
+        F.expr("array_join(regexp_extract_all(w, '[a-z]', 0), '|')").alias("seq"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+    rows: list[tuple[int, str, str, int]] = []
+    for r in range(1, YV10_ROUNDS + 1):
+        lcol = words.select(F.split("seq", "\\|").alias("l"), "cnt").where(F.size("l") >= 2)
+        top = (
+            lcol.select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1),"
+                        " i -> struct(l[i - 1] AS pa, l[i] AS pb))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy("p.pa", "p.pb")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("pa"), F.asc("pb"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word fused to one symbol; oracle truncates identically
+        pa, pb, c = top[0].pa, top[0].pb, int(top[0].c)
+        rows.append((r, pa, pb, c))
+        prev = words
+        # pa/pb are [a-z]+ by construction (regexp_extract_all above), so
+        # embedding them as SQL literals is injection-safe.
+        words = words.select(
+            F.expr(
+                "CASE WHEN size(split(seq, '\\\\|')) <= 1 THEN seq ELSE"
+                " aggregate(slice(split(seq, '\\\\|'), 2, size(split(seq, '\\\\|')) - 1),"
+                " split(seq, '\\\\|')[0],"
+                f" (acc, x) -> CASE WHEN (acc = '{pa}' OR acc LIKE concat('%|', '{pa}'))"
+                f" AND x = '{pb}' THEN concat(acc, '{pb}')"
+                " ELSE concat(acc, '|', x) END) END"
+            ).alias("seq"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+    words.unpersist()
+    return spark.createDataFrame(
+        rows, "round int, pa string, pb string, pair_count long"
     )
