@@ -345,6 +345,13 @@ def all_oracles() -> dict[str, str]:
     return {name: qd.oracle for name, qd in sorted(_REGISTRY.items()) if qd.oracle is not None}
 
 
+def all_defs() -> dict[str, QueryDef]:
+    """Full QueryDef view (tags, docs, oracles) — for audits/tests that
+    select queries by tag rather than by name."""
+    _load_all()
+    return dict(sorted(_REGISTRY.items()))
+
+
 def get(name: str) -> QueryDef:
     _load_all()
     return _REGISTRY[resolve(name)]

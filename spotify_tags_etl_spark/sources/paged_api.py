@@ -507,6 +507,11 @@ def sz01(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{_SP01_TOTAL} rows within 120s"
                 )
             time.sleep(0.2)
+        # Lazy import: streaming.ops imports nothing from this module's
+        # streaming path, but keep the coupling one-way at import time.
+        from spotify_tags_etl_spark.streaming.ops import record_state_ops
+
+        record_state_ops(q, "memory")
     finally:
         q.stop()
     # Checkpoint + drop the memory-sink view: same no-leak rule as

@@ -158,6 +158,41 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     return normalize_events_ts(df)
 
 
+#: State-operator names of the most recent :func:`run_to_memory_with_progress`
+#: execution (union across its progress events, sorted). The batch plan
+#: ratchet (tools/plan_audit.py) cannot see streaming micro-batch plans —
+#: the returned frame is a memory-sink scan — so this is the streaming
+#: twin of the plan fingerprint: tests pin each streaming query's state
+#: shape against it (a vanished dedup/session/join state operator, or an
+#: extra one, is the streaming analog of a plan regression).
+LAST_RUN_STATE_OPS: list[str] = []
+
+#: Per-run log since the last test-side clear: one ``(sink_kind,
+#: sorted_state_op_names)`` tuple per streaming execution, in start
+#: order. Queries that run more than one stream (or none through the
+#: memory-sink path) pin the whole log, so a query silently gaining or
+#: losing a streaming run is caught too.
+STATE_OPS_LOG: list[tuple[str, tuple[str, ...]]] = []
+
+
+def record_state_ops(q, sink: str) -> None:
+    """Union the state-operator names across a finished streaming
+    query's progress events into the module-level pin globals.
+
+    ``stateOperators`` in each progress event lists the stateful
+    operators of that micro-batch's physical plan (dedupe,
+    stateStoreSave, symmetricHashJoin, applyInPandasWithState, session
+    window...). A stateless plan (pure foreachBatch projection) reports
+    none — an empty entry is itself a meaningful pin."""
+    ops: set[str] = set()
+    for prog in q.recentProgress:
+        for op in prog.get("stateOperators") or []:
+            if op.get("operatorName"):
+                ops.add(op["operatorName"])
+    LAST_RUN_STATE_OPS[:] = sorted(ops)
+    STATE_OPS_LOG.append((sink, tuple(sorted(ops))))
+
+
 def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming frame to completion (AvailableNow) into a
     memory sink; return the materialized result as a batch DataFrame.
@@ -197,6 +232,7 @@ def run_to_memory_with_progress(stream: DataFrame, output_mode: str):
                 us = ts.value // 1000
                 if us > 0 and (wm_us is None or us > wm_us):
                     wm_us = us
+        record_state_ops(q, "memory")
     finally:
         q.stop()
     out = spark.table(name).localCheckpoint(eager=True)
@@ -692,6 +728,7 @@ def run_foreach_batch(stream: DataFrame, batch_fn) -> None:
     )
     try:
         q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
     finally:
         q.stop()
 
@@ -760,6 +797,7 @@ def streaming_upsert(stream: DataFrame) -> DataFrame:
     )
     try:
         q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
     finally:
         q.stop()
     if not current:
@@ -878,6 +916,7 @@ def streaming_neardup(
     )
     try:
         q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
     finally:
         q.stop()
     if not os.path.isdir(pairs_dir):
@@ -996,6 +1035,7 @@ def streaming_funnel(stream_events: DataFrame) -> DataFrame:
     )
     try:
         q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
     finally:
         q.stop()
     if not current:

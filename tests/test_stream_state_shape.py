@@ -1,0 +1,99 @@
+"""Streaming state-shape pins — the streaming twin of the batch plan
+ratchet (tools/plan_audit.py / tests/test_plan_snapshot.py).
+
+The batch ratchet fingerprints each query's executed physical plan, but a
+streaming query's returned frame is a memory-sink scan: the micro-batch
+plans that actually did the work are invisible to it.  What IS visible —
+through the engine's own StreamingQueryProgress — is the set of stateful
+operators each micro-batch ran (``stateOperators[].operatorName``:
+``stateStoreSave``, ``dedupeWithinWatermark``, ``symmetricHashJoin``,
+``applyInPandasWithState``...).  That set is the streaming analog of a
+plan fingerprint:
+
+* a VANISHED state operator means the query silently degraded to a
+  stateless per-batch computation (e.g. a dropped watermark turning a
+  stream-stream join into a batch join per micro-batch — wrong results
+  under late data);
+* an EXTRA state operator means an unplanned state store appeared — at
+  100 TB stream volumes, state-store size is the scaling budget, so new
+  state must be a deliberate choice, never an accident;
+* a CHANGED run count means the query gained or lost a whole streaming
+  execution.
+
+Every registered streaming query is pinned here: one (sink_kind,
+state_op_names) tuple per streaming run, in start order.  foreachBatch
+queries that keep their state OUTSIDE the engine (versioned-parquet
+merge tables: st08/st09/xk03/xw01/xw06/xw10/yi03) pin an EMPTY operator
+set — that emptiness is the claim that their state handling is
+explicitly versioned storage, not engine state stores.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from spotify_tags_etl_spark.plans import registry
+from spotify_tags_etl_spark.streaming import ops as sops
+
+# (sink_kind, sorted state-operator names) per streaming run, start order.
+EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
+    # engine-state queries: the named operator IS the semantics
+    "st01_stream_windowed_agg": [("memory", ("stateStoreSave",))],
+    "st02_stream_dedup": [("memory", ("dedupeWithinWatermark",))],
+    "st03_stream_sessions": [("memory", ("applyInPandasWithState",))],
+    "st04_stream_static_join": [("memory", ("stateStoreSave",))],
+    "st05_stream_sliding_window": [("memory", ("stateStoreSave",))],
+    "st06_stream_stream_join": [("memory", ("symmetricHashJoin",))],
+    "st07_stream_outer_join": [("memory", ("symmetricHashJoin",))],
+    "xw09_stream_orphan_errors": [("memory", ("symmetricHashJoin",))],
+    # stateless micro-batch plans: state lives in versioned parquet
+    # (merge tables / sketch registers), not engine state stores
+    "st08_stream_upsert": [("foreachBatch", ())],
+    "st09_stream_neardup": [("foreachBatch", ())],
+    "xk03_stream_hll_rollup": [("foreachBatch", ())],
+    "xw01_stream_funnel": [("foreachBatch", ())],
+    "xw06_stream_cms_rollup": [("foreachBatch", ())],
+    "xw10_stream_checksum": [("foreachBatch", ())],
+    "yi03_stream_stats_manifest": [("foreachBatch", ())],
+    # pure source drain: genuinely stateless
+    "sz01_stream_paged_source": [("memory", ())],
+}
+
+
+def _builder(name: str):
+    qs = registry.all_queries()
+    return qs[name] if name in qs else qs["zv_" + name]
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_STATE_SHAPE))
+def test_stream_state_shape(spark, sf_dir, name):
+    sops.STATE_OPS_LOG.clear()
+    df = _builder(name)(spark, sf_dir)
+    df.count()  # ensure full execution (builders materialize eagerly anyway)
+    assert sops.STATE_OPS_LOG == EXPECTED_STATE_SHAPE[name], (
+        f"{name}: streaming state shape changed — "
+        f"got {sops.STATE_OPS_LOG}, pinned {EXPECTED_STATE_SHAPE[name]}. "
+        "If deliberate, update EXPECTED_STATE_SHAPE with the new "
+        "state-store budget in mind."
+    )
+
+
+def test_every_registered_streaming_query_is_pinned():
+    """Closes the ratchet: any new streaming query must add a pin here.
+
+    Batch-expressed streaming analogs (xw03 rolling distinct, xw04 CDC
+    compaction, xw05 lateness audit) are plan-pinned by the batch
+    ratchet instead — they run no streaming query at all."""
+    batch_expressed = {
+        "xw03_rolling_distinct_users",
+        "xw04_cdc_log_compaction",
+        "xw05_watermark_lateness_audit",
+        "yw01_lateness_audit",
+    }
+    streaming = {
+        (n[3:] if n.startswith("zv_") else n)
+        for n, spec in registry.all_defs().items()
+        if "streaming" in spec.tags
+    }
+    unpinned = streaming - set(EXPECTED_STATE_SHAPE) - batch_expressed
+    assert not unpinned, f"streaming queries without a state-shape pin: {sorted(unpinned)}"
