@@ -61,9 +61,21 @@ def audited_names() -> list[str]:
             continue
         seen.add(base)
         out.append(base)
-    # streaming builders (their per-batch plan is pinned by the streaming
-    # tests): skip anything that drives a writeStream under the hood.
-    return [n for n in out if not n.startswith(("st0", "xw01", "xw03", "xw06", "xw09", "xk03", "xw10", "sz0", "xz15", "yi03"))]
+    # Streaming builders only (their per-batch state shape is pinned by
+    # tests/test_stream_state_shape.py instead) — an EXPLICIT set, not a
+    # prefix match: the r6 audit found the old prefix skip also silently
+    # exempted two batch queries (xw03 rolling-distinct, a batch window
+    # analog, and xz15 mapInArrow — both fingerprintable), leaving them
+    # outside BOTH ratchets.
+    streaming = {
+        "st01_stream_windowed_agg", "st02_stream_dedup", "st03_stream_sessions",
+        "st04_stream_static_join", "st05_stream_sliding_window",
+        "st06_stream_stream_join", "st07_stream_outer_join", "st08_stream_upsert",
+        "st09_stream_neardup", "sz01_stream_paged_source", "xk03_stream_hll_rollup",
+        "xw01_stream_funnel", "xw06_stream_cms_rollup", "xw09_stream_orphan_errors",
+        "xw10_stream_checksum", "yi03_stream_stats_manifest",
+    }
+    return [n for n in out if n not in streaming]
 
 
 def fingerprint(df) -> dict[str, int]:
