@@ -64,6 +64,10 @@ LLM_SUITE = [
     # round-6 late: BPE merge learning + the per-domain curation gate
     "yv10_bpe_merge_rounds",
     "yv15_domain_quality_gate",
+    # round-6 close: off-policy eval (IPS/SNIPS/ESS) + waterfilling
+    # token-budget mixing — the policy-scoring and budget-capping steps
+    "yv16_ips_offpolicy",
+    "yv18_token_waterfill",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

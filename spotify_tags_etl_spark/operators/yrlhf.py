@@ -893,3 +893,219 @@ def yv14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("winner")
     )
+
+
+# ---------------------------------------------------------------------------
+# yv16 — off-policy evaluation: IPS / SNIPS / effective sample size
+# ---------------------------------------------------------------------------
+
+#: Candidate target policies scored by yv16.
+YV16_POLICIES = 3
+
+#: Propensity range (permille): 100..900 keeps importance weights in
+#: [111, 9000] permille — bounded, so no clipping branch is needed and
+#: every accumulator bound below is closed-form.
+_YV16_PMIN, _YV16_PSPAN = 100, 801
+
+
+@register(
+    "yv16_ips_offpolicy",
+    oracle=f"""
+    WITH logged AS (
+      SELECT t.p AS policy,
+             ('0x' || substr(md5('r:' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS r,
+             {_YV16_PMIN} + ('0x' || substr(md5('b:' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV16_PSPAN} AS pb_pm,
+             {_YV16_PMIN} + ('0x' || substr(md5('t' || CAST(t.p AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV16_PSPAN} AS pt_pm
+      FROM events e, UNNEST(generate_series(0, {YV16_POLICIES - 1})) AS t(p)
+    ),
+    w AS (
+      SELECT policy, r, pt_pm * 1000 // pb_pm AS w_pm FROM logged
+    ),
+    s AS (
+      SELECT policy,
+             COUNT(*) AS n,
+             SUM(w_pm) AS s1,
+             SUM(r * w_pm) AS sr,
+             SUM(CAST(w_pm AS HUGEINT) * w_pm) AS s2
+      FROM w GROUP BY 1
+    )
+    SELECT CAST(policy AS BIGINT) AS policy,
+           CAST(n AS BIGINT) AS n,
+           CAST(CAST(sr AS HUGEINT) * 1000 // n AS BIGINT) AS ips_ppm,
+           CAST(CAST(sr AS HUGEINT) * 1000000 // s1 AS BIGINT) AS snips_ppm,
+           CAST(CAST(s1 AS HUGEINT) * s1 * 1000000 // (n * s2) AS BIGINT) AS ess_ppm,
+           CAST(s1 // n AS BIGINT) AS mean_w_pm
+    FROM s ORDER BY policy
+    """,
+    doc=(
+        "Off-policy evaluation of candidate response policies from "
+        "logged bandit feedback — the RLHF data loop's 'score a new "
+        "policy WITHOUT redeploying' step. Each logged event carries an "
+        "md5-derived behavior propensity and binary reward; "
+        f"{YV16_POLICIES} target policies get per-event propensities, "
+        "and per policy the query emits the IPS value estimate "
+        "(mean r*w), the self-normalized SNIPS estimate "
+        "(sum r*w / sum w — lower variance, slight bias), and the "
+        "effective sample size ratio ESS/n = S1^2/(n*S2) — the "
+        "diagnostic that says whether the overlap between behavior and "
+        "target policy is good enough to trust either estimate. "
+        "Everything is exact integer: weights are quantized to "
+        "permille by truncating division (identical in Spark DIV and "
+        "DuckDB //), and every product that can pass int64 at 100 TB "
+        "row counts is 128-bit (S2's addend reaches 8.1e7, so its sum "
+        "wraps int64 near 1e11 rows — DECIMAL(38,0)/HUGEINT on both "
+        "sides; S1^2*1e6 <= 8.1e37 fits DECIMAL(38,0) up to ~1e13 "
+        "rows/policy, documented bound). Shape: one map-side explode "
+        f"(x{YV16_POLICIES}), one map-combined groupBy(policy) to "
+        f"O({YV16_POLICIES}) rows — no joins, no windows, no skew."
+    ),
+    tags=("rlhf", "offpolicy", "llm-pipeline"),
+)
+def yv16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    logged = ev.select(
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(YV16_POLICIES - 1))).alias("policy"),
+    ).select(
+        "policy",
+        (F.expr(_h("r", "event_id")) % 2).alias("r"),
+        (F.expr(_h("b", "event_id")) % _YV16_PSPAN + _YV16_PMIN).alias("pb_pm"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('t', CAST(policy AS STRING), ':',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % _YV16_PSPAN
+            + _YV16_PMIN
+        ).alias("pt_pm"),
+    )
+    w = logged.select("policy", "r", F.expr("pt_pm * 1000 DIV pb_pm").alias("w_pm"))
+    s = w.groupBy("policy").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("w_pm").alias("s1"),
+        F.sum(F.col("r") * F.col("w_pm")).alias("sr"),
+        # w_pm^2 <= 8.1e7 per row: a plain long sum wraps near 1e11 rows
+        # (real 100 TB territory) — accumulate 128-bit, like av13/yj01.
+        F.sum(F.col("w_pm").cast("decimal(38,0)") * F.col("w_pm")).alias("s2"),
+    )
+    return s.select(
+        F.col("policy").cast("bigint").alias("policy"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("CAST(CAST(sr AS DECIMAL(38,0)) * 1000 DIV n AS BIGINT)").alias("ips_ppm"),
+        F.expr("CAST(CAST(sr AS DECIMAL(38,0)) * 1000000 DIV s1 AS BIGINT)").alias(
+            "snips_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(s1 AS DECIMAL(38,0)) * s1 * 1000000 DIV (n * s2) AS BIGINT)"
+        ).alias("ess_ppm"),
+        F.expr("CAST(s1 DIV n AS BIGINT)").alias("mean_w_pm"),
+    ).orderBy("policy")
+
+
+# ---------------------------------------------------------------------------
+# yv17 — Fleiss' kappa: multi-rater agreement over the yv14 vote frame
+# ---------------------------------------------------------------------------
+
+#: Raters per item and label classes (complete design: every item gets
+#: exactly _YV17_M ratings, Fleiss' precondition).
+_YV17_M, _YV17_C = 5, 4
+
+
+@register(
+    "yv17_fleiss_kappa",
+    oracle=f"""
+    WITH votes AS (
+      SELECT e.event_id,
+             ('0x' || substr(md5('f' || CAST(t.i AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV17_C} AS label
+      FROM events e, UNNEST(generate_series(0, {_YV17_M - 1})) AS t(i)
+    ),
+    lw AS (
+      SELECT event_id, label, COUNT(*) AS n_uc FROM votes GROUP BY 1, 2
+    ),
+    per_class AS (
+      SELECT label, SUM(n_uc * n_uc) AS sa_c, SUM(n_uc) AS t_c
+      FROM lw GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(sa_c) AS sa,
+             SUM(CAST(t_c AS HUGEINT) * t_c) AS st2,
+             SUM(t_c) AS nm
+      FROM per_class
+    ),
+    ppm AS (
+      SELECT nm // {_YV17_M} AS n_items,
+             CAST((sa - nm) AS HUGEINT) * 1000000
+               // (nm * {_YV17_M - 1}) AS po_ppm,
+             st2 * 1000000 // (CAST(nm AS HUGEINT) * nm) AS pe_ppm
+      FROM tot
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(po_ppm AS BIGINT) AS po_ppm,
+           CAST(pe_ppm AS BIGINT) AS pe_ppm,
+           CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT)
+             AS kappa_ppm
+    FROM ppm
+    """,
+    doc=(
+        f"Fleiss' kappa over a complete {_YV17_M}-rater, {_YV17_C}-class "
+        "annotation design (the same md5 vote synthesis family as "
+        "yv14/yv06): chance-corrected agreement for MANY raters, the QA "
+        "gate a labeling vendor report actually needs (yv06's Cohen "
+        "kappa only covers rater PAIRS). P_o = (sum n_uc^2 - N*m) / "
+        "(N*m*(m-1)), P_e = sum T_c^2 / (N*m)^2, both emitted as exact "
+        "truncating-division ppm; kappa_ppm is then derived from the "
+        "ppm-rounded P_o/P_e (documented spec — deterministic on both "
+        "engines, signed DIV truncates toward zero identically). "
+        "Width discipline: T_c reaches N*m, so T_c^2 is squared in "
+        "128-bit on the O(#classes) frame, never per row; sum n_uc^2 "
+        "has addend <= m^2 = 25 and stays a long sum (int64-safe past "
+        "1e16 rows). Shape: one map-combined groupBy(item, label), one "
+        f"groupBy(label) to {_YV17_C} rows, one 1-row final agg — the "
+        "only single-partition stage is the O(1) scalar fold."
+    ),
+    tags=("rlhf", "labeling", "llm-pipeline"),
+)
+def yv17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    votes = ev.select(
+        "event_id", F.explode(F.sequence(F.lit(0), F.lit(_YV17_M - 1))).alias("i")
+    ).select(
+        "event_id",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('f', CAST(i AS STRING), ':',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % _YV17_C
+        ).alias("label"),
+    )
+    lw = votes.groupBy("event_id", "label").agg(F.count(F.lit(1)).alias("n_uc"))
+    per_class = lw.groupBy("label").agg(
+        F.sum(F.col("n_uc") * F.col("n_uc")).alias("sa_c"),
+        F.sum("n_uc").alias("t_c"),
+    )
+    tot = per_class.agg(
+        F.sum("sa_c").alias("sa"),
+        # T_c reaches N*m: square in 128-bit on this O(#classes) frame.
+        F.sum(F.col("t_c").cast("decimal(38,0)") * F.col("t_c")).alias("st2"),
+        F.sum("t_c").alias("nm"),
+    )
+    ppm = tot.selectExpr(
+        f"nm DIV {_YV17_M} AS n_items",
+        f"CAST(CAST(sa - nm AS DECIMAL(38,0)) * 1000000 DIV (nm * {_YV17_M - 1})"
+        " AS BIGINT) AS po_ppm",
+        "CAST(st2 * 1000000 DIV (CAST(nm AS DECIMAL(38,0)) * nm) AS BIGINT) AS pe_ppm",
+    )
+    return ppm.selectExpr(
+        "CAST(n_items AS BIGINT) AS n_items",
+        "po_ppm",
+        "pe_ppm",
+        "CAST((po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) AS BIGINT)"
+        " AS kappa_ppm",
+    )

@@ -544,3 +544,122 @@ def yv10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, pa string, pb string, pair_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# yv18 — waterfilling token-budget allocation across domains
+# ---------------------------------------------------------------------------
+
+#: Per-source weight spread (1..15): multiplies the raw byte totals so
+#: the fixture exercises BOTH waterfill branches (fully-funded small
+#: domains AND capped large ones) at every SF.
+_YV18_WSPAN = 15
+
+#: Budget as a fraction of the weighted total: numerator/denominator.
+_YV18_BNUM, _YV18_BDEN = 1, 2
+
+
+@register(
+    "yv18_token_waterfill",
+    oracle=f"""
+    WITH dom AS (
+      SELECT source,
+             SUM(n_chars) * (1 + ('0x' || substr(md5('wf:' || source), 1, 8))::BIGINT
+                                 % {_YV18_WSPAN}) AS tok
+      FROM documents GROUP BY 1
+    ),
+    g AS (
+      SELECT COUNT(*) AS d, SUM(tok) * {_YV18_BNUM} // {_YV18_BDEN} AS b FROM dom
+    ),
+    ranked AS (
+      SELECT source, tok,
+             ROW_NUMBER() OVER (ORDER BY tok, source) AS k,
+             SUM(tok) OVER (ORDER BY tok, source
+                            ROWS UNBOUNDED PRECEDING) AS s_k
+      FROM dom
+    ),
+    flagged AS (
+      SELECT r.*, g.d, g.b,
+             CASE WHEN r.s_k + (g.d - r.k) * r.tok <= g.b THEN 1 ELSE 0 END AS full_ok
+      FROM ranked r, g
+    ),
+    cut AS (
+      SELECT MAX(CASE WHEN full_ok = 1 THEN k ELSE 0 END) AS kstar,
+             MAX(CASE WHEN full_ok = 1 THEN s_k ELSE 0 END) AS s_star
+      FROM flagged
+    )
+    SELECT f.source,
+           CAST(f.tok AS BIGINT) AS tokens,
+           CAST(CASE WHEN f.k <= c.kstar THEN f.tok
+                     ELSE (f.b - c.s_star) // (f.d - c.kstar) END AS BIGINT) AS alloc,
+           CAST(CASE WHEN f.k <= c.kstar THEN 0 ELSE 1 END AS BIGINT) AS capped,
+           CAST((f.b - c.s_star) // (f.d - c.kstar) AS BIGINT) AS level
+    FROM flagged f, cut c
+    ORDER BY f.source
+    """,
+    doc=(
+        "Waterfilling token-budget allocation — the data-mixing "
+        "primitive behind 'cap every domain at a common level t* so the "
+        "corpus fits the training budget': maximize the common level "
+        "subject to sum(min(T_d, t)) <= B (here B = half the weighted "
+        "total, weights md5-spread 1..15 so both branches populate at "
+        "every SF). Solved ANALYTICALLY, not by search: sort domains "
+        "ascending, prefix-sum, and the largest k with "
+        "S_k + (D-k)*T_k <= B is the fully-funded set; "
+        "t* = (B - S_k) DIV (D - k) then caps the rest (maximality "
+        "guarantees t* < T_(k+1), so min() never reorders the split). "
+        "All integer: truncating DIV on both engines. Shape: the ONLY "
+        "data-sized stage is the map-combined groupBy(source); the "
+        "sort, window, and scalar cuts all run on the O(#domains) "
+        "aggregate frame (20 rows here, maybe 1e4 at 100 TB — the "
+        "documented-tiny global window, xr03 class), joined back by "
+        "broadcast. No budget search loop, no driver-side iteration."
+    ),
+    tags=("training", "mixing", "llm-pipeline"),
+)
+def yv18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    dom = docs.groupBy("source").agg(
+        (
+            F.sum("n_chars")
+            * (
+                F.expr(
+                    "CAST(conv(substring(md5(concat('wf:', source)), 1, 8), 16, 10)"
+                    " AS BIGINT)"
+                )
+                % _YV18_WSPAN
+                + 1
+            )
+        ).alias("tok")
+    )
+    g = dom.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.expr(f"SUM(tok) * {_YV18_BNUM} DIV {_YV18_BDEN}").alias("b"),
+    )
+    w = Window.orderBy("tok", "source")
+    ranked = (
+        dom.withColumn("k", F.row_number().over(w))
+        .withColumn(
+            "s_k",
+            F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "full_ok",
+            F.when(F.col("s_k") + (F.col("d") - F.col("k")) * F.col("tok") <= F.col("b"), 1)
+            .otherwise(0),
+        )
+    )
+    cut = ranked.agg(
+        F.max(F.when(F.col("full_ok") == 1, F.col("k")).otherwise(0)).alias("kstar"),
+        F.max(F.when(F.col("full_ok") == 1, F.col("s_k")).otherwise(0)).alias("s_star"),
+    )
+    out = ranked.crossJoin(F.broadcast(cut)).selectExpr(
+        "source",
+        "CAST(tok AS BIGINT) AS tokens",
+        "CAST(CASE WHEN k <= kstar THEN tok"
+        " ELSE (b - s_star) DIV (d - kstar) END AS BIGINT) AS alloc",
+        "CAST(CASE WHEN k <= kstar THEN 0 ELSE 1 END AS BIGINT) AS capped",
+        "CAST((b - s_star) DIV (d - kstar) AS BIGINT) AS level",
+    )
+    return out.orderBy("source")

@@ -52,3 +52,81 @@ def test_yv15_gate_decision_is_consistent(spark, sf_dir):
     for r in rows:
         assert 0 < r.mean_ttr_pm <= 1000
         assert r.keep == int(not r.blocklisted and not r.low_quality)
+
+
+def test_yv16_estimator_invariants(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yrlhf import YV16_POLICIES, yv16
+
+    rows = yv16(spark, sf_dir).collect()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert [r.policy for r in rows] == list(range(YV16_POLICIES))
+    for r in rows:
+        assert r.n == n_events
+        # Cauchy-Schwarz: S1^2 <= n*S2, so the ESS ratio is a true ratio
+        assert 0 < r.ess_ppm <= 1_000_000
+        # SNIPS is a weighted mean of binary rewards
+        assert 0 <= r.snips_ppm <= 1_000_000
+        # IPS of a binary reward with weights <= 9000 permille
+        assert 0 <= r.ips_ppm <= 9_000_000
+
+
+def test_yv17_matches_pure_python_recompute(spark, sf_dir):
+    """Full closed-form recompute of Fleiss' kappa from the same md5
+    vote synthesis — integer-exact, including the documented
+    ppm-rounded kappa derivation."""
+    import hashlib
+    from collections import Counter
+
+    from spotify_tags_etl_spark.operators.yrlhf import _YV17_C, _YV17_M, yv17
+
+    ids = [r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()]
+    per_unit: dict[int, Counter] = {}
+    for eid in ids:
+        c = Counter(
+            int(hashlib.md5(f"f{i}:{eid}".encode()).hexdigest()[:8], 16) % _YV17_C
+            for i in range(_YV17_M)
+        )
+        per_unit[eid] = c
+    n = len(ids)
+    nm = n * _YV17_M
+    sa = sum(v * v for c in per_unit.values() for v in c.values())
+    t = Counter()
+    for c in per_unit.values():
+        t.update(c)
+    st2 = sum(v * v for v in t.values())
+    po_ppm = (sa - nm) * 1_000_000 // (nm * (_YV17_M - 1))
+    pe_ppm = st2 * 1_000_000 // (nm * nm)
+    num = (po_ppm - pe_ppm) * 1_000_000
+    den = 1_000_000 - pe_ppm
+    kappa_ppm = -(-num // den) if (num < 0) != (den < 0) else num // den  # trunc toward 0
+    row = yv17(spark, sf_dir).collect()[0]
+    assert (row.n_items, row.po_ppm, row.pe_ppm, row.kappa_ppm) == (
+        n,
+        po_ppm,
+        pe_ppm,
+        kappa_ppm,
+    )
+
+
+def test_yv18_waterfill_optimality(spark, sf_dir):
+    """The allocation is feasible, exhausts the budget up to the
+    documented integer remainder, and the level is maximal (funding one
+    more domain would overshoot)."""
+    from spotify_tags_etl_spark.operators.ytrain import _YV18_BDEN, _YV18_BNUM, yv18
+
+    rows = yv18(spark, sf_dir).collect()
+    total = sum(r.tokens for r in rows)
+    budget = total * _YV18_BNUM // _YV18_BDEN
+    alloc = sum(r.alloc for r in rows)
+    capped = [r for r in rows if r.capped]
+    uncapped = [r for r in rows if not r.capped]
+    level = rows[0].level
+    assert capped, "fixture must exercise the capped branch"
+    assert uncapped, "fixture must exercise the fully-funded branch"
+    # feasible, and the leftover is smaller than one more unit per capped
+    # domain (the exact integer-waterfill remainder bound)
+    assert alloc <= budget < alloc + len(capped) + 1
+    for r in uncapped:
+        assert r.alloc == r.tokens <= level
+    for r in capped:
+        assert r.alloc == level < r.tokens  # maximality: next domain overshoots
