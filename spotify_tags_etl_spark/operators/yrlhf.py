@@ -1109,3 +1109,183 @@ def yv17(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((po_ppm - pe_ppm) * 1000000 DIV (1000000 - pe_ppm) AS BIGINT)"
         " AS kappa_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# yv19 — bootstrap confidence intervals for the SNIPS estimate
+# ---------------------------------------------------------------------------
+
+#: Bootstrap replicates (shared across policies — a PAIRED resample, so
+#: cross-policy comparisons difference out resampling noise).
+_YV19_REPS = 20
+
+#: Poisson(1) pmf as cumulative permille cut points for w = 0,1,2,3,>=4
+#: (368/368/184/61/19+tail merged into 4 — documented approximation;
+#: md5-uniform u in [0,1000) makes the resample deterministic).
+_YV19_CUTS = (368, 736, 920, 981)
+
+
+def _yv19_bw(u: str) -> str:
+    """SQL CASE mapping a uniform permille draw to a Poisson(1) weight."""
+    c = _YV19_CUTS
+    return (
+        f"CASE WHEN {u} < {c[0]} THEN 0 WHEN {u} < {c[1]} THEN 1"
+        f" WHEN {u} < {c[2]} THEN 2 WHEN {u} < {c[3]} THEN 3 ELSE 4 END"
+    )
+
+
+@register(
+    "yv19_snips_bootstrap_ci",
+    oracle=f"""
+    WITH logged AS (
+      SELECT t.p AS policy, e.event_id,
+             ('0x' || substr(md5('r:' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS r,
+             {_YV16_PMIN} + ('0x' || substr(md5('b:' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV16_PSPAN} AS pb_pm,
+             {_YV16_PMIN} + ('0x' || substr(md5('t' || CAST(t.p AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV16_PSPAN} AS pt_pm
+      FROM events e, UNNEST(generate_series(0, {YV16_POLICIES - 1})) AS t(p)
+    ),
+    w AS (
+      SELECT policy, event_id, r, pt_pm * 1000 // pb_pm AS w_pm FROM logged
+    ),
+    rep AS (
+      SELECT w.*, j.j,
+             {_yv19_bw("('0x' || substr(md5('bs' || CAST(j.j AS VARCHAR) || ':' "
+                       "|| CAST(w.event_id AS VARCHAR)), 1, 8))::BIGINT % 1000")} AS bw
+      FROM w, UNNEST(generate_series(0, {_YV19_REPS - 1})) AS j(j)
+    ),
+    per_rep AS (
+      SELECT policy, j,
+             CAST(CAST(SUM(bw * r * w_pm) AS HUGEINT) * 1000000
+                  // NULLIF(SUM(bw * w_pm), 0) AS BIGINT) AS v
+      FROM rep GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT policy, v,
+             ROW_NUMBER() OVER (PARTITION BY policy ORDER BY v, j) AS rn,
+             COUNT(*) OVER (PARTITION BY policy) AS n_reps
+      FROM per_rep WHERE v IS NOT NULL
+    ),
+    ci AS (
+      SELECT policy, CAST(MAX(n_reps) AS BIGINT) AS n_reps,
+             MAX(CASE WHEN rn = (n_reps * 5 + 99) // 100 THEN v END)
+               AS lo_ppm,
+             MAX(CASE WHEN rn = (n_reps + 1) // 2 THEN v END) AS med_ppm,
+             MAX(CASE WHEN rn = n_reps - (n_reps * 5 + 99) // 100 + 1 THEN v END)
+               AS hi_ppm
+      FROM ranked GROUP BY policy
+    ),
+    point AS (
+      SELECT policy,
+             CAST(CAST(SUM(r * w_pm) AS HUGEINT) * 1000000
+                  // SUM(w_pm) AS BIGINT) AS snips_ppm
+      FROM w GROUP BY 1
+    )
+    SELECT CAST(p.policy AS BIGINT) AS policy, p.snips_ppm,
+           c.n_reps, CAST(c.lo_ppm AS BIGINT) AS lo_ppm,
+           CAST(c.med_ppm AS BIGINT) AS med_ppm, CAST(c.hi_ppm AS BIGINT) AS hi_ppm
+    FROM point p JOIN ci c USING (policy)
+    ORDER BY policy
+    """,
+    doc=(
+        "Error bars for the off-policy estimate: a deterministic paired "
+        f"Poisson bootstrap ({_YV19_REPS} replicates, weights md5-drawn "
+        "from the Poisson(1) pmf at permille resolution, SHARED across "
+        "policies so policy deltas difference out resampling noise — "
+        "the streaming-friendly resample that never materializes a "
+        "resampled dataset, the standard bootstrap-on-MapReduce shape). "
+        "Per (policy, replicate) one map-combined aggregate computes "
+        "the SNIPS ppm value; the 90% CI is EXACT rank-selection over "
+        "the replicate values (ceil-rank formulas, total-ordered by "
+        "(value, replicate) — no float quantile interpolation "
+        "anywhere). Width: bootstrap addend bw*w_pm <= 36000 keeps "
+        "int64 sums safe past 2.5e14 rows; the ppm scaling "
+        "cross-multiplies in 128-bit. Shape: the explode is map-side "
+        f"(x{YV16_POLICIES}x{_YV19_REPS}), immediately collapsed to "
+        f"O({YV16_POLICIES}*{_YV19_REPS}) partial rows; windows "
+        "partition by policy over those tiny frames."
+    ),
+    tags=("rlhf", "offpolicy", "bootstrap", "llm-pipeline"),
+)
+def yv19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    logged = ev.select(
+        "event_id",
+        F.explode(F.sequence(F.lit(0), F.lit(YV16_POLICIES - 1))).alias("policy"),
+    ).select(
+        "policy",
+        "event_id",
+        (F.expr(_h("r", "event_id")) % 2).alias("r"),
+        (F.expr(_h("b", "event_id")) % _YV16_PSPAN + _YV16_PMIN).alias("pb_pm"),
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('t', CAST(policy AS STRING), ':',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % _YV16_PSPAN
+            + _YV16_PMIN
+        ).alias("pt_pm"),
+    )
+    w = logged.select(
+        "policy", "event_id", "r", F.expr("pt_pm * 1000 DIV pb_pm").alias("w_pm")
+    )
+    rep = w.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_YV19_REPS - 1))).alias("j")
+    ).withColumn(
+        "bw",
+        F.expr(
+            _yv19_bw(
+                "CAST(conv(substring(md5(concat('bs', CAST(j AS STRING), ':',"
+                " CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000"
+            )
+        ),
+    )
+    per_rep = (
+        rep.groupBy("policy", "j")
+        .agg(
+            F.sum(F.col("bw") * F.col("r") * F.col("w_pm")).alias("sn"),
+            F.sum(F.col("bw") * F.col("w_pm")).alias("sd"),
+        )
+        .selectExpr(
+            "policy",
+            "j",
+            "CAST(CAST(sn AS DECIMAL(38,0)) * 1000000 DIV NULLIF(sd, 0) AS BIGINT) AS v",
+        )
+        .where("v IS NOT NULL")
+    )
+    wv = Window.partitionBy("policy").orderBy("v", "j")
+    ranked = per_rep.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n_reps", F.count(F.lit(1)).over(Window.partitionBy("policy"))
+    )
+    # conditional rank picks (ceil-rank lo, median, symmetric hi)
+    ci = ranked.groupBy("policy").agg(
+        F.max("n_reps").cast("bigint").alias("n_reps"),
+        F.max(F.expr("CASE WHEN rn = (n_reps * 5 + 99) DIV 100 THEN v END")).alias(
+            "lo_ppm"
+        ),
+        F.max(F.expr("CASE WHEN rn = (n_reps + 1) DIV 2 THEN v END")).alias("med_ppm"),
+        F.max(
+            F.expr("CASE WHEN rn = n_reps - (n_reps * 5 + 99) DIV 100 + 1 THEN v END")
+        ).alias("hi_ppm"),
+    )
+    point = w.groupBy("policy").agg(
+        F.expr(
+            "CAST(CAST(SUM(r * w_pm) AS DECIMAL(38,0)) * 1000000 DIV SUM(w_pm)"
+            " AS BIGINT)"
+        ).alias("snips_ppm")
+    )
+    return (
+        point.join(F.broadcast(ci), "policy")
+        .select(
+            F.col("policy").cast("bigint").alias("policy"),
+            "snips_ppm",
+            "n_reps",
+            F.col("lo_ppm").cast("bigint").alias("lo_ppm"),
+            F.col("med_ppm").cast("bigint").alias("med_ppm"),
+            F.col("hi_ppm").cast("bigint").alias("hi_ppm"),
+        )
+        .orderBy("policy")
+    )

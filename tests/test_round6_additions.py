@@ -130,3 +130,18 @@ def test_yv18_waterfill_optimality(spark, sf_dir):
         assert r.alloc == r.tokens <= level
     for r in capped:
         assert r.alloc == level < r.tokens  # maximality: next domain overshoots
+
+
+def test_yv19_ci_brackets_the_point_estimate(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yrlhf import _YV19_REPS, yv16, yv19
+
+    rows = {r.policy: r for r in yv19(spark, sf_dir).collect()}
+    point = {r.policy: r.snips_ppm for r in yv16(spark, sf_dir).collect()}
+    assert set(rows) == set(point)
+    for p, r in rows.items():
+        assert r.n_reps == _YV19_REPS  # no replicate degenerated to 0-mass
+        assert r.lo_ppm <= r.med_ppm <= r.hi_ppm
+        # same estimator, same frame: yv19's point column IS yv16's snips
+        assert r.snips_ppm == point[p]
+        # a paired Poisson(1) bootstrap at these n keeps the point inside
+        assert r.lo_ppm <= r.snips_ppm <= r.hi_ppm
