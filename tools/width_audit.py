@@ -73,6 +73,18 @@ ALLOWLIST = {
     # far from any oracle=/spark.sql marker, so the context classifier
     # cannot see which engine it is; the bound holds for both.
     "(r.rank * e.cnt) // o.out_w": "conserved fixed-point mass <= |V|*PR_SCALE",
+    # yv16/yv19 off-policy sums: r in {0,1}, w_pm <= 9000 permille,
+    # bootstrap weight bw <= 4 -> addend <= 36000; int64-safe past
+    # 2.5e14 rows/policy (documented in both docstrings; the one sum
+    # whose addend CAN wrap at 1e11 rows — w_pm^2 <= 8.1e7 — IS 128-bit).
+    'F.col("r") * F.col("w_pm")': "binary reward x permille weight, addend <= 9000",
+    'F.col("bw") * F.col("r") * F.col("w_pm")': "Poisson(<=4) x binary x permille, addend <= 36000",
+    'F.col("bw") * F.col("w_pm")': "Poisson(<=4) x permille, addend <= 36000",
+    "r * w_pm": "binary reward x permille weight, addend <= 9000",
+    # yv17 Fleiss per-unit agreement: n_uc <= m = 5 raters, addend <= 25;
+    # the T_c^2 term that reaches (N*m)^2 is squared in 128-bit on the
+    # O(#classes) frame instead.
+    'F.col("n_uc") * F.col("n_uc")': "per-unit rating count, addend <= m^2 = 25",
 }
 
 
