@@ -632,9 +632,20 @@ def yv18(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tok")
     )
+    return waterfill(dom, _YV18_BNUM, _YV18_BDEN)
+
+
+def waterfill(dom: DataFrame, bnum: int, bden: int) -> DataFrame:
+    """Integer waterfilling over a ``(source, tok)`` domain frame:
+    budget B = total * bnum DIV bden, maximize the common level t*
+    subject to sum(min(tok_d, t*)) <= B. Returns (source, tokens,
+    alloc, capped, level). Pure relational — every stage runs on the
+    O(#domains) frame (the caller supplies the already-aggregated
+    totals); property-tested against brute-force search in
+    tests/test_round6_additions.py."""
     g = dom.agg(
         F.count(F.lit(1)).alias("d"),
-        F.expr(f"SUM(tok) * {_YV18_BNUM} DIV {_YV18_BDEN}").alias("b"),
+        F.expr(f"SUM(tok) * {bnum} DIV {bden}").alias("b"),
     )
     w = Window.orderBy("tok", "source")
     ranked = (

@@ -145,3 +145,39 @@ def test_yv19_ci_brackets_the_point_estimate(spark, sf_dir):
         assert r.snips_ppm == point[p]
         # a paired Poisson(1) bootstrap at these n keeps the point inside
         assert r.lo_ppm <= r.snips_ppm <= r.hi_ppm
+
+
+def test_waterfill_matches_bruteforce_on_random_frames(spark):
+    """Property: the analytic waterfill equals brute-force search for
+    the max feasible level on arbitrary domain frames (hypothesis would
+    re-run Spark per example — too slow — so this drives a seeded batch
+    of random frames through ONE parametrized run each)."""
+    import random
+
+    from spotify_tags_etl_spark.operators.ytrain import waterfill
+
+    rng = random.Random(0xA5A5)
+    for case in range(12):
+        d = rng.randint(1, 9)
+        toks = [rng.randint(1, 40) for _ in range(d)]
+        bnum, bden = rng.choice([(1, 2), (1, 3), (3, 4), (9, 10)])
+        budget = sum(toks) * bnum // bden
+        dom = spark.createDataFrame(
+            [(f"s{i}", t) for i, t in enumerate(toks)], "source string, tok long"
+        )
+        got = {r.source: r for r in waterfill(dom, bnum, bden).collect()}
+        # brute force: max t with sum(min(tok, t)) <= budget
+        best_t = max(t for t in range(max(toks) + 1) if sum(min(x, t) for x in toks) <= budget)
+        got_total = sum(r.alloc for r in got.values())
+        brute_total = sum(min(x, best_t) for x in toks)
+        # never exceeds budget, and is at least as good as the best
+        # uniform level (the analytic split can only add exactness)
+        assert brute_total <= got_total <= budget, (case, toks, bnum, bden)
+        # uncapped domains get exactly their demand; capped domains all
+        # sit at one common level no higher than their demand
+        levels = {r.alloc for r in got.values() if r.capped}
+        assert len(levels) <= 1, (case, toks)
+        for i, t in enumerate(toks):
+            r = got[f"s{i}"]
+            assert r.tokens == t
+            assert (r.alloc == t) if not r.capped else (r.alloc <= t)
