@@ -68,6 +68,7 @@ LLM_SUITE = [
     # token-budget mixing — the policy-scoring and budget-capping steps
     "yv16_ips_offpolicy",
     "yv18_token_waterfill",
+    "yv20_lsh_parameter_plan",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

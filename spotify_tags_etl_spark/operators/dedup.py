@@ -26,7 +26,7 @@ frame again — via a shuffle join on doc_id, pruned to candidate docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.plans.registry import register
@@ -774,4 +774,177 @@ def xt03(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_inter) DIV least(na, nb)").alias("overlap_permille"),
         )
         .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# yv20 — LSH (bands, rows) parameter planner: the S-curve, computed exactly
+# ---------------------------------------------------------------------------
+
+#: Candidate rows-per-band / band counts (powers of two so the hit
+#: probability 1-(1-s^r)^b evaluates by repeated SQUARING — each square
+#: truncates to ppm, the documented fixed-point spec both engines share).
+_YV20_RS = (1, 2, 4, 8)
+_YV20_BS = (2, 4, 8, 16, 32)
+
+#: Similarity grid (permille, open midpoints) and the dd02 target
+#: threshold the planner optimizes for.
+_YV20_SMIN, _YV20_SMAX, _YV20_STEP = 25, 975, 25
+_YV20_TAU = 800  # dd02's verify threshold (dedup.py jaccard_verify call)
+
+#: ppm fixed-point square: the ONE primitive both engines spell the
+#: same way (integer multiply, truncating divide).
+def _sq(x: str, div: str) -> str:
+    return f"(({x}) * ({x})) {div} 1000000"
+
+
+def _yv20_stages(div: str, src: str = "grid") -> str:
+    """Shared SQL fragment: staged repeated squaring for s^r and
+    (1-s^r)^b over the power-of-two grids."""
+    return f"""
+      SELECT r, b, s_pm,
+             1000000 - qb AS p_ppm
+      FROM (
+        SELECT r, b, s_pm,
+               CASE b WHEN 2 THEN q1 WHEN 4 THEN q2 WHEN 8 THEN q3
+                      WHEN 16 THEN q4 ELSE q5 END AS qb
+        FROM (
+          SELECT r, b, s_pm, q1,
+                 {_sq("q1", div)} AS q2,
+                 {_sq(_sq("q1", div), div)} AS q3,
+                 {_sq(_sq(_sq("q1", div), div), div)} AS q4,
+                 {_sq(_sq(_sq(_sq("q1", div), div), div), div)} AS q5
+          FROM (
+            SELECT r, b, s_pm, {_sq("1000000 - a", div)} AS q1
+            FROM (
+              SELECT r, b, s_pm,
+                     CASE r WHEN 1 THEN s_ppm WHEN 2 THEN a1
+                            WHEN 4 THEN a2 ELSE a3 END AS a
+              FROM (
+                SELECT r, b, s_pm, s_ppm,
+                       a1, {_sq("a1", div)} AS a2,
+                       {_sq(_sq("a1", div), div)} AS a3
+                FROM (
+                  SELECT r, b, s_pm, s_pm * 1000 AS s_ppm,
+                         {_sq("s_pm * 1000", div)} AS a1
+                  FROM {src}
+                ) g0
+              ) g1
+            ) g2
+          ) g3
+        ) g4
+      ) g5
+    """
+
+
+@register(
+    "yv20_lsh_parameter_plan",
+    oracle=f"""
+    WITH grid AS (
+      SELECT r.r, b.b, s.s_pm
+      FROM UNNEST({list(_YV20_RS)}) AS r(r),
+           UNNEST({list(_YV20_BS)}) AS b(b),
+           UNNEST(generate_series({_YV20_SMIN}, {_YV20_SMAX}, {_YV20_STEP})) AS s(s_pm)
+    ),
+    curve AS ({_yv20_stages("//")}),
+    scored AS (
+      SELECT r, b,
+             SUM(CASE WHEN s_pm < {_YV20_TAU} THEN p_ppm ELSE 0 END) AS fp_area,
+             SUM(CASE WHEN s_pm >= {_YV20_TAU} THEN 1000000 - p_ppm ELSE 0 END)
+               AS fn_area
+      FROM curve GROUP BY 1, 2
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b,
+           CAST(r * b AS BIGINT) AS n_hashes,
+           CAST(fp_area AS BIGINT) AS fp_area,
+           CAST(fn_area AS BIGINT) AS fn_area,
+           CAST(fp_area + fn_area AS BIGINT) AS total_err,
+           CAST(ROW_NUMBER() OVER (ORDER BY fp_area + fn_area, r * b, r)
+                AS BIGINT) AS rank,
+           CAST(CASE WHEN r = 2 AND b = 4 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_dd02
+    FROM scored ORDER BY rank
+    """,
+    doc=(
+        "LSH parameter planner: evaluates the banding S-curve "
+        "p(s) = 1-(1-s^r)^b for every (rows, bands) candidate over a "
+        f"{_YV20_STEP}-permille similarity grid and scores it against "
+        f"dd02's verify threshold ({_YV20_TAU} permille) as "
+        "false-positive area below the threshold plus false-negative "
+        "area above — choose parameters BEFORE paying for a 100 TB "
+        "signature pass ('measure, don't guess' applied to sketch "
+        "design; dd02's (r=2, b=4) is flagged for comparison). The "
+        "whole computation is EXACT fixed-point: power-of-two "
+        "exponents evaluate by repeated ppm-truncating squaring — the "
+        "one primitive Spark and DuckDB spell identically — so the "
+        "oracle is bit-for-bit, no float pow anywhere. Shape: a "
+        f"{len(_YV20_RS) * len(_YV20_BS) * ((_YV20_SMAX - _YV20_SMIN) // _YV20_STEP + 1)}"
+        "-row generated grid, one map-combined groupBy onto "
+        f"O({len(_YV20_RS) * len(_YV20_BS)}) rows; reads no corpus at "
+        "any scale (a planner, not a scan)."
+    ),
+    tags=("dedup", "lsh", "planner", "llm-pipeline"),
+)
+def yv20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(r) for r in _YV20_RS])).alias("r")
+        )
+        .select(
+            "r", F.explode(F.array(*[F.lit(b) for b in _YV20_BS])).alias("b")
+        )
+        .select(
+            "r",
+            "b",
+            F.explode(
+                F.sequence(
+                    F.lit(_YV20_SMIN), F.lit(_YV20_SMAX), F.lit(_YV20_STEP)
+                )
+            ).alias("s_pm"),
+        )
+        # BIGINT throughout: the staged squares reach 1e12 (s_ppm^2),
+        # past 32-bit — ANSI mode would error on an int grid.
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("b").cast("long").alias("b"),
+            F.col("s_pm").cast("long").alias("s_pm"),
+        )
+    )
+    import uuid as _uuid
+
+    view = f"yv20_grid_{_uuid.uuid4().hex[:8]}"
+    grid.createOrReplaceTempView(view)
+    # spark.sql analyzes eagerly, so the view can be dropped right after
+    # the DataFrame is built — no temp-view leak across invocations.
+    curve = spark.sql(_yv20_stages("DIV", src=view))
+    spark.catalog.dropTempView(view)
+    scored = curve.groupBy("r", "b").agg(
+        F.sum(
+            F.when(F.col("s_pm") < _YV20_TAU, F.col("p_ppm")).otherwise(0)
+        ).alias("fp_area"),
+        F.sum(
+            F.when(F.col("s_pm") >= _YV20_TAU, 1000000 - F.col("p_ppm")).otherwise(0)
+        ).alias("fn_area"),
+    )
+    w = Window.orderBy(
+        (F.col("fp_area") + F.col("fn_area")).asc(),
+        (F.col("r") * F.col("b")).asc(),
+        F.col("r").asc(),
+    )
+    return (
+        scored.select(
+            F.col("r").cast("bigint").alias("r"),
+            F.col("b").cast("bigint").alias("b"),
+            (F.col("r") * F.col("b")).cast("bigint").alias("n_hashes"),
+            F.col("fp_area").cast("bigint").alias("fp_area"),
+            F.col("fn_area").cast("bigint").alias("fn_area"),
+            (F.col("fp_area") + F.col("fn_area")).cast("bigint").alias("total_err"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.when((F.col("r") == 2) & (F.col("b") == 4), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_dd02"),
+        )
+        .orderBy("rank")
     )

@@ -181,3 +181,49 @@ def test_waterfill_matches_bruteforce_on_random_frames(spark):
             r = got[f"s{i}"]
             assert r.tokens == t
             assert (r.alloc == t) if not r.capped else (r.alloc <= t)
+
+
+def test_yv20_matches_pure_python_fixed_point(spark, sf_dir):
+    """Recompute the whole S-curve scoring in pure Python with the same
+    ppm-truncating squaring spec; the engine table must match exactly."""
+    from spotify_tags_etl_spark.operators.dedup import (
+        _YV20_BS,
+        _YV20_RS,
+        _YV20_SMAX,
+        _YV20_SMIN,
+        _YV20_STEP,
+        _YV20_TAU,
+        yv20,
+    )
+
+    def sq(x):
+        return (x * x) // 1_000_000
+
+    def powk(x, k):  # k is a power of two
+        while k > 1:
+            x = sq(x)
+            k //= 2
+        return x
+
+    exp = {}
+    for r in _YV20_RS:
+        for b in _YV20_BS:
+            fp_area = fn_area = 0
+            for s_pm in range(_YV20_SMIN, _YV20_SMAX + 1, _YV20_STEP):
+                a = powk(s_pm * 1000, r)
+                p = 1_000_000 - powk(1_000_000 - a, b)
+                if s_pm < _YV20_TAU:
+                    fp_area += p
+                else:
+                    fn_area += 1_000_000 - p
+            exp[(r, b)] = (fp_area, fn_area)
+    got = yv20(spark, sf_dir).collect()
+    assert len(got) == len(exp)
+    for row in got:
+        fp_area, fn_area = exp[(row.r, row.b)]
+        assert (row.fp_area, row.fn_area) == (fp_area, fn_area), (row.r, row.b)
+    # ranks are a total order 1..N and rank 1 minimizes total error
+    ranks = sorted(r.rank for r in got)
+    assert ranks == list(range(1, len(got) + 1))
+    best = min(got, key=lambda r: (r.total_err, r.n_hashes, r.r))
+    assert next(r for r in got if r.rank == 1) == best
