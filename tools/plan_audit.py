@@ -40,6 +40,16 @@ METRICS = {
     "arrow_eval": "ArrowEvalPython",
     "cartesian": "CartesianProduct",
     "sort_merge_joins": "SortMergeJoin",
+    # The r6 audit found the two metrics above miss every OTHER Python
+    # boundary Spark renders with distinct node names — a query could
+    # grow a whole pandas stage and still pin "python_eval: 0". Count
+    # them all; nonzero is CORRECT for the declared UDF-surface queries
+    # (q29/q30 fuzzy, sp02, mm*, xz11/12/15) and a regression anywhere
+    # else. (FlatMapGroupsInPandas does not substring-match MapInPandas.)
+    "map_in_pandas": "MapInPandas",
+    "map_in_arrow": "MapInArrow",
+    "grouped_map_pandas": "FlatMapGroupsInPandas",
+    "grouped_agg_arrow": "ArrowAggregatePython",
 }
 
 
