@@ -156,6 +156,10 @@ CURATION_SUITE = [
     "yl01_partition_stats_manifest",
     "yw02_write_audit_publish",
     "yz02_retention_delete_plan",
+    # round-6 close: one-pass PR-curve threshold sweep + held-out
+    # bigram coverage (the filter-calibration and LM-fit audits)
+    "yv21_pr_threshold_sweep",
+    "yv22_bigram_coverage",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

@@ -1071,3 +1071,202 @@ def yv15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# yv21 — quality-filter threshold sweep: the PR curve in one corpus pass
+# ---------------------------------------------------------------------------
+
+#: Classifier-score thresholds swept (permille).
+_YV21_TS = tuple(range(100, 901, 100))
+
+#: Ground truth = 60% signal + 40% independent noise >= 500 permille —
+#: correlated with the score but not degenerate, so the curve actually
+#: trades precision against recall at every SF.
+_YV21_SIG, _YV21_CUT = 600, 500
+
+
+def _yv21_h(tag: str, engine: str) -> str:
+    if engine == "spark":
+        return (
+            f"CAST(conv(substring(md5(concat('{tag}:', CAST(doc_id AS STRING))),"
+            " 1, 8), 16, 10) AS BIGINT)"
+        )
+    return f"('0x' || substr(md5('{tag}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def _yv21_scored(engine: str) -> str:
+    h_q, h_n = _yv21_h("q", engine), _yv21_h("n", engine)
+    div = "DIV" if engine == "spark" else "//"
+    return (
+        f"SELECT {h_q} % 1000 AS score_pm,"
+        f" CASE WHEN (({h_q} % 1000) * {_YV21_SIG}"
+        f" + ({h_n} % 1000) * {1000 - _YV21_SIG}) {div} 1000 >= {_YV21_CUT}"
+        " THEN 1 ELSE 0 END AS label"
+        " FROM documents"
+    )
+
+
+@register(
+    "yv21_pr_threshold_sweep",
+    oracle=f"""
+    WITH scored AS ({_yv21_scored("duck")}),
+    a AS (
+      SELECT
+        {", ".join(
+            f"SUM(CASE WHEN score_pm >= {t} AND label = 1 THEN 1 ELSE 0 END) AS tp_{t},"
+            f" SUM(CASE WHEN score_pm >= {t} AND label = 0 THEN 1 ELSE 0 END) AS fp_{t},"
+            f" SUM(CASE WHEN score_pm < {t} AND label = 1 THEN 1 ELSE 0 END) AS fn_{t}"
+            for t in _YV21_TS
+        )}
+      FROM scored
+    )
+    {" UNION ALL ".join(
+        f"SELECT {t} AS threshold_pm, CAST(tp_{t} AS BIGINT) AS tp,"
+        f" CAST(fp_{t} AS BIGINT) AS fp, CAST(fn_{t} AS BIGINT) AS fn,"
+        f" CAST(CAST(tp_{t} AS HUGEINT) * 1000000 // (tp_{t} + fp_{t}) AS BIGINT)"
+        f"   AS precision_ppm,"
+        f" CAST(CAST(tp_{t} AS HUGEINT) * 1000000 // (tp_{t} + fn_{t}) AS BIGINT)"
+        f"   AS recall_ppm,"
+        f" CAST(CAST(tp_{t} AS HUGEINT) * 2000000 // (2 * tp_{t} + fp_{t} + fn_{t})"
+        f"   AS BIGINT) AS f1_ppm FROM a"
+        for t in _YV21_TS
+    )}
+    ORDER BY threshold_pm
+    """,
+    doc=(
+        "Quality-filter calibration: the full precision/recall/F1 curve "
+        f"across {len(_YV21_TS)} candidate score thresholds in ONE "
+        "corpus pass — 27 conditional aggregates collapse the corpus to "
+        "a single partial-aggregated row, then the per-threshold table "
+        "is unstacked from that O(1) frame (choose the filter cutoff "
+        "BEFORE discarding 100 TB of documents, and see what each "
+        "threshold costs in recall). Ground truth is md5-synthesized at "
+        f"{_YV21_SIG}/1000 signal correlation so the trade-off is real "
+        "at every SF. F1 is computed as 2tp*1e6 DIV (2tp+fp+fn) — ONE "
+        "truncating division, no nested ppm rounding; numerators "
+        "cross-multiply in 128-bit (tp reaches corpus size). Shape: "
+        "map-combined scalar aggregate (no explode — the sweep rides "
+        "CASE arms, not row multiplication), then constant-size "
+        "arithmetic."
+    ),
+    tags=("curation", "quality", "eval", "llm-pipeline"),
+)
+def yv21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("yv21_documents")
+    scored = spark.sql(_yv21_scored("spark").replace("FROM documents", "FROM yv21_documents"))
+    spark.catalog.dropTempView("yv21_documents")
+    aggs = []
+    for t in _YV21_TS:
+        aggs += [
+            F.sum(F.expr(f"CASE WHEN score_pm >= {t} AND label = 1 THEN 1 ELSE 0 END")).alias(f"tp_{t}"),
+            F.sum(F.expr(f"CASE WHEN score_pm >= {t} AND label = 0 THEN 1 ELSE 0 END")).alias(f"fp_{t}"),
+            F.sum(F.expr(f"CASE WHEN score_pm < {t} AND label = 1 THEN 1 ELSE 0 END")).alias(f"fn_{t}"),
+        ]
+    a = scored.agg(*aggs)
+    stacked = a.selectExpr(
+        f"stack({len(_YV21_TS)}, "
+        + ", ".join(f"{t}L, tp_{t}, fp_{t}, fn_{t}" for t in _YV21_TS)
+        + ") AS (threshold_pm, tp, fp, fn)"
+    )
+    return stacked.selectExpr(
+        "threshold_pm",
+        "CAST(tp AS BIGINT) AS tp",
+        "CAST(fp AS BIGINT) AS fp",
+        "CAST(fn AS BIGINT) AS fn",
+        "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fp) AS BIGINT) AS precision_ppm",
+        "CAST(CAST(tp AS DECIMAL(38,0)) * 1000000 DIV (tp + fn) AS BIGINT) AS recall_ppm",
+        "CAST(CAST(tp AS DECIMAL(38,0)) * 2000000 DIV (2 * tp + fp + fn) AS BIGINT) AS f1_ppm",
+    ).orderBy("threshold_pm")
+
+
+# ---------------------------------------------------------------------------
+# yv22 — bigram coverage of a held-out split (LM-fit / OOV-rate audit)
+# ---------------------------------------------------------------------------
+
+#: 1-in-10 deterministic held-out split.
+_YV22_MOD = 10
+
+
+@register(
+    "yv22_bigram_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS s
+      FROM toks WHERE len(t) >= 2
+    ),
+    split AS (
+      SELECT doc_id, lang,
+             CASE WHEN ('0x' || substr(md5('sp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % {_YV22_MOD} = 0 THEN 1 ELSE 0 END AS is_test
+      FROM documents
+    ),
+    train_vocab AS (
+      SELECT DISTINCT s FROM sh JOIN split USING (doc_id) WHERE is_test = 0
+    ),
+    test_b AS (
+      SELECT sh.s, split.lang FROM sh JOIN split USING (doc_id) WHERE is_test = 1
+    ),
+    per_lang AS (
+      SELECT lang,
+             COUNT(*) AS n_bigrams,
+             SUM(CASE WHEN tv.s IS NOT NULL THEN 1 ELSE 0 END) AS n_covered
+      FROM test_b LEFT JOIN train_vocab tv USING (s)
+      GROUP BY lang
+    )
+    SELECT lang, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_covered AS BIGINT) AS n_covered,
+           CAST(CAST(n_covered AS HUGEINT) * 1000000 // n_bigrams AS BIGINT)
+             AS covered_ppm
+    FROM per_lang ORDER BY lang
+    """,
+    doc=(
+        "Held-out bigram coverage: split documents 9:1 by md5, build "
+        "the train-side bigram vocabulary, and measure per language "
+        "what share of the held-out docs' bigrams the training corpus "
+        "has seen — the cheap LM-fit proxy (low coverage = the corpus "
+        "won't model that language/domain; the complement of the "
+        "covered_ppm is the OOV rate a tokenizer/LM will face). Rides "
+        "dd02's shingle frame at n=2 (distinct per doc). Shape: one "
+        "bigram explode, one distinct on the train side and one "
+        "gram-keyed LEFT join — both hash-partition on the bigram key "
+        "(md5-uniform docs, Zipfian grams — AQE skew-join handles the "
+        "head), then an O(#languages) rollup. No pairwise work; cost "
+        "is O(corpus bigrams) at any scale."
+    ),
+    tags=("curation", "text", "eval", "llm-pipeline"),
+)
+def yv22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(docs, n=2)
+    split = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "CASE WHEN CAST(conv(substring(md5(concat('sp:', CAST(doc_id AS STRING))),"
+            f" 1, 8), 16, 10) AS BIGINT) % {_YV22_MOD} = 0 THEN 1 ELSE 0 END"
+        ).alias("is_test"),
+    )
+    tagged = sh.join(split, "doc_id")
+    train_vocab = tagged.where("is_test = 0").select("s").distinct()
+    test_b = tagged.where("is_test = 1").select("s", "lang")
+    joined = test_b.join(
+        train_vocab.withColumn("_hit", F.lit(1)), "s", "left"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_covered"),
+        )
+        .selectExpr(
+            "lang",
+            "CAST(n_bigrams AS BIGINT) AS n_bigrams",
+            "CAST(n_covered AS BIGINT) AS n_covered",
+            "CAST(CAST(n_covered AS DECIMAL(38,0)) * 1000000 DIV n_bigrams AS BIGINT)"
+            " AS covered_ppm",
+        )
+        .orderBy("lang")
+    )

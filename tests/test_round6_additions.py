@@ -227,3 +227,78 @@ def test_yv20_matches_pure_python_fixed_point(spark, sf_dir):
     assert ranks == list(range(1, len(got) + 1))
     best = min(got, key=lambda r: (r.total_err, r.n_hashes, r.r))
     assert next(r for r in got if r.rank == 1) == best
+
+
+def test_yv21_matches_pure_python_recompute(spark, sf_dir):
+    """Full recompute of every threshold's confusion counts from the
+    same md5 synthesis — and the structural PR-curve monotonicities."""
+    import hashlib
+
+    from spotify_tags_etl_spark.operators.ycuration import (
+        _YV21_CUT,
+        _YV21_SIG,
+        _YV21_TS,
+        yv21,
+    )
+
+    ids = [r.doc_id for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()]
+
+    def h(tag, x):
+        return int(hashlib.md5(f"{tag}:{x}".encode()).hexdigest()[:8], 16)
+
+    exp = {t: [0, 0, 0] for t in _YV21_TS}
+    for d in ids:
+        score = h("q", d) % 1000
+        label = (score * _YV21_SIG + (h("n", d) % 1000) * (1000 - _YV21_SIG)) // 1000 >= _YV21_CUT
+        for t in _YV21_TS:
+            if score >= t and label:
+                exp[t][0] += 1
+            elif score >= t:
+                exp[t][1] += 1
+            elif label:
+                exp[t][2] += 1
+    rows = yv21(spark, sf_dir).collect()
+    assert [r.threshold_pm for r in rows] == list(_YV21_TS)
+    for r in rows:
+        tp, fp, fn = exp[r.threshold_pm]
+        assert (r.tp, r.fp, r.fn) == (tp, fp, fn)
+        assert r.precision_ppm == tp * 1_000_000 // (tp + fp)
+        assert r.recall_ppm == tp * 1_000_000 // (tp + fn)
+        assert r.f1_ppm == 2 * tp * 1_000_000 // (2 * tp + fp + fn)
+    # raising the threshold can only drop predictions: tp and recall
+    # are nonincreasing in t (precision need not be monotone)
+    tps = [r.tp for r in rows]
+    recs = [r.recall_ppm for r in rows]
+    assert tps == sorted(tps, reverse=True)
+    assert recs == sorted(recs, reverse=True)
+
+
+def test_yv22_matches_pure_python_recompute(spark, sf_dir):
+    import hashlib
+
+    from spotify_tags_etl_spark.operators.ycuration import _YV22_MOD, yv22
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text").collect()
+
+    def h(tag, x):
+        return int(hashlib.md5(f"{tag}:{x}".encode()).hexdigest()[:8], 16)
+
+    train_vocab, test_docs = set(), []
+    for r in docs:
+        toks = r.text.split(" ")
+        grams = {f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)} if len(toks) >= 2 else set()
+        if h("sp", r.doc_id) % _YV22_MOD == 0:
+            test_docs.append((r.lang, grams))
+        else:
+            train_vocab |= grams
+    exp: dict[str, list[int]] = {}
+    for lang, grams in test_docs:
+        n, c = exp.setdefault(lang, [0, 0])
+        exp[lang][0] += len(grams)
+        exp[lang][1] += sum(1 for g in grams if g in train_vocab)
+    got = yv22(spark, sf_dir).collect()
+    assert {r.lang for r in got} == set(exp)
+    for r in got:
+        n, c = exp[r.lang]
+        assert (r.n_bigrams, r.n_covered) == (n, c), r.lang
+        assert r.covered_ppm == c * 1_000_000 // n
