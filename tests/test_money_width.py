@@ -114,6 +114,10 @@ _PRODUCT_AUDITED = [
     "av13_moments",
     "xr02_grouped_linreg",
     "yj01_ams_join_size",
+    # r6: the ESS denominator's Σw² (addend ≤ 8.1e7 wraps a long sum
+    # near 1e11 rows) and Fleiss' ΣT_c² (T_c reaches N·m).
+    "yv16_ips_offpolicy",
+    "yv17_fleiss_kappa",
 ]
 
 
