@@ -69,6 +69,7 @@ LLM_SUITE = [
     "yv16_ips_offpolicy",
     "yv18_token_waterfill",
     "yv20_lsh_parameter_plan",
+    "yv23_rlhf_eval_report",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

@@ -1289,3 +1289,122 @@ def yv19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("policy")
     )
+
+
+# ---------------------------------------------------------------------------
+# yv23 — composed RLHF eval report (the eval twin of yy01's health report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yv23_rlhf_eval_report",
+    oracle=f"""
+    WITH logged AS (
+      SELECT t.p AS policy,
+             ('0x' || substr(md5('r:' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS r,
+             {_YV16_PMIN} + ('0x' || substr(md5('b:' || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV16_PSPAN} AS pb_pm,
+             {_YV16_PMIN} + ('0x' || substr(md5('t' || CAST(t.p AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV16_PSPAN} AS pt_pm
+      FROM events e, UNNEST(generate_series(0, {YV16_POLICIES - 1})) AS t(p)
+    ),
+    w AS (SELECT policy, r, pt_pm * 1000 // pb_pm AS w_pm FROM logged),
+    pol AS (
+      SELECT policy,
+             CAST(CAST(SUM(r * w_pm) AS HUGEINT) * 1000000 // SUM(w_pm) AS BIGINT)
+               AS snips_ppm,
+             CAST(CAST(SUM(w_pm) AS HUGEINT) * SUM(w_pm) * 1000000
+                  // (COUNT(*) * SUM(CAST(w_pm AS HUGEINT) * w_pm)) AS BIGINT)
+               AS ess_ppm
+      FROM w GROUP BY 1
+    ),
+    fv AS (
+      SELECT e.event_id,
+             ('0x' || substr(md5('f' || CAST(t.i AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {_YV17_C} AS label
+      FROM events e, UNNEST(generate_series(0, {_YV17_M - 1})) AS t(i)
+    ),
+    flw AS (SELECT event_id, label, COUNT(*) AS n_uc FROM fv GROUP BY 1, 2),
+    fpc AS (SELECT label, SUM(n_uc * n_uc) AS sa_c, SUM(n_uc) AS t_c FROM flw GROUP BY 1),
+    ftot AS (
+      SELECT SUM(sa_c) AS sa, SUM(CAST(t_c AS HUGEINT) * t_c) AS st2, SUM(t_c) AS nm
+      FROM fpc
+    ),
+    fk AS (
+      SELECT CAST(sa - nm AS HUGEINT) * 1000000 // (nm * {_YV17_M - 1}) AS po_ppm,
+             st2 * 1000000 // (CAST(nm AS HUGEINT) * nm) AS pe_ppm
+      FROM ftot
+    ),
+    mv AS (
+      SELECT e.event_id,
+             ('0x' || substr(md5('l' || CAST(t.i AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {YV14_CLASSES} AS label,
+             ('0x' || substr(md5('w' || CAST(t.i AS VARCHAR) || ':'
+                             || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT
+               % 9 + 1 AS weight
+      FROM events e, UNNEST(generate_series(0, {YV14_ANNOTATORS - 1})) AS t(i)
+    ),
+    mlw AS (SELECT event_id, label, SUM(weight) AS w FROM mv GROUP BY 1, 2),
+    mitem AS (
+      SELECT event_id, MAX(w) AS top_w, SUM(w) AS total_w FROM mlw GROUP BY 1
+    )
+    SELECT 'best_policy' AS metric,
+           CAST(MAX_BY(policy, snips_ppm * 10 - policy) AS BIGINT) AS value FROM pol
+    UNION ALL
+    SELECT 'best_policy_snips_ppm', CAST(MAX(snips_ppm) AS BIGINT) FROM pol
+    UNION ALL
+    SELECT 'min_ess_ppm', CAST(MIN(ess_ppm) AS BIGINT) FROM pol
+    UNION ALL
+    SELECT 'fleiss_kappa_ppm',
+           CAST((po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm) AS BIGINT) FROM fk
+    UNION ALL
+    SELECT 'label_majority_ppm',
+           CAST(SUM(CASE WHEN 2 * top_w > total_w THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT)
+    FROM mitem
+    """,
+    doc=(
+        "The composed RLHF EVAL REPORT — yy01's composition discipline "
+        "applied to the preference-data family: which candidate policy "
+        "wins (yv16's SNIPS argmax, policy-asc tiebreak through one "
+        "injective key), its value, the WORST policy-overlap diagnostic "
+        "(min ESS — the 'can you trust any of this' gate), annotation "
+        "quality (yv17's Fleiss kappa), and the share of items with an "
+        "absolute weighted label majority (yv14's frame). Every branch "
+        "reduces to an O(1) scalar before the union; each keeps its "
+        "family's shape (map-combined groupBys, no joins wider than the "
+        f"O({YV16_POLICIES}) policy frame). One dashboard query a "
+        "preference-data pipeline pages on; all values exact integers, "
+        "so the report itself is hash-checkable."
+    ),
+    tags=("rlhf", "composed", "monitoring", "llm-pipeline"),
+)
+def yv23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pol = yv16(spark, sf_dir)
+    best = pol.agg(
+        F.lit("best_policy").alias("metric"),
+        F.expr("CAST(max_by(policy, snips_ppm * 10 - policy) AS BIGINT)").alias("value"),
+    )
+    bestv = pol.agg(
+        F.lit("best_policy_snips_ppm").alias("metric"),
+        F.max("snips_ppm").cast("bigint").alias("value"),
+    )
+    ess = pol.agg(
+        F.lit("min_ess_ppm").alias("metric"),
+        F.min("ess_ppm").cast("bigint").alias("value"),
+    )
+    kappa = yv17(spark, sf_dir).select(
+        F.lit("fleiss_kappa_ppm").alias("metric"),
+        F.col("kappa_ppm").cast("bigint").alias("value"),
+    )
+    maj = yv14(spark, sf_dir).agg(
+        F.lit("label_majority_ppm").alias("metric"),
+        F.expr(
+            "CAST(SUM(n_majority) * 1000000 DIV SUM(n_items) AS BIGINT)"
+        ).alias("value"),
+    )
+    return best.unionByName(bestv).unionByName(ess).unionByName(kappa).unionByName(maj)

@@ -302,3 +302,19 @@ def test_yv22_matches_pure_python_recompute(spark, sf_dir):
         n, c = exp[r.lang]
         assert (r.n_bigrams, r.n_covered) == (n, c), r.lang
         assert r.covered_ppm == c * 1_000_000 // n
+
+
+def test_yv23_report_is_consistent_with_its_components(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.yrlhf import yv14, yv16, yv17, yv23
+
+    rep = {r.metric: r.value for r in yv23(spark, sf_dir).collect()}
+    pol = yv16(spark, sf_dir).collect()
+    best = max(pol, key=lambda r: (r.snips_ppm, -r.policy))
+    assert rep["best_policy"] == best.policy
+    assert rep["best_policy_snips_ppm"] == best.snips_ppm
+    assert rep["min_ess_ppm"] == min(r.ess_ppm for r in pol)
+    assert rep["fleiss_kappa_ppm"] == yv17(spark, sf_dir).collect()[0].kappa_ppm
+    rows = yv14(spark, sf_dir).collect()
+    assert rep["label_majority_ppm"] == sum(r.n_majority for r in rows) * 1_000_000 // sum(
+        r.n_items for r in rows
+    )
