@@ -1,4 +1,4 @@
-"""Structural invariants for the late round-6 ops (yv10/yv14/yv15).
+"""Structural invariants for the late round-6 ops (yv10, yv14–yv23).
 
 Oracle parity at sf0.001 is covered by test_oracle_parity.py's registry
 parametrization; these pin the algorithmic claims the docstrings make.
