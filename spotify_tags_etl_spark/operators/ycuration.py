@@ -28,6 +28,8 @@ sketches (av12/av14's tolerance-oracle pattern), per-key windows only.
 
 from __future__ import annotations
 
+import uuid as _uuid
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1153,9 +1155,12 @@ def _yv21_scored(engine: str) -> str:
     tags=("curation", "quality", "eval", "llm-pipeline"),
 )
 def yv21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("yv21_documents")
-    scored = spark.sql(_yv21_scored("spark").replace("FROM documents", "FROM yv21_documents"))
-    spark.catalog.dropTempView("yv21_documents")
+    # uuid-suffixed view (same pattern as yv20's grid view): a fixed name
+    # races with concurrent same-session invocations between create and use.
+    view = f"yv21_documents_{_uuid.uuid4().hex[:8]}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    scored = spark.sql(_yv21_scored("spark").replace("FROM documents", f"FROM {view}"))
+    spark.catalog.dropTempView(view)
     aggs = []
     for t in _YV21_TS:
         aggs += [

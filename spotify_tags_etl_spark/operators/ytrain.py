@@ -40,7 +40,11 @@ YV02_STRIDE = 20
 
 #: Rank-key scale: key = score * 2^24 - cand_id encodes (score DESC,
 #: cand_id ASC) in one int64 (|score| <= 127*127*64 ~ 1.04e6, so
-#: |key| <= 1.8e13 — exact in both engines).
+#: |key| <= 1.8e13 — exact in both engines). The id term requires
+#: cand_id < 2^24 (~16.7M vectors): a larger id bleeds into the score
+#: bits and corrupts ranks IDENTICALLY on both engines, so oracle
+#: parity cannot catch it — widen the key to DECIMAL(38,0) on both
+#: sides before pointing this at a bigger vector catalog.
 YV02_KEY_SCALE = 1 << 24
 
 #: Coverage target for yv03 in permille.
@@ -300,6 +304,16 @@ def yv03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.col("cnt").desc(), F.col("token").asc()]
     cum_df, total = prefix_sum(tf, order, "cnt", sum_col="cum")
+    if not total:
+        # Empty/zero-token corpus: coverage is undefined and the oracle's
+        # GROUP BY over an empty census emits ZERO rows — mirror that
+        # (yd02/yg02 discipline) instead of Spark's one all-NULL
+        # global-aggregate row with `None` interpolated into the ppm SQL.
+        return spark.createDataFrame(
+            [],
+            "vocab_size bigint, boundary_token string, "
+            "coverage_ppm bigint, total_tokens bigint",
+        )
     ranked, _n = global_rank(cum_df, order, rank_col="r")
     crossing = ranked.where(F.lit(1000) * F.col("cum") >= F.lit(YV03_TARGET_PERMILLE) * F.lit(total))
     return crossing.agg(
@@ -642,7 +656,19 @@ def waterfill(dom: DataFrame, bnum: int, bden: int) -> DataFrame:
     alloc, capped, level). Pure relational — every stage runs on the
     O(#domains) frame (the caller supplies the already-aggregated
     totals); property-tested against brute-force search in
-    tests/test_round6_additions.py."""
+    tests/test_round6_additions.py.
+
+    Precondition: ``bnum < bden`` (a strict sub-unity budget ratio).
+    At ``bnum/bden >= 1`` the budget covers every domain, kstar = d,
+    and the level term's ``DIV (d - kstar)`` divides by zero (NULL
+    under non-ANSI Spark) — the SQL below also guards that branch to
+    ``tok`` so a future caller bypassing the assert degrades to the
+    correct everything-fits allocation instead of NULLs."""
+    if bnum >= bden:
+        raise ValueError(
+            f"waterfill requires bnum < bden (budget strictly below total); "
+            f"got {bnum}/{bden}"
+        )
     g = dom.agg(
         F.count(F.lit(1)).alias("d"),
         F.expr(f"SUM(tok) * {bnum} DIV {bden}").alias("b"),
@@ -671,6 +697,7 @@ def waterfill(dom: DataFrame, bnum: int, bden: int) -> DataFrame:
         "CAST(CASE WHEN k <= kstar THEN tok"
         " ELSE (b - s_star) DIV (d - kstar) END AS BIGINT) AS alloc",
         "CAST(CASE WHEN k <= kstar THEN 0 ELSE 1 END AS BIGINT) AS capped",
-        "CAST((b - s_star) DIV (d - kstar) AS BIGINT) AS level",
+        "CAST(CASE WHEN d = kstar THEN tok"
+        " ELSE (b - s_star) DIV (d - kstar) END AS BIGINT) AS level",
     )
     return out.orderBy("source")

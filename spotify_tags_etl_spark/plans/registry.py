@@ -273,8 +273,59 @@ VERIFIED = frozenset(
         "xz01_exact_simjoin_prefix",
         "xz03_ivm_join_delta",
         "xz05_rrf_hybrid_fusion",
+        "xz06_cms_heavy_hitters",
+        "xz08_skyline_parts",
+        "xz09_linear_attribution",
+        "xz10_greedy_cover",
+        "xz11_grouped_agg_udaf_mad",
+        "xz12_grouped_map_demean",
+        "xz13_recursive_reachability",
+        "xz14_lateral_topk",
+        "xz15_map_in_arrow_partials",
+        "xz16_association_rules",
+        "xz17_pipe_syntax",
+        "xz18_sql_scripting",
+        "xz19_chao_ndv_estimate",
+        "xz20_user_growth_curve",
+        "xz21_table_checksum",
+        "ya01_ngram_novelty",
+        "yb02_tfidf_neighbors",
+        "yc01_chunk_documents",
+        "yd02_ks_two_sample",
+        "yd03_energy_distance",
+        "ye01_int8_projection",
+        "ye02_projection_recall_eval",
+        "yf01_repetition_score",
+        "yg02_rank_sum_test",
+        "yh01_hll_intersection",
+        "yi03_stream_stats_manifest",
+        "yj01_ams_join_size",
+        "yk01_knn_holdout_eval",
+        "yl01_partition_stats_manifest",
+        "yl02_class_balance",
+        "yl03_dau_mau_stickiness",
+        "yl04_topk_drift",
+        "ym01_sequence_pattern_match",
+        "ym02_png_roundtrip_decode",
+        "ym03_wav_roundtrip_decode",
+        "yn01_contrastive_negatives",
+        "yn02_grid_neighbor_join",
+        "yo01_conformal_anomaly",
+        "yp01_curation_pipeline",
+        "yq02_min_cost_supplier",
+        "yq08_market_share",
+        "yq09_product_profit",
+        "yq11_important_stock",
+        "yq16_supplier_relationship",
+        "yq20_majority_share_suppliers",
+        "yq21_sole_return_supplier",
+        "yr01_daily_corr",
+        "ys01_pareto_frontier",
+        "yt01_containment_dedup",
+        "yu01_grouped_reservoir_sample",
     }
 )
+# 259 verified; registry window frees 50 new slots next round
 # 209 verified; registry window frees 50 new slots next round
 
 

@@ -85,6 +85,15 @@ ALLOWLIST = {
     # the T_c^2 term that reaches (N*m)^2 is squared in 128-bit on the
     # O(#classes) frame instead.
     'F.col("n_uc") * F.col("n_uc")': "per-unit rating count, addend <= m^2 = 25",
+    # classics/classics2 _REV_SQL / _REV_MICROS_SQL: DuckDB-ORACLE-only
+    # revenue helper (interpolated solely into oracle= f-strings, where
+    # SUM promotes to HUGEINT); defined at module top before any marker,
+    # so the fail-closed classifier counts it as Spark text. The Spark
+    # twin _rev_micros() accumulates in DECIMAL(38,0) already.
+    'CAST(round(l_extendedprice * 100) AS BIGINT)" " *'
+    " (10000 - CAST(round(l_discount * 10000) AS BIGINT))": (
+        "oracle-only helper string; HUGEINT SUM on the DuckDB side"
+    ),
 }
 
 
@@ -128,9 +137,19 @@ _ORACLE_MARK = re.compile(r"\boracle\s*=")
 
 
 def _sql_is_spark(text: str, pos: int) -> bool:
-    window = text[max(0, pos - 2000) : pos]
+    """Classify the SQL text containing a SUM at ``pos``: Spark SQL
+    (wraps silently — audit it) vs a DuckDB oracle string (HUGEINT
+    promotion — exempt). Scans the ENTIRE prefix, not a fixed lookback
+    window: a SUM >2k chars into a long Spark SQL string must not fall
+    off the edge of the search. FAILS CLOSED — a SUM with no preceding
+    marker at all (e.g. SQL built by a helper and passed to spark.sql
+    via a variable) counts as Spark-side, so unclassifiable sites
+    surface in the audit instead of being silently skipped."""
+    window = text[:pos]
     spark_at = max((m.end() for m in _SPARK_MARK.finditer(window)), default=-1)
     oracle_at = max((m.end() for m in _ORACLE_MARK.finditer(window)), default=-1)
+    if oracle_at == -1:
+        return True
     return spark_at > oracle_at
 
 
