@@ -174,6 +174,40 @@ LAST_RUN_STATE_OPS: list[str] = []
 #: losing a streaming run is caught too.
 STATE_OPS_LOG: list[tuple[str, tuple[str, ...]]] = []
 
+#: Micro-batch PLAN fingerprints since the last test-side clear — the
+#: second half of the streaming ratchet. The state-shape log above pins
+#: WHAT state the engine keeps; this pins the physical shape of the
+#: work each micro-batch does, with the same metric table as the batch
+#: plan ratchet (plans/planmetrics.METRICS). Two capture paths:
+#:
+#: * engine-sink runs: :func:`record_state_ops` reads the engine's own
+#:   last-executed micro-batch plan (``explainInternal``) — one
+#:   ``("engine:<sink>", metrics)`` entry per streaming run;
+#: * foreachBatch runs: the engine-side plan is a trivial hand-off, so
+#:   each inner write site calls :func:`record_batch_plan` on the frame
+#:   it is about to materialize — one ``(label, metrics)`` entry per
+#:   micro-batch per site.
+#:
+#: Tests pin the DEDUPLICATED set per query (micro-batch plans are
+#: data-independent in shape, so every batch of a site fingerprints
+#: identically; the set form keeps pins stable under batch-count
+#: changes from maxFilesPerTrigger tuning). A foreachBatch merge
+#: silently gaining an exchange — invisible to both the batch ratchet
+#: and the state-shape pin — now fails a test.
+MICRO_PLAN_LOG: list[tuple[str, tuple[tuple[str, int], ...]]] = []
+
+
+def record_batch_plan(df: DataFrame, label: str) -> None:
+    """Fingerprint a foreachBatch inner frame's physical plan into
+    :data:`MICRO_PLAN_LOG`. Uses the pre-execution physical plan
+    (deterministic for a fixed query shape and config — AQE runtime
+    re-planning is deliberately NOT awaited, so the pin tracks the
+    declared shape, not data-size-dependent runtime choices)."""
+    from spotify_tags_etl_spark.plans.planmetrics import count_metrics
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    MICRO_PLAN_LOG.append((label, tuple(sorted(count_metrics(plan).items()))))
+
 
 def record_state_ops(q, sink: str) -> None:
     """Union the state-operator names across a finished streaming
@@ -191,6 +225,21 @@ def record_state_ops(q, sink: str) -> None:
                 ops.add(op["operatorName"])
     LAST_RUN_STATE_OPS[:] = sorted(ops)
     STATE_OPS_LOG.append((sink, tuple(sorted(ops))))
+    # Micro-batch plan fingerprint: the engine's last-executed batch
+    # plan (shape is data-independent, so "last" is representative).
+    # foreachBatch queries capture their INNER plans at each write site
+    # via record_batch_plan instead — the engine-side plan there is a
+    # trivial hand-off, but pin it anyway: it going non-trivial would
+    # mean work silently moved out of the instrumented batch_fn.
+    try:
+        from spotify_tags_etl_spark.plans.planmetrics import count_metrics
+
+        plan = q._jsq.explainInternal(False)
+        MICRO_PLAN_LOG.append(
+            (f"engine:{sink}", tuple(sorted(count_metrics(plan).items())))
+        )
+    except Exception:  # no batch executed — nothing to fingerprint
+        pass
 
 
 def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
@@ -785,6 +834,7 @@ def streaming_upsert(stream: DataFrame) -> DataFrame:
         else:
             merged = latest
         target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(merged, "st08:merge")
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -902,8 +952,10 @@ def streaming_neardup(
             )
             .distinct()
         )
+        record_batch_plan(cand, "st09:candidates")
         cand.write.mode("append").parquet(pairs_dir)
         target = os.path.join(root, f"sig_v{batch_id}")
+        record_batch_plan(sig_all, "st09:signatures")
         sig_all.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1023,6 +1075,7 @@ def streaming_funnel(stream_events: DataFrame) -> DataFrame:
             "mp", F.coalesce("mp", "bp")
         ).drop("bp")
         target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(st, "xw01:funnel_state")
         st.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1146,6 +1199,7 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
         else:
             merged = daily
         target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(merged, "xk03:hll_merge")
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1349,6 +1403,7 @@ def streaming_cms_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
         else:
             merged = part
         target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(merged, "xw06:cms_merge")
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1472,6 +1527,7 @@ def stream_running_stats(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
         else:
             merged = latest
         target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(merged, "xw08:stats_merge")
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1660,6 +1716,7 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(part, "xw10:checksum_part")
         part.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1748,6 +1805,7 @@ def yi03(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(part, "yi03:manifest_part")
         part.write.mode("overwrite").parquet(target)
         current[:] = [target]
 

@@ -60,6 +60,74 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
 }
 
 
+# Micro-batch PLAN pins — the second half of the streaming ratchet
+# (r6 verdict "what's wrong" #3: state shapes caught semantic
+# degradation, but a foreachBatch merge silently gaining an exchange
+# was still invisible). Per query: capture label -> the DEDUPLICATED
+# sorted list of nonzero plan metrics across that label's micro-batches
+# (shape is data-independent, so every batch of a site fingerprints
+# identically; the set form is stable under batch-count changes).
+# ``engine:*`` entries fingerprint the engine's own last micro-batch
+# plan; ``<query>:<site>`` entries fingerprint foreachBatch inner
+# frames at their write sites (streaming/ops.record_batch_plan).
+EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
+    "st01_stream_windowed_agg": {"engine:memory": [{"exchanges": 1}]},
+    "st02_stream_dedup": {"engine:memory": [{"exchanges": 1}]},
+    "st03_stream_sessions": {
+        "engine:memory": [{"exchanges": 1, "grouped_map_pandas": 1}]
+    },
+    "st04_stream_static_join": {"engine:memory": [{"exchanges": 1}]},
+    "st05_stream_sliding_window": {"engine:memory": [{"exchanges": 1}]},
+    "st06_stream_stream_join": {"engine:memory": [{"exchanges": 2}]},
+    "st07_stream_outer_join": {"engine:memory": [{"exchanges": 2}]},
+    "xw09_stream_orphan_errors": {"engine:memory": [{"exchanges": 2}]},
+    "st08_stream_upsert": {
+        "engine:foreachBatch": [{}],
+        "st08:merge": [{"exchanges": 1}],
+    },
+    "st09_stream_neardup": {
+        "engine:foreachBatch": [{}],
+        "st09:candidates": [{"exchanges": 3}],
+        "st09:signatures": [{"exchanges": 1}],
+    },
+    "xk03_stream_hll_rollup": {
+        "engine:foreachBatch": [{}],
+        "xk03:hll_merge": [{"exchanges": 1}],
+    },
+    "xw01_stream_funnel": {
+        "engine:foreachBatch": [{}],
+        # the 5-stage funnel state update is a chain of per-user stage
+        # joins: 7 sort-merge joins / 11 exchanges over MICRO-BATCH-sized
+        # frames (state table + batch), not corpus-sized ones
+        "xw01:funnel_state": [{"exchanges": 11, "sort_merge_joins": 7}],
+    },
+    "xw06_stream_cms_rollup": {
+        "engine:foreachBatch": [{}],
+        "xw06:cms_merge": [{"exchanges": 1}],
+    },
+    "xw10_stream_checksum": {
+        "engine:foreachBatch": [{}],
+        # one-row checksum partial per batch — SinglePartition by design
+        "xw10:checksum_part": [{"single_partition": 1}],
+    },
+    "yi03_stream_stats_manifest": {
+        "engine:foreachBatch": [{}],
+        "yi03:manifest_part": [{"exchanges": 1}],
+    },
+    "sz01_stream_paged_source": {"engine:memory": [{}]},
+}
+
+
+def _observed_micro_plans() -> dict[str, list[dict[str, int]]]:
+    seen: dict[str, set] = {}
+    for label, fp in sops.MICRO_PLAN_LOG:
+        seen.setdefault(label, set()).add(fp)
+    return {
+        label: [dict((k, v) for k, v in fp if v) for fp in sorted(fps)]
+        for label, fps in seen.items()
+    }
+
+
 def _builder(name: str):
     qs = registry.all_queries()
     return qs[name] if name in qs else qs["zv_" + name]
@@ -68,6 +136,7 @@ def _builder(name: str):
 @pytest.mark.parametrize("name", sorted(EXPECTED_STATE_SHAPE))
 def test_stream_state_shape(spark, sf_dir, name):
     sops.STATE_OPS_LOG.clear()
+    sops.MICRO_PLAN_LOG.clear()
     df = _builder(name)(spark, sf_dir)
     df.count()  # ensure full execution (builders materialize eagerly anyway)
     assert sops.STATE_OPS_LOG == EXPECTED_STATE_SHAPE[name], (
@@ -76,6 +145,18 @@ def test_stream_state_shape(spark, sf_dir, name):
         "If deliberate, update EXPECTED_STATE_SHAPE with the new "
         "state-store budget in mind."
     )
+    observed = _observed_micro_plans()
+    assert observed == EXPECTED_MICRO_PLANS[name], (
+        f"{name}: micro-batch plan fingerprint changed — "
+        f"got {observed}, pinned {EXPECTED_MICRO_PLANS[name]}. "
+        "A gained metric means an unplanned shuffle/Python stage inside "
+        "a micro-batch; a lost one means work moved out of the "
+        "instrumented path. If deliberate, update EXPECTED_MICRO_PLANS."
+    )
+
+
+def test_micro_plan_pins_cover_state_shape_pins():
+    assert set(EXPECTED_MICRO_PLANS) == set(EXPECTED_STATE_SHAPE)
 
 
 def test_every_registered_streaming_query_is_pinned():

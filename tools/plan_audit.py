@@ -32,25 +32,10 @@ sys.path.insert(0, _REPO)
 SNAPSHOT_PATH = os.path.join(_REPO, "tools", "plans_snapshot.json")
 
 #: Metric name -> executed-plan substring counted. "Worse" = strictly
-#: greater than the snapshot for every metric here.
-METRICS = {
-    "exchanges": "Exchange hashpartitioning",
-    "single_partition": "Exchange SinglePartition",
-    "python_eval": "BatchEvalPython",
-    "arrow_eval": "ArrowEvalPython",
-    "cartesian": "CartesianProduct",
-    "sort_merge_joins": "SortMergeJoin",
-    # The r6 audit found the two metrics above miss every OTHER Python
-    # boundary Spark renders with distinct node names — a query could
-    # grow a whole pandas stage and still pin "python_eval: 0". Count
-    # them all; nonzero is CORRECT for the declared UDF-surface queries
-    # (q29/q30 fuzzy, sp02, mm*, xz11/12/15) and a regression anywhere
-    # else. (FlatMapGroupsInPandas does not substring-match MapInPandas.)
-    "map_in_pandas": "MapInPandas",
-    "map_in_arrow": "MapInArrow",
-    "grouped_map_pandas": "FlatMapGroupsInPandas",
-    "grouped_agg_arrow": "ArrowAggregatePython",
-}
+#: greater than the snapshot for every metric here. Single source of
+#: truth shared with the streaming micro-batch pins — see
+#: spotify_tags_etl_spark/plans/planmetrics.py for the rationale notes.
+from spotify_tags_etl_spark.plans.planmetrics import METRICS  # noqa: E402
 
 
 def audited_names() -> list[str]:
