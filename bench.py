@@ -70,6 +70,10 @@ LLM_SUITE = [
     "yv18_token_waterfill",
     "yv20_lsh_parameter_plan",
     "yv23_rlhf_eval_report",
+    # round-7 (operators/zaops.py): the tokenizer APPLY step and the
+    # Bradley-Terry arena fit
+    "za01_bpe_apply",
+    "za02_bradley_terry",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the
@@ -82,6 +86,9 @@ STREAMING_SUITE = [
     "st08_stream_upsert",
     "st09_stream_neardup",
     "xk03_stream_hll_rollup",
+    # round-7: incremental DPO pair construction (versioned-parquet
+    # extremes merge)
+    "za04_stream_preference_pairs",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /
@@ -133,6 +140,9 @@ ANALYTICS_SUITE = [
     "yl03_dau_mau_stickiness",
     "yl04_topk_drift",
     "yy01_pipeline_health_report",
+    # round-7: mergeable-histogram quantile drift (the t-digest role,
+    # exact)
+    "za03_quantile_drift",
 ]
 
 #: Curation/sketch suite (round-3 batch 6): count-min build+estimate

@@ -432,10 +432,11 @@ YV10_MIN_LEN, YV10_MAX_LEN = 2, 12
 #: boundary-exact match with no LIKE-wildcard risk.
 
 
-def _bpe_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
-    """Unrolled DuckDB twin: R chained (count pairs -> argmax -> fold)
-    stages; fixed generate_series + WHERE (no lateral) for the pair
-    explode, list_reduce for the fold."""
+def bpe_ctes(rounds: int = YV10_ROUNDS) -> list[str]:
+    """Unrolled DuckDB CTE chain shared by yv10's oracle and za01's
+    apply oracle: R chained (count pairs -> argmax -> fold) stages;
+    fixed generate_series + WHERE (no lateral) for the pair explode,
+    list_reduce for the fold. ``w{rounds}`` is the post-merge vocab."""
     ctes = [
         f"""tok AS (
       SELECT t.w AS w, COUNT(*) AS cnt
@@ -469,6 +470,11 @@ def _bpe_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
       FROM (SELECT seq, string_split(seq, '|') AS l, cnt FROM w{r}) s, b{r} b
     )"""
         )
+    return ctes
+
+
+def _bpe_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
+    ctes = bpe_ctes(rounds)
     sel = " UNION ALL ".join(
         f"SELECT {r + 1} AS round, pa, pb, CAST(c AS BIGINT) AS pair_count FROM b{r}"
         for r in range(rounds)
@@ -503,6 +509,22 @@ def _bpe_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
     tags=("text", "tokenizer", "training", "llm-pipeline"),
 )
 def yv10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows, words = bpe_learn(spark, sf_dir, YV10_ROUNDS)
+    words.unpersist()
+    return spark.createDataFrame(
+        rows, "round int, pa string, pb string, pair_count long"
+    )
+
+
+def bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Sennrich-BPE merge-rule learning (yv10's engine), shared with the
+    za01 apply operator: returns ``(merge_table_rows, words)`` where
+    ``words`` is the (seq, cnt) vocabulary AFTER applying all learned
+    merges greedy-left round by round — i.e. the already-tokenized
+    vocabulary a consumer censuses or maps back over the corpus. The
+    caller owns ``words`` (unpersist when done)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
@@ -517,7 +539,7 @@ def yv10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
     ).localCheckpoint(eager=True)
     rows: list[tuple[int, str, str, int]] = []
-    for r in range(1, YV10_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         lcol = words.select(F.split("seq", "\\|").alias("l"), "cnt").where(F.size("l") >= 2)
         top = (
             lcol.select(
@@ -554,10 +576,7 @@ def yv10(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         ).localCheckpoint(eager=True)
         prev.unpersist()
-    words.unpersist()
-    return spark.createDataFrame(
-        rows, "round int, pa string, pb string, pair_count long"
-    )
+    return rows, words
 
 
 # ---------------------------------------------------------------------------

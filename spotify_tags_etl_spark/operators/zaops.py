@@ -1,0 +1,673 @@
+"""Round-7 operators: the tokenizer APPLY step and the arena ranking
+fit — the two consumers the round-6 additions left dangling.
+
+* ``za01_bpe_apply`` — apply yv10's LEARNED merge table to the corpus
+  vocabulary map-side and census the merged tokens (the missing stage-0
+  consumer in PLANS.md's RLHF walk: yv10 learns rules, nothing applied
+  them);
+* ``za02_bradley_terry`` — fixed-iteration Bradley–Terry
+  (minorization-maximization) strength fit over yv07's arena edge
+  frame, exact-integer throughout, completing the yv07 (win rates) →
+  yv13 (cycle audit) → fit arc.
+
+Reference parity: the reference ETL (averille-demo/spotify-tags-etl)
+has no training-data surface; these extend the engine along the
+LLM-pipeline axis the build brief mandates. Names are ``za*`` so they
+sort after ``yz02`` (the last never-driver-checked round-6 name) and
+before the ``zv_`` rotation prefix — joining the round-7 driver window
+without displacing a pending first check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.yrlhf import YV07_MODELS, _RMOD, _h, _hd
+from spotify_tags_etl_spark.operators.ytrain import YV10_ROUNDS, bpe_ctes, bpe_learn
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+# ---------------------------------------------------------------------------
+# za01 — apply the learned BPE merge table to the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+
+def _za01_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
+    """yv10's unrolled CTE chain, then a census of the post-merge vocab
+    ``w{rounds}``: only merge results are multi-char symbols, so the
+    ``len >= 2`` filter selects exactly the tokens the merge table
+    created — at most ``rounds`` distinct token types by construction."""
+    ctes = bpe_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT t AS token,
+           CAST(len(t) AS BIGINT) AS token_chars,
+           CAST(SUM(cnt) AS BIGINT) AS occurrences
+    FROM (SELECT unnest(string_split(seq, '|')) AS t, cnt FROM w{rounds}) u
+    WHERE len(t) >= 2
+    GROUP BY t
+    ORDER BY occurrences DESC, token ASC
+    """
+    )
+
+
+@register(
+    "za01_bpe_apply",
+    oracle=_za01_oracle_sql(),
+    doc=(
+        f"BPE APPLY: learn the {YV10_ROUNDS}-rule merge table (yv10's "
+        "engine, shared via ytrain.bpe_learn) and apply every rule in "
+        "learned order to the corpus vocabulary greedy-left, then "
+        "census the tokens the merges created — (token, chars, "
+        "weighted occurrences), ordered by occurrence. This is the "
+        "stage-0 consumer PLANS.md's RLHF walk assumes: a tokenizer "
+        "build learns rules once, then APPLIES them to 100 TB. Shape: "
+        "the single corpus-sized pass is the (word, count) vocabulary "
+        "groupBy inherited from the learner; every apply round is a "
+        "MAP-ONLY aggregate() fold over the ~1e7-row vocab frame with "
+        "the rule pair embedded as a broadcast-equivalent literal (no "
+        "UDF, no shuffle, no materialized tokenized corpus — exactly "
+        "how the merge table would map over 100 TB: rules broadcast, "
+        "one map pass); the final census groupBy runs on the "
+        f"<= {YV10_ROUNDS}-row space of merge-created token types. "
+        "Oracle: the same unrolled-CTE chain as yv10 plus a list_reduce "
+        "census over the post-merge vocab — bit-exact."
+    ),
+    tags=("text", "tokenizer", "training", "llm-pipeline"),
+)
+def za01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rows, words = bpe_learn(spark, sf_dir, YV10_ROUNDS)
+    toks = words.select(F.explode(F.split("seq", "\\|")).alias("token"), "cnt")
+    out = (
+        toks.where(F.length("token") >= 2)
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("bigint").alias("occurrences"))
+        .select(
+            "token",
+            F.length("token").cast("bigint").alias("token_chars"),
+            "occurrences",
+        )
+        .orderBy(F.desc("occurrences"), F.asc("token"))
+        # materialize before releasing the checkpointed vocab the plan
+        # reads from
+        .localCheckpoint(eager=True)
+    )
+    words.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# za02 — Bradley–Terry strength fit over the arena edge frame
+# ---------------------------------------------------------------------------
+
+#: Fixed MM iteration count (convergence is geometric; 10 rounds is
+#: plenty at 6 models and makes the unrolled oracle finite).
+ZA02_ITERS = 10
+
+#: Fixed-point scale for the per-edge term 2*n/(s_i + s_j). One
+#: truncating division per edge per iteration, identical both engines.
+ZA02_SCALE = 10**12
+
+
+def _za02_oracle_sql(iters: int = ZA02_ITERS) -> str:
+    """Unrolled MM iterations as chained CTEs, all HUGEINT-exact:
+    s_{r+1}(i) = normalize( W2_i / sum_j 2*n_ij/(s_r(i)+s_r(j)) ) with
+    draw-adjusted wins W2 = 2*wins + draws, strengths held in truncated
+    ppm fixed point (mean 1e6). Every CTE is MATERIALIZED: s{r} is
+    referenced twice per iteration, so DuckDB's default inlining
+    expands the chain 2^iters-fold (fd exhaustion on the parquet
+    scan); materialization keeps it linear."""
+    ctes = [
+        f"""battles AS MATERIALIZED (
+      SELECT {_hd('m', 'event_id')} % {YV07_MODELS} AS ma,
+             {_hd('n', 'event_id')} % {YV07_MODELS} AS mb,
+             {_hd('wa', 'event_id')} % {_RMOD} AS sa,
+             {_hd('wb', 'event_id')} % {_RMOD} AS sb
+      FROM events
+    )""",
+        """d AS MATERIALIZED (
+      SELECT ma AS i, mb AS j,
+             CASE WHEN sa > sb THEN 2 WHEN sa = sb THEN 1 ELSE 0 END AS w2
+      FROM battles WHERE ma <> mb
+      UNION ALL
+      SELECT mb, ma,
+             CASE WHEN sb > sa THEN 2 WHEN sb = sa THEN 1 ELSE 0 END
+      FROM battles WHERE ma <> mb
+    )""",
+        "e AS MATERIALIZED (SELECT i, j, COUNT(*) AS n, SUM(w2) AS w2 FROM d GROUP BY i, j)",
+        "wt AS MATERIALIZED (SELECT i, SUM(n) AS n, SUM(w2) AS w2 FROM e GROUP BY i)",
+        "nm AS MATERIALIZED (SELECT COUNT(*) AS nmod FROM wt)",
+        "s0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS s FROM wt)",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+      SELECT e.i,
+             SUM(CAST(2 * e.n AS HUGEINT) * {ZA02_SCALE} // (si.s + sj.s)) AS t
+      FROM e JOIN s{r} si ON si.i = e.i JOIN s{r} sj ON sj.i = e.j
+      GROUP BY e.i
+    )"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT wt.i, CAST(wt.w2 AS HUGEINT) * {ZA02_SCALE} * 1000000 // t{r}.t AS p
+      FROM wt JOIN t{r} ON t{r}.i = wt.i
+    )"""
+        )
+        ctes.append(f"ps{r} AS MATERIALIZED (SELECT SUM(p) AS sp FROM p{r})")
+        ctes.append(
+            f"""s{r + 1} AS MATERIALIZED (
+      SELECT i, GREATEST(p * nm.nmod * 1000000 // ps{r}.sp, 1) AS s
+      FROM p{r}, ps{r}, nm
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(wt.i AS BIGINT) AS model,
+           CAST(wt.n AS BIGINT) AS n_battles,
+           CAST(wt.w2 AS BIGINT) AS w2,
+           CAST(sf.s AS BIGINT) AS strength_ppm,
+           CAST(ROW_NUMBER() OVER (ORDER BY sf.s DESC, wt.i ASC) AS BIGINT)
+             AS bt_rank
+    FROM wt JOIN s{iters} sf ON sf.i = wt.i
+    ORDER BY model
+    """
+    )
+
+
+@register(
+    "za02_bradley_terry",
+    oracle=_za02_oracle_sql(),
+    doc=(
+        f"Bradley–Terry strength fit over yv07's {YV07_MODELS}-model "
+        f"arena: {ZA02_ITERS} fixed minorization-maximization rounds "
+        "s_i <- W2_i / sum_j 2*n_ij/(s_i+s_j), draws counted as half "
+        "wins (W2 = 2*wins + draws — yv07's published convention), "
+        "strengths renormalized to mean 1e6 ppm each round; emits "
+        "(model, battles, W2, strength_ppm, rank). Completes the arc "
+        "yv13's cycle audit gates: the ranking fit itself. "
+        "Exact-integer throughout: each per-edge term is ONE truncating "
+        "128-bit fixed-point division (scale 1e12), so both engines "
+        "compute identical iterates — no float fixed point to diverge "
+        "in the last ulp. Shape: the corpus-sized work is the map-side "
+        "battle derivation + ONE map-combined groupBy onto the "
+        "O(models^2) directed edge frame (<= 30 rows, localCheckpointed "
+        "once); each MM round is a Spark job over that tiny frame with "
+        "current strengths embedded as literals, feeding back one "
+        "O(#models)-row collect (xz10's plan-feeding pattern, "
+        "documented: the driver ferries 6-row literals, the engine does "
+        "the arithmetic). The oracle unrolls the same rounds as chained "
+        "HUGEINT CTEs; tests/test_round7_additions.py re-derives the "
+        "fit in pure-Python integers and pins both."
+    ),
+    tags=("rlhf", "eval", "ranking", "llm-pipeline"),
+)
+def za02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    battles = ev.select(
+        (F.expr(_h("m", "event_id")) % YV07_MODELS).alias("ma"),
+        (F.expr(_h("n", "event_id")) % YV07_MODELS).alias("mb"),
+        (F.expr(_h("wa", "event_id")) % _RMOD).alias("sa"),
+        (F.expr(_h("wb", "event_id")) % _RMOD).alias("sb"),
+    ).where(F.col("ma") != F.col("mb"))
+    w2_ab = (
+        F.when(F.col("sa") > F.col("sb"), 2)
+        .when(F.col("sa") == F.col("sb"), 1)
+        .otherwise(0)
+    )
+    w2_ba = (
+        F.when(F.col("sb") > F.col("sa"), 2)
+        .when(F.col("sb") == F.col("sa"), 1)
+        .otherwise(0)
+    )
+    directed = battles.select(
+        F.col("ma").alias("i"), F.col("mb").alias("j"), w2_ab.alias("w2")
+    ).unionAll(
+        battles.select(
+            F.col("mb").alias("i"), F.col("ma").alias("j"), w2_ba.alias("w2")
+        )
+    )
+    # The ONLY corpus-sized stage: map-combined groupBy onto <= 30 rows.
+    edges = (
+        directed.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    wt = {
+        r["i"]: (int(r["n"]), int(r["w2"]))
+        for r in edges.groupBy("i")
+        .agg(F.sum("n").alias("n"), F.sum("w2").alias("w2"))
+        .collect()
+    }
+    models = sorted(wt)
+    nmod = len(models)
+    s = {i: 10**6 for i in models}
+    for _ in range(ZA02_ITERS):
+        # strengths as a literal CASE map: the per-iteration frame is
+        # O(models^2); embedding 6 integers beats a 6-row broadcast join
+        s_case = lambda col: "CASE " + " ".join(  # noqa: E731
+            f"WHEN {col} = {i} THEN {s[i]}" for i in models
+        ) + " END"
+        t_rows = (
+            edges.select(
+                "i",
+                F.expr(
+                    f"CAST(2 * n AS DECIMAL(38,0)) * {ZA02_SCALE}"
+                    f" DIV ({s_case('i')} + {s_case('j')})"
+                ).alias("term"),
+            )
+            .groupBy("i")
+            .agg(F.sum("term").alias("t"))
+            .collect()
+        )
+        t = {r["i"]: int(r["t"]) for r in t_rows}
+        # O(#models) exact-integer feedback (xz10 plan-feeding): the
+        # engine computed every term; these 6-int folds mirror the
+        # oracle's p{r}/ps{r}/s{r+1} CTEs bit for bit.
+        p = {i: (wt[i][1] * ZA02_SCALE * 10**6) // t[i] for i in models}
+        sp = sum(p.values())
+        s = {i: max(1, (p[i] * nmod * 10**6) // sp) for i in models}
+    ranked = sorted(models, key=lambda i: (-s[i], i))
+    rank = {i: k + 1 for k, i in enumerate(ranked)}
+    rows = [(i, wt[i][0], wt[i][1], s[i], rank[i]) for i in models]
+    edges.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "model bigint, n_battles bigint, w2 bigint, strength_ppm bigint,"
+        " bt_rank bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# za03 — cross-shard quantile drift via mergeable integer histograms
+# ---------------------------------------------------------------------------
+
+#: Hash shards audited for quantile drift.
+ZA03_SHARDS = 8
+
+#: Quantiles audited, in permille.
+ZA03_QS = (500, 900, 990)
+
+
+@register(
+    "za03_quantile_drift",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+             user_id % {ZA03_SHARDS} AS shard
+      FROM events
+    ),
+    hs AS (SELECT shard, cents, COUNT(*) AS c FROM ev GROUP BY shard, cents),
+    hg AS (SELECT -1 AS shard, cents, SUM(c) AS c FROM hs GROUP BY cents),
+    h AS (SELECT shard, cents, c FROM hs UNION ALL SELECT shard, cents, c FROM hg),
+    cum AS (
+      SELECT shard, cents,
+             SUM(c) OVER (PARTITION BY shard ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h
+    ),
+    n AS (SELECT shard, SUM(c) AS n FROM h GROUP BY shard),
+    qq AS (SELECT unnest([{", ".join(str(q) for q in ZA03_QS)}]) AS q_permille),
+    q AS (
+      SELECT cum.shard, qq.q_permille, MIN(cum.cents) AS qc
+      FROM cum JOIN n ON n.shard = cum.shard, qq
+      WHERE 1000 * cum.cum >= qq.q_permille * n.n
+      GROUP BY cum.shard, qq.q_permille
+    ),
+    g AS (SELECT q_permille, qc AS global_cents FROM q WHERE shard = -1),
+    s AS (
+      SELECT q_permille, MIN(qc) AS min_shard_cents, MAX(qc) AS max_shard_cents
+      FROM q WHERE shard >= 0 GROUP BY q_permille
+    )
+    SELECT CAST(g.q_permille AS BIGINT) AS q_permille,
+           CAST(g.global_cents AS BIGINT) AS global_cents,
+           CAST(s.min_shard_cents AS BIGINT) AS min_shard_cents,
+           CAST(s.max_shard_cents AS BIGINT) AS max_shard_cents,
+           CAST(GREATEST(g.global_cents - s.min_shard_cents,
+                         s.max_shard_cents - g.global_cents) AS BIGINT)
+             AS max_abs_drift_cents
+    FROM g JOIN s ON s.q_permille = g.q_permille
+    ORDER BY q_permille
+    """,
+    doc=(
+        "Cross-shard quantile drift via MERGEABLE integer histograms — "
+        "the t-digest role (per-shard quantile summaries that merge "
+        "associatively into a global one) made exact: the metric's "
+        "domain is bounded integer cents, so the summary is a "
+        "(cents, count) histogram whose merge is a plain SUM, and "
+        "quantiles are rank-selected with zero interpolation (float "
+        "t-digest centroids cannot cross-engine hash; the exact "
+        "histogram can, and IS the production pattern for bounded "
+        f"domains). Emits per audited quantile ({ZA03_QS} permille) "
+        "the global value, the shard min/max, and the max absolute "
+        "drift — the dataloader-skew / shard-health check a sharded "
+        "100 TB store runs after repartitioning. Shape: one "
+        "map-combined groupBy(shard, cents) builds every per-shard "
+        "summary in a single corpus pass; all later stages run on the "
+        "O(shards x domain) histogram (the cumulative window is "
+        "PARTITIONED by shard and its frame is domain-bounded — "
+        "~56k cents rows per shard here, independent of corpus size). "
+        "Rank predicate 1000*cum >= q*n stays in int64 to 9e15 "
+        "rows/shard (documented bound)."
+    ),
+    tags=("analytics", "quantile", "ops", "llm-pipeline"),
+)
+def za03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (F.col("user_id") % ZA03_SHARDS).alias("shard"),
+    )
+    # The ONE corpus-sized pass: per-shard mergeable summaries,
+    # materialized (localCheckpoint) exactly as a production job would
+    # persist them — everything below is summary-sized, and without the
+    # checkpoint the union of hs with an aggregate OF hs re-derives the
+    # corpus scan twice.
+    hs = (
+        ev.groupBy("shard", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("shard").cast("bigint").alias("shard"), "cents", "c")
+        .localCheckpoint(eager=True)
+    )
+    hg = (
+        hs.groupBy("cents")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit(-1).cast("bigint").alias("shard"), "cents", "c")
+    )
+    h = hs.unionByName(hg)
+    from pyspark.sql import Window
+
+    # ntot rides the SAME shard partitioning as the cumulative sum — no
+    # second corpus pass, no join, one exchange for both.
+    w_cum = (
+        Window.partitionBy("shard")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("shard")
+    cum = h.select(
+        "shard",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("ntot"),
+    )
+    qq = spark.createDataFrame([(q,) for q in ZA03_QS], "q_permille bigint")
+    q = (
+        cum.crossJoin(F.broadcast(qq))
+        .where(F.lit(1000) * F.col("cum") >= F.col("q_permille") * F.col("ntot"))
+        .groupBy("shard", "q_permille")
+        .agg(F.min("cents").alias("qc"))
+    )
+    # global and shard extremes in ONE conditional aggregate (a filter +
+    # self-join here would recompute the q subtree twice).
+    out = q.groupBy("q_permille").agg(
+        F.max(F.when(F.col("shard") == -1, F.col("qc")))
+        .cast("bigint")
+        .alias("global_cents"),
+        F.min(F.when(F.col("shard") >= 0, F.col("qc")))
+        .cast("bigint")
+        .alias("min_shard_cents"),
+        F.max(F.when(F.col("shard") >= 0, F.col("qc")))
+        .cast("bigint")
+        .alias("max_shard_cents"),
+    )
+    return out.select(
+        "q_permille",
+        "global_cents",
+        "min_shard_cents",
+        "max_shard_cents",
+        F.greatest(
+            F.col("global_cents") - F.col("min_shard_cents"),
+            F.col("max_shard_cents") - F.col("global_cents"),
+        )
+        .cast("bigint")
+        .alias("max_abs_drift_cents"),
+    ).orderBy("q_permille")
+
+
+# ---------------------------------------------------------------------------
+# za05 — corpus token accounting under the learned BPE tokenizer
+# ---------------------------------------------------------------------------
+
+
+def _za05_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
+    ctes = bpe_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS word_types,
+           CAST(SUM(cnt) AS BIGINT) AS word_occurrences,
+           CAST(SUM(CAST(cnt AS HUGEINT) * len(replace(seq, '|', ''))) AS BIGINT)
+             AS total_chars,
+           CAST(SUM(CAST(cnt AS HUGEINT) * len(string_split(seq, '|'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(CAST(cnt AS HUGEINT) * len(string_split(seq, '|'))) * 1000000
+                // SUM(CAST(cnt AS HUGEINT) * len(replace(seq, '|', '')))
+                AS BIGINT) AS tokens_per_char_ppm
+    FROM w{rounds}
+    """
+    )
+
+
+@register(
+    "za05_bpe_token_accounting",
+    oracle=_za05_oracle_sql(),
+    doc=(
+        "Corpus token accounting under the LEARNED tokenizer: total "
+        "words, chars, and post-merge TOKENS, plus the exact "
+        "tokens-per-char ppm — the number a training-budget planner "
+        "(yv18's waterfill, yv01's quotas are in chars/docs) needs to "
+        "convert char budgets into token budgets under the actual "
+        "tokenizer rather than a rule of thumb. Shape: everything "
+        "derives from the learner's (seq, cnt) vocabulary — the "
+        "original word is recoverable as replace(seq, '|', '') and "
+        "the token count as the symbol count, so the accounting is a "
+        "SINGLE global aggregate over the vocab frame with NO second "
+        "corpus pass. Occurrence-weighted products are accumulated in "
+        "DECIMAL(38,0)/HUGEINT (cnt x token-count reaches ~1e14 per "
+        "row at 100 TB word counts) and the ppm ratio is one 128-bit "
+        "truncating division."
+    ),
+    tags=("text", "tokenizer", "training", "planner", "llm-pipeline"),
+)
+def za05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rows, words = bpe_learn(spark, sf_dir, YV10_ROUNDS)
+    acc = words.select(
+        F.expr("size(split(seq, '\\\\|'))").alias("n_tok"),
+        F.length(F.translate("seq", "|", "")).alias("n_chars"),
+        "cnt",
+    )
+    out = acc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("word_types"),
+        F.sum("cnt").cast("bigint").alias("word_occurrences"),
+        F.expr("CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * n_chars) AS BIGINT)").alias(
+            "total_chars"
+        ),
+        F.expr("CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * n_tok) AS BIGINT)").alias(
+            "total_tokens"
+        ),
+        F.expr(
+            "CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * n_tok) * 1000000"
+            " DIV SUM(CAST(cnt AS DECIMAL(38,0)) * n_chars) AS BIGINT)"
+        ).alias("tokens_per_char_ppm"),
+    ).localCheckpoint(eager=True)
+    words.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# za04 — streaming twin of yv05's preference-pair construction
+# ---------------------------------------------------------------------------
+
+
+def streaming_preference_pairs(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Incremental DPO pair construction: each micro-batch is reduced to
+    per-prompt (count, argmax-key, argmin-key) partials and merged into
+    a standing versioned-parquet extremes table. The merge relation —
+    SUM for counts, key-argmax/argmin for extremes over yv05's injective
+    (rating DESC, doc_id ASC) int64 key — is associative and
+    commutative, so the converged table is micro-batch-layout invariant
+    and final pairs equal batch yv05 exactly (pinned by
+    tests/test_round7_additions.py's layout-invariance test)."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.yrlhf import _KEY_SCALE, YV05_GROUP
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    root = tempfile.mkdtemp(prefix="za04_pairs_")
+    current: list[str] = []  # version POINTER, not state (st08 pattern)
+
+    merge_aggs = [
+        F.sum("n_cands").alias("n_cands"),
+        F.expr("max_by(chosen_doc, ckey)").alias("chosen_doc"),
+        F.expr("max_by(chosen_rating, ckey)").alias("chosen_rating"),
+        F.max("ckey").alias("ckey"),
+        F.expr("min_by(rejected_doc, rkey)").alias("rejected_doc"),
+        F.expr("min_by(rejected_rating, rkey)").alias("rejected_rating"),
+        F.min("rkey").alias("rkey"),
+    ]
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        keyed = batch.select(
+            F.expr(f"doc_id DIV {YV05_GROUP}").alias("pid"),
+            "doc_id",
+            (F.expr(_h("r", "doc_id")) % _RMOD).alias("rating"),
+        ).withColumn("key", F.col("rating") * _KEY_SCALE - F.col("doc_id"))
+        part = keyed.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("n_cands"),
+            F.expr("max_by(doc_id, key)").alias("chosen_doc"),
+            F.expr("max_by(rating, key)").alias("chosen_rating"),
+            F.max("key").alias("ckey"),
+            F.expr("min_by(doc_id, key)").alias("rejected_doc"),
+            F.expr("min_by(rating, key)").alias("rejected_rating"),
+            F.min("key").alias("rkey"),
+        )
+        if current:
+            merged = (
+                spark.read.parquet(current[0])
+                .unionByName(part)
+                .groupBy("pid")
+                .agg(*merge_aggs)
+            )
+        else:
+            merged = part
+        target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(merged, "za04:pairs_merge")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream.select("doc_id")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    out_schema = (
+        "pid bigint, n_cands bigint, chosen_doc bigint, rejected_doc bigint,"
+        " chosen_rating bigint, rejected_rating bigint, margin bigint"
+    )
+    if not current:
+        return spark.createDataFrame([], out_schema)
+    final = (
+        spark.read.parquet(current[0])
+        .where(
+            (F.col("n_cands") >= 2)
+            & (F.col("chosen_rating") > F.col("rejected_rating"))
+        )
+        .select(
+            F.col("pid").cast("bigint").alias("pid"),
+            F.col("n_cands").cast("bigint").alias("n_cands"),
+            F.col("chosen_doc").cast("bigint").alias("chosen_doc"),
+            F.col("rejected_doc").cast("bigint").alias("rejected_doc"),
+            F.col("chosen_rating").cast("bigint").alias("chosen_rating"),
+            F.col("rejected_rating").cast("bigint").alias("rejected_rating"),
+            (F.col("chosen_rating") - F.col("rejected_rating"))
+            .cast("bigint")
+            .alias("margin"),
+        )
+        .orderBy("pid")
+        .localCheckpoint(eager=True)  # detach from the temp files before cleanup
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return final
+
+
+def _za04_oracle_sql() -> str:
+    """Identical to yv05's oracle: the converged streaming state IS the
+    batch answer (layout invariance is the operator's whole claim)."""
+    from spotify_tags_etl_spark.operators.yrlhf import _KEY_SCALE, YV05_GROUP
+
+    return f"""
+    WITH rated AS (
+      SELECT doc_id // {YV05_GROUP} AS pid, doc_id,
+             {_hd('r', 'doc_id')} % {_RMOD} AS rating
+      FROM documents
+    ),
+    keyed AS (
+      SELECT pid, doc_id, rating,
+             rating * {_KEY_SCALE} - doc_id AS key
+      FROM rated
+    ),
+    g AS (
+      SELECT pid,
+             COUNT(*) AS n_cands,
+             MAX_BY(doc_id, key) AS chosen_doc,
+             MAX_BY(rating, key) AS chosen_rating,
+             MIN_BY(doc_id, key) AS rejected_doc,
+             MIN_BY(rating, key) AS rejected_rating
+      FROM keyed GROUP BY pid
+    )
+    SELECT CAST(pid AS BIGINT) AS pid,
+           CAST(n_cands AS BIGINT) AS n_cands,
+           CAST(chosen_doc AS BIGINT) AS chosen_doc,
+           CAST(rejected_doc AS BIGINT) AS rejected_doc,
+           CAST(chosen_rating AS BIGINT) AS chosen_rating,
+           CAST(rejected_rating AS BIGINT) AS rejected_rating,
+           CAST(chosen_rating - rejected_rating AS BIGINT) AS margin
+    FROM g
+    WHERE n_cands >= 2 AND chosen_rating > rejected_rating
+    ORDER BY pid
+    """
+
+
+@register(
+    "za04_stream_preference_pairs",
+    oracle=_za04_oracle_sql(),
+    doc=(
+        "Streaming twin of yv05: DPO preference pairs maintained "
+        "INCREMENTALLY as a response log arrives — foreachBatch reduces "
+        "each micro-batch to per-prompt (count, argmax, argmin) "
+        "partials (one map-combined groupBy of the BATCH, not the "
+        "history) and merges them into a standing versioned-parquet "
+        "extremes table keyed by prompt; pairs never need the full log "
+        "re-scanned, so a 100 TB preference store updates at "
+        "O(batch + |prompts|) per trigger. The merge relation (SUM + "
+        "key-argmax/argmin over yv05's injective int64 key) is "
+        "associative+commutative => micro-batch-layout invariant; the "
+        "oracle is literally yv05's batch SQL. State lives in versioned "
+        "parquet (st08's pattern) — the engine-state pin is EMPTY by "
+        "design, and the inner merge plan is fingerprint-pinned."
+    ),
+    tags=("streaming", "rlhf", "training", "llm-pipeline"),
+)
+def za04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+    return streaming_preference_pairs(
+        spark, read_table_stream(spark, sf_dir, "documents")
+    )

@@ -325,8 +325,8 @@ VERIFIED = frozenset(
         "yu01_grouped_reservoir_sample",
     }
 )
-# 259 verified; registry window frees 50 new slots next round
-# 209 verified; registry window frees 50 new slots next round
+# 259 verified after the r7 rotation; the r7 window is the 29
+# never-checked yv01..yz02 names plus any za*-named r7 additions
 
 
 def register(
@@ -380,6 +380,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.pipeline",
         "spotify_tags_etl_spark.operators.sketches",
         "spotify_tags_etl_spark.operators.skew",
+        "spotify_tags_etl_spark.operators.zaops",
         "spotify_tags_etl_spark.sources.paged_api",
         "spotify_tags_etl_spark.streaming.ops",
     ):

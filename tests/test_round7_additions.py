@@ -1,0 +1,152 @@
+"""Round-7 additions: za01 BPE apply, za02 Bradley–Terry fit, and the
+waterfill precondition guard.
+
+The za02 pin is a FULL independent recompute: battles re-derived from
+events.parquet with hashlib md5 (no Spark, no DuckDB), the MM loop run
+in pure-Python integers — the same "closed-form recompute" discipline
+as yv17/yv18's pins, so a shared Spark/oracle mistake cannot
+self-confirm.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow.parquet as pq
+import pytest
+
+from spotify_tags_etl_spark.operators.yrlhf import YV07_MODELS, _RMOD
+from spotify_tags_etl_spark.operators.zaops import ZA02_ITERS, ZA02_SCALE
+from spotify_tags_etl_spark.operators.ytrain import YV10_ROUNDS, waterfill
+from spotify_tags_etl_spark.plans import registry
+
+
+def _q(name: str):
+    qs = registry.all_queries()
+    return qs[name] if name in qs else qs["zv_" + name]
+
+
+def _h32(tag: str, val: int) -> int:
+    return int(hashlib.md5(f"{tag}:{val}".encode()).hexdigest()[:8], 16)
+
+
+def test_za02_python_recompute(spark, sf_dir):
+    event_ids = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id"])[
+        "event_id"
+    ].to_pylist()
+    edges: dict[tuple[int, int], list[int]] = {}
+    for eid in event_ids:
+        ma = _h32("m", eid) % YV07_MODELS
+        mb = _h32("n", eid) % YV07_MODELS
+        if ma == mb:
+            continue
+        sa = _h32("wa", eid) % _RMOD
+        sb = _h32("wb", eid) % _RMOD
+        for i, j, w2 in (
+            (ma, mb, 2 if sa > sb else (1 if sa == sb else 0)),
+            (mb, ma, 2 if sb > sa else (1 if sa == sb else 0)),
+        ):
+            n_w2 = edges.setdefault((i, j), [0, 0])
+            n_w2[0] += 1
+            n_w2[1] += w2
+    models = sorted({i for i, _ in edges})
+    nmod = len(models)
+    wt = {
+        i: (
+            sum(v[0] for (a, _), v in edges.items() if a == i),
+            sum(v[1] for (a, _), v in edges.items() if a == i),
+        )
+        for i in models
+    }
+    s = {i: 10**6 for i in models}
+    for _ in range(ZA02_ITERS):
+        t = {
+            i: sum(
+                (2 * v[0] * ZA02_SCALE) // (s[i] + s[j])
+                for (a, j), v in edges.items()
+                if a == i
+            )
+            for i in models
+        }
+        p = {i: (wt[i][1] * ZA02_SCALE * 10**6) // t[i] for i in models}
+        sp = sum(p.values())
+        s = {i: max(1, (p[i] * nmod * 10**6) // sp) for i in models}
+    ranked = sorted(models, key=lambda i: (-s[i], i))
+    rank = {i: k + 1 for k, i in enumerate(ranked)}
+    expected = [
+        (i, wt[i][0], wt[i][1], s[i], rank[i]) for i in models
+    ]
+    got = [
+        (r.model, r.n_battles, r.w2, r.strength_ppm, r.bt_rank)
+        for r in _q("za02_bradley_terry")(spark, sf_dir).orderBy("model").collect()
+    ]
+    assert got == expected
+
+
+def test_za02_strengths_track_winrates(spark, sf_dir):
+    """Sanity anchor to yv07's published numbers: the model with the
+    highest overall draw-adjusted win share gets rank 1."""
+    rows = _q("za02_bradley_terry")(spark, sf_dir).collect()
+    by_share = max(rows, key=lambda r: (r.w2 / (2 * r.n_battles), -r.model))
+    top = next(r for r in rows if r.bt_rank == 1)
+    assert top.model == by_share.model
+    assert sum(r.strength_ppm for r in rows) <= len(rows) * 10**6
+    assert all(r.strength_ppm >= 1 for r in rows)
+
+
+def test_za01_tokens_are_merge_results(spark, sf_dir):
+    """Every censused token must be a symbol some learned rule CREATED
+    (merge results are the only multi-char symbols), with positive
+    weighted occurrences; at most one census row per learned rule."""
+    merges = _q("yv10_bpe_merge_rounds")(spark, sf_dir).collect()
+    created = {r.pa + r.pb for r in merges}
+    out = _q("za01_bpe_apply")(spark, sf_dir).collect()
+    assert 0 < len(out) <= YV10_ROUNDS
+    assert {r.token for r in out} <= created
+    assert all(r.occurrences > 0 and r.token_chars == len(r.token) for r in out)
+    occ = [(r.occurrences, r.token) for r in out]
+    assert occ == sorted(occ, key=lambda t: (-t[0], t[1]))
+
+
+def test_waterfill_requires_subunity_budget(spark):
+    df = spark.createDataFrame([("a", 10), ("b", 20)], "source string, tok long")
+    with pytest.raises(ValueError, match="bnum < bden"):
+        waterfill(df, 3, 2)
+    with pytest.raises(ValueError, match="bnum < bden"):
+        waterfill(df, 2, 2)
+
+
+def test_za04_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """za04's incremental extremes merge must produce EXACTLY batch
+    yv05's pair set for any micro-batch layout: a 3-file run (one file
+    per trigger, docs split by id) equals the single-batch registry run
+    equals yv05."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zaops import streaming_preference_pairs
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_pairs_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select("doc_id").toPandas().to_parquet(
+            p, index=False
+        )
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = {tuple(r) for r in streaming_preference_pairs(spark, stream).collect()}
+    single = {
+        tuple(r) for r in _q("za04_stream_preference_pairs")(spark, sf_dir).collect()
+    }
+    batch = {tuple(r) for r in _q("yv05_preference_pairs")(spark, sf_dir).collect()}
+    assert multi == single == batch
+    assert len(batch) > 0

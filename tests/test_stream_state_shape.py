@@ -55,6 +55,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "xw06_stream_cms_rollup": [("foreachBatch", ())],
     "xw10_stream_checksum": [("foreachBatch", ())],
     "yi03_stream_stats_manifest": [("foreachBatch", ())],
+    "za04_stream_preference_pairs": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -115,6 +116,14 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         "yi03:manifest_part": [{"exchanges": 1}],
     },
     "sz01_stream_paged_source": {"engine:memory": [{}]},
+    # first batch merges nothing (no standing table yet): one
+    # map-combined groupBy of the batch; the registered single-file run
+    # sees exactly that batch. Multi-batch merge shape is covered by the
+    # layout-invariance test in test_round7_additions.py.
+    "za04_stream_preference_pairs": {
+        "engine:foreachBatch": [{}],
+        "za04:pairs_merge": [{"exchanges": 1}],
+    },
 }
 
 
