@@ -87,8 +87,9 @@ STREAMING_SUITE = [
     "st09_stream_neardup",
     "xk03_stream_hll_rollup",
     # round-7: incremental DPO pair construction (versioned-parquet
-    # extremes merge)
+    # extremes merge) + incremental histogram-merge quantile drift
     "za04_stream_preference_pairs",
+    "zb02_stream_quantile_drift",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /

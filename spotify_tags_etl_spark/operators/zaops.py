@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.operators.yrlhf import YV07_MODELS, _RMOD, _h, _hd
-from spotify_tags_etl_spark.operators.ytrain import YV10_ROUNDS, bpe_ctes, bpe_learn
+from spotify_tags_etl_spark.operators.ytrain import (
+    YV10_MAX_LEN,
+    YV10_MIN_LEN,
+    YV10_ROUNDS,
+    bpe_ctes,
+    bpe_learn,
+)
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.tpch import load_table
 
@@ -294,9 +300,7 @@ ZA03_SHARDS = 8
 ZA03_QS = (500, 900, 990)
 
 
-@register(
-    "za03_quantile_drift",
-    oracle=f"""
+_ZA03_ORACLE = f"""
     WITH ev AS (
       SELECT CAST(round(value * 100) AS BIGINT) AS cents,
              user_id % {ZA03_SHARDS} AS shard
@@ -333,7 +337,12 @@ ZA03_QS = (500, 900, 990)
              AS max_abs_drift_cents
     FROM g JOIN s ON s.q_permille = g.q_permille
     ORDER BY q_permille
-    """,
+    """
+
+
+@register(
+    "za03_quantile_drift",
+    oracle=_ZA03_ORACLE,
     doc=(
         "Cross-shard quantile drift via MERGEABLE integer histograms — "
         "the t-digest role (per-shard quantile summaries that merge "
@@ -373,6 +382,14 @@ def za03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("shard").cast("bigint").alias("shard"), "cents", "c")
         .localCheckpoint(eager=True)
     )
+    return quantile_drift_from_summaries(spark, hs)
+
+
+def quantile_drift_from_summaries(spark: SparkSession, hs: DataFrame) -> DataFrame:
+    """Summary-side half of za03, shared with its streaming twin zb02:
+    takes a materialized per-shard (shard, cents, c) histogram and
+    rank-selects the audited quantiles + drift. Every stage here is
+    summary-sized."""
     hg = (
         hs.groupBy("cents")
         .agg(F.sum("c").alias("c"))
@@ -671,3 +688,195 @@ def za04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_preference_pairs(
         spark, read_table_stream(spark, sf_dir, "documents")
     )
+
+
+# ---------------------------------------------------------------------------
+# zb01 — per-source token accounting via the vocabulary-dictionary join
+# ---------------------------------------------------------------------------
+
+
+def _zb01_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
+    ctes = bpe_ctes(rounds)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    vocab AS (
+      SELECT replace(seq, '|', '') AS w,
+             len(string_split(seq, '|')) AS n_tok
+      FROM w{rounds}
+    ),
+    cw AS (
+      SELECT source, w, COUNT(*) AS c
+      FROM (SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents) t
+      WHERE len(w) BETWEEN {YV10_MIN_LEN} AND {YV10_MAX_LEN}
+      GROUP BY source, w
+    )
+    SELECT cw.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS word_types,
+           CAST(SUM(cw.c) AS BIGINT) AS words,
+           CAST(SUM(CAST(cw.c AS HUGEINT) * vocab.n_tok) AS BIGINT) AS tokens,
+           CAST(SUM(CAST(cw.c AS HUGEINT) * vocab.n_tok) * 1000000
+                // SUM(cw.c) AS BIGINT) AS tokens_per_word_ppm
+    FROM cw JOIN vocab ON vocab.w = cw.w
+    GROUP BY cw.source
+    ORDER BY source
+    """
+    )
+
+
+@register(
+    "zb01_bpe_source_tokens",
+    oracle=_zb01_oracle_sql(),
+    doc=(
+        "Per-source token accounting under the learned tokenizer via "
+        "the DICTIONARY-JOIN apply shape (za01/za05 fold rules over the "
+        "vocab; this is the other production apply: tokenize a keyed "
+        "corpus slice by joining the word->token-count dictionary). "
+        "Shape: ONE map-combined groupBy(source, word) collapses the "
+        "corpus word stream (zipfian keys map-combine hard); the "
+        "word-keyed join then runs on the per-source VOCABULARY frame "
+        "(types, not occurrences) against the learner's vocab "
+        "dictionary — at 100 TB that join is vocab-sized (~1e7 rows a "
+        "side), never corpus-sized, and AQE's skew split covers the "
+        "hot-word heads. Occurrence-weighted token sums accumulate in "
+        "DECIMAL(38,0)/HUGEINT; the per-source tokens-per-word ratio "
+        "is one 128-bit truncating ppm division. Feeds yv01/yv18: "
+        "char/doc budgets become token budgets PER SOURCE under the "
+        "actual tokenizer. The word band and normalization are exactly "
+        "the learner's (yv10 tok CTE), so the dictionary covers every "
+        "corpus word by construction (inner join is total)."
+    ),
+    tags=("text", "tokenizer", "training", "planner", "llm-pipeline"),
+)
+def zb01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _rows, words = bpe_learn(spark, sf_dir, YV10_ROUNDS)
+    vocab = words.select(
+        F.translate("seq", "|", "").alias("w"),
+        F.expr("size(split(seq, '\\\\|'))").alias("n_tok"),
+    ).localCheckpoint(eager=True)
+    words.unpersist()
+    docs = load_table(spark, sf_dir, "documents")
+    cw = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+        )
+        .where((F.length("w") >= YV10_MIN_LEN) & (F.length("w") <= YV10_MAX_LEN))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = (
+        cw.join(vocab, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("word_types"),
+            F.sum("c").cast("bigint").alias("words"),
+            F.expr("CAST(SUM(CAST(c AS DECIMAL(38,0)) * n_tok) AS BIGINT)").alias(
+                "tokens"
+            ),
+            F.expr(
+                "CAST(SUM(CAST(c AS DECIMAL(38,0)) * n_tok) * 1000000"
+                " DIV SUM(c) AS BIGINT)"
+            ).alias("tokens_per_word_ppm"),
+        )
+        .orderBy("source")
+        .localCheckpoint(eager=True)
+    )
+    vocab.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# zb02 — streaming twin of za03: incremental histogram-merge quantile drift
+# ---------------------------------------------------------------------------
+
+
+def streaming_quantile_drift(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Incremental quantile drift: each micro-batch is reduced to its
+    per-shard (shard, cents, count) histogram partial — SUM-merged into
+    the standing versioned-parquet summary (counts are the canonical
+    associative+commutative merge, so the converged summary is
+    micro-batch-layout invariant). Quantile extraction reuses za03's
+    summary-side helper on the final state."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    root = tempfile.mkdtemp(prefix="zb02_hist_")
+    current: list[str] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        part = (
+            batch.select(
+                F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+                (F.col("user_id") % ZA03_SHARDS).cast("bigint").alias("shard"),
+            )
+            .groupBy("shard", "cents")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if current:
+            merged = (
+                spark.read.parquet(current[0])
+                .unionByName(part)
+                .groupBy("shard", "cents")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = part
+        target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(merged, "zb02:hist_merge")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream.select("user_id", "value")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame(
+            [],
+            "q_permille bigint, global_cents bigint, min_shard_cents bigint,"
+            " max_shard_cents bigint, max_abs_drift_cents bigint",
+        )
+    hs = spark.read.parquet(current[0]).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return quantile_drift_from_summaries(spark, hs)
+
+
+@register(
+    "zb02_stream_quantile_drift",
+    oracle=_ZA03_ORACLE,
+    doc=(
+        "Streaming twin of za03: the per-shard integer histogram is "
+        "maintained INCREMENTALLY — each micro-batch contributes a "
+        "map-combined (shard, cents, count) partial, SUM-merged into a "
+        "versioned-parquet summary (the textbook mergeable-sketch "
+        "update; O(batch + domain) per trigger, the raw stream is "
+        "never re-scanned). Quantiles/drift are rank-selected from the "
+        "converged summary with za03's shared summary-side helper, so "
+        "batch and stream literally execute the same extraction. "
+        "Associative+commutative merge => micro-batch-layout invariant "
+        "(pinned against batch za03 under a 3-file split); oracle = "
+        "za03's SQL. State-shape pin EMPTY (versioned parquet, st08 "
+        "pattern); the inner merge plan is fingerprint-pinned."
+    ),
+    tags=("streaming", "quantile", "ops", "llm-pipeline"),
+)
+def zb02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.streaming.ops import read_events_stream
+
+    return streaming_quantile_drift(spark, read_events_stream(spark, sf_dir))

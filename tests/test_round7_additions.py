@@ -150,3 +150,47 @@ def test_za04_layout_invariant(spark, sf_dir, tmp_path_factory):
     batch = {tuple(r) for r in _q("yv05_preference_pairs")(spark, sf_dir).collect()}
     assert multi == single == batch
     assert len(batch) > 0
+
+
+def test_zb02_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """zb02's incremental histogram merge must produce EXACTLY batch
+    za03's drift table for any micro-batch layout."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zaops import streaming_quantile_drift
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    root = str(tmp_path_factory.mktemp("events_hist_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        ev.where(ev.event_id % 3 == i).select("user_id", "value").toPandas().to_parquet(
+            p, index=False
+        )
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = {tuple(r) for r in streaming_quantile_drift(spark, stream).collect()}
+    single = {
+        tuple(r) for r in _q("zb02_stream_quantile_drift")(spark, sf_dir).collect()
+    }
+    batch = {tuple(r) for r in _q("za03_quantile_drift")(spark, sf_dir).collect()}
+    assert multi == single == batch
+    assert len(batch) == 3
+
+
+def test_zb01_rolls_up_to_za05(spark, sf_dir):
+    """Per-source accounting must sum exactly to za05's corpus totals
+    (same learned tokenizer, same word band, two independent apply
+    shapes — dictionary join vs vocab fold)."""
+    per_source = _q("zb01_bpe_source_tokens")(spark, sf_dir).collect()
+    total = _q("za05_bpe_token_accounting")(spark, sf_dir).collect()[0]
+    assert sum(r.words for r in per_source) == total.word_occurrences
+    assert sum(r.tokens for r in per_source) == total.total_tokens

@@ -56,6 +56,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "xw10_stream_checksum": [("foreachBatch", ())],
     "yi03_stream_stats_manifest": [("foreachBatch", ())],
     "za04_stream_preference_pairs": [("foreachBatch", ())],
+    "zb02_stream_quantile_drift": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -123,6 +124,10 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
     "za04_stream_preference_pairs": {
         "engine:foreachBatch": [{}],
         "za04:pairs_merge": [{"exchanges": 1}],
+    },
+    "zb02_stream_quantile_drift": {
+        "engine:foreachBatch": [{}],
+        "zb02:hist_merge": [{"exchanges": 1}],
     },
 }
 

@@ -69,7 +69,7 @@ def audited_names() -> list[str]:
         "st09_stream_neardup", "sz01_stream_paged_source", "xk03_stream_hll_rollup",
         "xw01_stream_funnel", "xw06_stream_cms_rollup", "xw09_stream_orphan_errors",
         "xw10_stream_checksum", "yi03_stream_stats_manifest",
-        "za04_stream_preference_pairs",
+        "za04_stream_preference_pairs", "zb02_stream_quantile_drift",
     }
     return [n for n in out if n not in streaming]
 
