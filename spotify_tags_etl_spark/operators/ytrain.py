@@ -534,10 +534,17 @@ def bpe_learn(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
     words = tok.select(
         F.expr("array_join(regexp_extract_all(w, '[a-z]', 0), '|')").alias("seq"),
         "cnt",
-    ).localCheckpoint(eager=True)
+    )
+    # Loop-stage fingerprints (plans/planmetrics.LOOP_PLAN_LOG): the
+    # returned frame is driver-built, so these pins are what proves the
+    # one-corpus-pass / map-only-fold shape mechanically.
+    record_plan(words, "bpe:vocab")
+    words = words.localCheckpoint(eager=True)
     rows: list[tuple[int, str, str, int]] = []
     for r in range(1, rounds + 1):
         lcol = words.select(F.split("seq", "\\|").alias("l"), "cnt").where(F.size("l") >= 2)
@@ -555,8 +562,9 @@ def bpe_learn(
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.desc("c"), F.asc("pa"), F.asc("pb"))
             .limit(1)
-            .collect()
         )
+        record_plan(top, "bpe:pair_argmax")
+        top = top.collect()
         if not top:
             break  # every word fused to one symbol; oracle truncates identically
         pa, pb, c = top[0].pa, top[0].pb, int(top[0].c)
@@ -574,7 +582,9 @@ def bpe_learn(
                 " ELSE concat(acc, '|', x) END) END"
             ).alias("seq"),
             "cnt",
-        ).localCheckpoint(eager=True)
+        )
+        record_plan(words, "bpe:fold")
+        words = words.localCheckpoint(eager=True)
         prev.unpersist()
     return rows, words
 

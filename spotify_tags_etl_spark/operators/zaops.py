@@ -31,6 +31,7 @@ from spotify_tags_etl_spark.operators.ytrain import (
     bpe_ctes,
     bpe_learn,
 )
+from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.tpch import load_table
 
@@ -97,10 +98,10 @@ def za01(spark: SparkSession, sf_dir: str) -> DataFrame:
             "occurrences",
         )
         .orderBy(F.desc("occurrences"), F.asc("token"))
-        # materialize before releasing the checkpointed vocab the plan
-        # reads from
-        .localCheckpoint(eager=True)
     )
+    record_plan(out, "za01:census")
+    # materialize before releasing the checkpointed vocab the plan reads
+    out = out.localCheckpoint(eager=True)
     words.unpersist()
     return out
 
@@ -239,11 +240,11 @@ def za02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # The ONLY corpus-sized stage: map-combined groupBy onto <= 30 rows.
-    edges = (
-        directed.groupBy("i", "j")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("w2").alias("w2"))
-        .localCheckpoint(eager=True)
+    edges = directed.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w2").alias("w2")
     )
+    record_plan(edges, "za02:edges")
+    edges = edges.localCheckpoint(eager=True)
     wt = {
         r["i"]: (int(r["n"]), int(r["w2"]))
         for r in edges.groupBy("i")
@@ -259,7 +260,7 @@ def za02(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_case = lambda col: "CASE " + " ".join(  # noqa: E731
             f"WHEN {col} = {i} THEN {s[i]}" for i in models
         ) + " END"
-        t_rows = (
+        t_frame = (
             edges.select(
                 "i",
                 F.expr(
@@ -269,8 +270,9 @@ def za02(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("i")
             .agg(F.sum("term").alias("t"))
-            .collect()
         )
+        record_plan(t_frame, "za02:mm_round")
+        t_rows = t_frame.collect()
         t = {r["i"]: int(r["t"]) for r in t_rows}
         # O(#models) exact-integer feedback (xz10 plan-feeding): the
         # engine computed every term; these 6-int folds mirror the
@@ -380,8 +382,9 @@ def za03(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("shard", "cents")
         .agg(F.count(F.lit(1)).alias("c"))
         .select(F.col("shard").cast("bigint").alias("shard"), "cents", "c")
-        .localCheckpoint(eager=True)
     )
+    record_plan(hs, "za03:shard_summaries")
+    hs = hs.localCheckpoint(eager=True)
     return quantile_drift_from_summaries(spark, hs)
 
 
@@ -512,7 +515,9 @@ def za05(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * n_tok) * 1000000"
             " DIV SUM(CAST(cnt AS DECIMAL(38,0)) * n_chars) AS BIGINT)"
         ).alias("tokens_per_char_ppm"),
-    ).localCheckpoint(eager=True)
+    )
+    record_plan(out, "za05:accounting")
+    out = out.localCheckpoint(eager=True)
     words.unpersist()
     return out
 
@@ -756,7 +761,9 @@ def zb01(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = words.select(
         F.translate("seq", "|", "").alias("w"),
         F.expr("size(split(seq, '\\\\|'))").alias("n_tok"),
-    ).localCheckpoint(eager=True)
+    )
+    record_plan(vocab, "zb01:vocab_dict")
+    vocab = vocab.localCheckpoint(eager=True)
     words.unpersist()
     docs = load_table(spark, sf_dir, "documents")
     cw = (
@@ -782,8 +789,9 @@ def zb01(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_per_word_ppm"),
         )
         .orderBy("source")
-        .localCheckpoint(eager=True)
     )
+    record_plan(out, "zb01:source_rollup")
+    out = out.localCheckpoint(eager=True)
     vocab.unpersist()
     return out
 

@@ -33,3 +33,33 @@ METRICS: dict[str, str] = {
 def count_metrics(plan: str) -> dict[str, int]:
     """Count each metric's plan-node substring in ``plan``."""
     return {m: plan.count(sub) for m, sub in METRICS.items()}
+
+
+#: Internal-stage plan fingerprints since the last test-side clear —
+#: the driver-loop analog of the streaming micro-batch pins. Operators
+#: whose RETURNED frame is a localCheckpoint / createDataFrame scan
+#: (yv10/za01/za02/za05/zb01: the engine work happens in loop stages
+#: the batch ratchet cannot see) fingerprint those stages here via
+#: :func:`record_plan`; tests pin the deduplicated label -> metrics
+#: sets, so a loop stage silently gaining a shuffle or Python boundary
+#: fails a test even though the returned plan is a local scan.
+LOOP_PLAN_LOG: list[tuple[str, tuple[tuple[str, int], ...]]] = []
+
+
+def record_plan(df, label: str) -> None:
+    """Fingerprint an internal stage frame's physical plan into
+    :data:`LOOP_PLAN_LOG` (pre-execution plan: deterministic for a
+    fixed query shape, independent of AQE runtime choices)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    LOOP_PLAN_LOG.append((label, tuple(sorted(count_metrics(plan).items()))))
+
+
+def observed_loop_plans() -> dict[str, list[dict[str, int]]]:
+    """Deduplicated nonzero-metric fingerprints per label, for pinning."""
+    seen: dict[str, set] = {}
+    for label, fp in LOOP_PLAN_LOG:
+        seen.setdefault(label, set()).add(fp)
+    return {
+        label: [dict((k, v) for k, v in fp if v) for fp in sorted(fps)]
+        for label, fps in seen.items()
+    }

@@ -194,3 +194,60 @@ def test_zb01_rolls_up_to_za05(spark, sf_dir):
     total = _q("za05_bpe_token_accounting")(spark, sf_dir).collect()[0]
     assert sum(r.words for r in per_source) == total.word_occurrences
     assert sum(r.tokens for r in per_source) == total.total_tokens
+
+
+# Loop-stage plan pins (plans/planmetrics.LOOP_PLAN_LOG): these
+# operators return localCheckpoint/createDataFrame frames, so the batch
+# plan ratchet pins {} for them — the engine work happens in driver-loop
+# stages. record_plan() fingerprints those stages; a stage silently
+# gaining a shuffle or Python boundary fails here. "bpe:fold": [{}] IS
+# the map-only-apply claim; "za02:mm_round" 1 exchange per round on the
+# <=30-row edge frame; "za03:shard_summaries" is the one corpus pass.
+EXPECTED_LOOP_PLANS = {
+    "za01_bpe_apply": {
+        "bpe:vocab": [{"exchanges": 1}],
+        "bpe:pair_argmax": [{"exchanges": 1}],
+        "bpe:fold": [{}],
+        "za01:census": [{"exchanges": 1}],
+    },
+    "za02_bradley_terry": {
+        "za02:edges": [{"exchanges": 1}],
+        "za02:mm_round": [{"exchanges": 1}],
+    },
+    "za03_quantile_drift": {
+        "za03:shard_summaries": [{"exchanges": 1}],
+    },
+    "za05_bpe_token_accounting": {
+        "bpe:vocab": [{"exchanges": 1}],
+        "bpe:pair_argmax": [{"exchanges": 1}],
+        "bpe:fold": [{}],
+        "za05:accounting": [{"single_partition": 1}],
+    },
+    "zb01_bpe_source_tokens": {
+        "bpe:vocab": [{"exchanges": 1}],
+        "bpe:pair_argmax": [{"exchanges": 1}],
+        "bpe:fold": [{}],
+        "zb01:vocab_dict": [{}],
+        "zb01:source_rollup": [{"exchanges": 2}],
+    },
+    "yv10_bpe_merge_rounds": {
+        "bpe:vocab": [{"exchanges": 1}],
+        "bpe:pair_argmax": [{"exchanges": 1}],
+        "bpe:fold": [{}],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_LOOP_PLANS))
+def test_loop_stage_plan_pins(spark, sf_dir, name):
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    pm.LOOP_PLAN_LOG.clear()
+    _q(name)(spark, sf_dir).count()
+    observed = pm.observed_loop_plans()
+    assert observed == EXPECTED_LOOP_PLANS[name], (
+        f"{name}: loop-stage plan fingerprint changed — got {observed}, "
+        f"pinned {EXPECTED_LOOP_PLANS[name]}. A gained metric means an "
+        "unplanned shuffle/Python stage inside a driver-loop stage the "
+        "batch ratchet cannot see. If deliberate, update the pin."
+    )
