@@ -251,3 +251,17 @@ def test_loop_stage_plan_pins(spark, sf_dir, name):
         "unplanned shuffle/Python stage inside a driver-loop stage the "
         "batch ratchet cannot see. If deliberate, update the pin."
     )
+
+
+def test_record_plan_counts_metrics(spark):
+    """The fingerprint helpers must actually count plan nodes: a toy
+    groupBy records one hash exchange; a pure projection records none."""
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    pm.LOOP_PLAN_LOG.clear()
+    df = spark.range(100).selectExpr("id % 3 AS k", "id AS v")
+    pm.record_plan(df.groupBy("k").count(), "toy:agg")
+    pm.record_plan(df.select("v"), "toy:map")
+    observed = pm.observed_loop_plans()
+    assert observed["toy:agg"] == [{"exchanges": 1}]
+    assert observed["toy:map"] == [{}]
