@@ -172,6 +172,9 @@ CURATION_SUITE = [
     # bigram coverage (the filter-calibration and LM-fit audits)
     "yv21_pr_threshold_sweep",
     "yv22_bigram_coverage",
+    # round-7: DSIR-style hashed-n-gram importance scoring (data
+    # selection toward a target distribution)
+    "zb03_importance_weights",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

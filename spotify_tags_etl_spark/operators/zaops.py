@@ -888,3 +888,146 @@ def zb02(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tags_etl_spark.streaming.ops import read_events_stream
 
     return streaming_quantile_drift(spark, read_events_stream(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# zb03 — DSIR-style hashed n-gram importance scoring
+# ---------------------------------------------------------------------------
+
+#: Hash buckets for the n-gram feature space.
+ZB03_BUCKETS = 256
+
+#: Target-distribution filter (the domain we want more of).
+ZB03_TARGET_LANG = "en"
+
+#: Docs reported (highest importance first).
+ZB03_TOPK = 20
+
+#: Shared bigram spelling: lowercase, [a-z0-9]+ words, adjacent pairs.
+_ZB03_SPARK_GRAMS = (
+    "filter(transform(sequence(1, size(ws) - 1),"
+    " i -> concat(ws[i - 1], ' ', ws[i])), g -> g IS NOT NULL)"
+)
+
+
+@register(
+    "zb03_importance_weights",
+    oracle=f"""
+    WITH grams AS MATERIALIZED (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT
+               % {ZB03_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents) t,
+           UNNEST(generate_series(1, 100000)) AS s(i)
+      WHERE i <= len(w) - 1
+    ),
+    census AS MATERIALIZED (
+      SELECT bucket,
+             COUNT(*) AS raw_n,
+             COUNT(*) FILTER (WHERE lang = '{ZB03_TARGET_LANG}') AS tgt_n
+      FROM grams GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(raw_n) AS raw_t, SUM(tgt_n) AS tgt_t FROM census),
+    wts AS (
+      SELECT bucket,
+             CAST(CAST(tgt_n AS HUGEINT) * 1000000 // tot.tgt_t AS BIGINT)
+             - CAST(CAST(raw_n AS HUGEINT) * 1000000 // tot.raw_t AS BIGINT)
+               AS w
+      FROM census, tot
+    )
+    SELECT g.doc_id AS doc_id,
+           MIN(g.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(w.w) AS BIGINT) AS importance
+    FROM grams g JOIN wts w ON w.bucket = g.bucket
+    GROUP BY g.doc_id
+    ORDER BY importance DESC, doc_id ASC
+    LIMIT {ZB03_TOPK}
+    """,
+    doc=(
+        "Data-selection importance scoring (the hashed-n-gram "
+        "importance-resampling recipe): bigrams hash into "
+        f"{ZB03_BUCKETS} buckets; each bucket's weight is the exact "
+        "ppm-frequency difference between the TARGET distribution "
+        f"(lang='{ZB03_TARGET_LANG}') and the raw corpus; a document's "
+        "importance is the sum of its bigram-occurrence weights — the "
+        "linear, exactly-integer analog of the DSIR log-likelihood "
+        "ratio (float logs cannot cross-engine hash; the ppm-difference "
+        "score induces the same kind of target-likeness ordering and "
+        "is reproducible bit-for-bit). Emits the top "
+        f"{ZB03_TOPK} most target-like documents. Shape: two corpus "
+        "passes exactly as real importance resampling runs at 100 TB — "
+        "pass 1 is ONE map-combined groupBy(bucket) building both "
+        "censuses at once (raw + filtered counts in the same "
+        "aggregate); the 256-row weight table broadcast-joins into "
+        "pass 2's map side, and the per-doc rollup is the second "
+        "map-combined exchange; top-k compiles to "
+        "TakeOrderedAndProject (rank is filter-only). The ppm "
+        "numerators cross-multiply in 128-bit (count x 1e6 wraps int64 "
+        "past 9e12 bigrams). Composes with tz07/yv01 (sample what this "
+        "scores) and yx01 (decontaminate what it selects)."
+    ),
+    tags=("curation", "quality", "sampling", "llm-pipeline"),
+)
+def zb03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # word-array projection filters empties exactly like the oracle
+    grams = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+            ).alias("ws"),
+        )
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("g"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
+                f" % {ZB03_BUCKETS}"
+            ),
+        )
+    )
+    census = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count(F.when(F.col("lang") == ZB03_TARGET_LANG, 1)).alias("tgt_n"),
+    )
+    tot = census.agg(
+        F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t")
+    )
+    wts = census.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
+            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
+        ).alias("w"),
+    )
+    record_plan(wts, "zb03:bucket_weights")
+    wts = wts.localCheckpoint(eager=True)  # 256 rows; pass 2 must not re-census
+    out = (
+        grams.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("w").cast("bigint").alias("importance"),
+        )
+        .orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(ZB03_TOPK)
+    )
+    record_plan(out, "zb03:doc_scores")
+    return out

@@ -235,6 +235,12 @@ EXPECTED_LOOP_PLANS = {
         "bpe:pair_argmax": [{"exchanges": 1}],
         "bpe:fold": [{}],
     },
+    # census exchange + the 1-row totals fold (SP), then the per-doc
+    # scoring pass; the returned frame itself pins the doc rollup.
+    "zb03_importance_weights": {
+        "zb03:bucket_weights": [{"exchanges": 2, "single_partition": 1}],
+        "zb03:doc_scores": [{"exchanges": 1}],
+    },
 }
 
 
@@ -265,3 +271,19 @@ def test_record_plan_counts_metrics(spark):
     observed = pm.observed_loop_plans()
     assert observed["toy:agg"] == [{"exchanges": 1}]
     assert observed["toy:map"] == [{}]
+
+
+def test_zb03_selects_target_like_docs(spark, sf_dir):
+    """The importance scorer must actually rank target-distribution
+    documents up: a strong majority of the top-k should carry the
+    target lang, and the weight construction must make every per-bucket
+    target/raw ppm pair sum consistently (weights sum to ~0 over the
+    full census by construction of the two ppm normalizations)."""
+    from spotify_tags_etl_spark.operators.zaops import ZB03_TARGET_LANG, ZB03_TOPK
+
+    rows = _q("zb03_importance_weights")(spark, sf_dir).collect()
+    assert len(rows) == ZB03_TOPK
+    en = sum(1 for r in rows if r.lang == ZB03_TARGET_LANG)
+    assert en >= ZB03_TOPK * 3 // 4, f"only {en}/{ZB03_TOPK} target-lang docs in top-k"
+    imps = [r.importance for r in rows]
+    assert imps == sorted(imps, reverse=True) or len(set(imps)) < len(imps)
