@@ -232,13 +232,21 @@ def za02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("sb") == F.col("sa"), 1)
         .otherwise(0)
     )
+    # Both orientations from ONE scan: a union of two selects over the
+    # same source re-reads events per branch (the scan log showed two
+    # event_id scans); the 2-element explode reads it once.
     directed = battles.select(
-        F.col("ma").alias("i"), F.col("mb").alias("j"), w2_ab.alias("w2")
-    ).unionAll(
-        battles.select(
-            F.col("mb").alias("i"), F.col("ma").alias("j"), w2_ba.alias("w2")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ma").alias("i"), F.col("mb").alias("j"), w2_ab.alias("w2")
+                ),
+                F.struct(
+                    F.col("mb").alias("i"), F.col("ma").alias("j"), w2_ba.alias("w2")
+                ),
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.w2")
     # The ONLY corpus-sized stage: map-combined groupBy onto <= 30 rows.
     edges = directed.groupBy("i", "j").agg(
         F.count(F.lit(1)).alias("n"), F.sum("w2").alias("w2")
@@ -1006,6 +1014,12 @@ def zb03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("raw_n"),
         F.count(F.when(F.col("lang") == ZB03_TARGET_LANG, 1)).alias("tgt_n"),
     )
+    record_plan(census, "zb03:census")
+    # 256 rows; without this checkpoint the census subtree (and its
+    # corpus scan) evaluates twice — once under tot, once as the weight
+    # frame's left side (the scan log showed pass 1 reading the corpus
+    # twice; importance resampling is a TWO-pass recipe).
+    census = census.localCheckpoint(eager=True)
     tot = census.agg(
         F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t")
     )

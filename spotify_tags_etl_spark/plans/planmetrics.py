@@ -46,12 +46,35 @@ def count_metrics(plan: str) -> dict[str, int]:
 LOOP_PLAN_LOG: list[tuple[str, tuple[tuple[str, int], ...]]] = []
 
 
+#: File-scan column sets observed per recorded stage — the pushdown
+#: half of the loop-stage evidence: for checkpoint-returning operators
+#: the corpus scan lives INSIDE a loop stage, so this is the only place
+#: column pruning is checkable. One sorted column-name string per
+#: ``ReadSchema`` in the stage plan.
+SCAN_LOG: list[tuple[str, tuple[str, ...]]] = []
+
+_READ_SCHEMA = None  # compiled lazily to keep the module import-light
+
+
 def record_plan(df, label: str) -> None:
     """Fingerprint an internal stage frame's physical plan into
     :data:`LOOP_PLAN_LOG` (pre-execution plan: deterministic for a
-    fixed query shape, independent of AQE runtime choices)."""
+    fixed query shape, independent of AQE runtime choices), and its
+    file-scan column sets into :data:`SCAN_LOG`."""
+    global _READ_SCHEMA
+    if _READ_SCHEMA is None:
+        import re
+
+        _READ_SCHEMA = re.compile(r"ReadSchema: struct<([^>]*)>")
     plan = df._jdf.queryExecution().executedPlan().toString()
     LOOP_PLAN_LOG.append((label, tuple(sorted(count_metrics(plan).items()))))
+    scans = tuple(
+        sorted(
+            ",".join(sorted(f.split(":")[0] for f in m.group(1).split(",") if f))
+            for m in _READ_SCHEMA.finditer(plan)
+        )
+    )
+    SCAN_LOG.append((label, scans))
 
 
 def observed_loop_plans() -> dict[str, list[dict[str, int]]]:

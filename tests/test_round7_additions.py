@@ -235,11 +235,60 @@ EXPECTED_LOOP_PLANS = {
         "bpe:pair_argmax": [{"exchanges": 1}],
         "bpe:fold": [{}],
     },
-    # census exchange + the 1-row totals fold (SP), then the per-doc
-    # scoring pass; the returned frame itself pins the doc rollup.
+    # census exchange, the 1-row totals fold (SP) on the checkpointed
+    # 256-row census, then the per-doc scoring pass.
     "zb03_importance_weights": {
-        "zb03:bucket_weights": [{"exchanges": 2, "single_partition": 1}],
+        "zb03:census": [{"exchanges": 1}],
+        "zb03:bucket_weights": [{"single_partition": 1}],
         "zb03:doc_scores": [{"exchanges": 1}],
+    },
+}
+
+
+# Scan-column pins for the same stages (planmetrics.SCAN_LOG): for
+# checkpoint-returning operators the corpus scan lives INSIDE a loop
+# stage, so this is the only place column pruning is checkable. Each
+# entry: label -> sorted list of distinct per-plan scan signatures
+# (each signature = sorted "col,col" strings, one per ReadSchema).
+# "bpe:vocab" reading ONLY text, "za02:edges" reading ONLY event_id
+# ONCE (not once per battle orientation), and zb03 reading the corpus
+# exactly twice across its two passes are the pushdown claims.
+EXPECTED_SCANS = {
+    "za01_bpe_apply": {
+        "bpe:vocab": [["text"]],
+        "bpe:pair_argmax": [[]],
+        "bpe:fold": [[]],
+        "za01:census": [[]],
+    },
+    "za02_bradley_terry": {
+        "za02:edges": [["event_id"]],
+        "za02:mm_round": [[]],
+    },
+    "za03_quantile_drift": {
+        "za03:shard_summaries": [["user_id,value"]],
+    },
+    "za05_bpe_token_accounting": {
+        "bpe:vocab": [["text"]],
+        "bpe:pair_argmax": [[]],
+        "bpe:fold": [[]],
+        "za05:accounting": [[]],
+    },
+    "zb01_bpe_source_tokens": {
+        "bpe:vocab": [["text"]],
+        "bpe:pair_argmax": [[]],
+        "bpe:fold": [[]],
+        "zb01:vocab_dict": [[]],
+        "zb01:source_rollup": [["source,text"]],
+    },
+    "yv10_bpe_merge_rounds": {
+        "bpe:vocab": [["text"]],
+        "bpe:pair_argmax": [[]],
+        "bpe:fold": [[]],
+    },
+    "zb03_importance_weights": {
+        "zb03:census": [["lang,text"]],
+        "zb03:bucket_weights": [[]],
+        "zb03:doc_scores": [["doc_id,lang,text"]],
     },
 }
 
@@ -249,7 +298,18 @@ def test_loop_stage_plan_pins(spark, sf_dir, name):
     from spotify_tags_etl_spark.plans import planmetrics as pm
 
     pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
     _q(name)(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == EXPECTED_SCANS[name], (
+        f"{name}: stage scan columns changed — got {observed_scans}, "
+        f"pinned {EXPECTED_SCANS[name]}. A widened ReadSchema means "
+        "column pruning broke; an extra scan signature means a corpus "
+        "re-read appeared."
+    )
     observed = pm.observed_loop_plans()
     assert observed == EXPECTED_LOOP_PLANS[name], (
         f"{name}: loop-stage plan fingerprint changed — got {observed}, "
