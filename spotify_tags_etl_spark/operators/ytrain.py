@@ -105,6 +105,13 @@ def yv01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
+    # O(#sources) rows; without this checkpoint the quota chain
+    # (total agg, floor frame, extra-seats agg, final join) re-derives
+    # this subtree - and its corpus scan - FOUR times (r7 scan audit).
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
+    record_plan(s, "yv01:source_rollup")
+    s = s.localCheckpoint(eager=True)
     total = s.agg(F.sum("chars").cast("bigint").alias("total"))
     fl = s.crossJoin(F.broadcast(total)).select(
         "source",
@@ -698,6 +705,14 @@ def waterfill(dom: DataFrame, bnum: int, bden: int) -> DataFrame:
             f"waterfill requires bnum < bden (budget strictly below total); "
             f"got {bnum}/{bden}"
         )
+    # O(#domains) rows; without this checkpoint the budget agg, the
+    # ranked frame, the k* cut, and the output join re-derive the
+    # caller's aggregation - and its corpus scan - four times over
+    # (r7 scan audit found yv18 reading documents 4x).
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
+    record_plan(dom, "waterfill:domain_totals")
+    dom = dom.localCheckpoint(eager=True)
     g = dom.agg(
         F.count(F.lit(1)).alias("d"),
         F.expr(f"SUM(tok) * {bnum} DIV {bden}").alias("b"),

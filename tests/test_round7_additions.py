@@ -235,6 +235,14 @@ EXPECTED_LOOP_PLANS = {
         "bpe:pair_argmax": [{"exchanges": 1}],
         "bpe:fold": [{}],
     },
+    # the ONE corpus pass each (r7 scan audit: the quota/waterfill
+    # chains were re-deriving these subtrees 4x before checkpointing)
+    "yv01_mixing_schedule": {
+        "yv01:source_rollup": [{"exchanges": 1}],
+    },
+    "yv18_token_waterfill": {
+        "waterfill:domain_totals": [{"exchanges": 1}],
+    },
     # census exchange, the 1-row totals fold (SP) on the checkpointed
     # 256-row census, then the per-doc scoring pass.
     "zb03_importance_weights": {
@@ -284,6 +292,12 @@ EXPECTED_SCANS = {
         "bpe:vocab": [["text"]],
         "bpe:pair_argmax": [[]],
         "bpe:fold": [[]],
+    },
+    "yv01_mixing_schedule": {
+        "yv01:source_rollup": [["n_chars,source"]],
+    },
+    "yv18_token_waterfill": {
+        "waterfill:domain_totals": [["n_chars,source"]],
     },
     "zb03_importance_weights": {
         "zb03:census": [["lang,text"]],
