@@ -210,6 +210,13 @@ def yv06(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(_h("b", "event_id")) % 3).alias("lb"),
     )
     cells = lab.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("c"))
+    # O(#classes^2) = 9 rows; without this checkpoint the marginals and
+    # the totals each re-derive the cell census - and its corpus scan -
+    # three times over (r7 scan audit).
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
+    record_plan(cells, "yv06:cell_census")
+    cells = cells.localCheckpoint(eager=True)
     rowm = cells.groupBy(F.col("la").alias("lbl")).agg(F.sum("c").alias("rm"))
     colm = cells.groupBy(F.col("lb").alias("lbl")).agg(F.sum("c").alias("cm"))
     pe = (
@@ -758,6 +765,13 @@ def yv13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("lo_wins")
     )
+    # O(models^2) = 15 rows; without this checkpoint the three triad
+    # role-projections each re-derive the edge aggregation - and its
+    # corpus scan - three times over (r7 scan audit).
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
+    record_plan(edges, "yv13:edge_majorities")
+    edges = edges.localCheckpoint(eager=True)
     ab = edges.select(
         F.col("m_lo").alias("a"), F.col("m_hi").alias("b"), F.col("lo_wins").alias("ab_w")
     )

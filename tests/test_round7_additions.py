@@ -243,6 +243,12 @@ EXPECTED_LOOP_PLANS = {
     "yv18_token_waterfill": {
         "waterfill:domain_totals": [{"exchanges": 1}],
     },
+    "yv06_annotator_kappa": {
+        "yv06:cell_census": [{"exchanges": 1}],
+    },
+    "yv13_preference_cycles": {
+        "yv13:edge_majorities": [{"exchanges": 1}],
+    },
     # census exchange, the 1-row totals fold (SP) on the checkpointed
     # 256-row census, then the per-doc scoring pass.
     "zb03_importance_weights": {
@@ -298,6 +304,12 @@ EXPECTED_SCANS = {
     },
     "yv18_token_waterfill": {
         "waterfill:domain_totals": [["n_chars,source"]],
+    },
+    "yv06_annotator_kappa": {
+        "yv06:cell_census": [["event_id"]],
+    },
+    "yv13_preference_cycles": {
+        "yv13:edge_majorities": [["event_id"]],
     },
     "zb03_importance_weights": {
         "zb03:census": [["lang,text"]],
