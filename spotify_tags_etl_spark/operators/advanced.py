@@ -2504,6 +2504,14 @@ def xc03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     aged = rev.groupBy("cohort_wk", "age_wk").agg(F.sum("cents").alias("cents"))
+    # O(#cohorts x #ages) rows; without this checkpoint the base-week
+    # frame and the final join each re-derive the aged rollup - and two
+    # more corpus scans (r7 scan audit: events read 4x, now 2x: the
+    # cohort pass and the purchase pass).
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
+    record_plan(aged, "xc03:aged_rollup")
+    aged = aged.localCheckpoint(eager=True)
     base = (
         aged.where(F.col("age_wk") == 0)
         .select(F.col("cohort_wk").alias("b_wk"), F.col("cents").alias("w0_cents"))

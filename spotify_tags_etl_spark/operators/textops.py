@@ -512,11 +512,26 @@ def tx08(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def xo01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(F.percentile(F.col("value"), F.lit(0.5)).alias("med"))
+    # O(#event_types) frames, checkpointed: MAD is inherently a
+    # three-pass statistic (median pass, deviation-median pass, gate
+    # pass) but without the checkpoints the deviation subtree re-derives
+    # the median pass inside BOTH later passes (r7 scan audit: events
+    # read 4x, now the minimal 3x).
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
+    med = ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("med")
+    )
+    record_plan(med, "xo01:median_pass")
+    med = med.localCheckpoint(eager=True)
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "dev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(F.percentile(F.col("dev"), F.lit(0.5)).alias("mad"))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    record_plan(mad, "xo01:mad_pass")
+    mad = mad.localCheckpoint(eager=True)
     return (
         dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type", F.round("mad", 6).alias("mad_r"))

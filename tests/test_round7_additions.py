@@ -249,6 +249,16 @@ EXPECTED_LOOP_PLANS = {
     "yv13_preference_cycles": {
         "yv13:edge_majorities": [{"exchanges": 1}],
     },
+    # two pruned corpus passes (cohort + purchase) under the rollup
+    "xc03_net_revenue_retention": {
+        "xc03:aged_rollup": [{"exchanges": 2}],
+    },
+    # MAD's minimal three passes: median, deviation-median, gate (the
+    # gate pass lives in the returned plan; these pin the first two)
+    "xo01_mad_outliers": {
+        "xo01:median_pass": [{"exchanges": 1}],
+        "xo01:mad_pass": [{"exchanges": 1}],
+    },
     # census exchange, the 1-row totals fold (SP) on the checkpointed
     # 256-row census, then the per-doc scoring pass.
     "zb03_importance_weights": {
@@ -310,6 +320,13 @@ EXPECTED_SCANS = {
     },
     "yv13_preference_cycles": {
         "yv13:edge_majorities": [["event_id"]],
+    },
+    "xc03_net_revenue_retention": {
+        "xc03:aged_rollup": [["event_type,ts,user_id,value", "ts,user_id"]],
+    },
+    "xo01_mad_outliers": {
+        "xo01:median_pass": [["event_type,value"]],
+        "xo01:mad_pass": [["event_type,value"]],
     },
     "zb03_importance_weights": {
         "zb03:census": [["lang,text"]],
