@@ -323,8 +323,46 @@ VERIFIED = frozenset(
         "ys01_pareto_frontier",
         "yt01_containment_dedup",
         "yu01_grouped_reservoir_sample",
+        "yv01_mixing_schedule",
+        "yv02_mrr_eval",
+        "yv03_vocab_coverage",
+        "yv04_epoch_shuffle",
+        "yv05_preference_pairs",
+        "yv06_annotator_kappa",
+        "yv07_winrate_matrix",
+        "yv08_pass_at_k",
+        "yv09_grpo_advantage",
+        "yv10_bpe_merge_rounds",
+        "yv11_best_of_n_value",
+        "yv12_calibration_bins",
+        "yv13_preference_cycles",
+        "yv14_label_majority",
+        "yv15_domain_quality_gate",
+        "yv16_ips_offpolicy",
+        "yv17_fleiss_kappa",
+        "yv18_token_waterfill",
+        "yv19_snips_bootstrap_ci",
+        "yv20_lsh_parameter_plan",
+        "yv21_pr_threshold_sweep",
+        "yv22_bigram_coverage",
+        "yv23_rlhf_eval_report",
+        "yw01_lateness_audit",
+        "yw02_write_audit_publish",
+        "yx01_split_leakage_audit",
+        "yy01_pipeline_health_report",
+        "yz01_compaction_planner",
+        "yz02_retention_delete_plan",
+        "za01_bpe_apply",
+        "za02_bradley_terry",
+        "za03_quantile_drift",
+        "za04_stream_preference_pairs",
+        "za05_bpe_token_accounting",
+        "zb01_bpe_source_tokens",
+        "zb02_stream_quantile_drift",
+        "zb03_importance_weights",
     }
 )
+# 296 verified; registry window frees 37 new slots next round
 # 259 verified after the r7 rotation; the r7 window is the 29
 # never-checked yv01..yz02 names plus any za*-named r7 additions
 
