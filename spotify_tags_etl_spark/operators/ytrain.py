@@ -468,13 +468,21 @@ def bpe_ctes(rounds: int = YV10_ROUNDS) -> list[str]:
     )"""
         )
         ctes.append(f"b{r} AS (SELECT pa, pb, c FROM p{r} ORDER BY c DESC, pa, pb LIMIT 1)")
+        # LEFT JOIN ON TRUE (not a cross join): if the pair supply
+        # exhausts before ``rounds`` (every word fused to one symbol),
+        # b{r} is EMPTY and a cross join would empty w{r+1} — but
+        # Spark's bpe_learn breaks out keeping the fused vocab, so the
+        # apply-side consumers (za01/za05/zb01) would census a fused
+        # vocab while the oracle censused nothing. The NULL-pa CASE arm
+        # passes w{r} through unchanged, matching the break semantics.
         ctes.append(
             f"""w{r + 1} AS (
-      SELECT CASE WHEN len(l) <= 1 THEN seq ELSE
+      SELECT CASE WHEN b.pa IS NULL OR len(l) <= 1 THEN seq ELSE
         list_reduce(l, (acc, x) -> CASE
           WHEN (acc = b.pa OR acc LIKE '%|' || b.pa) AND x = b.pb THEN acc || b.pb
           ELSE acc || '|' || x END) END AS seq, cnt
-      FROM (SELECT seq, string_split(seq, '|') AS l, cnt FROM w{r}) s, b{r} b
+      FROM (SELECT seq, string_split(seq, '|') AS l, cnt FROM w{r}) s
+      LEFT JOIN b{r} b ON TRUE
     )"""
         )
     return ctes
@@ -573,7 +581,12 @@ def bpe_learn(
         record_plan(top, "bpe:pair_argmax")
         top = top.collect()
         if not top:
-            break  # every word fused to one symbol; oracle truncates identically
+            # Every word fused to one symbol. The oracle agrees on BOTH
+            # outputs: the merge table truncates identically (empty b{r}
+            # contributes no UNION ALL rows), and the w{r+1..} fold CTEs
+            # pass the fused vocab through via the NULL-pa LEFT JOIN arm
+            # in bpe_ctes, matching the kept `words` frame here.
+            break
         pa, pb, c = top[0].pa, top[0].pb, int(top[0].c)
         rows.append((r, pa, pb, c))
         prev = words
@@ -697,9 +710,10 @@ def waterfill(dom: DataFrame, bnum: int, bden: int) -> DataFrame:
     Precondition: ``bnum < bden`` (a strict sub-unity budget ratio).
     At ``bnum/bden >= 1`` the budget covers every domain, kstar = d,
     and the level term's ``DIV (d - kstar)`` divides by zero (NULL
-    under non-ANSI Spark) — the SQL below also guards that branch to
-    ``tok`` so a future caller bypassing the assert degrades to the
-    correct everything-fits allocation instead of NULLs."""
+    under non-ANSI Spark) — the SQL below also guards that branch:
+    alloc degrades to ``tok`` (every domain fully funded) and level to
+    the uniform ``MAX(tok)``, so a future caller bypassing the assert
+    gets a coherent everything-fits allocation instead of NULLs."""
     if bnum >= bden:
         raise ValueError(
             f"waterfill requires bnum < bden (budget strictly below total); "
@@ -716,6 +730,7 @@ def waterfill(dom: DataFrame, bnum: int, bden: int) -> DataFrame:
     g = dom.agg(
         F.count(F.lit(1)).alias("d"),
         F.expr(f"SUM(tok) * {bnum} DIV {bden}").alias("b"),
+        F.max("tok").alias("mtok"),
     )
     w = Window.orderBy("tok", "source")
     ranked = (
@@ -741,7 +756,13 @@ def waterfill(dom: DataFrame, bnum: int, bden: int) -> DataFrame:
         "CAST(CASE WHEN k <= kstar THEN tok"
         " ELSE (b - s_star) DIV (d - kstar) END AS BIGINT) AS alloc",
         "CAST(CASE WHEN k <= kstar THEN 0 ELSE 1 END AS BIGINT) AS capped",
-        "CAST(CASE WHEN d = kstar THEN tok"
+        # d = kstar (everything fits) is unreachable behind the
+        # bnum < bden guard, but if a future caller bypasses it the
+        # level must still be ONE value for all rows: MAX(tok) is the
+        # smallest level at which every domain is uncapped (per-row
+        # `tok` here would make rows disagree about the water level —
+        # ADVICE r7).
+        "CAST(CASE WHEN d = kstar THEN mtok"
         " ELSE (b - s_star) DIV (d - kstar) END AS BIGINT) AS level",
     )
     return out.orderBy("source")

@@ -911,6 +911,21 @@ ZB03_TARGET_LANG = "en"
 #: Docs reported (highest importance first).
 ZB03_TOPK = 20
 
+#: Oracle-side word-position bound (ADVICE r7): DuckDB has no lateral
+#: generate_series, so the bigram explode enumerates fixed positions
+#: 1..N and filters ``i <= len(w) - 1``. A FIXED N either silently
+#: diverges from Spark's unbounded ``sequence(1, size(ws) - 1)`` on a
+#: long document (the r7 100000 cap) or pays an N-per-document
+#: cross-join. Deriving N from the data — an uncorrelated scalar
+#: subquery ``(SELECT MAX(len(words)) ...)`` — removes both failure
+#: modes: exact at ANY document length, and the explode costs
+#: max_len x n_docs instead of 100000 x n_docs (fixtures top out at
+#: ~100 words/doc, so this is also ~1000x cheaper).
+ZB03_ORACLE_MAX_WORDS_SQL = (
+    "(SELECT MAX(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> ''))) FROM documents)"
+)
+
 #: Shared bigram spelling: lowercase, [a-z0-9]+ words, adjacent pairs.
 _ZB03_SPARK_GRAMS = (
     "filter(transform(sequence(1, size(ws) - 1),"
@@ -929,7 +944,7 @@ _ZB03_SPARK_GRAMS = (
                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                x -> x <> '') AS w
             FROM documents) t,
-           UNNEST(generate_series(1, 100000)) AS s(i)
+           UNNEST(generate_series(1, {ZB03_ORACLE_MAX_WORDS_SQL})) AS s(i)
       WHERE i <= len(w) - 1
     ),
     census AS MATERIALIZED (

@@ -56,6 +56,32 @@ SCAN_LOG: list[tuple[str, tuple[str, ...]]] = []
 _READ_SCHEMA = None  # compiled lazily to keep the module import-light
 
 
+def _struct_field_names(body: str) -> list[str]:
+    """Field names of a ``ReadSchema: struct<...>`` body, splitting on
+    commas at nesting depth 0 only — ``decimal(10,2)``,
+    ``array<struct<a:int,b:int>>`` etc. contain commas/colons that a
+    naive ``split(',')`` turns into phantom column names like ``2)``
+    (ADVICE r7). The name is the text before the first depth-0 colon."""
+    names: list[str] = []
+    depth = 0
+    field_start = 0
+    name_end = -1
+    for i, ch in enumerate(body + ","):  # sentinel comma flushes the last field
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif depth == 0 and ch == ":" and name_end < field_start:
+            name_end = i
+        elif depth == 0 and ch == ",":
+            if name_end >= field_start:
+                names.append(body[field_start:name_end])
+            elif i > field_start:  # field with no type (shouldn't happen)
+                names.append(body[field_start:i])
+            field_start = i + 1
+    return names
+
+
 def record_plan(df, label: str) -> None:
     """Fingerprint an internal stage frame's physical plan into
     :data:`LOOP_PLAN_LOG` (pre-execution plan: deterministic for a
@@ -65,12 +91,15 @@ def record_plan(df, label: str) -> None:
     if _READ_SCHEMA is None:
         import re
 
-        _READ_SCHEMA = re.compile(r"ReadSchema: struct<([^>]*)>")
+        # To end-of-line, not to the first '>': nested types
+        # (array<...>, struct<...>) embed '>' inside the body. Spark
+        # prints ReadSchema as the final token on its line.
+        _READ_SCHEMA = re.compile(r"ReadSchema: struct<(.*)>", re.MULTILINE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     LOOP_PLAN_LOG.append((label, tuple(sorted(count_metrics(plan).items()))))
     scans = tuple(
         sorted(
-            ",".join(sorted(f.split(":")[0] for f in m.group(1).split(",") if f))
+            ",".join(sorted(_struct_field_names(m.group(1))))
             for m in _READ_SCHEMA.finditer(plan)
         )
     )
