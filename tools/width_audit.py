@@ -53,6 +53,25 @@ PKG = os.path.join(ROOT, "spotify_tags_etl_spark")
 #: Allowlisted product-sum arguments (normalized whitespace, ANCHORED:
 #: the normalized argument must START with the key) with the
 #: boundedness argument that justifies long arithmetic.
+#: za/zb band disposition (r7 verdict item 7) — these sites are NOT
+#: allowlist entries because the auditor already classifies them, but
+#: the addend math belongs here with the rest:
+#:
+#: * za02 Bradley–Terry `t` accumulator: addend `2n * ZA02_SCALE //
+#:   (s_i + s_j)` with n <= #battles (~1e5 at sf0.1, ~1e8 at SF100)
+#:   and SCALE = 1e12 -> the NUMERATOR 2n*SCALE reaches ~2e20 > 2^63,
+#:   so BOTH engines widen before the multiply: Spark
+#:   `CAST(2 * n AS DECIMAL(38,0)) * SCALE` (zaops.py:275, matched by
+#:   the _WIDE decimal(38 pattern), DuckDB `CAST(2 * e.n AS HUGEINT)`
+#:   (oracle side, HUGEINT-exempt). The SUM itself runs over <= 6
+#:   models' opponents — O(#models) addends.
+#: * zb03 importance: `SUM(w)` is NOT a product sum (the per-bucket
+#:   weight w = tgt_ppm - raw_ppm is precomputed, |w| <= 1e6) — the
+#:   auditor's SUM(a*b) scanner rightly skips it; per-doc addend count
+#:   = n_grams <= words/doc, so |importance| <= 1e6 * doc_words:
+#:   int64-safe past 9e12-word documents. The ppm weights themselves
+#:   widen the numerator (DECIMAL(38,0)/HUGEINT, zaops.py ~:1045)
+#:   because tgt_n * 1e6 can pass 2^63 at 100 TB gram counts.
 ALLOWLIST = {
     # yb02 TF-IDF pair scores: per-pair shared vocabulary is bounded by
     # document length and the df<=100 cap bounds posting lists; addend
