@@ -70,6 +70,10 @@ LLM_SUITE = [
     "yv18_token_waterfill",
     "yv20_lsh_parameter_plan",
     "yv23_rlhf_eval_report",
+    # round-8 (operators/zcops.py): sequence packing (the stage that
+    # assembles training windows) + the tokenizer round-trip audit
+    "zc01_sequence_packing",
+    "zc02_tokenizer_roundtrip",
     # round-7 (operators/zaops.py): the tokenizer APPLY step and the
     # Bradley-Terry arena fit
     "za01_bpe_apply",

@@ -43,15 +43,19 @@ def _range_layout(
     ``localCheckpoint``-ed so the per-partition statistics job and the
     final parallel window see the SAME physical placement (and the input
     is scanned once, not twice). Returns ``(ranged frame + _pid, cols)``."""
+    from spotify_tags_etl_spark.plans.planmetrics import record_plan
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(num_partitions, *cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    pre = df.repartitionByRange(num_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
     )
+    # The input scan lives BEFORE this checkpoint, so consumers' loop-
+    # stage scan pins can only see it here (cf. planmetrics.SCAN_LOG).
+    record_plan(pre, "scalerank:layout")
+    ranged = pre.localCheckpoint(eager=True)
     return ranged, cols
 
 
@@ -162,6 +166,62 @@ def prefix_max(
     return ranged.withColumn(
         out_col, F.greatest(F.max(value_col).over(w), _pid_map(offsets))
     ).drop("_pid")
+
+
+def grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact 1-based ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    order)`` without per-group reducers — for LOW-cardinality groups,
+    where ``Window.partitionBy(group)`` would funnel millions of rows
+    into #groups tasks (13 length bands, 25 regions, ...). High-
+    cardinality groups don't need this: their keyed window is already
+    parallel.
+
+    Same recipe as :func:`global_rank` with group-aware bookkeeping:
+    range layout over (group, order) — so each group occupies a
+    contiguous run of partitions; one O(#partitions + #groups) stats
+    job (groups are contiguous, so at most #pids + #groups rows);
+    cumulative per-(partition, group) offsets broadcast as a literal
+    map keyed by '_pid:group'; then a PARALLEL window partitioned by
+    (_pid, group) — max task size stays O(rows/partitions) regardless
+    of group skew. Returns ``(frame + rank_col, total_row_count)``.
+
+    ``group_cols`` must be column NAMES (the offset lookup re-reads
+    them); ``order_cols`` may be names or Column expressions and, with
+    the group prefix prepended, must total-order the frame."""
+    gcols = [F.col(c) for c in group_cols]
+    ranged, cols = _range_layout(df, [*gcols, *order_cols], num_partitions)
+    stats = (
+        ranged.groupBy("_pid", *group_cols).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    total = sum(r["n"] for r in stats)
+    running: dict[tuple, int] = {}
+    pairs: list[Column] = []
+    for r in sorted(stats, key=lambda r: r["_pid"]):
+        gkey = tuple(r[c] for c in group_cols)
+        off = running.get(gkey, 0)
+        running[gkey] = off + r["n"]
+        pairs.extend(
+            [F.lit(f"{r['_pid']}:" + ":".join(str(v) for v in gkey)), F.lit(off)]
+        )
+    lookup_key = F.concat_ws(
+        ":", F.col("_pid").cast("string"), *[F.col(c).cast("string") for c in group_cols]
+    )
+    offset_of = (
+        F.coalesce(F.element_at(F.create_map(*pairs), lookup_key), F.lit(0))
+        if pairs
+        else F.lit(0)
+    )
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*cols)
+    return (
+        ranged.withColumn(rank_col, F.row_number().over(w) + offset_of).drop("_pid"),
+        total,
+    )
 
 
 def ntile_expr(rank_col: str, n_rows: int, k: int) -> Column:
