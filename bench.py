@@ -71,9 +71,12 @@ LLM_SUITE = [
     "yv20_lsh_parameter_plan",
     "yv23_rlhf_eval_report",
     # round-8 (operators/zcops.py): sequence packing (the stage that
-    # assembles training windows) + the tokenizer round-trip audit
+    # assembles training windows), the tokenizer round-trip audit, the
+    # LSH semantic-dedup decision, and the per-source curriculum
     "zc01_sequence_packing",
     "zc02_tokenizer_roundtrip",
+    "zc03_semantic_dedup",
+    "zc05_curriculum_schedule",
     # round-7 (operators/zaops.py): the tokenizer APPLY step and the
     # Bradley-Terry arena fit
     "za01_bpe_apply",
@@ -94,6 +97,9 @@ STREAMING_SUITE = [
     # extremes merge) + incremental histogram-merge quantile drift
     "za04_stream_preference_pairs",
     "zb02_stream_quantile_drift",
+    # round-8: incremental DSIR importance scoring (census SUM-merge +
+    # idempotent per-batch doc histograms)
+    "zc04_stream_importance_weights",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /

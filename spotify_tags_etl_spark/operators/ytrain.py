@@ -59,10 +59,10 @@ YV04_EPOCHS, YV04_SHARDS = 3, 8
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "yv01_mixing_schedule",
-    oracle=f"""
-    WITH s AS (
+#: yv01's largest-remainder quota chain as reusable CTE text — the
+#: final CTE ``quotas`` exposes (source, n_docs, chars, quota). Shared
+#: with zc05's per-source curriculum schedule (operators/zcops.py).
+YV01_QUOTA_CTES = f"""s AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
       FROM documents GROUP BY source
     ),
@@ -77,10 +77,21 @@ YV04_EPOCHS, YV04_SHARDS = 3, 8
     r AS (
       SELECT fl.*, ROW_NUMBER() OVER (ORDER BY rem DESC, chars DESC, source ASC) AS rk
       FROM fl
-    )
+    ),
+    quotas AS (
+      SELECT source, n_docs, chars,
+             CAST(fl + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM r, e
+    )"""
+
+
+@register(
+    "yv01_mixing_schedule",
+    oracle=f"""
+    WITH {YV01_QUOTA_CTES}
     SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(chars AS BIGINT) AS chars,
-           CAST(fl + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
-    FROM r, e ORDER BY source
+           quota
+    FROM quotas ORDER BY source
     """,
     doc=(
         "Largest-remainder (Hamilton) apportionment of a "

@@ -933,9 +933,42 @@ _ZB03_SPARK_GRAMS = (
 )
 
 
-@register(
-    "zb03_importance_weights",
-    oracle=f"""
+def zb03_grams(docs: DataFrame) -> DataFrame:
+    """Shared gram extraction for batch zb03 and its streaming twin
+    zc04: one (doc_id, lang, bucket) row per bigram occurrence."""
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+            ).alias("ws"),
+        )
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("g"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
+                f" % {ZB03_BUCKETS}"
+            ),
+        )
+    )
+
+
+#: zb03's full oracle — shared verbatim with the streaming twin zc04
+#: (same logical result; the stream only changes WHEN the census and
+#: doc partials accumulate).
+ZB03_ORACLE = f"""
     WITH grams AS MATERIALIZED (
       SELECT doc_id, lang,
              ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT
@@ -969,7 +1002,12 @@ _ZB03_SPARK_GRAMS = (
     GROUP BY g.doc_id
     ORDER BY importance DESC, doc_id ASC
     LIMIT {ZB03_TOPK}
-    """,
+    """
+
+
+@register(
+    "zb03_importance_weights",
+    oracle=ZB03_ORACLE,
     doc=(
         "Data-selection importance scoring (the hashed-n-gram "
         "importance-resampling recipe): bigrams hash into "
@@ -998,33 +1036,7 @@ _ZB03_SPARK_GRAMS = (
 def zb03(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # word-array projection filters empties exactly like the oracle
-    grams = (
-        docs.select(
-            "doc_id",
-            "lang",
-            F.expr(
-                "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
-            ).alias("ws"),
-        )
-        .where(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 1),"
-                    " i -> concat(ws[i - 1], ' ', ws[i]))"
-                )
-            ).alias("g"),
-        )
-        .withColumn(
-            "bucket",
-            F.expr(
-                f"CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
-                f" % {ZB03_BUCKETS}"
-            ),
-        )
-    )
+    grams = zb03_grams(docs)
     census = grams.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_n"),
         F.count(F.when(F.col("lang") == ZB03_TARGET_LANG, 1)).alias("tgt_n"),

@@ -116,7 +116,11 @@ ZC01_BAND_BASE = 1 << 44
         "(window_id, doc_id, slot_offset, doc_tokens, fill_ppm). "
         "Deviation from exact FFD is the point — documented above; "
         "integer-exact, so the DuckDB oracle (same arithmetic, "
-        "per-band ROW_NUMBER) is bit-identical."
+        "per-band ROW_NUMBER) is bit-identical. Complements "
+        "tz05_pack_sequences (concat-and-chop, which SPLITS documents "
+        "at window boundaries): zc01 preserves document boundaries at "
+        "the cost of bounded padding — the two ends of the "
+        "packing-strategy tradeoff a training stack chooses between."
     ),
     tags=("training", "packing", "llm-pipeline"),
 )
@@ -296,4 +300,491 @@ def zc02(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mismatch_types"),
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zc03 — LSH-bucketed semantic dedup over the int8 projection
+# ---------------------------------------------------------------------------
+
+#: Sign-LSH layout over the ye01-style int8 projection: TABLES tables
+#: of BITS sign bits each (16 projected dims total). Constants here;
+#: production sizes (bits, tables) from the corpus via the yv20 LSH
+#: S-curve planner (bits must grow ~log n to keep buckets bounded).
+ZC03_BITS = 4
+ZC03_TABLES = 4
+
+#: Near-dup cosine threshold (ppm). dd05's fixture calibration: all-pair
+#: p99 ~ 0.295, within-label max ~ 0.47 — 0.35 drops a realistic ~25%.
+ZC03_T_PPM = 350_000
+
+
+def _zc03_w(i: int, j: int) -> int:
+    """Python twin of yscale's ``_W_SPARK`` / ``_W_DUCK`` projection
+    weight (md5("i:j") first-8-hex % 7 - 3) — ye01's random projection
+    matrix, extended to j = 1..16 (the formula is j-generic). Equality
+    with the SQL spelling is pinned by tests/test_round8_additions.py."""
+    import hashlib
+
+    return int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % 7 - 3
+
+
+def _zc03_oracle_sql() -> str:
+    dims = ZC03_BITS * ZC03_TABLES
+    wrows = [[_zc03_w(i, j) for i in range(1, 65)] for j in range(1, dims + 1)]
+    proj = ",\n             ".join(
+        f"CAST(list_dot_product(CAST(q AS DOUBLE[]),"
+        f" CAST({wrows[j - 1]} AS DOUBLE[])) AS BIGINT) AS p{j}"
+        for j in range(1, dims + 1)
+    )
+    bks = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"{1 << m} * CASE WHEN p{ZC03_BITS * (t - 1) + m + 1} > 0 THEN 1 ELSE 0 END"
+            for m in range(ZC03_BITS)
+        )
+        + f") AS bk{t}"
+        for t in range(1, ZC03_TABLES + 1)
+    )
+    bk_case = " ".join(
+        f"WHEN {t} THEN bk{t}" for t in range(1, ZC03_TABLES + 1)
+    )
+    t2 = ZC03_T_PPM * ZC03_T_PPM
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_apply(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, q,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                  AS BIGINT) AS na,
+             {proj}
+      FROM q
+    ),
+    b AS (
+      SELECT vec_id, q, na,
+             {bks}
+      FROM p
+    ),
+    c AS (
+      SELECT vec_id, t, CASE t {bk_case} END AS bk
+      FROM b, UNNEST([{",".join(str(t) for t in range(1, ZC03_TABLES + 1))}]) AS u(t)
+    ),
+    pairs AS (
+      SELECT DISTINCT c1.vec_id AS d1, c2.vec_id AS d2
+      FROM c c1 JOIN c c2 ON c1.t = c2.t AND c1.bk = c2.bk
+                         AND c1.vec_id < c2.vec_id
+    ),
+    dots AS (
+      SELECT j.d2 AS d2,
+             CAST(list_dot_product(CAST(b1.q AS DOUBLE[]), CAST(b2.q AS DOUBLE[]))
+                  AS BIGINT) AS dp,
+             b1.na AS na1, b2.na AS na2
+      FROM pairs j
+      JOIN b b1 ON b1.vec_id = j.d1
+      JOIN b b2 ON b2.vec_id = j.d2
+    ),
+    dups AS (
+      SELECT d2, COUNT(*) AS n FROM dots
+      WHERE dp > 0
+        AND CAST(dp AS HUGEINT) * dp * 1000000000000
+            >= {t2} * (CAST(na1 AS HUGEINT) * na2)
+      GROUP BY d2
+    )
+    SELECT q.vec_id AS vec_id,
+           CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_smaller_dups
+    FROM q LEFT JOIN dups d ON d.d2 = q.vec_id
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "zc03_semantic_dedup",
+    oracle=_zc03_oracle_sql(),
+    doc=(
+        "SEMANTIC DEDUP, production path (SemDeDup-style): embeddings "
+        "quantize to int8 (ye01's floor(v*127)), project through "
+        "ye01's md5-derived +/-3 random matrix extended to "
+        f"{ZC03_BITS * ZC03_TABLES} dims, and sign-bucket into "
+        f"{ZC03_TABLES} LSH tables x {ZC03_BITS} bits "
+        "(OR-amplification: candidate iff bucket-equal in ANY table — "
+        "ss02's machinery applied to the DEDUP decision). Candidates "
+        "verify with an EXACT integer cosine test (dp^2 * 1e12 >= "
+        "T_ppm^2 * |a|^2 * |b|^2, 128-bit products — no float, no "
+        "sqrt), and the decision rule is deterministic greedy-by-id: "
+        "drop a vector iff some smaller-id candidate clears the "
+        "threshold. Output (vec_id, keep, n_smaller_dups). Both "
+        "engines compute identical candidates from identical integer "
+        "projections, so the oracle is bit-exact; the approximation "
+        "is only vs TRUE all-pairs dedup (LSH recall, tunable via "
+        "bits/tables — yv20 plans the S-curve; a semantic test pins "
+        "zero FALSE drops against brute force, since every drop is "
+        "exact-verified). Scale shape: the quantized+bucketed corpus "
+        "is checkpointed once and reused by all three consumers "
+        "(candidate explode, both pair sides) — the r7 scan-audit "
+        "discipline; per-table bucket joins are keyed (t, bucket); "
+        "never all-pairs. Per-table quadratic-within-bucket is the "
+        "standard LSH contract, bounded by sizing bits to ~log n."
+    ),
+    tags=("dedup", "similarity", "embedding", "llm-pipeline"),
+)
+def zc03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = ZC03_BITS * ZC03_TABLES
+    wrows = [[_zc03_w(i, j) for i in range(1, 65)] for j in range(1, dims + 1)]
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT))"
+        ).alias("q"),
+    )
+    proj_cols = [
+        F.expr(
+            f"aggregate(zip_with(q, array({','.join(str(w) for w in wrows[j - 1])}),"
+            " (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias(f"p{j}")
+        for j in range(1, dims + 1)
+    ]
+    na = F.expr(
+        "aggregate(zip_with(q, q, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    ).alias("na")
+    p = q.select("vec_id", "q", na, *proj_cols)
+    bks = [
+        F.expr(
+            " + ".join(
+                f"{1 << m} * CASE WHEN p{ZC03_BITS * (t - 1) + m + 1} > 0"
+                " THEN 1 ELSE 0 END"
+                for m in range(ZC03_BITS)
+            )
+        ).alias(f"bk{t}")
+        for t in range(1, ZC03_TABLES + 1)
+    ]
+    b = p.select("vec_id", "q", "na", *bks)
+    # ONE corpus scan: the quantized/bucketed frame feeds the candidate
+    # explode and BOTH pair sides — checkpoint instead of re-deriving
+    # (r7 scan-audit class; at 100 TB this is the persisted projection
+    # table a production dedup job writes anyway).
+    record_plan(b, "zc03:projected_corpus")
+    b = b.localCheckpoint(eager=True)
+    c = b.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(1, ZC03_TABLES + 1)])).alias(
+            "t", "bk"
+        ),
+    )
+    c1 = c.select(F.col("vec_id").alias("d1"), "t", "bk")
+    c2 = c.select(F.col("vec_id").alias("d2"), "t", "bk")
+    pairs = (
+        c1.join(c2, ["t", "bk"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    b1 = b.select(F.col("vec_id").alias("d1"), F.col("q").alias("q1"), F.col("na").alias("na1"))
+    b2 = b.select(F.col("vec_id").alias("d2"), F.col("q").alias("q2"), F.col("na").alias("na2"))
+    t2 = ZC03_T_PPM * ZC03_T_PPM
+    dots = (
+        pairs.join(b1, "d1")
+        .join(b2, "d2")
+        .select(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(q1, q2, (x, y) -> x * y), CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v)"
+            ).alias("dp"),
+            "na1",
+            "na2",
+        )
+    )
+    dups = (
+        dots.where(
+            (F.col("dp") > 0)
+            & (
+                F.expr("CAST(dp AS DECIMAL(38,0)) * dp * 1000000000000")
+                >= F.expr(f"{t2} * (CAST(na1 AS DECIMAL(38,0)) * na2)")
+            )
+        )
+        .groupBy("d2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        b.select("vec_id")
+        .join(dups.withColumnRenamed("d2", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.expr("CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT)").alias("keep"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_smaller_dups"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zc04 — streaming twin of zb03: incremental importance-weight scoring
+# ---------------------------------------------------------------------------
+
+
+def streaming_importance_weights(spark: SparkSession, stream_docs: DataFrame) -> DataFrame:
+    """Incremental DSIR-style importance scoring: each micro-batch of
+    documents is reduced to TWO partials —
+
+    * a (bucket, raw_n, tgt_n) census partial, SUM-merged into a
+      versioned-parquet census (the mergeable-sketch idiom shared with
+      zb02; this is the state a production run watches for target/raw
+      distribution drift WHILE ingesting), and
+    * a (doc_id, lang, bucket, n) per-doc gram histogram, written to a
+      per-batch directory (overwrite by batch_id -> retried batches
+      are idempotent; each doc arrives in exactly one batch, so the
+      union over batch dirs is exact).
+
+    At stream close the 256-row census yields the bucket weights
+    exactly as batch zb03, the weights broadcast-join the doc store,
+    and the same top-k emerges — counts merge associatively and
+    commutatively, so the result is micro-batch-layout invariant.
+    Per-trigger cost is O(batch + buckets); the raw stream is never
+    re-scanned."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.zaops import (
+        ZB03_TARGET_LANG,
+        ZB03_TOPK,
+        zb03_grams,
+    )
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    root = tempfile.mkdtemp(prefix="zc04_dsir_")
+    docs_root = os.path.join(root, "docgrams")
+    doc_dirs: list[str] = []  # per-batch doc-histogram dirs (idempotent)
+    current: list[str] = []  # census version pointer
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        grams = zb03_grams(batch)
+        doc_part = grams.groupBy("doc_id", "lang", "bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        record_batch_plan(doc_part, "zc04:doc_partial")
+        doc_dir = os.path.join(docs_root, f"b{batch_id}")
+        doc_part.write.mode("overwrite").parquet(doc_dir)
+        if doc_dir not in doc_dirs:
+            doc_dirs.append(doc_dir)
+        part = grams.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("raw_n"),
+            F.count(F.when(F.col("lang") == ZB03_TARGET_LANG, 1)).alias("tgt_n"),
+        )
+        if current:
+            merged = (
+                spark.read.parquet(current[0])
+                .unionByName(part)
+                .groupBy("bucket")
+                .agg(F.sum("raw_n").alias("raw_n"), F.sum("tgt_n").alias("tgt_n"))
+            )
+        else:
+            merged = part
+        target = os.path.join(root, f"census_v{batch_id}")
+        record_batch_plan(merged, "zc04:census_merge")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream_docs.select("doc_id", "lang", "text")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame(
+            [], "doc_id bigint, lang string, n_grams bigint, importance bigint"
+        )
+    census = spark.read.parquet(current[0]).localCheckpoint(eager=True)
+    # checkpoint only because rmtree below deletes the backing files; a
+    # production run leaves the doc store as the parquet it already is
+    doc_store = spark.read.parquet(*doc_dirs).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    tot = census.agg(F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t"))
+    wts = census.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
+            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
+        ).alias("w"),
+    )
+    record_plan(wts, "zc04:bucket_weights")
+    wts = wts.localCheckpoint(eager=True)
+    out = (
+        doc_store.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.sum("n").cast("bigint").alias("n_grams"),
+            # addend n * w <= grams/doc x 1e6 ~ 1e8 — int64-safe past
+            # 9e10 docs per (doc, bucket) group; the ppm weights
+            # themselves were built 128-bit above
+            F.expr("CAST(SUM(n * w) AS BIGINT)").alias("importance"),
+        )
+        .orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(ZB03_TOPK)
+    )
+    record_plan(out, "zc04:doc_scores")
+    return out
+
+
+def _zc04_register() -> None:
+    from spotify_tags_etl_spark.operators.zaops import ZB03_ORACLE
+
+    @register(
+        "zc04_stream_importance_weights",
+        oracle=ZB03_ORACLE,
+        doc=(
+            "Streaming twin of zb03: per micro-batch the documents "
+            "reduce to a SUM-mergeable (bucket, raw_n, tgt_n) census "
+            "partial (versioned-parquet state, watchable mid-stream "
+            "for distribution drift) and an idempotent per-batch "
+            "(doc, lang, bucket, n) gram histogram; at close the "
+            "converged census yields the same ppm-difference weights "
+            "as batch zb03 and the broadcast-join scoring produces "
+            "the identical top-k (associative+commutative merges => "
+            "micro-batch-layout invariant, pinned under a 3-file "
+            "split). Oracle: zb03's SQL, verbatim. Per-trigger cost "
+            "O(batch + 256); the raw stream is never re-scanned."
+        ),
+        tags=("streaming", "curation", "sampling", "llm-pipeline"),
+    )
+    def zc04(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+        return streaming_importance_weights(
+            spark, read_table_stream(spark, sf_dir, "documents")
+        )
+
+
+_zc04_register()
+
+
+# ---------------------------------------------------------------------------
+# zc05 — per-source curriculum schedule (yv01 quotas x per-source order)
+# ---------------------------------------------------------------------------
+
+
+def _zc05_oracle_sql() -> str:
+    from spotify_tags_etl_spark.operators.ytrain import YV01_QUOTA_CTES
+
+    return f"""
+    WITH {YV01_QUOTA_CTES},
+    rn AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS crank
+      FROM documents
+    )
+    SELECT rn.doc_id AS doc_id, rn.source AS source,
+           CAST(rn.crank AS BIGINT) AS crank,
+           CAST((rn.crank - 1) // q.quota AS BIGINT) AS block,
+           CAST((rn.crank - 1) % q.quota AS BIGINT) AS slot
+    FROM rn JOIN quotas q ON q.source = rn.source AND q.quota > 0
+    ORDER BY block, source, slot
+    """
+
+
+@register(
+    "zc05_curriculum_schedule",
+    oracle=_zc05_oracle_sql(),
+    doc=(
+        "PER-SOURCE CURRICULUM SCHEDULE — the dataloader manifest that "
+        "composes yv01's largest-remainder mixing quotas with a "
+        "per-source easy-to-hard curriculum: within each source, "
+        "documents order by difficulty (n_chars ASC, doc_id tiebreak); "
+        "training block b then takes each source's NEXT quota_s docs "
+        "(block = (rank-1) DIV quota, slot = (rank-1) MOD quota), so "
+        "every block mixes sources in exactly yv01's proportions while "
+        "difficulty ramps monotonically within each source lane — the "
+        "schedule a resumable trainer replays bit-identically. "
+        "Zero-quota sources are excluded (their mass rounds to no "
+        "seats; real loaders re-apportion per epoch). Shape: ONE "
+        "corpus-projection scan — per-source rank via "
+        "scalerank.grouped_rank (sources are few and skewed: the "
+        "keyed-window form would funnel the corpus into #source "
+        "reducers), the ranked frame checkpointed once and reused by "
+        "BOTH consumers (the quota rollup aggregates the checkpoint, "
+        "not the corpus — r7 scan-audit discipline), quotas a "
+        "broadcast O(#sources) join. Composes yv01 (quotas) with "
+        "xi04's ordering role (global curriculum) and zc01/tz05 "
+        "(packing the blocks this schedule emits)."
+    ),
+    tags=("training", "planner", "ordering", "llm-pipeline"),
+)
+def zc05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.ytrain import YV01_BLOCK
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ranked, _n = grouped_rank(
+        docs,
+        ["source"],
+        [F.col("n_chars").asc(), F.col("doc_id").asc()],
+        rank_col="crank",
+    )
+    record_plan(ranked, "zc05:source_curriculum")
+    # corpus-sized frame reused by the quota rollup AND the final
+    # schedule join — checkpoint once instead of re-running the rank
+    # window per consumer
+    ranked = ranked.localCheckpoint(eager=True)
+    s = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    record_plan(s, "zc05:source_rollup")  # O(#sources), off the checkpoint
+    s = s.localCheckpoint(eager=True)
+    total = s.agg(F.sum("chars").cast("bigint").alias("total"))
+    fl = s.crossJoin(F.broadcast(total)).select(
+        "source",
+        "chars",
+        F.expr(
+            f"CAST(CAST(chars AS DECIMAL(38,0)) * {YV01_BLOCK} DIV total AS BIGINT)"
+        ).alias("fl"),
+        F.expr(
+            f"CAST(CAST(chars AS DECIMAL(38,0)) * {YV01_BLOCK} % total AS BIGINT)"
+        ).alias("rem"),
+    )
+    extra = fl.agg((F.lit(YV01_BLOCK) - F.sum("fl")).cast("bigint").alias("extra"))
+    # O(#sources) frame — the xr03 documented bounded-frame window
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("rem"), F.desc("chars"), F.asc("source"))
+    )
+    quotas = (
+        fl.withColumn("rk", rk)
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "source",
+            F.expr("CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)").alias(
+                "quota"
+            ),
+        )
+        .where(F.col("quota") > 0)
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("crank").cast("bigint").alias("crank"),
+            F.expr("CAST((crank - 1) DIV quota AS BIGINT)").alias("block"),
+            F.expr("CAST((crank - 1) % quota AS BIGINT)").alias("slot"),
+        )
+        .orderBy("block", "source", "slot")
     )

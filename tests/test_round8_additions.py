@@ -223,3 +223,188 @@ def test_zc_loop_stage_pins(spark, sf_dir, name):
     observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
     assert observed_scans == EXPECTED_SCANS[name]
     assert pm.observed_loop_plans() == EXPECTED_LOOP_PLANS[name]
+
+
+# ---------------------------------------------------------------------------
+# zc03 — no false drops (every drop is exact-verified against brute force)
+# ---------------------------------------------------------------------------
+
+
+def test_zc03_drops_are_true_dups(spark, sf_dir):
+    import numpy as np
+
+    from spotify_tags_etl_spark.operators.zcops import ZC03_T_PPM
+
+    rows = _q("zc03_semantic_dedup")(spark, sf_dir).collect()
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = [r.vec_id for r in emb]
+    idx = {v: i for i, v in enumerate(ids)}
+    Q = np.floor(np.array([r.embedding for r in emb], dtype=np.float64) * 127).astype(
+        np.int64
+    )
+    na = (Q * Q).sum(1)
+    t2 = ZC03_T_PPM * ZC03_T_PPM
+    dropped = [r.vec_id for r in rows if r.keep == 0]
+    assert dropped, "fixture should produce semantic dups at this threshold"
+    assert len(rows) == len(ids)  # every vector gets a verdict
+    for v in dropped:
+        i = idx[v]
+        ok = False
+        for w_, j in idx.items():
+            if w_ >= v:
+                continue
+            dp = int(Q[i] @ Q[j])
+            if dp > 0 and dp * dp * 10**12 >= t2 * int(na[i]) * int(na[j]):
+                ok = True
+                break
+        assert ok, f"vec {v} dropped without any true smaller-id dup"
+
+
+def test_zc03_w_matches_sql_formula():
+    """The Python projection-weight twin must equal yscale's SQL
+    spelling (same md5 prefix arithmetic) — checked via DuckDB."""
+    import duckdb
+
+    from spotify_tags_etl_spark.operators.zcops import _zc03_w
+
+    con = duckdb.connect()
+    for i, j in [(1, 1), (5, 3), (64, 16), (17, 9)]:
+        want = con.execute(
+            f"SELECT ('0x' || substr(md5('{i}:{j}'), 1, 8))::BIGINT % 7 - 3"
+        ).fetchone()[0]
+        assert _zc03_w(i, j) == want
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# zc04 — micro-batch-layout invariance vs batch zb03
+# ---------------------------------------------------------------------------
+
+
+def test_zc04_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """zc04's incremental census + doc-store merge must produce EXACTLY
+    batch zb03's top-k for any micro-batch layout: a 3-file run (one
+    file per trigger) equals the single-batch registry run equals
+    zb03."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zcops import streaming_importance_weights
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_dsir_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "lang", "text"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_importance_weights(spark, stream).collect()]
+    single = [
+        tuple(r)
+        for r in _q("zc04_stream_importance_weights")(spark, sf_dir).collect()
+    ]
+    batch = [tuple(r) for r in _q("zb03_importance_weights")(spark, sf_dir).collect()]
+    assert multi == single == batch
+    assert len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# zc05 — schedule semantics (quota-exact blocks, monotone difficulty)
+# ---------------------------------------------------------------------------
+
+
+def test_zc05_schedule_semantics(spark, sf_dir):
+    rows = _q("zc05_curriculum_schedule")(spark, sf_dir).collect()
+    quotas = {
+        r.source: r.quota
+        for r in _q("yv01_mixing_schedule")(spark, sf_dir).collect()
+    }
+    n_chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert rows
+    per_sb = defaultdict(list)
+    per_source = defaultdict(list)
+    for r in rows:
+        assert quotas[r.source] > 0  # zero-quota sources never scheduled
+        per_sb[(r.source, r.block)].append(r)
+        per_source[r.source].append(r)
+    for (src, block), members in per_sb.items():
+        q = quotas[src]
+        slots = sorted(m.slot for m in members)
+        # every block except the source's last is quota-full
+        if block < max(b for s, b in per_sb if s == src):
+            assert slots == list(range(q))
+        else:
+            assert slots == list(range(len(slots)))
+    for src, members in per_source.items():
+        members.sort(key=lambda m: m.crank)
+        assert [m.crank for m in members] == list(range(1, len(members) + 1))
+        # difficulty ramps with crank (n_chars non-decreasing)
+        diffs = [n_chars[m.doc_id] for m in members]
+        assert all(a <= b for a, b in zip(diffs, diffs[1:]))
+        # block/slot are pure rank arithmetic
+        for m in members:
+            q = quotas[src]
+            assert m.block == (m.crank - 1) // q
+            assert m.slot == (m.crank - 1) % q
+
+
+# Loop-stage pins for zc03/zc05 (zc04's micro-batch pins live in
+# test_stream_state_shape.py with the rest of the streaming ratchet)
+
+EXPECTED_LOOP_PLANS_2 = {
+    "zc03_semantic_dedup": {
+        "zc03:projected_corpus": [{}],
+    },
+    "zc05_curriculum_schedule": {
+        "scalerank:layout": [{}],
+        "zc05:source_curriculum": [{"exchanges": 1}],
+        "zc05:source_rollup": [{"exchanges": 1}],
+    },
+}
+
+EXPECTED_SCANS_2 = {
+    "zc03_semantic_dedup": {
+        # pushdown proof: ONE corpus scan of exactly (vec_id, embedding);
+        # label is absent from the projection (zc03 never reads it)
+        "zc03:projected_corpus": [["embedding,vec_id"]],
+    },
+    "zc05_curriculum_schedule": {
+        "scalerank:layout": [["doc_id,n_chars,source"]],
+        "zc05:source_curriculum": [[]],
+        "zc05:source_rollup": [[]],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_LOOP_PLANS_2))
+def test_zc_loop_stage_pins_2(spark, sf_dir, name):
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    _q(name)(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == EXPECTED_SCANS_2[name]
+    assert pm.observed_loop_plans() == EXPECTED_LOOP_PLANS_2[name]

@@ -57,6 +57,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "yi03_stream_stats_manifest": [("foreachBatch", ())],
     "za04_stream_preference_pairs": [("foreachBatch", ())],
     "zb02_stream_quantile_drift": [("foreachBatch", ())],
+    "zc04_stream_importance_weights": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -128,6 +129,11 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
     "zb02_stream_quantile_drift": {
         "engine:foreachBatch": [{}],
         "zb02:hist_merge": [{"exchanges": 1}],
+    },
+    "zc04_stream_importance_weights": {
+        "engine:foreachBatch": [{}],
+        "zc04:doc_partial": [{"exchanges": 1}],
+        "zc04:census_merge": [{"exchanges": 1}],
     },
 }
 

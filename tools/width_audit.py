@@ -73,6 +73,12 @@ PKG = os.path.join(ROOT, "spotify_tags_etl_spark")
 #:   widen the numerator (DECIMAL(38,0)/HUGEINT, zaops.py ~:1045)
 #:   because tgt_n * 1e6 can pass 2^63 at 100 TB gram counts.
 ALLOWLIST = {
+    # zc04 per-doc importance: n = gram occurrences per (doc, bucket)
+    # (bounded by document length), |w| <= 1e6 (a ppm difference), so
+    # the addend is <= doc_grams x 1e6 and the per-doc SUM stays
+    # int64-safe past 9e12 grams per document — same bound as batch
+    # zb03's SUM(w) over gram rows, just pre-aggregated per bucket.
+    "n * w": "gram-count x ppm-weight, addend <= doc_grams x 1e6",
     # yb02 TF-IDF pair scores: per-pair shared vocabulary is bounded by
     # document length and the df<=100 cap bounds posting lists; addend
     # tf*tf*idf <= len^2 * 1e6 with len the SHORTER doc's term count.
