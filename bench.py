@@ -77,6 +77,7 @@ LLM_SUITE = [
     "zc02_tokenizer_roundtrip",
     "zc03_semantic_dedup",
     "zc05_curriculum_schedule",
+    "zc06_pack_efficiency",
     # round-7 (operators/zaops.py): the tokenizer APPLY step and the
     # Bradley-Terry arena fit
     "za01_bpe_apply",

@@ -788,3 +788,93 @@ def zc05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block", "source", "slot")
     )
+
+
+# ---------------------------------------------------------------------------
+# zc06 — packing-efficiency report (zc01 rolled up per band)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zc06_pack_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LEAST(GREATEST(CAST(n_chars AS BIGINT) * {ZC01_TOK_PPM} // 1000000, 1),
+                   {ZC01_WINDOW}) AS tok
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, tok,
+             CASE WHEN tok <= 1 THEN 0
+                  ELSE length(bin(tok - 1)) END AS band_exp
+      FROM toks
+    ),
+    ranked AS (
+      SELECT doc_id, tok, band_exp,
+             ROW_NUMBER() OVER (PARTITION BY band_exp
+                                ORDER BY tok DESC, doc_id ASC) - 1 AS r
+      FROM banded
+    ),
+    placed AS (
+      SELECT tok, band_exp,
+             r // ({ZC01_WINDOW} // (CAST(1 AS BIGINT) << band_exp)) AS widx
+      FROM ranked
+    )
+    SELECT CAST(band_exp AS BIGINT) AS band_exp,
+           CAST((CAST(1 AS BIGINT) << band_exp) AS BIGINT) AS slot_len,
+           CAST(COUNT(DISTINCT widx) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS doc_tokens,
+           CAST(CAST(SUM(tok) AS HUGEINT) * 1000000
+                // (COUNT(DISTINCT widx) * {ZC01_WINDOW}) AS BIGINT) AS fill_ppm,
+           CAST(1000000 - CAST(SUM(tok) AS HUGEINT) * 1000000
+                // (COUNT(DISTINCT widx) * {ZC01_WINDOW}) AS BIGINT) AS waste_ppm
+    FROM placed
+    GROUP BY band_exp
+    ORDER BY band_exp
+    """,
+    doc=(
+        "PACKING-EFFICIENCY REPORT: zc01's banded-FFD output rolled up "
+        "per length band — windows built, docs packed, token mass, "
+        "achieved fill ppm and padding waste ppm against the "
+        f"{ZC01_WINDOW}-token capacity. This is the number a training "
+        "org actually watches (padding is pure wasted FLOPs): the "
+        "banded scheme guarantees waste < 500000 ppm on every band's "
+        "full windows, and this report shows where the corpus actually "
+        "lands. Pure composition: aggregates the zc01 builder's output "
+        "frame (yy01's composed-report discipline) — one keyed groupBy "
+        "on the band id recovered arithmetically from window_id; "
+        "nothing new touches the corpus. The capacity product "
+        "n_windows x 1e6 x tokens widens through DECIMAL(38,0)/HUGEINT "
+        "(window counts x 1e6 pass 2^63 at ~9e12 windows)."
+    ),
+    tags=("training", "packing", "ops", "llm-pipeline"),
+)
+def zc06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = zc01(spark, sf_dir)
+    return (
+        packed.select(
+            F.expr(f"window_id DIV {ZC01_BAND_BASE}").alias("band_exp"),
+            "window_id",
+            "doc_tokens",
+        )
+        .groupBy("band_exp")
+        .agg(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(band_exp AS INT)) AS BIGINT)").alias(
+                "slot_len"
+            ),
+            F.countDistinct("window_id").cast("bigint").alias("n_windows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_tokens").cast("bigint").alias("doc_tokens"),
+            F.expr(
+                f"CAST(CAST(SUM(doc_tokens) AS DECIMAL(38,0)) * 1000000"
+                f" DIV (COUNT(DISTINCT window_id) * {ZC01_WINDOW}) AS BIGINT)"
+            ).alias("fill_ppm"),
+            F.expr(
+                f"CAST(1000000 - CAST(SUM(doc_tokens) AS DECIMAL(38,0)) * 1000000"
+                f" DIV (COUNT(DISTINCT window_id) * {ZC01_WINDOW}) AS BIGINT)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("band_exp")
+    )

@@ -408,3 +408,30 @@ def test_zc_loop_stage_pins_2(spark, sf_dir, name):
     observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
     assert observed_scans == EXPECTED_SCANS_2[name]
     assert pm.observed_loop_plans() == EXPECTED_LOOP_PLANS_2[name]
+
+
+# ---------------------------------------------------------------------------
+# zc06 — efficiency report rolls up exactly to zc01's packing
+# ---------------------------------------------------------------------------
+
+
+def test_zc06_rolls_up_to_zc01(spark, sf_dir):
+    report = {r.band_exp: r for r in _q("zc06_pack_efficiency")(spark, sf_dir).collect()}
+    packed = _q("zc01_sequence_packing")(spark, sf_dir).collect()
+    per_band = defaultdict(lambda: {"windows": set(), "docs": 0, "tokens": 0})
+    for r in packed:
+        b = per_band[r.window_id // ZC01_BAND_BASE]
+        b["windows"].add(r.window_id)
+        b["docs"] += 1
+        b["tokens"] += r.doc_tokens
+    assert set(report) == set(per_band)
+    for band, agg in per_band.items():
+        row = report[band]
+        assert row.slot_len == 1 << band
+        assert row.n_windows == len(agg["windows"])
+        assert row.n_docs == agg["docs"]
+        assert row.doc_tokens == agg["tokens"]
+        cap = row.n_windows * ZC01_WINDOW
+        assert row.fill_ppm == agg["tokens"] * 1_000_000 // cap
+        assert row.waste_ppm == 1_000_000 - row.fill_ppm
+        assert 0 < row.fill_ppm <= 1_000_000
