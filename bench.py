@@ -99,8 +99,10 @@ STREAMING_SUITE = [
     "za04_stream_preference_pairs",
     "zb02_stream_quantile_drift",
     # round-8: incremental DSIR importance scoring (census SUM-merge +
-    # idempotent per-batch doc histograms)
+    # idempotent per-batch doc histograms) + the streaming padding
+    # monitor (order-free banded packing stats as a 13-row SUM-merge)
     "zc04_stream_importance_weights",
+    "zc07_stream_pack_efficiency",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /

@@ -795,9 +795,10 @@ def zc05(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "zc06_pack_efficiency",
-    oracle=f"""
+#: zc06's oracle — shared verbatim with the streaming twin zc07 (the
+#: banded packing statistics are order-free, so batch rollup and
+#: incremental band-merge converge to the same report).
+_ZC06_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id,
              LEAST(GREATEST(CAST(n_chars AS BIGINT) * {ZC01_TOK_PPM} // 1000000, 1),
@@ -833,7 +834,12 @@ def zc05(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM placed
     GROUP BY band_exp
     ORDER BY band_exp
-    """,
+    """
+
+
+@register(
+    "zc06_pack_efficiency",
+    oracle=_ZC06_ORACLE,
     doc=(
         "PACKING-EFFICIENCY REPORT: zc01's banded-FFD output rolled up "
         "per length band — windows built, docs packed, token mass, "
@@ -877,4 +883,134 @@ def zc06(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ppm"),
         )
         .orderBy("band_exp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zc07 — streaming twin of zc06: incremental packing-efficiency monitor
+# ---------------------------------------------------------------------------
+
+
+def streaming_pack_efficiency(spark: SparkSession, stream_docs: DataFrame) -> DataFrame:
+    """Incremental packing-efficiency monitoring: the key observation is
+    that zc01's banded packing statistics are ORDER-FREE — per band,
+    window count = ceil(n / k) and token mass = SUM(tok) depend only on
+    how many docs the band holds and their total tokens, not on which
+    order they arrived or how FFD slotted them. That makes the whole
+    zc06 report streamable as a 13-row SUM-merge: each micro-batch
+    reduces to per-band (n, sum_tok) partials, merged into
+    versioned-parquet state (associative + commutative => micro-batch-
+    layout invariant), and the close-time report is pure arithmetic on
+    the converged 13 rows. This is the padding monitor a training-data
+    ingest runs WHILE filling the corpus — it knows the wasted-FLOPs
+    bill before any packing job runs."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    root = tempfile.mkdtemp(prefix="zc07_pack_")
+    current: list[str] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        part = (
+            batch.select(
+                F.expr(
+                    f"LEAST(GREATEST(CAST(n_chars AS BIGINT) * {ZC01_TOK_PPM}"
+                    f" DIV 1000000, 1), {ZC01_WINDOW})"
+                ).alias("tok")
+            )
+            .select(
+                F.expr(
+                    "CASE WHEN tok <= 1 THEN 0 ELSE length(bin(tok - 1)) END"
+                ).alias("band_exp"),
+                "tok",
+            )
+            .groupBy("band_exp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("tok").alias("sum_tok"))
+        )
+        if current:
+            merged = (
+                spark.read.parquet(current[0])
+                .unionByName(part)
+                .groupBy("band_exp")
+                .agg(F.sum("n").alias("n"), F.sum("sum_tok").alias("sum_tok"))
+            )
+        else:
+            merged = part
+        target = os.path.join(root, f"v{batch_id}")
+        record_batch_plan(merged, "zc07:band_merge")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream_docs.select("n_chars")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame(
+            [],
+            "band_exp bigint, slot_len bigint, n_windows bigint, n_docs bigint,"
+            " doc_tokens bigint, fill_ppm bigint, waste_ppm bigint",
+        )
+    bands = spark.read.parquet(current[0]).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    # analytic report off the converged <= 13-row state: windows per
+    # band = ceil(n / k) since slot assignment is rank DIV k
+    return bands.selectExpr(
+        "CAST(band_exp AS BIGINT) AS band_exp",
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(band_exp AS INT)) AS BIGINT) AS slot_len",
+        f"CAST((n + ({ZC01_WINDOW} DIV shiftleft(CAST(1 AS BIGINT), CAST(band_exp AS INT))) - 1)"
+        f" DIV ({ZC01_WINDOW} DIV shiftleft(CAST(1 AS BIGINT), CAST(band_exp AS INT)))"
+        " AS BIGINT) AS n_windows",
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(sum_tok AS BIGINT) AS doc_tokens",
+    ).selectExpr(
+        "band_exp",
+        "slot_len",
+        "n_windows",
+        "n_docs",
+        "doc_tokens",
+        f"CAST(CAST(doc_tokens AS DECIMAL(38,0)) * 1000000"
+        f" DIV (n_windows * {ZC01_WINDOW}) AS BIGINT) AS fill_ppm",
+        f"CAST(1000000 - CAST(doc_tokens AS DECIMAL(38,0)) * 1000000"
+        f" DIV (n_windows * {ZC01_WINDOW}) AS BIGINT) AS waste_ppm",
+    ).orderBy("band_exp")
+
+
+@register(
+    "zc07_stream_pack_efficiency",
+    oracle=_ZC06_ORACLE,
+    doc=(
+        "Streaming twin of zc06: the banded packing statistics are "
+        "ORDER-FREE (per band, windows = ceil(n/k) and token mass = "
+        "SUM(tok) do not depend on arrival order or FFD slotting), so "
+        "the whole padding report streams as a <= 13-row SUM-merge — "
+        "each micro-batch reduces to per-band (n, sum_tok) partials "
+        "merged into versioned-parquet state, and the close-time "
+        "report is pure arithmetic on the converged bands. This is "
+        "the wasted-FLOPs monitor a training-data ingest runs WHILE "
+        "filling the corpus. Associative+commutative merge => "
+        "micro-batch-layout invariant (pinned under a 3-file split); "
+        "oracle = zc06's SQL verbatim. Per-trigger cost O(batch + 13); "
+        "the raw stream is never re-scanned."
+    ),
+    tags=("streaming", "training", "packing", "ops", "llm-pipeline"),
+)
+def zc07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+    return streaming_pack_efficiency(
+        spark, read_table_stream(spark, sf_dir, "documents")
     )

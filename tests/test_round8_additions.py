@@ -435,3 +435,44 @@ def test_zc06_rolls_up_to_zc01(spark, sf_dir):
         assert row.fill_ppm == agg["tokens"] * 1_000_000 // cap
         assert row.waste_ppm == 1_000_000 - row.fill_ppm
         assert 0 < row.fill_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# zc07 — micro-batch-layout invariance vs batch zc06
+# ---------------------------------------------------------------------------
+
+
+def test_zc07_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """zc07's incremental band merge must produce EXACTLY batch zc06's
+    report for any micro-batch layout (the banded packing stats are
+    order-free — that claim IS this test)."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zcops import streaming_pack_efficiency
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_pack_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select("n_chars").toPandas().to_parquet(
+            p, index=False
+        )
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_pack_efficiency(spark, stream).collect()]
+    single = [
+        tuple(r)
+        for r in _q("zc07_stream_pack_efficiency")(spark, sf_dir).collect()
+    ]
+    batch = [tuple(r) for r in _q("zc06_pack_efficiency")(spark, sf_dir).collect()]
+    assert multi == single == batch
+    assert len(batch) > 0

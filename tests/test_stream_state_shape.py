@@ -58,6 +58,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "za04_stream_preference_pairs": [("foreachBatch", ())],
     "zb02_stream_quantile_drift": [("foreachBatch", ())],
     "zc04_stream_importance_weights": [("foreachBatch", ())],
+    "zc07_stream_pack_efficiency": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -134,6 +135,10 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         "engine:foreachBatch": [{}],
         "zc04:doc_partial": [{"exchanges": 1}],
         "zc04:census_merge": [{"exchanges": 1}],
+    },
+    "zc07_stream_pack_efficiency": {
+        "engine:foreachBatch": [{}],
+        "zc07:band_merge": [{"exchanges": 1}],
     },
 }
 

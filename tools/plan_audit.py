@@ -70,7 +70,7 @@ def audited_names() -> list[str]:
         "xw01_stream_funnel", "xw06_stream_cms_rollup", "xw09_stream_orphan_errors",
         "xw10_stream_checksum", "yi03_stream_stats_manifest",
         "za04_stream_preference_pairs", "zb02_stream_quantile_drift",
-        "zc04_stream_importance_weights",
+        "zc04_stream_importance_weights", "zc07_stream_pack_efficiency",
     }
     return [n for n in out if n not in streaming]
 
