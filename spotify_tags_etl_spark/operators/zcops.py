@@ -3,12 +3,29 @@
 zc01 — sequence packing: assemble variable-length documents into
 fixed-size training context windows with bounded padding, as pure
 relational algebra (the stage after za01/zb01's tokenization that
-actually BUILDS the training sequences).
+actually BUILDS the training sequences; banded FFD, no doc splitting —
+the complement of tz05's concat-and-chop).
 
 zc02 — tokenizer round-trip audit: prove corpus-level losslessness of
 the learned BPE tokenization by comparing the detokenized vocabulary
 against an independently re-derived source vocabulary via grouped
 checksums (the gate a real pipeline runs after every vocab change).
+
+zc03 — semantic dedup decision (SemDeDup-style): sign-LSH over the
+ye01 int8 projection, exact integer-cosine verification, greedy-by-id
+keep/drop output.
+
+zc04 — streaming twin of zb03's DSIR importance scoring (census
+SUM-merge + idempotent per-batch doc histograms).
+
+zc05 — per-source curriculum schedule: yv01's largest-remainder
+quotas x per-source easy-to-hard order, as the dataloader manifest.
+
+zc06 — packing-efficiency report (zc01 rolled up per band: fill and
+padding-waste ppm — the wasted-FLOPs number a training org watches).
+
+zc07 — streaming twin of zc06 (banded packing stats are order-free,
+so the report streams as a <= 13-row SUM-merge).
 
 Reference parity note: the reference ETL
 (/root/reference/src/spotify_tags_etl/) has no training-data stage;
