@@ -360,8 +360,16 @@ VERIFIED = frozenset(
         "zb01_bpe_source_tokens",
         "zb02_stream_quantile_drift",
         "zb03_importance_weights",
+        "zc01_sequence_packing",
+        "zc02_tokenizer_roundtrip",
+        "zc03_semantic_dedup",
+        "zc04_stream_importance_weights",
+        "zc05_curriculum_schedule",
+        "zc06_pack_efficiency",
+        "zc07_stream_pack_efficiency",
     }
 )
+# 303 verified; registry window frees 7 new slots next round
 # 296 verified; registry window frees 37 new slots next round
 # 259 verified after the r7 rotation; the r7 window is the 29
 # never-checked yv01..yz02 names plus any za*-named r7 additions
