@@ -193,7 +193,25 @@ def grouped_rank(
 
     ``group_cols`` must be column NAMES (the offset lookup re-reads
     them); ``order_cols`` may be names or Column expressions and, with
-    the group prefix prepended, must total-order the frame."""
+    the group prefix prepended, must total-order the frame.
+
+    The broadcast offset map is keyed by ``pid:hex(group1):hex(group2)``
+    — each group value is lowercase-hex-encoded (NULL -> a ``\\x00``
+    sentinel no hex string can contain) on BOTH the Python and the
+    Spark side, so a group value containing the ``:`` delimiter cannot
+    collide across multi-column groups and NULL group values cannot be
+    silently dropped by ``concat_ws`` (they'd otherwise fall back to
+    offset 0 with a wrong rank)."""
+
+    def _gkey_py(v: object) -> str:
+        return "\x00" if v is None else str(v).encode("utf-8").hex()
+
+    def _gkey_col(c: str) -> Column:
+        return F.coalesce(
+            F.lower(F.hex(F.encode(F.col(c).cast("string"), "UTF-8"))),
+            F.lit("\x00"),
+        )
+
     gcols = [F.col(c) for c in group_cols]
     ranged, cols = _range_layout(df, [*gcols, *order_cols], num_partitions)
     stats = (
@@ -207,10 +225,13 @@ def grouped_rank(
         off = running.get(gkey, 0)
         running[gkey] = off + r["n"]
         pairs.extend(
-            [F.lit(f"{r['_pid']}:" + ":".join(str(v) for v in gkey)), F.lit(off)]
+            [
+                F.lit(f"{r['_pid']}:" + ":".join(_gkey_py(v) for v in gkey)),
+                F.lit(off),
+            ]
         )
     lookup_key = F.concat_ws(
-        ":", F.col("_pid").cast("string"), *[F.col(c).cast("string") for c in group_cols]
+        ":", F.col("_pid").cast("string"), *[_gkey_col(c) for c in group_cols]
     )
     offset_of = (
         F.coalesce(F.element_at(F.create_map(*pairs), lookup_key), F.lit(0))

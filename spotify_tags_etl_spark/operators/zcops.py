@@ -432,9 +432,18 @@ def _zc03_oracle_sql() -> str:
         "ss02's machinery applied to the DEDUP decision). Candidates "
         "verify with an EXACT integer cosine test (dp^2 * 1e12 >= "
         "T_ppm^2 * |a|^2 * |b|^2, 128-bit products — no float, no "
-        "sqrt), and the decision rule is deterministic greedy-by-id: "
-        "drop a vector iff some smaller-id candidate clears the "
-        "threshold. Output (vec_id, keep, n_smaller_dups). Both "
+        "sqrt), and the decision rule is deterministic "
+        "TRANSITIVE-CLOSURE-style drop-by-id: a vector is dropped iff "
+        "ANY smaller-id candidate clears the threshold — including "
+        "candidates that were themselves dropped. On a chain A~B, B~C, "
+        "A!~C this drops BOTH B and C, i.e. it may over-drop relative "
+        "to iterative keep-set greedy (SemDeDup compares only against "
+        "KEPT vectors and would keep C); every drop is still a genuine "
+        "above-threshold duplicate of some real corpus vector (the "
+        "no-false-drops test), the rule is single-pass/order-free "
+        "(keep-set greedy is inherently sequential), and it is the "
+        "conservative choice for dedup. zd03 documents the same rule. "
+        "Output (vec_id, keep, n_smaller_dups). Both "
         "engines compute identical candidates from identical integer "
         "projections, so the oracle is bit-exact; the approximation "
         "is only vs TRUE all-pairs dedup (LSH recall, tunable via "

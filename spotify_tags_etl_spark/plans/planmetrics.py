@@ -53,7 +53,31 @@ LOOP_PLAN_LOG: list[tuple[str, tuple[tuple[str, int], ...]]] = []
 #: ``ReadSchema`` in the stage plan.
 SCAN_LOG: list[tuple[str, tuple[str, ...]]] = []
 
-_READ_SCHEMA = None  # compiled lazily to keep the module import-light
+_READ_SCHEMA_TAG = "ReadSchema: struct<"
+
+
+def _scan_schemas(plan: str) -> list[str]:
+    """Sorted-field-name strings for every ``ReadSchema:`` in a plan
+    string. Spark prints ReadSchema as the final token on its line; when
+    ``spark.sql.maxMetadataStringLength`` truncates a long schema the
+    closing ``>`` is elided to ``...`` — a closing-``>`` regex would
+    silently drop that scan from the record (ADVICE r8), so this parses
+    per-line, tags truncated bodies with an explicit ``<truncated>``
+    marker, and raises on a ReadSchema line it cannot parse at all."""
+    out: list[str] = []
+    for line in plan.splitlines():
+        idx = line.find(_READ_SCHEMA_TAG)
+        if idx < 0:
+            if "ReadSchema:" in line:
+                raise RuntimeError(f"unparseable ReadSchema line: {line!r}")
+            continue
+        body = line[idx + len(_READ_SCHEMA_TAG) :].rstrip()
+        if body.endswith(">"):
+            names = _struct_field_names(body[:-1])
+        else:  # truncated: '>' elided to '...' — visible, not silent
+            names = [*_struct_field_names(body.rstrip(".")), "<truncated>"]
+        out.append(",".join(sorted(names)))
+    return sorted(out)
 
 
 def _struct_field_names(body: str) -> list[str]:
@@ -87,23 +111,9 @@ def record_plan(df, label: str) -> None:
     :data:`LOOP_PLAN_LOG` (pre-execution plan: deterministic for a
     fixed query shape, independent of AQE runtime choices), and its
     file-scan column sets into :data:`SCAN_LOG`."""
-    global _READ_SCHEMA
-    if _READ_SCHEMA is None:
-        import re
-
-        # To end-of-line, not to the first '>': nested types
-        # (array<...>, struct<...>) embed '>' inside the body. Spark
-        # prints ReadSchema as the final token on its line.
-        _READ_SCHEMA = re.compile(r"ReadSchema: struct<(.*)>", re.MULTILINE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     LOOP_PLAN_LOG.append((label, tuple(sorted(count_metrics(plan).items()))))
-    scans = tuple(
-        sorted(
-            ",".join(sorted(_struct_field_names(m.group(1))))
-            for m in _READ_SCHEMA.finditer(plan)
-        )
-    )
-    SCAN_LOG.append((label, scans))
+    SCAN_LOG.append((label, tuple(_scan_schemas(plan))))
 
 
 def observed_loop_plans() -> dict[str, list[dict[str, int]]]:
