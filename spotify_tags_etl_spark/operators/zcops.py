@@ -346,7 +346,12 @@ def _zc03_w(i: int, j: int) -> int:
     return int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16) % 7 - 3
 
 
-def _zc03_oracle_sql() -> str:
+def _zc03_ctes() -> str:
+    """The zc03 oracle's CTE body, from quantization through the
+    ``dups(d2, n)`` drop-evidence relation — exposed so composed
+    reports (zd01's dedup funnel) reuse the EXACT same semantic-dedup
+    SQL instead of a drifting re-spelling. CTE names used: q, p, b, c,
+    pairs, dots, dups."""
     dims = ZC03_BITS * ZC03_TABLES
     wrows = [[_zc03_w(i, j) for i in range(1, 65)] for j in range(1, dims + 1)]
     proj = ",\n             ".join(
@@ -367,8 +372,7 @@ def _zc03_oracle_sql() -> str:
         f"WHEN {t} THEN bk{t}" for t in range(1, ZC03_TABLES + 1)
     )
     t2 = ZC03_T_PPM * ZC03_T_PPM
-    return f"""
-    WITH q AS (
+    return f"""q AS (
       SELECT vec_id,
              list_apply(embedding,
                         v -> CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT)) AS q
@@ -410,7 +414,12 @@ def _zc03_oracle_sql() -> str:
         AND CAST(dp AS HUGEINT) * dp * 1000000000000
             >= {t2} * (CAST(na1 AS HUGEINT) * na2)
       GROUP BY d2
-    )
+    )"""
+
+
+def _zc03_oracle_sql() -> str:
+    return f"""
+    WITH {_zc03_ctes()}
     SELECT q.vec_id AS vec_id,
            CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
            CAST(COALESCE(d.n, 0) AS BIGINT) AS n_smaller_dups

@@ -1,0 +1,133 @@
+"""Round-9 additions: the zd composed reports, plus regression tests
+for the r8 ADVICE fixes (grouped_rank offset-key encoding, truncation-
+aware ReadSchema parsing)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.operators.scalerank import grouped_rank
+from spotify_tags_etl_spark.plans.planmetrics import _scan_schemas
+from spotify_tags_etl_spark.plans.registry import get
+
+
+def _q(name: str):
+    return get(name).builder
+
+
+# ---------------------------------------------------------------------------
+# zd01 — funnel telescopes and equals the component stages' own accounting
+# ---------------------------------------------------------------------------
+
+
+def test_zd01_funnel_composition(spark, sf_dir):
+    rows = _q("zd01_dedup_funnel")(spark, sf_dir).collect()
+    assert rows
+
+    # Independently recompute the three stage sets from the component
+    # queries the funnel claims to compose.
+    docs = {
+        r.doc_id: r.source
+        for r in _q("dd01_exact_hash")(spark, sf_dir).sparkSession.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).select("doc_id", "source").collect()
+    }
+    exact_keeps = {
+        r.keep_doc_id for r in _q("dd01_exact_hash")(spark, sf_dir).collect()
+    }
+    near_drops = {r.d2 for r in _q("dd02_minhash_lsh")(spark, sf_dir).collect()}
+    sem_drops = {
+        r.vec_id
+        for r in _q("zc03_semantic_dedup")(spark, sf_dir).collect()
+        if r.keep == 0
+    }
+
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0, 0])
+    for doc_id, source in docs.items():
+        w = want[source]
+        w[0] += 1
+        if doc_id not in exact_keeps:
+            continue
+        w[1] += 1
+        if doc_id in near_drops:
+            continue
+        w[2] += 1
+        if doc_id in sem_drops:
+            continue
+        w[3] += 1
+
+    got = {
+        r.source: (r.n_docs, r.n_exact_kept, r.n_near_kept, r.n_sem_kept)
+        for r in rows
+    }
+    assert got == {s: tuple(w) for s, w in want.items()}
+
+    # Telescoping monotonicity + global mass conservation.
+    for r in rows:
+        assert r.n_docs >= r.n_exact_kept >= r.n_near_kept >= r.n_sem_kept >= 0
+    assert sum(r.n_exact_kept for r in rows) == len(exact_keeps)
+    assert sum(r.n_docs for r in rows) == len(docs)
+
+
+# ---------------------------------------------------------------------------
+# grouped_rank — offset keys survive ':' in values and NULL groups
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("nparts", [1, 3])
+def test_grouped_rank_adversarial_group_keys(spark, nparts):
+    # Two single-column group values ('a:b', 'a') and ('b',) that a
+    # naive "join on ':'" encoding could collide with a two-column
+    # group; plus NULL group values, which concat_ws silently drops.
+    rows = [
+        (0, "a:b", 5),
+        (1, "a:b", 3),
+        (2, "a", 7),
+        (3, None, 9),
+        (4, None, 2),
+        (5, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, "idx LONG, g STRING, v LONG")
+    ranked, total = grouped_rank(
+        df, ["g"], [F.col("v").desc(), F.col("idx").asc()], rank_col="rk",
+        num_partitions=nparts,
+    )
+    got = {r.idx: r.rk for r in ranked.collect()}
+    assert total == len(rows)
+    assert got == {0: 1, 1: 2, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_grouped_rank_multicol_colon_no_collision(spark):
+    # ('a:b', 'c') vs ('a', 'b:c') — same naive colon-joined key,
+    # different groups. Each must rank independently.
+    rows = [(0, "a:b", "c", 5), (1, "a", "b:c", 9), (2, "a:b", "c", 3)]
+    df = spark.createDataFrame(rows, "idx LONG, g1 STRING, g2 STRING, v LONG")
+    ranked, _ = grouped_rank(
+        df, ["g1", "g2"], [F.col("v").desc(), F.col("idx").asc()],
+        rank_col="rk", num_partitions=2,
+    )
+    got = {r.idx: r.rk for r in ranked.collect()}
+    assert got == {0: 1, 1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------------------
+# planmetrics — truncated ReadSchema is visible, not silent
+# ---------------------------------------------------------------------------
+
+
+def test_scan_schemas_normal_and_truncated():
+    plan = (
+        "FileScan parquet [a,b] ... ReadSchema: struct<a:int,b:string>\n"
+        "FileScan parquet [x] ... ReadSchema: struct<x:array<float>,y:struct<p:int,q:deci...\n"
+    )
+    # The cut-off trailing field sits inside an unbalanced nested type
+    # and does not flush — the explicit marker carries the signal.
+    assert _scan_schemas(plan) == ["<truncated>,x", "a,b"]
+
+
+def test_scan_schemas_unparseable_raises():
+    with pytest.raises(RuntimeError):
+        _scan_schemas("Scan ... ReadSchema: something-else\n")
