@@ -131,3 +131,35 @@ def test_scan_schemas_normal_and_truncated():
 def test_scan_schemas_unparseable_raises():
     with pytest.raises(RuntimeError):
         _scan_schemas("Scan ... ReadSchema: something-else\n")
+
+
+# ---------------------------------------------------------------------------
+# zd02 — manifest mass conservation vs the chunker it composes
+# ---------------------------------------------------------------------------
+
+
+def test_zd02_manifest_masses(spark, sf_dir):
+    rows = _q("zd02_rag_index_manifest")(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 8
+
+    # Total chunks/tokens across lists == tx06's chunks restricted to
+    # embedded docs (the indexable set).
+    emb_ids = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    }
+    chunks = _q("tx06_chunk_tokens")(spark, sf_dir).collect()
+    indexable = [c for c in chunks if c.doc_id in emb_ids]
+    assert sum(r.n_chunks for r in rows) == len(indexable)
+    assert sum(r.n_tokens for r in rows) == sum(c.n_tokens for c in indexable)
+    assert sum(r.n_docs for r in rows) == len({c.doc_id for c in indexable})
+
+    # Shares are a truncating partition of 1e6.
+    total_share = sum(r.chunk_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) < total_share <= 1_000_000
+    total = sum(r.n_chunks for r in rows)
+    for r in rows:
+        assert r.chunk_share_ppm == r.n_chunks * 1_000_000 // total
+        assert r.load_vs_uniform_ppm == r.n_chunks * 8_000_000 // total
