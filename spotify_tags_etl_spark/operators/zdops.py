@@ -387,3 +387,360 @@ def zd02(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(n_chunks * {_ZD02_NCENT} * 1000000 DIV (SUM(n_chunks) OVER ()) AS BIGINT)"
         ).alias("load_vs_uniform_ppm"),
     ).orderBy("list_id")
+
+
+# ---------------------------------------------------------------------------
+# zd03 — semantic dedup with IN-QUERY LSH sizing (yv20 wiring, executable)
+# ---------------------------------------------------------------------------
+
+#: Occupancy target: bits grow until expected per-table bucket load
+#: n / 2^bits <= this — the "~log n" sizing zc03 documents.
+_ZD03_OCC = 32
+
+#: Stripe width: table t always reads projections (t-1)*8+1 .. (t-1)*8+8
+#: and uses the first ``bits`` of its stripe — so the projection INDEX
+#: never depends on the derived bits (only a CASE gate does), keeping
+#: the 32-dim literal matrix static in both engines.
+_ZD03_MAX_BITS = 8
+_ZD03_MAX_TABLES = 4
+
+#: Per-bit sign-LSH collision probability at zc03's cosine threshold
+#: (T = 350000 ppm): p = 1 - acos(0.35)/pi = 0.6138..., rounded to the
+#: planner's 25-permille grid. A documented offline constant — the
+#: only non-integer input, frozen so the in-query S-curve stays exact.
+_ZD03_TAU_PM = 600
+
+_ZD03_T_PPM = 350_000  # zc03's verify threshold — same decision rule
+
+
+def zd03_plan(n: int) -> tuple[int, int]:
+    """Python twin of the in-query (bits, tables) derivation — pinned
+    against the SQL spelling by tests/test_round9_additions.py.
+
+    bits: smallest power of two in {2,4,8} with n / 2^bits <= occupancy
+    target (computed via the bin-length trick, never float log2);
+    tables: argmin over {1,2,4} of the yv20 S-curve error at r=bits,
+    tau=600 permille (exact ppm fixed-point, truncating squares)."""
+    raw = len(bin(max((n - 1) // _ZD03_OCC, 0))[2:]) if n > 1 else 1
+    bits = 2 if raw <= 2 else 4 if raw <= 4 else 8
+
+    def sq(x: int) -> int:
+        return (x * x) // 1_000_000
+
+    best = None
+    for b in (1, 2, 4):
+        err = 0
+        for s_pm in range(25, 976, 25):
+            sr = sq(sq(s_pm * 1000))
+            if bits == 2:
+                sr = sq(s_pm * 1000)
+            elif bits == 8:
+                sr = sq(sq(sq(s_pm * 1000)))
+            q = 1_000_000 - sr
+            qb = q if b == 1 else sq(q) if b == 2 else sq(sq(q))
+            p = 1_000_000 - qb
+            err += p if s_pm < _ZD03_TAU_PM else 1_000_000 - p
+        if best is None or (err, b) < best:
+            best = (err, b)
+    return bits, best[1]
+
+
+def _zd03_curve(sq_div: str) -> str:
+    """Shared staged-squaring fragment: expects (b, s_pm, bits) rows,
+    yields (b, s_pm, p_ppm). Power-of-two exponents only — the exact
+    fixed-point primitive both engines spell identically (yv20)."""
+
+    def sq(x: str) -> str:
+        return f"((({x}) * ({x})) {sq_div} 1000000)"
+
+    s2, s4 = sq("s_pm * 1000"), sq(sq("s_pm * 1000"))
+    s8 = sq(sq(sq("s_pm * 1000")))
+    q1 = f"(1000000 - CASE bits WHEN 2 THEN {s2} WHEN 4 THEN {s4} ELSE {s8} END)"
+    return (
+        f"1000000 - CASE b WHEN 1 THEN {q1} WHEN 2 THEN {sq(q1)} "
+        f"ELSE {sq(sq(q1))} END"
+    )
+
+
+def _zd03_oracle_sql() -> str:
+    from spotify_tags_etl_spark.operators.zcops import _zc03_w
+
+    dims = _ZD03_MAX_BITS * _ZD03_MAX_TABLES
+    wrows = [[_zc03_w(i, j) for i in range(1, 65)] for j in range(1, dims + 1)]
+    proj = ",\n             ".join(
+        f"CAST(list_dot_product(CAST(q AS DOUBLE[]),"
+        f" CAST({wrows[j - 1]} AS DOUBLE[])) AS BIGINT) AS p{j}"
+        for j in range(1, dims + 1)
+    )
+    bks = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {m} < bits THEN {1 << m} * "
+            f"(CASE WHEN p{_ZD03_MAX_BITS * (t - 1) + m + 1} > 0 THEN 1 ELSE 0 END)"
+            " ELSE 0 END"
+            for m in range(_ZD03_MAX_BITS)
+        )
+        + f") AS bk{t}"
+        for t in range(1, _ZD03_MAX_TABLES + 1)
+    )
+    bk_case = " ".join(f"WHEN {t} THEN bk{t}" for t in range(1, _ZD03_MAX_TABLES + 1))
+    t2 = _ZD03_T_PPM * _ZD03_T_PPM
+    return f"""
+    WITH n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    pl0 AS (
+      SELECT n, CASE WHEN raw <= 2 THEN 2 WHEN raw <= 4 THEN 4 ELSE 8 END AS bits
+      FROM (SELECT n, CASE WHEN n <= 1 THEN 1
+                           ELSE length(bin((n - 1) // {_ZD03_OCC})) END AS raw
+            FROM n0)
+    ),
+    curve AS (
+      SELECT b, s_pm, {_zd03_curve("//")} AS p_ppm
+      FROM (SELECT CAST(bb.b AS BIGINT) AS b, CAST(ss.s_pm AS BIGINT) AS s_pm,
+                   pl0.bits
+            FROM UNNEST([1, 2, 4]) AS bb(b),
+                 UNNEST(generate_series(25, 975, 25)) AS ss(s_pm), pl0)
+    ),
+    pl AS (
+      SELECT pl0.n, pl0.bits, sc.b AS tables
+      FROM pl0, (
+        SELECT b FROM (
+          SELECT b, SUM(CASE WHEN s_pm < {_ZD03_TAU_PM} THEN p_ppm
+                             ELSE 1000000 - p_ppm END) AS total_err
+          FROM curve GROUP BY b
+        ) ORDER BY total_err, b LIMIT 1
+      ) sc
+    ),
+    q AS (
+      SELECT vec_id,
+             list_apply(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, q,
+             CAST(list_dot_product(CAST(q AS DOUBLE[]), CAST(q AS DOUBLE[]))
+                  AS BIGINT) AS na,
+             {proj}
+      FROM q
+    ),
+    b AS (
+      SELECT vec_id, q, na,
+             {bks}
+      FROM p, pl
+    ),
+    c AS (
+      SELECT b.vec_id, t, CASE t {bk_case} END AS bk
+      FROM b, UNNEST([{",".join(str(t) for t in range(1, _ZD03_MAX_TABLES + 1))}]) AS u(t), pl
+      WHERE t <= pl.tables
+    ),
+    pairs AS (
+      SELECT DISTINCT c1.vec_id AS d1, c2.vec_id AS d2
+      FROM c c1 JOIN c c2 ON c1.t = c2.t AND c1.bk = c2.bk
+                         AND c1.vec_id < c2.vec_id
+    ),
+    dots AS (
+      SELECT j.d2 AS d2,
+             CAST(list_dot_product(CAST(b1.q AS DOUBLE[]), CAST(b2.q AS DOUBLE[]))
+                  AS BIGINT) AS dp,
+             b1.na AS na1, b2.na AS na2
+      FROM pairs j
+      JOIN b b1 ON b1.vec_id = j.d1
+      JOIN b b2 ON b2.vec_id = j.d2
+    ),
+    dups AS (
+      SELECT d2, COUNT(*) AS n FROM dots
+      WHERE dp > 0
+        AND CAST(dp AS HUGEINT) * dp * 1000000000000
+            >= {t2} * (CAST(na1 AS HUGEINT) * na2)
+      GROUP BY d2
+    )
+    SELECT q.vec_id AS vec_id,
+           CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_smaller_dups,
+           pl.n AS corpus_n,
+           CAST(pl.bits AS BIGINT) AS bits,
+           CAST(pl.tables AS BIGINT) AS tables
+    FROM q LEFT JOIN dups d ON d.d2 = q.vec_id, pl
+    ORDER BY vec_id
+    """
+
+
+@register(
+    "zd03_semantic_dedup_planned",
+    oracle=_zd03_oracle_sql(),
+    doc=(
+        "SEMANTIC DEDUP WITH IN-QUERY LSH SIZING — makes zc03's "
+        "'production sizes come from the planner' claim executable: "
+        "(bits, tables) are DERIVED INSIDE THE QUERY from the corpus "
+        "size and the yv20 S-curve machinery, then the dedup runs at "
+        "that size, emitting (corpus_n, bits, tables) alongside every "
+        "keep/drop decision so the wiring itself is hash-checked. "
+        "Sizing: bits = smallest power of two in {2,4,8} with "
+        f"n/2^bits <= {_ZD03_OCC} expected bucket occupancy (the "
+        "bin-length trick — never float log2); tables = argmin over "
+        "{1,2,4} of the S-curve error 1-(1-s^bits)^tables vs the "
+        f"{_ZD03_TAU_PM}-permille per-bit collision threshold "
+        "(= sign-LSH collision prob 1-acos(0.35)/pi at zc03's cosine "
+        "threshold, rounded to the planner grid — the one documented "
+        "offline constant), evaluated in exact ppm fixed-point by "
+        "repeated truncating squaring (yv20's primitive). Projection "
+        "layout: table t always reads its OWN 8-wide stripe of the "
+        "32-dim md5 matrix and gates bits with a CASE — so the "
+        "literal matrix is static in both engines while the used "
+        "width is data-dependent. Same exact-integer cosine verify "
+        "and transitive-closure drop-by-id rule as zc03 (see zc03's "
+        "doc for the chain-over-drop caveat). At the fixture SFs the "
+        "derivation yields bits=4 @ n=500 (matching zc03's hand "
+        "constant) and bits=8 @ n=2000 — the planner reacting to "
+        "corpus growth is exactly what the driver's multi-SF sweep "
+        "now checks. Scale shape: the planner is O(1) rows (count + "
+        "117-point grid, broadcast onto the corpus via a 1-row "
+        "equi-join); the projected corpus is checkpointed once for "
+        "all three consumers; per-table bucket joins keyed (t, bk); "
+        "never all-pairs."
+    ),
+    tags=("dedup", "similarity", "planner", "llm-pipeline"),
+)
+def zd03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.zcops import _zc03_w
+
+    dims = _ZD03_MAX_BITS * _ZD03_MAX_TABLES
+    wrows = [[_zc03_w(i, j) for i in range(1, 65)] for j in range(1, dims + 1)]
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # --- planner: 1-row (n, bits) frame -> S-curve -> (n, bits, tables)
+    pl0 = (
+        emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .selectExpr(
+            "n",
+            f"CASE WHEN n <= 1 THEN 1 ELSE length(bin((n - 1) DIV {_ZD03_OCC})) END AS raw",
+        )
+        .selectExpr(
+            "n",
+            "CAST(CASE WHEN raw <= 2 THEN 2 WHEN raw <= 4 THEN 4 ELSE 8 END AS BIGINT) AS bits",
+        )
+        .withColumn("_k", F.lit(1))
+    )
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.array(F.lit(1), F.lit(2), F.lit(4))).alias("b"))
+        .select(
+            F.col("b").cast("long").alias("b"),
+            F.explode(F.sequence(F.lit(25), F.lit(975), F.lit(25))).alias("s_pm"),
+        )
+        .select("b", F.col("s_pm").cast("long").alias("s_pm"))
+        .withColumn("_k", F.lit(1))
+    )
+    curve = grid.join(F.broadcast(pl0), "_k").selectExpr(
+        "b", "s_pm", f"{_zd03_curve('DIV')} AS p_ppm"
+    )
+    scored = curve.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("s_pm") < _ZD03_TAU_PM, F.col("p_ppm")).otherwise(
+                1_000_000 - F.col("p_ppm")
+            )
+        ).alias("total_err")
+    )
+    best = scored.agg(
+        F.min(F.struct("total_err", "b")).alias("m")
+    ).select(F.col("m.b").cast("bigint").alias("tables"), F.lit(1).alias("_k"))
+    plan = pl0.join(F.broadcast(best), "_k").select("n", "bits", "tables", "_k")
+
+    # --- corpus side: 32 stripe projections, bits-gated buckets
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT))"
+        ).alias("q"),
+    )
+    proj_cols = [
+        F.expr(
+            f"aggregate(zip_with(q, array({','.join(str(w) for w in wrows[j - 1])}),"
+            " (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias(f"p{j}")
+        for j in range(1, dims + 1)
+    ]
+    na = F.expr(
+        "aggregate(zip_with(q, q, (x, y) -> x * y), CAST(0 AS BIGINT),"
+        " (acc, v) -> acc + v)"
+    ).alias("na")
+    p = q.select("vec_id", "q", na, *proj_cols).withColumn("_k", F.lit(1))
+    bks = [
+        F.expr(
+            " + ".join(
+                f"CASE WHEN {m} < bits THEN {1 << m} * "
+                f"(CASE WHEN p{_ZD03_MAX_BITS * (t - 1) + m + 1} > 0 THEN 1 ELSE 0 END)"
+                " ELSE 0 END"
+                for m in range(_ZD03_MAX_BITS)
+            )
+        ).alias(f"bk{t}")
+        for t in range(1, _ZD03_MAX_TABLES + 1)
+    ]
+    b = p.join(F.broadcast(plan), "_k").select(
+        "vec_id", "q", "na", "n", "bits", "tables", *bks
+    )
+    # ONE corpus scan for candidate explode + both pair sides (zc03's
+    # checkpoint discipline) — also freezes the derived plan columns.
+    record_plan(b, "zd03:projected_corpus")
+    b = b.localCheckpoint(eager=True)
+    c = b.select(
+        "vec_id",
+        "tables",
+        F.posexplode(
+            F.array(*[F.col(f"bk{t}") for t in range(1, _ZD03_MAX_TABLES + 1)])
+        ).alias("t0", "bk"),
+    ).where(F.col("t0") < F.col("tables")).select(
+        "vec_id", (F.col("t0") + 1).alias("t"), "bk"
+    )
+    c1 = c.select(F.col("vec_id").alias("d1"), "t", "bk")
+    c2 = c.select(F.col("vec_id").alias("d2"), "t", "bk")
+    pairs = (
+        c1.join(c2, ["t", "bk"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    b1 = b.select(
+        F.col("vec_id").alias("d1"), F.col("q").alias("q1"), F.col("na").alias("na1")
+    )
+    b2 = b.select(
+        F.col("vec_id").alias("d2"), F.col("q").alias("q2"), F.col("na").alias("na2")
+    )
+    t2 = _ZD03_T_PPM * _ZD03_T_PPM
+    dups = (
+        pairs.join(b1, "d1")
+        .join(b2, "d2")
+        .select(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(q1, q2, (x, y) -> x * y), CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v)"
+            ).alias("dp"),
+            "na1",
+            "na2",
+        )
+        .where(
+            (F.col("dp") > 0)
+            & (
+                F.expr("CAST(dp AS DECIMAL(38,0)) * dp * 1000000000000")
+                >= F.expr(f"{t2} * (CAST(na1 AS DECIMAL(38,0)) * na2)")
+            )
+        )
+        .groupBy("d2")
+        .agg(F.count(F.lit(1)).alias("dn"))
+    )
+    return (
+        b.select("vec_id", "n", "bits", "tables")
+        .join(dups.withColumnRenamed("d2", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.expr("CAST(CASE WHEN dn IS NULL THEN 1 ELSE 0 END AS BIGINT)").alias(
+                "keep"
+            ),
+            F.coalesce("dn", F.lit(0)).cast("bigint").alias("n_smaller_dups"),
+            F.col("n").alias("corpus_n"),
+            F.col("bits").cast("bigint").alias("bits"),
+            F.col("tables").cast("bigint").alias("tables"),
+        )
+        .orderBy("vec_id")
+    )

@@ -163,3 +163,54 @@ def test_zd02_manifest_masses(spark, sf_dir):
     for r in rows:
         assert r.chunk_share_ppm == r.n_chunks * 1_000_000 // total
         assert r.load_vs_uniform_ppm == r.n_chunks * 8_000_000 // total
+
+
+# ---------------------------------------------------------------------------
+# zd03 — planner wiring + no false drops
+# ---------------------------------------------------------------------------
+
+
+def test_zd03_plan_matches_python_twin(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.zdops import zd03_plan
+
+    rows = _q("zd03_semantic_dedup_planned")(spark, sf_dir).collect()
+    n = rows[0].corpus_n
+    bits, tables = zd03_plan(n)
+    assert len(rows) == n
+    assert {(r.corpus_n, r.bits, r.tables) for r in rows} == {(n, bits, tables)}
+
+
+def test_zd03_plan_reacts_to_corpus_size():
+    from spotify_tags_etl_spark.operators.zdops import zd03_plan
+
+    # Fixture sizes: 500 embeddings (sf<=0.01) -> zc03's hand constant;
+    # 2000 (sf0.1) -> deeper buckets. Sizing must move with n.
+    assert zd03_plan(500)[0] == 4
+    assert zd03_plan(2000)[0] == 8
+    assert zd03_plan(1)[0] == 2
+    for n in (1, 500, 2000, 10**9):
+        bits, tables = zd03_plan(n)
+        assert bits in (2, 4, 8) and tables in (1, 2, 4)
+
+
+def test_zd03_no_false_drops(spark, sf_dir):
+    # Every drop must be a genuine above-threshold duplicate of some
+    # smaller-id vector — brute force over the quantized corpus.
+    from spotify_tags_etl_spark.operators.zdops import _ZD03_T_PPM
+
+    import math
+
+    emb = {
+        r.vec_id: [math.floor(float(v) * 127) for v in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    norms = {k: sum(x * x for x in v) for k, v in emb.items()}
+
+    def is_dup(a: int, b: int) -> bool:
+        dp = sum(x * y for x, y in zip(emb[a], emb[b]))
+        return dp > 0 and dp * dp * 10**12 >= _ZD03_T_PPM**2 * norms[a] * norms[b]
+
+    rows = _q("zd03_semantic_dedup_planned")(spark, sf_dir).collect()
+    dropped = [r.vec_id for r in rows if r.keep == 0]
+    for d in dropped:
+        assert any(is_dup(s, d) for s in emb if s < d), f"false drop {d}"
