@@ -744,3 +744,144 @@ def zd03(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# zd04 — contamination-aware packing (zc01 x tz06)
+# ---------------------------------------------------------------------------
+
+
+def contamination_aware_packing(
+    docs: DataFrame, contaminated: DataFrame
+) -> DataFrame:
+    """Banded-FFD packing plan with an exclusion list applied at pack
+    time: ``contaminated`` (any frame with a ``doc_id`` column) is
+    dropped from the packing input, and the per-band report accounts
+    BOTH sides — kept docs/tokens plus window counts via zc01's exact
+    rank arithmetic (windows = ceil(kept / k), k = W / 2^band), and the
+    displaced docs/token mass the exclusion removed. Token and band
+    arithmetic is zc01's verbatim (same constants), so displaced + kept
+    telescopes to zc01's input mass exactly."""
+    from spotify_tags_etl_spark.operators.zcops import ZC01_TOK_PPM, ZC01_WINDOW
+
+    banded = docs.select(
+        "doc_id",
+        F.expr(
+            f"LEAST(GREATEST(CAST(n_chars AS BIGINT) * {ZC01_TOK_PPM}"
+            f" DIV 1000000, 1), {ZC01_WINDOW})"
+        ).alias("tok"),
+    ).withColumn(
+        "band_exp",
+        F.expr("CASE WHEN tok <= 1 THEN 0 ELSE length(bin(tok - 1)) END"),
+    )
+    con = contaminated.select("doc_id").distinct().withColumn("con", F.lit(1))
+    flagged = banded.join(con, "doc_id", "left").select(
+        "band_exp", "tok", F.coalesce("con", F.lit(0)).alias("con")
+    )
+    record_plan(flagged, "zd04:flagged_bands")
+    return (
+        flagged.groupBy("band_exp")
+        .agg(
+            F.expr("CAST(SUM(1 - con) AS BIGINT)").alias("n_kept"),
+            F.expr("CAST(SUM(con) AS BIGINT)").alias("n_displaced"),
+            F.expr("CAST(SUM((1 - con) * tok) AS BIGINT)").alias("kept_tokens"),
+            F.expr("CAST(SUM(con * tok) AS BIGINT)").alias("displaced_tokens"),
+        )
+        .select(
+            F.col("band_exp").cast("bigint").alias("band_exp"),
+            "n_kept",
+            "n_displaced",
+            "kept_tokens",
+            "displaced_tokens",
+            F.expr(
+                f"CAST((n_kept + ({ZC01_WINDOW} DIV shiftleft(CAST(1 AS BIGINT), band_exp)) - 1)"
+                f" DIV ({ZC01_WINDOW} DIV shiftleft(CAST(1 AS BIGINT), band_exp)) AS BIGINT)"
+            ).alias("n_windows"),
+        )
+        .withColumn(
+            "fill_ppm",
+            F.expr(
+                f"CAST(kept_tokens * 1000000 DIV NULLIF(n_windows * {ZC01_WINDOW}, 0) AS BIGINT)"
+            ),
+        )
+        .orderBy("band_exp")
+    )
+
+
+def _zd04_oracle_sql() -> str:
+    from spotify_tags_etl_spark.operators.training import DECON_NGRAM
+    from spotify_tags_etl_spark.operators.training import _hash_frac_sql
+    from spotify_tags_etl_spark.operators.zcops import ZC01_TOK_PPM, ZC01_WINDOW
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_hash_frac_sql('doc_id')} AS frac,
+             unnest([array_to_string(toks[i : i + {DECON_NGRAM} - 1], ' ')
+                     for i in generate_series(1, greatest(len(toks) - {DECON_NGRAM - 1}, 0))]) AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    train AS (SELECT DISTINCT doc_id, gram FROM g WHERE frac < 0.8),
+    test AS (SELECT DISTINCT gram FROM g WHERE frac >= 0.9),
+    con AS (SELECT DISTINCT train.doc_id FROM train JOIN test USING (gram)),
+    banded AS (
+      SELECT d.doc_id,
+             LEAST(GREATEST(CAST(n_chars AS BIGINT) * {ZC01_TOK_PPM} // 1000000, 1),
+                   {ZC01_WINDOW}) AS tok,
+             CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS con
+      FROM documents d LEFT JOIN con c ON c.doc_id = d.doc_id
+    ),
+    bands AS (
+      SELECT CASE WHEN tok <= 1 THEN 0 ELSE length(bin(tok - 1)) END AS band_exp,
+             tok, con
+      FROM banded
+    ),
+    agg AS (
+      SELECT band_exp,
+             CAST(SUM(1 - con) AS BIGINT) AS n_kept,
+             CAST(SUM(con) AS BIGINT) AS n_displaced,
+             CAST(SUM((1 - con) * tok) AS BIGINT) AS kept_tokens,
+             CAST(SUM(con * tok) AS BIGINT) AS displaced_tokens,
+             {ZC01_WINDOW} // (CAST(1 AS BIGINT) << band_exp) AS k
+      FROM bands GROUP BY band_exp
+    )
+    SELECT CAST(band_exp AS BIGINT) AS band_exp,
+           n_kept, n_displaced, kept_tokens, displaced_tokens,
+           CAST((n_kept + k - 1) // k AS BIGINT) AS n_windows,
+           CAST(kept_tokens * 1000000
+                // NULLIF(((n_kept + k - 1) // k) * {ZC01_WINDOW}, 0) AS BIGINT)
+             AS fill_ppm
+    FROM agg ORDER BY band_exp
+    """
+
+
+@register(
+    "zd04_contamination_aware_packing",
+    oracle=_zd04_oracle_sql(),
+    doc=(
+        "CONTAMINATION-AWARE PACKING: zc01's banded-FFD sequence "
+        "packing composed with tz06's eval decontamination — "
+        "contaminated docs (train-split docs sharing any eval n-gram) "
+        "are excluded AT PACK TIME, and the per-band report accounts "
+        "both sides: kept docs/tokens with the resulting window count "
+        "and fill ppm (zc01's exact rank arithmetic: windows = "
+        "ceil(kept/k), k = W/2^band), and the DISPLACED doc/token "
+        "mass the exclusion removed — the number a pretraining run "
+        "ships so the data org can see what decontamination cost "
+        "each length band. Kept + displaced telescopes to the "
+        "unfiltered corpus mass per band (planted-contamination test "
+        "pins displaced == planted). Scale shape: one corpus "
+        "projection scan (doc_id, n_chars) LEFT-joined against the "
+        "contaminated id list (corpus-fraction-sized, AQE-broadcast); "
+        "<= 13-band rollup with map-side partials; the n-gram "
+        "machinery is tz06's own (test-side gram set broadcast). All "
+        "integer arithmetic — bin-length bands, exact ceil-div window "
+        "counts, truncating ppm — bit-identical across engines."
+    ),
+    tags=("training", "packing", "quality", "llm-pipeline"),
+)
+def zd04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.training import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return contamination_aware_packing(docs, decontaminate(docs))

@@ -214,3 +214,52 @@ def test_zd03_no_false_drops(spark, sf_dir):
     dropped = [r.vec_id for r in rows if r.keep == 0]
     for d in dropped:
         assert any(is_dup(s, d) for s in emb if s < d), f"false drop {d}"
+
+
+# ---------------------------------------------------------------------------
+# zd04 — planted contamination displaces exactly the planted mass
+# ---------------------------------------------------------------------------
+
+
+def test_zd04_planted_contamination_mass(spark):
+    from spotify_tags_etl_spark.operators.zcops import ZC01_TOK_PPM, ZC01_WINDOW
+    from spotify_tags_etl_spark.operators.zdops import contamination_aware_packing
+
+    # n_chars chosen to hit several bands; docs 2 and 5 are "planted"
+    # contaminated.
+    docs = spark.createDataFrame(
+        [(i, nc) for i, nc in enumerate([10, 50, 50, 400, 400, 400, 7000, 7000])],
+        "doc_id LONG, n_chars LONG",
+    )
+    planted = spark.createDataFrame([(2,), (5,)], "doc_id LONG")
+    rows = contamination_aware_packing(docs, planted).collect()
+
+    def tok(nc: int) -> int:
+        return min(max(nc * ZC01_TOK_PPM // 1_000_000, 1), ZC01_WINDOW)
+
+    def band(t: int) -> int:
+        return 0 if t <= 1 else (t - 1).bit_length()
+
+    toks = {i: tok(nc) for i, nc in [(0, 10), (1, 50), (2, 50), (3, 400), (4, 400), (5, 400), (6, 7000), (7, 7000)]}
+    want_displaced = {}
+    want_kept = {}
+    for i, t in toks.items():
+        b = band(t)
+        if i in (2, 5):
+            want_displaced[b] = want_displaced.get(b, 0) + t
+        else:
+            want_kept[b] = want_kept.get(b, 0) + t
+
+    got_disp = {r.band_exp: r.displaced_tokens for r in rows if r.displaced_tokens}
+    got_kept = {r.band_exp: r.kept_tokens for r in rows if r.kept_tokens}
+    assert got_disp == want_displaced
+    assert got_kept == want_kept
+
+    # Displaced + kept telescopes to total corpus mass; window count is
+    # the exact ceil-div of kept docs.
+    assert sum(r.kept_tokens + r.displaced_tokens for r in rows) == sum(toks.values())
+    for r in rows:
+        k = ZC01_WINDOW // (1 << r.band_exp)
+        assert r.n_windows == (r.n_kept + k - 1) // k
+        if r.n_windows:
+            assert r.fill_ppm == r.kept_tokens * 1_000_000 // (r.n_windows * ZC01_WINDOW)
