@@ -885,3 +885,211 @@ def zd04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return contamination_aware_packing(docs, decontaminate(docs))
+
+
+# ---------------------------------------------------------------------------
+# zd05 — streaming twin of zd01's exact + near funnel stages
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataFrame:
+    """Incremental dedup-funnel accounting: each micro-batch of
+    documents reduces to
+
+    * a (text_hash, source, n, min_doc) EXACT-stage census partial,
+      SUM/MIN-merged into a versioned-parquet census — n and min_doc
+      merge associatively and commutatively, so the converged census
+      equals the batch hash-groupBy whatever the micro-batch layout
+      (and is watchable mid-stream for duplicate-rate drift), and
+    * idempotent per-batch NEAR-stage doc partials (overwrite by
+      batch_id; each doc arrives in exactly one batch): the doc's
+      MinHash signature (computed fully in-batch — a signature is a
+      per-doc aggregate) and its shingle set, i.e. exactly the
+      persisted signature/shingle store a production LSH dedup keeps.
+
+    At close the census yields per-source doc counts and exact keeps
+    (global per-hash min over the per-source minima), the signature
+    store band-joins into candidate pairs and the shingle store
+    verifies them at dd02's threshold — the same near-drop set as the
+    batch path, never an all-pairs join. The SEMANTIC stage stays
+    batch by design: its candidate pairs need the full projected
+    corpus on both sides (zc03), which is not a census merge — a
+    production run executes zc03/zd03 over the accumulated corpus
+    after ingest, exactly as zd01 composes it."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    root = tempfile.mkdtemp(prefix="zd05_funnel_")
+    sig_root = os.path.join(root, "signatures")
+    sh_root = os.path.join(root, "shingles")
+    sig_dirs: list[str] = []
+    sh_dirs: list[str] = []
+    current: list[str] = []  # exact-census version pointer
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        sh = word_shingles(batch)
+        sig = minhash_signatures(sh)
+        record_batch_plan(sig, "zd05:sig_partial")
+        sig_dir = os.path.join(sig_root, f"b{batch_id}")
+        sig.write.mode("overwrite").parquet(sig_dir)
+        if sig_dir not in sig_dirs:
+            sig_dirs.append(sig_dir)
+        sh_dir = os.path.join(sh_root, f"b{batch_id}")
+        sh.write.mode("overwrite").parquet(sh_dir)
+        if sh_dir not in sh_dirs:
+            sh_dirs.append(sh_dir)
+        part = batch.groupBy(
+            F.md5("text").alias("text_hash"), F.col("source")
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+        )
+        if current:
+            merged = (
+                spark.read.parquet(current[0])
+                .unionByName(part)
+                .groupBy("text_hash", "source")
+                .agg(F.sum("n").alias("n"), F.min("min_doc").alias("min_doc"))
+            )
+        else:
+            merged = part
+        record_batch_plan(merged, "zd05:exact_census_merge")
+        target = os.path.join(root, f"census_v{batch_id}")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream_docs.select("doc_id", "source", "text")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, n_exact_kept bigint, "
+            "n_near_kept bigint, exact_keep_ppm bigint, near_keep_ppm bigint",
+        )
+    # checkpoint only because rmtree below deletes the backing files; a
+    # production run leaves census + stores as the parquet they are
+    census = spark.read.parquet(current[0]).localCheckpoint(eager=True)
+    sig_store = spark.read.parquet(*sig_dirs).localCheckpoint(eager=True)
+    sh_store = spark.read.parquet(*sh_dirs).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+    # Exact keeps: per-hash global min over the per-(hash, source)
+    # minima — each keep attributed to ITS OWN source via min(struct).
+    keeps = (
+        census.groupBy("text_hash")
+        .agg(F.min(F.struct("min_doc", "source")).alias("m"))
+        .select(F.col("m.min_doc").alias("doc_id"), F.col("m.source").alias("source"))
+    )
+    near_drops = (
+        jaccard_verify(
+            lsh_candidate_pairs(sig_store), sh_store, threshold_permille=_ZD01_NEAR_PERMILLE
+        )
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("near_drop", F.lit(1))
+    )
+    kept = keeps.join(near_drops, "doc_id", "left").select(
+        "source", F.coalesce("near_drop", F.lit(0)).alias("near_drop")
+    )
+    per_source_docs = census.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
+    )
+    per_source_keeps = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_kept"),
+        F.expr("CAST(SUM(1 - near_drop) AS BIGINT)").alias("n_near_kept"),
+    )
+    out = (
+        per_source_docs.join(per_source_keeps, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_exact_kept", F.lit(0)).alias("n_exact_kept"),
+            F.coalesce("n_near_kept", F.lit(0)).alias("n_near_kept"),
+        )
+        .withColumn(
+            "exact_keep_ppm",
+            F.expr("CAST(n_exact_kept * 1000000 DIV n_docs AS BIGINT)"),
+        )
+        .withColumn(
+            "near_keep_ppm",
+            F.expr("CAST(n_near_kept * 1000000 DIV NULLIF(n_exact_kept, 0) AS BIGINT)"),
+        )
+        .orderBy("source")
+    )
+    record_plan(out, "zd05:funnel_report")
+    return out
+
+
+def _zd05_register() -> None:
+    @register(
+        "zd05_stream_dedup_funnel",
+        oracle=f"""
+        WITH {_minhash_ctes(_ZD01_NEAR_PERMILLE)},
+        ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        flags AS (
+          SELECT d.source,
+                 CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s_e,
+                 CASE WHEN nd.d2 IS NOT NULL THEN 1 ELSE 0 END AS near_drop
+          FROM documents d
+          LEFT JOIN ek ON ek.doc_id = d.doc_id
+          LEFT JOIN (SELECT DISTINCT d2 FROM verified) nd ON nd.d2 = d.doc_id
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(s_e) AS BIGINT) AS n_exact_kept,
+               CAST(SUM(s_e * (1 - near_drop)) AS BIGINT) AS n_near_kept,
+               CAST(SUM(s_e) * 1000000 // COUNT(*) AS BIGINT) AS exact_keep_ppm,
+               CAST(SUM(s_e * (1 - near_drop)) * 1000000
+                    // NULLIF(SUM(s_e), 0) AS BIGINT) AS near_keep_ppm
+        FROM flags GROUP BY source ORDER BY source
+        """,
+        doc=(
+            "Streaming twin of zd01's exact + near funnel stages: per "
+            "micro-batch the documents reduce to a SUM/MIN-mergeable "
+            "(text_hash, source, n, min_doc) exact census (versioned-"
+            "parquet state, watchable mid-stream for duplicate-rate "
+            "drift) and idempotent per-batch MinHash-signature + "
+            "shingle doc partials (signatures are per-doc aggregates, "
+            "so they compute fully in-batch); at close the census "
+            "yields per-source counts and exact keeps, and the "
+            "signature store band-joins + shingle-verifies into "
+            "dd02's near-drop set — identical to the batch funnel for "
+            "any micro-batch layout (pinned under a 3-file split). "
+            "The SEMANTIC stage stays batch by design: its candidate "
+            "pairs need the full projected corpus on both sides, "
+            "which is not a census merge — production runs zc03/zd03 "
+            "over the accumulated corpus after ingest (zd01). Oracle: "
+            "zd01's SQL minus the semantic stage. Per-trigger cost "
+            "O(batch); the raw stream is never re-scanned."
+        ),
+        tags=("streaming", "dedup", "report", "llm-pipeline"),
+    )
+    def zd05(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+        return streaming_dedup_funnel(
+            spark, read_table_stream(spark, sf_dir, "documents")
+        )
+
+
+_zd05_register()

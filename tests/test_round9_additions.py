@@ -263,3 +263,48 @@ def test_zd04_planted_contamination_mass(spark):
         assert r.n_windows == (r.n_kept + k - 1) // k
         if r.n_windows:
             assert r.fill_ppm == r.kept_tokens * 1_000_000 // (r.n_windows * ZC01_WINDOW)
+
+
+# ---------------------------------------------------------------------------
+# zd05 — micro-batch-layout invariance vs the batch funnel
+# ---------------------------------------------------------------------------
+
+
+def test_zd05_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """zd05's census + signature/shingle-store merge must produce
+    EXACTLY the batch funnel's exact/near columns for any micro-batch
+    layout: a 3-file run (one file per trigger) equals the single-batch
+    registry run equals zd01's first four stages."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zdops import streaming_dedup_funnel
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_funnel_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "source", "text"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_dedup_funnel(spark, stream).collect()]
+    single = [
+        tuple(r) for r in _q("zd05_stream_dedup_funnel")(spark, sf_dir).collect()
+    ]
+    batch = [
+        (r.source, r.n_docs, r.n_exact_kept, r.n_near_kept, r.exact_keep_ppm,
+         r.near_keep_ppm)
+        for r in _q("zd01_dedup_funnel")(spark, sf_dir).collect()
+    ]
+    assert multi == single == batch
+    assert len(batch) > 0

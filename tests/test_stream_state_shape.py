@@ -59,6 +59,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "zb02_stream_quantile_drift": [("foreachBatch", ())],
     "zc04_stream_importance_weights": [("foreachBatch", ())],
     "zc07_stream_pack_efficiency": [("foreachBatch", ())],
+    "zd05_stream_dedup_funnel": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -139,6 +140,11 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
     "zc07_stream_pack_efficiency": {
         "engine:foreachBatch": [{}],
         "zc07:band_merge": [{"exchanges": 1}],
+    },
+    "zd05_stream_dedup_funnel": {
+        "engine:foreachBatch": [{}],
+        "zd05:sig_partial": [{"exchanges": 1}],
+        "zd05:exact_census_merge": [{"exchanges": 1}],
     },
 }
 
