@@ -133,6 +133,22 @@ def zd01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("vec_id", "doc_id")
         .withColumn("sem_drop", F.lit(1))
     )
+    # Each stage list is tiny (keeps ~ distinct hashes, drops ~ dup
+    # fraction) but its LINEAGE re-derives the corpus scan — composed
+    # naively the funnel plan scans documents 8x (dd02's shingle
+    # pipeline alone re-reads it 6x). Checkpoint the three lists so the
+    # report joins materialized stage OUTPUTS against ONE corpus scan —
+    # the r7 scan-audit discipline; each stage's own plan stays pinned
+    # under its own registry name.
+    for label, frame in (
+        ("zd01:exact_keeps", exact_keeps),
+        ("zd01:near_drops", near_drops),
+        ("zd01:sem_drops", sem_drops),
+    ):
+        record_plan(frame, label)
+    exact_keeps = exact_keeps.localCheckpoint(eager=True)
+    near_drops = near_drops.localCheckpoint(eager=True)
+    sem_drops = sem_drops.localCheckpoint(eager=True)
     flags = (
         docs.join(exact_keeps, "doc_id", "left")
         .join(near_drops, "doc_id", "left")

@@ -308,3 +308,80 @@ def test_zd05_layout_invariant(spark, sf_dir, tmp_path_factory):
     ]
     assert multi == single == batch
     assert len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Loop-stage plan + scan pins for the zd band (cf. test_round8_additions)
+# ---------------------------------------------------------------------------
+
+EXPECTED_LOOP_PLANS = {
+    "zd01_dedup_funnel": {
+        # each stage list records pre-checkpoint; the report then joins
+        # materialized lists against ONE corpus scan
+        "zc03:projected_corpus": [{}],
+        "zd01:exact_keeps": [{"exchanges": 1}],
+        "zd01:near_drops": [{"exchanges": 5}],
+        "zd01:sem_drops": [{"exchanges": 2}],
+        "zd01:funnel_flags": [{"exchanges": 3, "sort_merge_joins": 2}],
+    },
+    "zd02_rag_index_manifest": {
+        "zd02:projected_corpus": [{}],
+    },
+    "zd03_semantic_dedup_planned": {
+        # the 3 SinglePartition exchanges are the O(1)-row planner
+        # (corpus count, S-curve argmin, 1-row plan join) — bounded by
+        # construction, same class as the scalar-subquery folds
+        "zd03:projected_corpus": [{"exchanges": 1, "single_partition": 3}],
+    },
+    "zd04_contamination_aware_packing": {
+        "zd04:flagged_bands": [{"exchanges": 3}],
+    },
+    "zd05_stream_dedup_funnel": {
+        "zd05:funnel_report": [{"exchanges": 8, "sort_merge_joins": 2}],
+    },
+}
+
+EXPECTED_SCANS = {
+    "zd01_dedup_funnel": {
+        "zc03:projected_corpus": [["embedding,vec_id"]],
+        "zd01:exact_keeps": [["doc_id,text"]],
+        # dd02's shingle pipeline re-reads (doc_id, text) — its own
+        # pinned/dispositioned shape, recorded here pre-checkpoint
+        "zd01:near_drops": [["doc_id,text"] * 6],
+        "zd01:sem_drops": [[]],
+        # pushdown proof: the composed report reads exactly (doc_id,
+        # source), once
+        "zd01:funnel_flags": [["doc_id,source"]],
+    },
+    "zd02_rag_index_manifest": {
+        "zd02:projected_corpus": [["embedding,vec_id"]],
+    },
+    "zd03_semantic_dedup_planned": {
+        # the two empty schemas are the planner's count-star scan and
+        # the constant grid — zero-column pushdown
+        "zd03:projected_corpus": [["", "", "embedding,vec_id"]],
+    },
+    "zd04_contamination_aware_packing": {
+        # packing projection + tz06's train/test gram sides
+        "zd04:flagged_bands": [["doc_id,n_chars", "doc_id,text", "doc_id,text"]],
+    },
+    "zd05_stream_dedup_funnel": {
+        # close-time report reads only checkpointed state
+        "zd05:funnel_report": [[]],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED_LOOP_PLANS))
+def test_zd_loop_stage_pins(spark, sf_dir, name):
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    _q(name)(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == EXPECTED_SCANS[name]
+    assert pm.observed_loop_plans() == EXPECTED_LOOP_PLANS[name]
