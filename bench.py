@@ -82,6 +82,12 @@ LLM_SUITE = [
     # Bradley-Terry arena fit
     "za01_bpe_apply",
     "za02_bradley_terry",
+    # round-9 (operators/zdops.py): composed reports — the RAG
+    # index-build manifest, planner-sized semantic dedup, and
+    # contamination-aware packing
+    "zd02_rag_index_manifest",
+    "zd03_semantic_dedup_planned",
+    "zd04_contamination_aware_packing",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the
@@ -103,6 +109,9 @@ STREAMING_SUITE = [
     # monitor (order-free banded packing stats as a 13-row SUM-merge)
     "zc04_stream_importance_weights",
     "zc07_stream_pack_efficiency",
+    # round-9: the streaming dedup-funnel twin (exact census SUM/MIN
+    # merge + per-batch signature/shingle stores)
+    "zd05_stream_dedup_funnel",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /
@@ -188,6 +197,9 @@ CURATION_SUITE = [
     # round-7: DSIR-style hashed-n-gram importance scoring (data
     # selection toward a target distribution)
     "zb03_importance_weights",
+    # round-9: the per-source dedup-funnel survival report (exact ->
+    # near -> semantic, composed from dd01/dd02/zc03)
+    "zd01_dedup_funnel",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

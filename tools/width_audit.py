@@ -73,6 +73,12 @@ PKG = os.path.join(ROOT, "spotify_tags_etl_spark")
 #:   widen the numerator (DECIMAL(38,0)/HUGEINT, zaops.py ~:1045)
 #:   because tgt_n * 1e6 can pass 2^63 at 100 TB gram counts.
 ALLOWLIST = {
+    # zd04 per-band token masses: con is a 0/1 flag and tok is clamped
+    # to the 4096-token window, so the addend is <= 4096 — the per-band
+    # SUM stays int64-safe past 2e15 docs per band (same bound as
+    # zc01/zc06's kept-token sums).
+    "(1 - con) * tok": "0/1 flag x window-clamped tokens, addend <= 4096",
+    "con * tok": "0/1 flag x window-clamped tokens, addend <= 4096",
     # zc04 per-doc importance: n = gram occurrences per (doc, bucket)
     # (bounded by document length), |w| <= 1e6 (a ppm difference), so
     # the addend is <= doc_grams x 1e6 and the per-doc SUM stays
