@@ -400,7 +400,7 @@ def _zc03_ctes() -> str:
                          AND c1.vec_id < c2.vec_id
     ),
     dots AS (
-      SELECT j.d2 AS d2,
+      SELECT j.d1 AS d1, j.d2 AS d2,
              CAST(list_dot_product(CAST(b1.q AS DOUBLE[]), CAST(b2.q AS DOUBLE[]))
                   AS BIGINT) AS dp,
              b1.na AS na1, b2.na AS na2
@@ -408,12 +408,14 @@ def _zc03_ctes() -> str:
       JOIN b b1 ON b1.vec_id = j.d1
       JOIN b b2 ON b2.vec_id = j.d2
     ),
-    dups AS (
-      SELECT d2, COUNT(*) AS n FROM dots
+    edges AS (
+      SELECT d1, d2 FROM dots
       WHERE dp > 0
         AND CAST(dp AS HUGEINT) * dp * 1000000000000
             >= {t2} * (CAST(na1 AS HUGEINT) * na2)
-      GROUP BY d2
+    ),
+    dups AS (
+      SELECT d2, COUNT(*) AS n FROM edges GROUP BY d2
     )"""
 
 
@@ -468,6 +470,25 @@ def _zc03_oracle_sql() -> str:
     tags=("dedup", "similarity", "embedding", "llm-pipeline"),
 )
 def zc03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b, edges = zc03_corpus_and_edges(spark, sf_dir)
+    dups = edges.groupBy("d2").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.select("vec_id")
+        .join(dups.withColumnRenamed("d2", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.expr("CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT)").alias("keep"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_smaller_dups"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def zc03_corpus_and_edges(spark: SparkSession, sf_dir: str):
+    """zc03's checkpointed projected corpus ``b`` plus its exact-verified
+    duplicate-edge relation ``edges(d1 < d2)`` — the shared substrate of
+    the transitive drop rule (zc03: drop d2 iff any edge) and the
+    keep-set greedy variant (zd06: iterate over the edge graph)."""
     dims = ZC03_BITS * ZC03_TABLES
     wrows = [[_zc03_w(i, j) for i in range(1, 65)] for j in range(1, dims + 1)]
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -527,6 +548,7 @@ def zc03(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(b1, "d1")
         .join(b2, "d2")
         .select(
+            "d1",
             "d2",
             F.expr(
                 "aggregate(zip_with(q1, q2, (x, y) -> x * y), CAST(0 AS BIGINT),"
@@ -536,27 +558,14 @@ def zc03(spark: SparkSession, sf_dir: str) -> DataFrame:
             "na2",
         )
     )
-    dups = (
-        dots.where(
-            (F.col("dp") > 0)
-            & (
-                F.expr("CAST(dp AS DECIMAL(38,0)) * dp * 1000000000000")
-                >= F.expr(f"{t2} * (CAST(na1 AS DECIMAL(38,0)) * na2)")
-            )
+    edges = dots.where(
+        (F.col("dp") > 0)
+        & (
+            F.expr("CAST(dp AS DECIMAL(38,0)) * dp * 1000000000000")
+            >= F.expr(f"{t2} * (CAST(na1 AS DECIMAL(38,0)) * na2)")
         )
-        .groupBy("d2")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    return (
-        b.select("vec_id")
-        .join(dups.withColumnRenamed("d2", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.expr("CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT)").alias("keep"),
-            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_smaller_dups"),
-        )
-        .orderBy("vec_id")
-    )
+    ).select("d1", "d2")
+    return b, edges
 
 
 # ---------------------------------------------------------------------------

