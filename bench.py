@@ -110,8 +110,10 @@ STREAMING_SUITE = [
     "zc04_stream_importance_weights",
     "zc07_stream_pack_efficiency",
     # round-9: the streaming dedup-funnel twin (exact census SUM/MIN
-    # merge + per-batch signature/shingle stores)
+    # merge + per-batch signature/shingle stores) and the streaming
+    # index-build manifest (stream-static assignment join)
     "zd05_stream_dedup_funnel",
+    "zd07_stream_rag_manifest",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /

@@ -323,15 +323,56 @@ def _zd02_oracle_sql() -> str:
     tags=("similarity", "report", "llm-pipeline"),
 )
 def zd02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.textops import chunk_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = zd02_assignment(spark, sf_dir)
+    chunks = chunk_tokens(docs).select("doc_id", "n_tokens")
+    joined = (
+        chunks.join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(F.col("cent_id").alias("list_id"), "doc_id", "n_tokens", "source")
+    )
+    g = joined.groupBy("list_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return _zd02_share_columns(g)
+
+
+def _zd02_share_columns(g: DataFrame) -> DataFrame:
+    """Share/balance ppm columns over the <= 8-row per-list rollup —
+    documented tiny frame (xr03 class); shared by zd02 and zd07."""
+    return g.select(
+        F.col("list_id").cast("bigint").alias("list_id"),
+        "n_chunks",
+        "n_docs",
+        "n_tokens",
+        "n_sources",
+        F.expr(
+            "CAST(n_chunks * 1000000 DIV (SUM(n_chunks) OVER ()) AS BIGINT)"
+        ).alias("chunk_share_ppm"),
+        F.expr(
+            f"CAST(n_chunks * {_ZD02_NCENT} * 1000000 DIV (SUM(n_chunks) OVER ()) AS BIGINT)"
+        ).alias("load_vs_uniform_ppm"),
+    ).orderBy("list_id")
+
+
+def zd02_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest's IVF assignment (vec_id -> cent_id): int8
+    projection (ye01's matrix, j = 1..8), centroids = projected vectors
+    0..7, integer-exact cosine ordering — shared by batch zd02 and the
+    zd07 streaming twin (where it is the static side of the
+    stream-static join)."""
     from pyspark.sql import Window
 
-    from spotify_tags_etl_spark.operators.textops import chunk_tokens
     from spotify_tags_etl_spark.operators.zcops import _zc03_w
 
     wrows = [
         [_zc03_w(i, j) for i in range(1, 65)] for j in range(1, _ZD02_DIMS + 1)
     ]
-    docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.select(
         "vec_id",
@@ -372,37 +413,11 @@ def zd02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_zd02_key2("dp", "nc", hugeint=False)).desc(),
         F.col("cent_id").asc(),
     )
-    assigned = (
+    return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("vec_id", "cent_id")
     )
-    chunks = chunk_tokens(docs).select("doc_id", "n_tokens")
-    joined = (
-        chunks.join(assigned.withColumnRenamed("vec_id", "doc_id"), "doc_id")
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .select(F.col("cent_id").alias("list_id"), "doc_id", "n_tokens", "source")
-    )
-    g = joined.groupBy("list_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.countDistinct("source").cast("bigint").alias("n_sources"),
-    )
-    # Share window over the <= 8-row list rollup — documented tiny frame.
-    return g.select(
-        F.col("list_id").cast("bigint").alias("list_id"),
-        "n_chunks",
-        "n_docs",
-        "n_tokens",
-        "n_sources",
-        F.expr(
-            "CAST(n_chunks * 1000000 DIV (SUM(n_chunks) OVER ()) AS BIGINT)"
-        ).alias("chunk_share_ppm"),
-        F.expr(
-            f"CAST(n_chunks * {_ZD02_NCENT} * 1000000 DIV (SUM(n_chunks) OVER ()) AS BIGINT)"
-        ).alias("load_vs_uniform_ppm"),
-    ).orderBy("list_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1244,3 +1259,130 @@ def zd06(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"zd06: dependency chain exceeds {_ZD06_MAX_ROUNDS} rounds"
         )
     return decided.orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# zd07 — streaming twin of zd02: incremental index-build manifest
+# ---------------------------------------------------------------------------
+
+
+def streaming_rag_manifest(spark: SparkSession, sf_dir: str, stream_docs: DataFrame) -> DataFrame:
+    """Incremental RAG index-build accounting: the IVF assignment
+    (vec_id -> list_id, zd02_assignment) is the STATIC side — computed
+    once up front from the embeddings table and broadcast against every
+    micro-batch (the stream-static join pattern, st04). Each batch of
+    documents chunks (tx06), joins the assignment, and reduces to a
+    (list_id, source, n_chunks, n_docs, n_tokens) census partial that
+    SUM-merges into versioned parquet — docs arrive whole (all chunks
+    of a doc are in its batch), so per-batch distinct-doc counts merge
+    exactly; distinct sources per list fall out of the census KEY. At
+    close the census rolls up to zd02's exact per-list manifest —
+    order-free merges => micro-batch-layout invariant."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.textops import chunk_tokens
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    assigned = zd02_assignment(spark, sf_dir).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="zd07_manifest_")
+    current: list[str] = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        chunks = chunk_tokens(batch).select("doc_id", "n_tokens")
+        part = (
+            chunks.join(
+                F.broadcast(assigned.withColumnRenamed("vec_id", "doc_id")),
+                "doc_id",
+            )
+            .join(batch.select("doc_id", "source"), "doc_id")
+            .groupBy(F.col("cent_id").alias("list_id"), "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            )
+        )
+        if current:
+            merged = (
+                spark.read.parquet(current[0])
+                .unionByName(part)
+                .groupBy("list_id", "source")
+                .agg(
+                    F.sum("n_chunks").alias("n_chunks"),
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                )
+            )
+        else:
+            merged = part
+        record_batch_plan(merged, "zd07:census_merge")
+        target = os.path.join(root, f"census_v{batch_id}")
+        merged.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream_docs.select("doc_id", "source", "text")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame(
+            [],
+            "list_id bigint, n_chunks bigint, n_docs bigint, n_tokens bigint,"
+            " n_sources bigint, chunk_share_ppm bigint, load_vs_uniform_ppm bigint",
+        )
+    census = spark.read.parquet(current[0]).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    g = census.groupBy("list_id").agg(
+        F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        # distinct sources per list == census rows per list (source is
+        # part of the census key)
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    out = _zd02_share_columns(g)
+    record_plan(out, "zd07:manifest_report")
+    return out
+
+
+def _zd07_register() -> None:
+    @register(
+        "zd07_stream_rag_manifest",
+        oracle=_zd02_oracle_sql(),
+        doc=(
+            "Streaming twin of zd02: the IVF assignment is the static "
+            "side (zd02_assignment, computed once and broadcast — the "
+            "st04 stream-static join pattern); each micro-batch of "
+            "documents chunks (tx06), joins the assignment, and "
+            "reduces to a (list_id, source) census partial SUM-merged "
+            "into versioned parquet. Docs arrive whole, so per-batch "
+            "distinct-doc counts merge exactly, and distinct sources "
+            "per list fall out of the census key at close. The "
+            "close-time rollup is zd02's manifest exactly (oracle: "
+            "zd02's SQL verbatim; layout-invariance pinned under a "
+            "3-file split). Per-trigger cost O(batch + lists x "
+            "sources); the raw stream is never re-scanned."
+        ),
+        tags=("streaming", "similarity", "report", "llm-pipeline"),
+    )
+    def zd07(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+        return streaming_rag_manifest(
+            spark, sf_dir, read_table_stream(spark, sf_dir, "documents")
+        )
+
+
+_zd07_register()

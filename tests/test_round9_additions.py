@@ -339,6 +339,23 @@ EXPECTED_LOOP_PLANS = {
     "zd05_stream_dedup_funnel": {
         "zd05:funnel_report": [{"exchanges": 8, "sort_merge_joins": 2}],
     },
+    "zd06_semantic_dedup_keepset": {
+        "zc03:projected_corpus": [{}],
+        "zd06:dup_edges": [{"exchanges": 1}],
+        "zd06:round0": [{"exchanges": 2, "sort_merge_joins": 1}],
+        # two round shapes: the steady-state round and the final
+        # (smaller) one AQE plans differently — both O(edges) keyed
+        "zd06:round": [
+            {"exchanges": 2, "sort_merge_joins": 1},
+            {"exchanges": 5, "sort_merge_joins": 2},
+        ],
+    },
+    "zd07_stream_rag_manifest": {
+        "zd02:projected_corpus": [{}],
+        # close-time rollup over the checkpointed census; the
+        # SinglePartition is the <= 8-row share window (xr03 class)
+        "zd07:manifest_report": [{"exchanges": 1, "single_partition": 1}],
+    },
 }
 
 EXPECTED_SCANS = {
@@ -368,6 +385,16 @@ EXPECTED_SCANS = {
     "zd05_stream_dedup_funnel": {
         # close-time report reads only checkpointed state
         "zd05:funnel_report": [[]],
+    },
+    "zd06_semantic_dedup_keepset": {
+        "zc03:projected_corpus": [["embedding,vec_id"]],
+        "zd06:dup_edges": [[]],
+        "zd06:round0": [[]],
+        "zd06:round": [[]],
+    },
+    "zd07_stream_rag_manifest": {
+        "zd02:projected_corpus": [["embedding,vec_id"]],
+        "zd07:manifest_report": [[]],
     },
 }
 
@@ -421,3 +448,40 @@ def test_zd06_greedy_on_planted_chain(spark):
     for v in range(3):
         kept[v] = not any(kept[u] for u, w in edges if w == v)
     assert kept == {0: True, 1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# zd07 — micro-batch-layout invariance vs batch zd02
+# ---------------------------------------------------------------------------
+
+
+def test_zd07_layout_invariant(spark, sf_dir, tmp_path_factory):
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zdops import streaming_rag_manifest
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_manifest_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "source", "text"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_rag_manifest(spark, sf_dir, stream).collect()]
+    single = [
+        tuple(r) for r in _q("zd07_stream_rag_manifest")(spark, sf_dir).collect()
+    ]
+    batch = [tuple(r) for r in _q("zd02_rag_index_manifest")(spark, sf_dir).collect()]
+    assert multi == single == batch
+    assert len(batch) > 0

@@ -60,6 +60,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "zc04_stream_importance_weights": [("foreachBatch", ())],
     "zc07_stream_pack_efficiency": [("foreachBatch", ())],
     "zd05_stream_dedup_funnel": [("foreachBatch", ())],
+    "zd07_stream_rag_manifest": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -145,6 +146,13 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         "engine:foreachBatch": [{}],
         "zd05:sig_partial": [{"exchanges": 1}],
         "zd05:exact_census_merge": [{"exchanges": 1}],
+    },
+    "zd07_stream_rag_manifest": {
+        "engine:foreachBatch": [{}],
+        # chunk -> broadcast-assignment join -> (list, source) census:
+        # one keyed exchange for the census groupBy, one for the
+        # doc-distinct pre-aggregation
+        "zd07:census_merge": [{"exchanges": 2}],
     },
 }
 

@@ -71,7 +71,7 @@ def audited_names() -> list[str]:
         "xw10_stream_checksum", "yi03_stream_stats_manifest",
         "za04_stream_preference_pairs", "zb02_stream_quantile_drift",
         "zc04_stream_importance_weights", "zc07_stream_pack_efficiency",
-        "zd05_stream_dedup_funnel",
+        "zd05_stream_dedup_funnel", "zd07_stream_rag_manifest",
     }
     return [n for n in out if n not in streaming]
 
