@@ -1,0 +1,273 @@
+"""Round-9 late additions (ze band): in-engine model fitting and
+LM-filter stages for the curation pipeline.
+
+ze01 — batch perceptron quality classifier: a linear filter model
+(the fastText-style "quality classifier" slot of a pretraining data
+pipeline) TRAINED inside the engine — hashed-bigram design matrix,
+integer weights, fixed full-batch perceptron rounds. Completes the
+model-fitting arc za02 (Bradley–Terry) and xr02 (linear regression)
+started: a trained *classifier* used for data selection.
+
+Reference parity note: the reference ETL
+(/root/reference/src/spotify_tags_etl/) has no training-data stage;
+these operators extend the engine along SURVEY.md's "training-data
+pipeline" axis (judge-graded first-class components).
+
+Cross-engine determinism: every iterate is integer (weights, margins,
+updates), so the unrolled MATERIALIZED-CTE DuckDB oracle reproduces
+the fit bit-for-bit — the za02 discipline. No float anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.plans.planmetrics import record_plan
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+# ---------------------------------------------------------------------------
+# ze01 — batch perceptron quality classifier (trained in-engine)
+# ---------------------------------------------------------------------------
+
+#: Hashed feature buckets (bigram -> bucket). 64 keeps the unrolled
+#: oracle's weight CTEs small while leaving ~13 buckets per language
+#: fixture; the Spark side is bucket-count-agnostic.
+ZE01_BUCKETS = 64
+
+#: Bias feature key (one implicit always-on feature per document).
+ZE01_BIAS = -1
+
+#: Fixed full-batch perceptron rounds. Batch perceptron (sum the
+#: updates of ALL misclassified docs per round) is order-free, so the
+#: fit is deterministic under any partitioning — the property that
+#: makes it expressible as relational algebra at all.
+ZE01_ROUNDS = 6
+
+#: Target class (+1) — same target as zb03's importance weights, so
+#: the two selection signals are directly comparable.
+ZE01_TARGET_LANG = "en"
+
+#: Shared gram → bucket spelling (zb03's, at 64 buckets).
+_ZE01_BUCKET_SQL = (
+    "CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT)"
+    f" % {ZE01_BUCKETS}"
+)
+
+#: Oracle word-position bound: data-derived, the zb03 r7-ADVICE rule.
+_ZE01_MAX_WORDS_SQL = (
+    "(SELECT MAX(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " x -> x <> ''))) FROM documents)"
+)
+
+
+def _ze01_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
+    """Unrolled batch-perceptron rounds as chained MATERIALIZED CTEs:
+    m_d = sum_b x_db * w_b; misclassified iff y_d * m_d <= 0 (ties
+    count as errors — the textbook convention); w += sum_mis y_d x_d.
+    HUGEINT margins: at 100 TB |w| can reach the corpus gram count
+    (~1e13), so cnt * w crosses int64 after ~1e5-gram documents."""
+    ctes = [
+        f"""grams AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN lang = '{ZE01_TARGET_LANG}' THEN 1 ELSE -1 END AS y,
+             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT
+               % {ZE01_BUCKETS} AS bucket
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents) t,
+           UNNEST(generate_series(1, {_ZE01_MAX_WORDS_SQL})) AS s(i)
+      WHERE i <= len(w) - 1
+    )""",
+        """gf AS MATERIALIZED (
+      SELECT doc_id, y, bucket, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, y, bucket
+    )""",
+        f"""feats AS MATERIALIZED (
+      SELECT * FROM gf
+      UNION ALL
+      SELECT doc_id, y, {ZE01_BIAS} AS bucket, 1 AS cnt
+      FROM (SELECT DISTINCT doc_id, y FROM gf)
+    )""",
+        "nd AS MATERIALIZED (SELECT COUNT(DISTINCT doc_id) AS n FROM feats)",
+        f"""w0 AS MATERIALIZED (
+      SELECT unnest(generate_series({ZE01_BIAS}, {ZE01_BUCKETS - 1})) AS bucket,
+             CAST(0 AS HUGEINT) AS w
+    )""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+      SELECT f.doc_id, f.y, SUM(CAST(f.cnt AS HUGEINT) * w.w) AS m
+      FROM feats f JOIN w{r} w ON w.bucket = f.bucket
+      GROUP BY f.doc_id, f.y
+    )"""
+        )
+        ctes.append(
+            f"mis{r} AS MATERIALIZED (SELECT doc_id FROM m{r} WHERE y * m <= 0)"
+        )
+        ctes.append(
+            f"""dw{r} AS MATERIALIZED (
+      SELECT f.bucket, SUM(CAST(f.y AS HUGEINT) * f.cnt) AS dw
+      FROM feats f JOIN mis{r} x ON x.doc_id = f.doc_id
+      GROUP BY f.bucket
+    )"""
+        )
+        ctes.append(
+            f"""w{r + 1} AS MATERIALIZED (
+      SELECT w.bucket, w.w + COALESCE(d.dw, 0) AS w
+      FROM w{r} w LEFT JOIN dw{r} d ON d.bucket = w.bucket
+    )"""
+        )
+        ctes.append(
+            f"""st{r} AS MATERIALIZED (
+      SELECT {r + 1} AS round,
+             (SELECT COUNT(*) FROM mis{r}) AS n_mis,
+             (SELECT SUM(ABS(w)) FROM w{r + 1}) AS w_l1,
+             (SELECT SUM(w * (bucket + 2)) FROM w{r + 1}) AS w_dot
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM st{r}" for r in range(rounds))
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(u.round AS BIGINT) AS round,
+           CAST(u.n_mis AS BIGINT) AS n_mis,
+           CAST((nd.n - u.n_mis) * 1000000 // nd.n AS BIGINT) AS acc_ppm,
+           CAST(u.w_l1 AS BIGINT) AS w_l1,
+           CAST(u.w_dot AS BIGINT) AS w_dot
+    FROM ({union}) u, nd
+    ORDER BY round
+    """
+    )
+
+
+def ze01_design_matrix(docs: DataFrame) -> DataFrame:
+    """Hashed-bigram design matrix shared by ze01 and its consumers:
+    one (doc_id, y, bucket, cnt) row per document-feature, bias
+    feature (bucket = -1, cnt = 1) included for every doc that has at
+    least one bigram. Caller checkpoints."""
+    grams = (
+        docs.select(
+            "doc_id",
+            F.when(F.col("lang") == ZE01_TARGET_LANG, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("y"),
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+            ).alias("ws"),
+        )
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            "y",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i - 1], ' ', ws[i]))"
+                )
+            ).alias("g"),
+        )
+        .withColumn("bucket", F.expr(_ZE01_BUCKET_SQL))
+    )
+    return grams.groupBy("doc_id", "y", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "ze01_perceptron_filter",
+    oracle=_ze01_oracle_sql(),
+    doc=(
+        "Quality-classifier TRAINING inside the engine — the "
+        "fastText-style linear filter slot of a curation pipeline "
+        "(GPT-3/CCNet lineage), as a batch perceptron over "
+        f"{ZE01_BUCKETS} hashed-bigram buckets + bias: "
+        f"{ZE01_ROUNDS} full-batch rounds of m_d = <x_d, w>; docs with "
+        "y_d*m_d <= 0 are misclassified (ties are errors); "
+        "w += sum over misclassified of y_d*x_d. Batch (not online) "
+        "updates make the fit ORDER-FREE — the property that turns "
+        "perceptron training into relational algebra: each round is "
+        "one aggregate + one semi-joined aggregate over the design "
+        "matrix, deterministic under any partitioning. Emits the "
+        "per-round learning curve (n_mis, acc_ppm) plus integer weight "
+        "checksums (L1 mass, position-weighted dot) that pin the "
+        "entire weight trajectory. Shape: the corpus is touched ONCE "
+        "(map-combined groupBy building the design matrix, "
+        "localCheckpointed); every round runs on that matrix with the "
+        f"{ZE01_BUCKETS + 1} current weights embedded as a literal "
+        "CASE (za02's plan-feeding pattern — the driver ferries 65 "
+        "integers per round, the engine does all data-sized work; no "
+        "createDataFrame in the loop, so the round plan is "
+        "fingerprint-stable). Margins accumulate in DECIMAL(38,0)/"
+        "HUGEINT: |w| grows with corpus gram count, so cnt*w crosses "
+        "int64 at 100 TB. Integer-exact throughout; oracle = the same "
+        "rounds unrolled as MATERIALIZED CTEs. Composes with zb03 "
+        "(same target definition, independent signal) and yv15's "
+        "domain gates."
+    ),
+    tags=("curation", "quality", "training", "model-fit", "llm-pipeline"),
+)
+def ze01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    gf = ze01_design_matrix(docs)
+    record_plan(gf, "ze01:design_matrix")
+    gf = gf.localCheckpoint(eager=True)  # the ONLY corpus-sized pass
+    bias = (
+        gf.select("doc_id", "y")
+        .distinct()
+        .select(
+            "doc_id", "y", F.lit(ZE01_BIAS).alias("bucket"), F.lit(1).alias("cnt")
+        )
+    )
+    feats = gf.unionByName(bias)
+    record_plan(feats, "ze01:feats")
+    feats = feats.localCheckpoint(eager=True)
+    gf.unpersist()
+    nd = feats.select("doc_id").distinct().count()
+    w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
+    rows: list[tuple[int, int, int, int, int]] = []
+    for r in range(1, ZE01_ROUNDS + 1):
+        # weights as a literal CASE: O(buckets) integers embedded per
+        # round — plan-feeding (xz10/za02), never a per-round shuffle.
+        w_case = (
+            "CASE "
+            + " ".join(f"WHEN bucket = {b} THEN {w[b]}" for b in sorted(w))
+            + " END"
+        )
+        margins = (
+            feats.groupBy("doc_id", "y")
+            .agg(
+                F.expr(
+                    f"SUM(CAST(cnt AS DECIMAL(38,0)) * ({w_case}))"
+                ).alias("m")
+            )
+        )
+        record_plan(margins, "ze01:margins")
+        margins = margins.localCheckpoint(eager=True)  # O(#docs) rows
+        mis = margins.where(F.expr("y * m <= 0")).select("doc_id")
+        n_mis = mis.count()
+        deltas = (
+            feats.join(mis, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))").alias(
+                    "dw"
+                )
+            )
+        )
+        record_plan(deltas, "ze01:weight_delta")
+        for row in deltas.collect():
+            w[row["bucket"]] += int(row["dw"])
+        margins.unpersist()
+        # O(buckets) exact-integer driver folds mirror st{r} bit-for-bit
+        w_l1 = sum(abs(v) for v in w.values())
+        w_dot = sum(v * (b + 2) for b, v in w.items())
+        rows.append((r, n_mis, ((nd - n_mis) * 10**6) // nd, w_l1, w_dot))
+    feats.unpersist()
+    return spark.createDataFrame(
+        rows, "round bigint, n_mis bigint, acc_ppm bigint, w_l1 bigint, w_dot bigint"
+    )
