@@ -88,6 +88,9 @@ LLM_SUITE = [
     "zd02_rag_index_manifest",
     "zd03_semantic_dedup_planned",
     "zd04_contamination_aware_packing",
+    # round-9 late (operators/zeops.py): in-engine quality-classifier
+    # training (batch perceptron over hashed bigrams)
+    "ze01_perceptron_filter",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

@@ -485,3 +485,88 @@ def test_zd07_layout_invariant(spark, sf_dir, tmp_path_factory):
     batch = [tuple(r) for r in _q("zd02_rag_index_manifest")(spark, sf_dir).collect()]
     assert multi == single == batch
     assert len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# ze01 — in-engine batch-perceptron training (operators/zeops.py)
+# ---------------------------------------------------------------------------
+
+ZE01_EXPECTED_LOOP_PLANS = {
+    # one keyed exchange per stage — design matrix (map-combined
+    # groupBy), bias union, per-round margins, per-round weight deltas;
+    # no SinglePartition, no Python boundary anywhere in the fit
+    "ze01:design_matrix": [{"exchanges": 1}],
+    "ze01:feats": [{"exchanges": 1}],
+    "ze01:margins": [{"exchanges": 1}],
+    "ze01:weight_delta": [{"exchanges": 1}],
+}
+
+ZE01_EXPECTED_SCANS = {
+    # pushdown proof: the ONLY corpus read is the design matrix and it
+    # reads exactly the three columns the fit needs
+    "ze01:design_matrix": [["doc_id,lang,text"]],
+    "ze01:feats": [[]],
+    "ze01:margins": [[]],
+    "ze01:weight_delta": [[]],
+}
+
+
+def test_ze01_loop_stage_pins(spark, sf_dir):
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    _q("ze01_perceptron_filter")(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == ZE01_EXPECTED_SCANS
+    assert pm.observed_loop_plans() == ZE01_EXPECTED_LOOP_PLANS
+
+
+def test_ze01_round1_all_misclassified_and_learns(spark, sf_dir):
+    """At w=0 every margin is 0 and ties count as errors, so round 1
+    must misclassify EVERY doc that has at least one bigram (acc_ppm
+    0); later rounds must improve on that floor."""
+    from spotify_tags_etl_spark.operators.zeops import ze01_design_matrix
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    rows = {r.round: r for r in _q("ze01_perceptron_filter")(spark, sf_dir).collect()}
+    nd = (
+        ze01_design_matrix(load_table(spark, sf_dir, "documents"))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert rows[1].n_mis == nd
+    assert rows[1].acc_ppm == 0
+    assert all(rows[r].n_mis < nd for r in rows if r > 1)
+    # exact-integer accounting: acc_ppm = floor((nd - n_mis) * 1e6 / nd)
+    for r in rows.values():
+        assert r.acc_ppm == ((nd - r.n_mis) * 10**6) // nd
+
+
+def test_ze01_layout_invariant(spark, sf_dir):
+    """Batch (full-misclassified-set) updates are order-free: the fit
+    must be bit-identical when the corpus arrives in a different
+    partitioning — the property that makes the perceptron relational."""
+    import spotify_tags_etl_spark.operators.zeops as ze
+    from spotify_tags_etl_spark.sources import tpch
+
+    base = [tuple(r) for r in _q("ze01_perceptron_filter")(spark, sf_dir).collect()]
+
+    orig = tpch.load_table
+
+    def shuffled(s, d, name):
+        df = orig(s, d, name)
+        if name == "documents":
+            df = df.repartition(7, "doc_id")
+        return df
+
+    ze.load_table = shuffled
+    try:
+        alt = [tuple(r) for r in ze.ze01(spark, sf_dir).collect()]
+    finally:
+        ze.load_table = orig
+    assert alt == base

@@ -85,6 +85,11 @@ ALLOWLIST = {
     # int64-safe past 9e12 grams per document — same bound as batch
     # zb03's SUM(w) over gram rows, just pre-aggregated per bucket.
     "n * w": "gram-count x ppm-weight, addend <= doc_grams x 1e6",
+    # ze01 oracle weight checksum: w is HUGEINT (declared in w0 and
+    # propagated through every w{r}), bucket+2 <= 65, so the product and
+    # SUM stay in HUGEINT; the engine-side twin is a Python-int fold
+    # (arbitrary precision) — both sides are overflow-free by type.
+    "w * (bucket + 2)": "HUGEINT weight x small constant; engine twin is Python int",
     # yb02 TF-IDF pair scores: per-pair shared vocabulary is bounded by
     # document length and the df<=100 cap bounds posting lists; addend
     # tf*tf*idf <= len^2 * 1e6 with len the SHORTER doc's term count.
