@@ -89,8 +89,10 @@ LLM_SUITE = [
     "zd03_semantic_dedup_planned",
     "zd04_contamination_aware_packing",
     # round-9 late (operators/zeops.py): in-engine quality-classifier
-    # training (batch perceptron over hashed bigrams)
+    # training (batch perceptron over hashed bigrams) + the averaged-
+    # weight keep/drop gate it deploys
     "ze01_perceptron_filter",
+    "ze02_classifier_gate",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

@@ -62,12 +62,14 @@ _ZE01_MAX_WORDS_SQL = (
 )
 
 
-def _ze01_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
+def _ze01_ctes(rounds: int = ZE01_ROUNDS) -> list[str]:
     """Unrolled batch-perceptron rounds as chained MATERIALIZED CTEs:
     m_d = sum_b x_db * w_b; misclassified iff y_d * m_d <= 0 (ties
     count as errors — the textbook convention); w += sum_mis y_d x_d.
     HUGEINT margins: at 100 TB |w| can reach the corpus gram count
-    (~1e13), so cnt * w crosses int64 after ~1e5-gram documents."""
+    (~1e13), so cnt * w crosses int64 after ~1e5-gram documents.
+    Shared CTE body: ze01 selects the learning curve off it, ze02 the
+    averaged-weight gate report."""
     ctes = [
         f"""grams AS MATERIALIZED (
       SELECT doc_id,
@@ -129,10 +131,14 @@ def _ze01_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
              (SELECT SUM(w * (bucket + 2)) FROM w{r + 1}) AS w_dot
     )"""
         )
+    return ctes
+
+
+def _ze01_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
     union = " UNION ALL ".join(f"SELECT * FROM st{r}" for r in range(rounds))
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_ze01_ctes(rounds))
         + f"""
     SELECT CAST(u.round AS BIGINT) AS round,
            CAST(u.n_mis AS BIGINT) AS n_mis,
@@ -141,6 +147,43 @@ def _ze01_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
            CAST(u.w_dot AS BIGINT) AS w_dot
     FROM ({union}) u, nd
     ORDER BY round
+    """
+    )
+
+
+def _ze02_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
+    """ze01's CTE chain + averaged weights (sum of the post-update
+    iterates w1..wR — the integer numerator of the averaged
+    perceptron; sign(<x, sum_r w_r>) = sign(<x, avg_r w_r>), so the
+    1/R divisor is dropped and the gate stays integer-exact) + the
+    per-source keep/accuracy census."""
+    avg_union = " UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_ze01_ctes(rounds))
+        + f""",
+    wavg AS MATERIALIZED (
+      SELECT bucket, SUM(w) AS w FROM ({avg_union}) GROUP BY bucket
+    ),
+    sm AS MATERIALIZED (
+      SELECT f.doc_id, f.y, SUM(CAST(f.cnt AS HUGEINT) * w.w) AS m
+      FROM feats f JOIN wavg w ON w.bucket = f.bucket
+      GROUP BY f.doc_id, f.y
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN s.m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.m > 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS kept_ppm,
+           CAST(SUM(CASE WHEN (s.m > 0) = (s.y = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN (s.m > 0) = (s.y = 1) THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM sm s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
     """
     )
 
@@ -212,6 +255,37 @@ def ze01_design_matrix(docs: DataFrame) -> DataFrame:
     tags=("curation", "quality", "training", "model-fit", "llm-pipeline"),
 )
 def ze01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, _nd, rows, _w_hist = ze01_fit(spark, sf_dir)
+    feats.unpersist()
+    return spark.createDataFrame(
+        rows, "round bigint, n_mis bigint, acc_ppm bigint, w_l1 bigint, w_dot bigint"
+    )
+
+
+def _w_case(w: dict[int, int]) -> str:
+    """Weights as a literal CASE: O(buckets) integers embedded per
+    round — plan-feeding (xz10/za02), never a per-round shuffle."""
+    return (
+        "CASE "
+        + " ".join(f"WHEN bucket = {b} THEN {w[b]}" for b in sorted(w))
+        + " END"
+    )
+
+
+def _margins(feats: DataFrame, w: dict[int, int]) -> DataFrame:
+    """Per-doc margin <x_d, w> on the checkpointed design matrix."""
+    return feats.groupBy("doc_id", "y").agg(
+        F.expr(f"SUM(CAST(cnt AS DECIMAL(38,0)) * ({_w_case(w)}))").alias("m")
+    )
+
+
+def ze01_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, list[tuple[int, int, int, int, int]], list[dict[int, int]]]:
+    """The full batch-perceptron fit shared by ze01 (learning curve)
+    and ze02 (averaged-weight gate): returns (checkpointed feats, doc
+    count, per-round curve rows, per-round post-update weight dicts).
+    Caller unpersists feats when done with it."""
     docs = load_table(spark, sf_dir, "documents")
     gf = ze01_design_matrix(docs)
     record_plan(gf, "ze01:design_matrix")
@@ -230,22 +304,9 @@ def ze01(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = feats.select("doc_id").distinct().count()
     w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
     rows: list[tuple[int, int, int, int, int]] = []
+    w_hist: list[dict[int, int]] = []
     for r in range(1, ZE01_ROUNDS + 1):
-        # weights as a literal CASE: O(buckets) integers embedded per
-        # round — plan-feeding (xz10/za02), never a per-round shuffle.
-        w_case = (
-            "CASE "
-            + " ".join(f"WHEN bucket = {b} THEN {w[b]}" for b in sorted(w))
-            + " END"
-        )
-        margins = (
-            feats.groupBy("doc_id", "y")
-            .agg(
-                F.expr(
-                    f"SUM(CAST(cnt AS DECIMAL(38,0)) * ({w_case}))"
-                ).alias("m")
-            )
-        )
+        margins = _margins(feats, w)
         record_plan(margins, "ze01:margins")
         margins = margins.localCheckpoint(eager=True)  # O(#docs) rows
         mis = margins.where(F.expr("y * m <= 0")).select("doc_id")
@@ -267,7 +328,66 @@ def ze01(spark: SparkSession, sf_dir: str) -> DataFrame:
         w_l1 = sum(abs(v) for v in w.values())
         w_dot = sum(v * (b + 2) for b, v in w.items())
         rows.append((r, n_mis, ((nd - n_mis) * 10**6) // nd, w_l1, w_dot))
-    feats.unpersist()
-    return spark.createDataFrame(
-        rows, "round bigint, n_mis bigint, acc_ppm bigint, w_l1 bigint, w_dot bigint"
+        w_hist.append(dict(w))
+    return feats, nd, rows, w_hist
+
+
+# ---------------------------------------------------------------------------
+# ze02 — averaged-weight classifier gate (the APPLY step of ze01)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ze02_classifier_gate",
+    oracle=_ze02_oracle_sql(),
+    doc=(
+        "The APPLY step of the in-engine quality classifier — the "
+        "keep/drop gate a curation pipeline actually runs after "
+        "training ze01's filter model. Scores every classifiable doc "
+        "(>= 1 bigram) with the AVERAGED perceptron weights: the "
+        "integer numerator sum_r w_r over the post-update iterates "
+        "(sign(<x, sum_r w_r>) = sign(<x, avg_r w_r>), so the 1/R "
+        "divisor drops and the gate stays integer-exact); averaging "
+        "damps the batch perceptron's well-known terminal oscillation, "
+        "so the deployed model is NOT the last iterate. Keep iff "
+        "margin > 0 (ties drop — conservative gate). Emits the "
+        "per-source census: n_docs, n_kept, kept_ppm, n_correct "
+        "(prediction matches the actual lang label), acc_ppm — the "
+        "per-source yield/accuracy table a data org reads before "
+        "committing the gate. Shape: re-runs ze01's bounded fit "
+        "(zc02's re-run discipline — inherent, documented), then ONE "
+        "scoring aggregate over the checkpointed design matrix with "
+        "the 65 averaged weights embedded as a literal CASE, joined "
+        "to a (doc_id, source) corpus scan (pushdown pinned). Margins "
+        "DECIMAL(38,0)/HUGEINT as in ze01. Oracle = ze01's unrolled "
+        "CTE chain + the averaged-weight census."
+    ),
+    tags=("curation", "quality", "gate", "llm-pipeline"),
+)
+def ze02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    scored = _margins(feats, wavg)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    report = (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when((F.col("m") > 0) == (F.col("y") == 1), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.expr("n_kept * 1000000 DIV n_docs").alias("kept_ppm"),
+            F.col("n_correct").cast("bigint").alias("n_correct"),
+            F.expr("n_correct * 1000000 DIV n_docs").alias("acc_ppm"),
+        )
+        .orderBy("source")
     )
+    record_plan(report, "ze02:gate_report")
+    return report

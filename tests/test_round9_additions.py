@@ -491,38 +491,57 @@ def test_zd07_layout_invariant(spark, sf_dir, tmp_path_factory):
 # ze01 — in-engine batch-perceptron training (operators/zeops.py)
 # ---------------------------------------------------------------------------
 
-ZE01_EXPECTED_LOOP_PLANS = {
-    # one keyed exchange per stage — design matrix (map-combined
-    # groupBy), bias union, per-round margins, per-round weight deltas;
-    # no SinglePartition, no Python boundary anywhere in the fit
+# one keyed exchange per fit stage — design matrix (map-combined
+# groupBy), bias union, per-round margins, per-round weight deltas;
+# no SinglePartition, no Python boundary anywhere in the fit
+_ZE_FIT_PLANS = {
     "ze01:design_matrix": [{"exchanges": 1}],
     "ze01:feats": [{"exchanges": 1}],
     "ze01:margins": [{"exchanges": 1}],
     "ze01:weight_delta": [{"exchanges": 1}],
 }
 
-ZE01_EXPECTED_SCANS = {
-    # pushdown proof: the ONLY corpus read is the design matrix and it
-    # reads exactly the three columns the fit needs
+# pushdown proof: the ONLY corpus read in the fit is the design matrix
+# and it reads exactly the three columns the fit needs
+_ZE_FIT_SCANS = {
     "ze01:design_matrix": [["doc_id,lang,text"]],
     "ze01:feats": [[]],
     "ze01:margins": [[]],
     "ze01:weight_delta": [[]],
 }
 
+ZE_EXPECTED_LOOP_PLANS = {
+    "ze01_perceptron_filter": _ZE_FIT_PLANS,
+    # the gate re-runs the fit, then scores in ONE aggregate joined to
+    # the (doc_id, source) scan — margins groupBy + source groupBy
+    "ze02_classifier_gate": {
+        **_ZE_FIT_PLANS,
+        "ze02:gate_report": [{"exchanges": 2}],
+    },
+}
 
-def test_ze01_loop_stage_pins(spark, sf_dir):
+ZE_EXPECTED_SCANS = {
+    "ze01_perceptron_filter": _ZE_FIT_SCANS,
+    "ze02_classifier_gate": {
+        **_ZE_FIT_SCANS,
+        "ze02:gate_report": [["doc_id,source"]],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(ZE_EXPECTED_LOOP_PLANS))
+def test_ze_loop_stage_pins(spark, sf_dir, name):
     from spotify_tags_etl_spark.plans import planmetrics as pm
 
     pm.LOOP_PLAN_LOG.clear()
     pm.SCAN_LOG.clear()
-    _q("ze01_perceptron_filter")(spark, sf_dir).count()
+    _q(name)(spark, sf_dir).count()
     scans: dict[str, set] = {}
     for label, sc in pm.SCAN_LOG:
         scans.setdefault(label, set()).add(sc)
     observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
-    assert observed_scans == ZE01_EXPECTED_SCANS
-    assert pm.observed_loop_plans() == ZE01_EXPECTED_LOOP_PLANS
+    assert observed_scans == ZE_EXPECTED_SCANS[name]
+    assert pm.observed_loop_plans() == ZE_EXPECTED_LOOP_PLANS[name]
 
 
 def test_ze01_round1_all_misclassified_and_learns(spark, sf_dir):
@@ -570,3 +589,26 @@ def test_ze01_layout_invariant(spark, sf_dir):
     finally:
         ze.load_table = orig
     assert alt == base
+
+
+def test_ze02_gate_accounting(spark, sf_dir):
+    """The gate census must telescope against the fit's own doc count
+    and against an in-process recomputation of the averaged weights,
+    and averaging must not do worse than the final (oscillating)
+    iterate on the training corpus."""
+    from spotify_tags_etl_spark.operators.zeops import ze01_fit
+
+    rep = {r.source: r for r in _q("ze02_classifier_gate")(spark, sf_dir).collect()}
+    feats, nd, rows, w_hist = ze01_fit(spark, sf_dir)
+    feats.unpersist()
+    assert sum(r.n_docs for r in rep.values()) == nd
+    for r in rep.values():
+        assert 0 <= r.n_kept <= r.n_docs
+        assert 0 <= r.n_correct <= r.n_docs
+        assert r.kept_ppm == (r.n_kept * 10**6) // r.n_docs
+        assert r.acc_ppm == (r.n_correct * 10**6) // r.n_docs
+    # averaged readout >= last iterate on the training corpus (the
+    # whole point of deploying the average, not the oscillating tail)
+    overall_correct = sum(r.n_correct for r in rep.values())
+    last_round_acc_ppm = rows[-1][2]
+    assert (overall_correct * 10**6) // nd >= last_round_acc_ppm
