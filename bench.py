@@ -119,6 +119,9 @@ STREAMING_SUITE = [
     # index-build manifest (stream-static assignment join)
     "zd05_stream_dedup_funnel",
     "zd07_stream_rag_manifest",
+    # round-9 late: streaming classifier-gate census (stream-static
+    # scoring against the batch-trained averaged perceptron)
+    "ze03_stream_classifier_gate",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /

@@ -391,3 +391,139 @@ def ze02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     record_plan(report, "ze02:gate_report")
     return report
+
+
+# ---------------------------------------------------------------------------
+# ze03 — streaming twin of ze02: score arriving docs with the trained gate
+# ---------------------------------------------------------------------------
+
+
+def streaming_classifier_gate(
+    spark: SparkSession, sf_dir: str, stream_docs: DataFrame
+) -> DataFrame:
+    """Stream-static scoring (st04/zd07 discipline): the model is ze01's
+    fit on the static corpus, FIXED before the stream starts — in
+    production the nightly batch fit publishes weights and the ingest
+    path scores against them. Each micro-batch reduces to ONE
+    (source, n_docs, n_kept, n_correct) census partial (a doc's margin
+    depends only on its own grams, so per-doc scoring is complete
+    within the doc's arrival batch), SUM-merged into versioned parquet;
+    counts merge associatively + commutatively, so the close-time
+    report is micro-batch-layout invariant and equals batch ze02
+    exactly. Per-trigger cost is O(batch + sources); the raw stream is
+    never re-scanned and the engine keeps no state store."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
+    feats.unpersist()
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+
+    root = tempfile.mkdtemp(prefix="ze03_gate_")
+    current: list[str] = []  # census version pointer
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        gf = ze01_design_matrix(batch)
+        bias = (
+            gf.select("doc_id", "y")
+            .distinct()
+            .select(
+                "doc_id",
+                "y",
+                F.lit(ZE01_BIAS).alias("bucket"),
+                F.lit(1).alias("cnt"),
+            )
+        )
+        part = (
+            _margins(gf.unionByName(bias), wavg)
+            .join(batch.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("n_kept"),
+                F.sum(
+                    F.when((F.col("m") > 0) == (F.col("y") == 1), 1).otherwise(0)
+                ).alias("n_correct"),
+            )
+        )
+        if current:
+            part = (
+                spark.read.parquet(current[0])
+                .unionByName(part)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("n_kept").alias("n_kept"),
+                    F.sum("n_correct").alias("n_correct"),
+                )
+            )
+        record_batch_plan(part, "ze03:census_merge")
+        target = os.path.join(root, f"census_v{batch_id}")
+        part.write.mode("overwrite").parquet(target)
+        current[:] = [target]
+
+    q = (
+        stream_docs.select("doc_id", "lang", "text", "source")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, n_kept bigint, kept_ppm bigint,"
+            " n_correct bigint, acc_ppm bigint",
+        )
+    census = spark.read.parquet(current[0]).localCheckpoint(eager=True)
+    # checkpoint only because rmtree deletes the backing files; a
+    # production run leaves the census as the parquet it already is
+    shutil.rmtree(root, ignore_errors=True)
+    report = census.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.expr("n_kept * 1000000 DIV n_docs").alias("kept_ppm"),
+        F.col("n_correct").cast("bigint").alias("n_correct"),
+        F.expr("n_correct * 1000000 DIV n_docs").alias("acc_ppm"),
+    ).orderBy("source")
+    record_plan(report, "ze03:gate_report")
+    return report
+
+
+@register(
+    "ze03_stream_classifier_gate",
+    oracle=_ze02_oracle_sql(),
+    doc=(
+        "Streaming twin of ze02: ze01's fit runs batch-side on the "
+        "static corpus BEFORE the stream starts (stream-static — the "
+        "nightly fit publishes weights, ingest scores against them); "
+        "each micro-batch builds its own docs' design matrix, scores "
+        "with the 65 averaged weights embedded as a literal CASE, and "
+        "reduces to a (source, n_docs, n_kept, n_correct) census "
+        "partial SUM-merged into versioned parquet (per-doc margins "
+        "are complete within the arrival batch, counts merge "
+        "associatively + commutatively => micro-batch-layout "
+        "invariant, pinned under a 3-file split). Close-time ppm "
+        "rollup = batch ze02 exactly; oracle: ze02's SQL verbatim. "
+        "Per-trigger cost O(batch + sources); no engine state store, "
+        "the raw stream is never re-scanned."
+    ),
+    tags=("streaming", "curation", "quality", "gate", "llm-pipeline"),
+)
+def ze03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+    return streaming_classifier_gate(
+        spark, sf_dir, read_table_stream(spark, sf_dir, "documents")
+    )

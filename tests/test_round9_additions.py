@@ -518,6 +518,12 @@ ZE_EXPECTED_LOOP_PLANS = {
         **_ZE_FIT_PLANS,
         "ze02:gate_report": [{"exchanges": 2}],
     },
+    # close-time report reads only the checkpointed census; the
+    # micro-batch scoring plan is pinned in test_stream_state_shape
+    "ze03_stream_classifier_gate": {
+        **_ZE_FIT_PLANS,
+        "ze03:gate_report": [{}],
+    },
 }
 
 ZE_EXPECTED_SCANS = {
@@ -525,6 +531,10 @@ ZE_EXPECTED_SCANS = {
     "ze02_classifier_gate": {
         **_ZE_FIT_SCANS,
         "ze02:gate_report": [["doc_id,source"]],
+    },
+    "ze03_stream_classifier_gate": {
+        **_ZE_FIT_SCANS,
+        "ze03:gate_report": [[]],
     },
 }
 
@@ -612,3 +622,38 @@ def test_ze02_gate_accounting(spark, sf_dir):
     overall_correct = sum(r.n_correct for r in rep.values())
     last_round_acc_ppm = rows[-1][2]
     assert (overall_correct * 10**6) // nd >= last_round_acc_ppm
+
+
+def test_ze03_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """The census SUM-merge must produce the identical report whether
+    the corpus arrives as 1 micro-batch or 3; both must equal batch
+    ze02 exactly."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zeops import streaming_classifier_gate
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_gate_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "lang", "text", "source"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_classifier_gate(spark, sf_dir, stream).collect()]
+    single = [
+        tuple(r) for r in _q("ze03_stream_classifier_gate")(spark, sf_dir).collect()
+    ]
+    batch = [tuple(r) for r in _q("ze02_classifier_gate")(spark, sf_dir).collect()]
+    assert multi == single == batch
+    assert len(batch) > 0

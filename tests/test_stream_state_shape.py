@@ -61,6 +61,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "zc07_stream_pack_efficiency": [("foreachBatch", ())],
     "zd05_stream_dedup_funnel": [("foreachBatch", ())],
     "zd07_stream_rag_manifest": [("foreachBatch", ())],
+    "ze03_stream_classifier_gate": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -153,6 +154,12 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # one keyed exchange for the census groupBy, one for the
         # doc-distinct pre-aggregation
         "zd07:census_merge": [{"exchanges": 2}],
+    },
+    "ze03_stream_classifier_gate": {
+        "engine:foreachBatch": [{}],
+        # batch design matrix + margins + source join + census groupBy —
+        # all micro-batch-sized frames (plus the <= #sources state table)
+        "ze03:census_merge": [{"exchanges": 4}],
     },
 }
 
