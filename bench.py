@@ -93,6 +93,7 @@ LLM_SUITE = [
     # weight keep/drop gate it deploys
     "ze01_perceptron_filter",
     "ze02_classifier_gate",
+    "ze04_gate_calibration",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

@@ -527,3 +527,101 @@ def ze03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_classifier_gate(
         spark, sf_dir, read_table_stream(spark, sf_dir, "documents")
     )
+
+
+# ---------------------------------------------------------------------------
+# ze04 — equal-mass (decile) calibration report for the deployed gate
+# ---------------------------------------------------------------------------
+
+
+def _ze04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
+    avg_union = " UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_ze01_ctes(rounds))
+        + f""",
+    wavg AS MATERIALIZED (
+      SELECT bucket, SUM(w) AS w FROM ({avg_union}) GROUP BY bucket
+    ),
+    sm AS MATERIALIZED (
+      SELECT f.doc_id, f.y, SUM(CAST(f.cnt AS HUGEINT) * w.w) AS m
+      FROM feats f JOIN wavg w ON w.bucket = f.bucket
+      GROUP BY f.doc_id, f.y
+    ),
+    rk AS MATERIALIZED (
+      SELECT y, m,
+             ROW_NUMBER() OVER (ORDER BY m, doc_id) AS r,
+             (SELECT COUNT(*) FROM sm) AS n
+      FROM sm
+    )
+    SELECT CAST((r - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS tgt_ppm
+    FROM rk
+    GROUP BY decile
+    ORDER BY decile
+    """
+    )
+
+
+@register(
+    "ze04_gate_calibration",
+    oracle=_ze04_oracle_sql(),
+    doc=(
+        "Calibration/reliability table for the deployed ze02 gate — "
+        "the audit a curation org runs before trusting a filter "
+        "model's scores as sampling weights: docs ranked by averaged "
+        "margin (total order: margin, doc_id) and cut into 10 "
+        "equal-mass bins; per decile the doc count, gate keeps "
+        "(margin > 0), target-class count, and target ppm. A "
+        "calibrated score shows tgt_ppm rising with the decile; a "
+        "flat profile says margin magnitude carries no signal beyond "
+        "the sign and the gate must stay hard, not soft-weighted. "
+        "Shape: re-runs ze01's bounded fit (no extra corpus scan — "
+        "the fit's pinned read is the only one), then ranks the "
+        "O(#docs) margin frame with scalerank.global_rank (range "
+        "layout + O(#partitions) offsets — NO single-reducer window; "
+        "the decile edge (r-1)*10 DIV n is plan-fed from the same "
+        "statistics pass) and folds ONE banded aggregate. Oracle = "
+        "ze02\'s CTE chain + the same rank/decile arithmetic."
+    ),
+    tags=("curation", "quality", "eval", "llm-pipeline"),
+)
+def ze04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.scalerank import global_rank
+
+    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    margins = _margins(feats, wavg).localCheckpoint(eager=True)  # O(#docs)
+    feats.unpersist()
+    ranked, n = global_rank(
+        margins, [F.col("m").asc(), F.col("doc_id").asc()], rank_col="r"
+    )
+    report = (
+        ranked.select(
+            F.expr(f"CAST((r - 1) * 10 DIV {n} AS BIGINT)").alias("decile"),
+            "y",
+            "m",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("n_tgt"),
+        )
+        .select(
+            "decile",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            F.col("n_tgt").cast("bigint").alias("n_tgt"),
+            F.expr("n_tgt * 1000000 DIV n_docs").alias("tgt_ppm"),
+        )
+        .orderBy("decile")
+    )
+    record_plan(report, "ze04:calibration")
+    return report

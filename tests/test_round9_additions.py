@@ -524,6 +524,13 @@ ZE_EXPECTED_LOOP_PLANS = {
         **_ZE_FIT_PLANS,
         "ze03:gate_report": [{}],
     },
+    # decile table: range layout (scalerank, no SinglePartition) +
+    # one banded aggregate over the checkpointed margin frame
+    "ze04_gate_calibration": {
+        **_ZE_FIT_PLANS,
+        "scalerank:layout": [{}],
+        "ze04:calibration": [{"exchanges": 2}],
+    },
 }
 
 ZE_EXPECTED_SCANS = {
@@ -535,6 +542,11 @@ ZE_EXPECTED_SCANS = {
     "ze03_stream_classifier_gate": {
         **_ZE_FIT_SCANS,
         "ze03:gate_report": [[]],
+    },
+    "ze04_gate_calibration": {
+        **_ZE_FIT_SCANS,
+        "scalerank:layout": [[]],
+        "ze04:calibration": [[]],
     },
 }
 
@@ -657,3 +669,32 @@ def test_ze03_layout_invariant(spark, sf_dir, tmp_path_factory):
     batch = [tuple(r) for r in _q("ze02_classifier_gate")(spark, sf_dir).collect()]
     assert multi == single == batch
     assert len(batch) > 0
+
+
+def test_ze04_calibration_accounting(spark, sf_dir):
+    """Equal-mass bins that telescope against the fit and the gate:
+    decile sizes differ by at most 1, masses sum to the fit's doc
+    count, total keeps equal ze02's, and the top decile must carry
+    more target mass than the bottom (the signal the audit exists to
+    surface)."""
+    from spotify_tags_etl_spark.operators.zeops import ze01_fit
+
+    rows = {r.decile: r for r in _q("ze04_gate_calibration")(spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(10))
+    feats, nd, _curve, _w = ze01_fit(spark, sf_dir)
+    feats.unpersist()
+    sizes = [rows[d].n_docs for d in range(10)]
+    assert sum(sizes) == nd
+    assert max(sizes) - min(sizes) <= 1
+    gate = _q("ze02_classifier_gate")(spark, sf_dir).collect()
+    assert sum(r.n_kept for r in rows.values()) == sum(g.n_kept for g in gate)
+    # margin > 0 is a SUFFIX of the margin order, so keeps must be a
+    # contiguous tail: every decile above the first kept one is fully
+    # kept except possibly the boundary decile itself
+    kept_deciles = [d for d in range(10) if rows[d].n_kept > 0]
+    assert kept_deciles == list(range(kept_deciles[0], 10)) if kept_deciles else True
+    for d in kept_deciles[1:]:
+        assert rows[d].n_kept == rows[d].n_docs
+    assert rows[9].tgt_ppm > rows[0].tgt_ppm
+    for r in rows.values():
+        assert r.tgt_ppm == (r.n_tgt * 10**6) // r.n_docs
