@@ -209,8 +209,11 @@ CURATION_SUITE = [
     # selection toward a target distribution)
     "zb03_importance_weights",
     # round-9: the per-source dedup-funnel survival report (exact ->
-    # near -> semantic, composed from dd01/dd02/zc03)
+    # near -> semantic, composed from dd01/dd02/zc03) and the five-stage
+    # first-drop-reason lineage that extends it with decontamination +
+    # DSIR selection
     "zd01_dedup_funnel",
+    "zf01_curation_lineage",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

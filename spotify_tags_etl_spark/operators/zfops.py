@@ -1,0 +1,268 @@
+"""Round-9 close: the end-to-end curation lineage report (zf band).
+
+zf01 — per-source FIRST-DROP-REASON lineage through the five curation
+stages the engine ships: exact dedup (dd01) → near dedup (dd02) →
+semantic dedup (zc03) → eval decontamination (tz06) → DSIR
+target-likeness selection (zb03's importance sign). zd01 answered
+"how much survives dedup"; zf01 answers the question a curation org's
+dashboard actually renders: "for each source, WHY did each dropped doc
+drop?" — one mutually-exclusive reason per doc, attributed to the
+FIRST failing stage, with exact mass conservation
+(n_docs = Σ drops + n_kept, per source).
+
+Reference parity note: the reference ETL
+(/root/reference/src/spotify_tags_etl/) has no curation stage; this
+composes stages added in rounds 2–9 along SURVEY.md's "training-data
+pipeline" axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spotify_tags_etl_spark.functions.hashing import hash_frac_sql
+from spotify_tags_etl_spark.operators.dedup import _minhash_ctes, dd01, dd02
+from spotify_tags_etl_spark.operators.training import DECON_NGRAM, tz06
+from spotify_tags_etl_spark.operators.zaops import (
+    ZB03_BUCKETS,
+    ZB03_ORACLE_MAX_WORDS_SQL,
+    ZB03_TARGET_LANG,
+    zb03_grams,
+)
+from spotify_tags_etl_spark.operators.zcops import _zc03_ctes, zc03
+from spotify_tags_etl_spark.plans.planmetrics import record_plan
+from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
+
+# ---------------------------------------------------------------------------
+# zf01 — per-source first-drop-reason curation lineage
+# ---------------------------------------------------------------------------
+
+_ZF01_NEAR_PERMILLE = 800  # dd02's verify threshold (zd01's constant)
+
+#: zb03's importance CTEs under i-prefixed names (the zd01 composition
+#: rule: reuse each stage's own machinery; prefixes only avoid CTE name
+#: collisions with the minhash/zc03 bodies).
+_ZF01_IMPORTANCE_CTES = f"""
+    ig AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))::BIGINT
+               % {ZB03_BUCKETS} AS bucket,
+             lang
+      FROM (SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents) t,
+           UNNEST(generate_series(1, {ZB03_ORACLE_MAX_WORDS_SQL})) AS s(i)
+      WHERE i <= len(w) - 1
+    ),
+    icensus AS MATERIALIZED (
+      SELECT bucket,
+             COUNT(*) AS raw_n,
+             COUNT(*) FILTER (WHERE lang = '{ZB03_TARGET_LANG}') AS tgt_n
+      FROM ig GROUP BY bucket
+    ),
+    itot AS (SELECT SUM(raw_n) AS raw_t, SUM(tgt_n) AS tgt_t FROM icensus),
+    iwts AS (
+      SELECT bucket,
+             CAST(CAST(tgt_n AS HUGEINT) * 1000000 // itot.tgt_t AS BIGINT)
+             - CAST(CAST(raw_n AS HUGEINT) * 1000000 // itot.raw_t AS BIGINT)
+               AS w
+      FROM icensus, itot
+    ),
+    iscore AS MATERIALIZED (
+      SELECT g.doc_id, SUM(w.w) AS importance
+      FROM ig g JOIN iwts w ON w.bucket = g.bucket
+      GROUP BY g.doc_id
+    )"""
+
+#: tz06's decontamination CTEs, c-prefixed — the stage's own oracle
+#: body verbatim (same hash-split edges, same n-gram width, same
+#: bit-identical hash_frac spelling).
+_ZF01_CONTAM_CTES = f"""
+    cg AS MATERIALIZED (
+      SELECT doc_id,
+             {hash_frac_sql('doc_id')} AS frac,
+             unnest([array_to_string(toks[i : i + {DECON_NGRAM} - 1], ' ')
+                     for i in generate_series(1, greatest(len(toks) - {DECON_NGRAM - 1}, 0))])
+               AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    contam AS MATERIALIZED (
+      SELECT DISTINCT t.doc_id
+      FROM (SELECT DISTINCT doc_id, gram FROM cg WHERE frac < 0.8) t
+      JOIN (SELECT DISTINCT gram FROM cg WHERE frac >= 0.9) e USING (gram)
+    )"""
+
+
+def zf01_offtarget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zb03's importance over ALL docs (the registered query truncates
+    to its top-k; the gate needs every doc's sign) — same two-pass
+    census/weights machinery, zb03's own gram extraction. Returns the
+    doc_ids with importance <= 0 (the off-target drop list)."""
+    grams = zb03_grams(load_table(spark, sf_dir, "documents"))
+    census = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count(F.when(F.col("lang") == ZB03_TARGET_LANG, 1)).alias("tgt_n"),
+    )
+    record_plan(census, "zf01:importance_census")
+    census = census.localCheckpoint(eager=True)  # 256 rows, one corpus pass
+    tot = census.agg(F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t"))
+    wts = census.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
+            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
+        ).alias("w"),
+    )
+    wts = wts.localCheckpoint(eager=True)  # 256 rows; pass 2 must not re-census
+    return (
+        grams.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("importance"))
+        .where(F.col("importance") <= 0)
+        .select("doc_id")
+    )
+
+
+
+@register(
+    "zf01_curation_lineage",
+    oracle=f"""
+    WITH {_minhash_ctes(_ZF01_NEAR_PERMILLE)},
+    ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    {_zc03_ctes()},
+    {_ZF01_IMPORTANCE_CTES},
+    {_ZF01_CONTAM_CTES},
+    flags AS (
+      SELECT d.source,
+             CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s_e,
+             CASE WHEN nd.d2 IS NOT NULL THEN 1 ELSE 0 END AS f_near,
+             CASE WHEN sd.d2 IS NOT NULL THEN 1 ELSE 0 END AS f_sem,
+             CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_con,
+             CASE WHEN sc.doc_id IS NOT NULL AND sc.importance <= 0
+                  THEN 1 ELSE 0 END AS f_off
+      FROM documents d
+      LEFT JOIN ek ON ek.doc_id = d.doc_id
+      LEFT JOIN (SELECT DISTINCT d2 FROM verified) nd ON nd.d2 = d.doc_id
+      LEFT JOIN (SELECT DISTINCT d2 FROM dups) sd ON sd.d2 = d.doc_id
+      LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+      LEFT JOIN iscore sc ON sc.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(1 - s_e) AS BIGINT) AS drop_exact,
+           CAST(SUM(s_e * f_near) AS BIGINT) AS drop_near,
+           CAST(SUM(s_e * (1 - f_near) * f_sem) AS BIGINT) AS drop_sem,
+           CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * f_con) AS BIGINT)
+             AS drop_contam,
+           CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con) * f_off)
+                AS BIGINT) AS drop_offtarget,
+           CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con)
+                    * (1 - f_off)) AS BIGINT) AS n_kept,
+           CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con)
+                    * (1 - f_off)) * 1000000 // COUNT(*) AS BIGINT)
+             AS kept_ppm
+    FROM flags GROUP BY source ORDER BY source
+    """,
+    doc=(
+        "CURATION LINEAGE REPORT, per source: one mutually-exclusive "
+        "FIRST-failing-stage drop reason per document through the five "
+        "curation stages the engine ships — exact dedup (dd01 "
+        "hash-groupBy keep-first) -> near dedup (dd02 MinHash+LSH at "
+        "800 permille) -> semantic dedup (zc03 sign-LSH + exact "
+        f"integer cosine) -> eval decontamination (tz06's {DECON_NGRAM}-gram "
+        "train/test overlap) -> DSIR target-likeness (zb03's "
+        "ppm-difference importance; importance <= 0 drops as "
+        "off-target). Mass conserves exactly: n_docs = drop_exact + "
+        "drop_near + drop_sem + drop_contam + drop_offtarget + n_kept "
+        "per source (pinned by test against each stage's own query). "
+        "Absence-of-evidence rules follow the stages: docs without an "
+        "embedding row pass the semantic stage, docs with no bigram "
+        "pass the importance stage (no signal either way — zd01's "
+        "LEFT-join discipline). Shape: the five stage lists are "
+        "computed by the stages' OWN builders/machinery, each "
+        "localCheckpointed so the report joins materialized drop-lists "
+        "against ONE (doc_id, source) corpus scan (the r7 scan-audit "
+        "rule — composed naively the lineage would re-scan documents "
+        "12x); drop-lists are duplicate/contamination-fraction-sized, "
+        "so AQE broadcasts them at any skew; final rollup is one "
+        "map-combined per-source aggregate. Oracle composes the five "
+        "stages' CTE bodies verbatim (i/c prefixes only avoid CTE "
+        "name collisions)."
+    ),
+    tags=("curation", "dedup", "report", "llm-pipeline"),
+)
+def zf01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    exact_keeps = dd01(spark, sf_dir).select(
+        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
+    )
+    near_drops = (
+        dd02(spark, sf_dir)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("f_near", F.lit(1))
+    )
+    sem_drops = (
+        zc03(spark, sf_dir)
+        .where(F.col("keep") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("f_sem", F.lit(1))
+    )
+    contam = tz06(spark, sf_dir).select("doc_id").withColumn("f_con", F.lit(1))
+    offtgt = zf01_offtarget(spark, sf_dir).withColumn("f_off", F.lit(1))
+    for label, frame in (
+        ("zf01:exact_keeps", exact_keeps),
+        ("zf01:near_drops", near_drops),
+        ("zf01:sem_drops", sem_drops),
+        ("zf01:contam", contam),
+        ("zf01:offtarget", offtgt),
+    ):
+        record_plan(frame, label)
+    exact_keeps = exact_keeps.localCheckpoint(eager=True)
+    near_drops = near_drops.localCheckpoint(eager=True)
+    sem_drops = sem_drops.localCheckpoint(eager=True)
+    contam = contam.localCheckpoint(eager=True)
+    offtgt = offtgt.localCheckpoint(eager=True)
+    flags = (
+        docs.join(exact_keeps, "doc_id", "left")
+        .join(near_drops, "doc_id", "left")
+        .join(sem_drops, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(offtgt, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("s_e", F.lit(0)).alias("s_e"),
+            F.coalesce("f_near", F.lit(0)).alias("f_near"),
+            F.coalesce("f_sem", F.lit(0)).alias("f_sem"),
+            F.coalesce("f_con", F.lit(0)).alias("f_con"),
+            F.coalesce("f_off", F.lit(0)).alias("f_off"),
+        )
+    )
+    record_plan(flags, "zf01:lineage_flags")
+    kept = "s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con) * (1 - f_off)"
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(SUM(1 - s_e) AS BIGINT)").alias("drop_exact"),
+            F.expr("CAST(SUM(s_e * f_near) AS BIGINT)").alias("drop_near"),
+            F.expr("CAST(SUM(s_e * (1 - f_near) * f_sem) AS BIGINT)").alias(
+                "drop_sem"
+            ),
+            F.expr(
+                "CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * f_con) AS BIGINT)"
+            ).alias("drop_contam"),
+            F.expr(
+                "CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con)"
+                " * f_off) AS BIGINT)"
+            ).alias("drop_offtarget"),
+            F.expr(f"CAST(SUM({kept}) AS BIGINT)").alias("n_kept"),
+            F.expr(f"CAST(SUM({kept}) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+                "kept_ppm"
+            ),
+        )
+        .orderBy("source")
+    )

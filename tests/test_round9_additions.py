@@ -698,3 +698,116 @@ def test_ze04_calibration_accounting(spark, sf_dir):
     assert rows[9].tgt_ppm > rows[0].tgt_ppm
     for r in rows.values():
         assert r.tgt_ppm == (r.n_tgt * 10**6) // r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# zf01 — curation lineage: first-drop attribution telescopes exactly
+# ---------------------------------------------------------------------------
+
+ZF01_EXPECTED_LOOP_PLANS = {
+    "zc03:projected_corpus": [{}],
+    "zf01:importance_census": [{"exchanges": 1}],
+    "zf01:exact_keeps": [{"exchanges": 1}],
+    "zf01:near_drops": [{"exchanges": 5}],
+    "zf01:sem_drops": [{"exchanges": 2}],
+    "zf01:contam": [{"exchanges": 3}],
+    "zf01:offtarget": [{"exchanges": 1}],
+    # five LEFT joins of checkpointed drop-lists on one corpus scan;
+    # the keeps list is corpus-sized, so some joins legitimately SMJ
+    "zf01:lineage_flags": [{"exchanges": 4, "sort_merge_joins": 3}],
+}
+
+ZF01_EXPECTED_SCANS = {
+    "zc03:projected_corpus": [["embedding,vec_id"]],
+    "zf01:importance_census": [["lang,text"]],
+    "zf01:exact_keeps": [["doc_id,text"]],
+    "zf01:near_drops": [["doc_id,text"] * 6],
+    "zf01:sem_drops": [[]],
+    "zf01:contam": [["doc_id,text"] * 2],
+    "zf01:offtarget": [["doc_id,text"]],
+    # pushdown proof: the composed report reads exactly (doc_id, source)
+    "zf01:lineage_flags": [["doc_id,source"]],
+}
+
+
+def test_zf01_loop_stage_pins(spark, sf_dir):
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    _q("zf01_curation_lineage")(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == ZF01_EXPECTED_SCANS
+    assert pm.observed_loop_plans() == ZF01_EXPECTED_LOOP_PLANS
+
+
+def test_zf01_first_drop_attribution(spark, sf_dir):
+    """Replicate the five-stage first-drop attribution doc-by-doc from
+    the component stages' own queries and require an exact match, plus
+    per-source mass conservation."""
+    from spotify_tags_etl_spark.operators.zfops import zf01_offtarget
+
+    rows = _q("zf01_curation_lineage")(spark, sf_dir).collect()
+    assert rows
+
+    docs = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    exact_keeps = {r.keep_doc_id for r in _q("dd01_exact_hash")(spark, sf_dir).collect()}
+    near_drops = {r.d2 for r in _q("dd02_minhash_lsh")(spark, sf_dir).collect()}
+    sem_drops = {
+        r.vec_id
+        for r in _q("zc03_semantic_dedup")(spark, sf_dir).collect()
+        if r.keep == 0
+    }
+    contam = {r.doc_id for r in _q("tz06_decontaminate")(spark, sf_dir).collect()}
+    offtgt = {r.doc_id for r in zf01_offtarget(spark, sf_dir).collect()}
+
+    want: dict[str, list[int]] = defaultdict(lambda: [0] * 7)
+    for doc_id, source in docs.items():
+        w = want[source]
+        w[0] += 1
+        if doc_id not in exact_keeps:
+            w[1] += 1
+        elif doc_id in near_drops:
+            w[2] += 1
+        elif doc_id in sem_drops:
+            w[3] += 1
+        elif doc_id in contam:
+            w[4] += 1
+        elif doc_id in offtgt:
+            w[5] += 1
+        else:
+            w[6] += 1
+
+    got = {
+        r.source: (
+            r.n_docs,
+            r.drop_exact,
+            r.drop_near,
+            r.drop_sem,
+            r.drop_contam,
+            r.drop_offtarget,
+            r.n_kept,
+        )
+        for r in rows
+    }
+    assert got == {s: tuple(w) for s, w in want.items()}
+    for r in rows:
+        assert (
+            r.drop_exact + r.drop_near + r.drop_sem + r.drop_contam
+            + r.drop_offtarget + r.n_kept
+            == r.n_docs
+        )
+        assert r.kept_ppm == (r.n_kept * 10**6) // r.n_docs
+    # non-vacuous: the off-target stage fires (every fixture SF has
+    # non-en docs) and something survives; exact dups exist only at
+    # larger SFs, so per-stage non-vacuity stops there
+    assert sum(r.drop_offtarget for r in rows) > 0
+    assert sum(r.n_kept for r in rows) > 0

@@ -79,6 +79,12 @@ ALLOWLIST = {
     # zc01/zc06's kept-token sums).
     "(1 - con) * tok": "0/1 flag x window-clamped tokens, addend <= 4096",
     "con * tok": "0/1 flag x window-clamped tokens, addend <= 4096",
+    # zf01 first-drop attribution: every factor is a 0/1 stage flag, so
+    # each addend is 0 or 1 — the SUM is a plain count, int64-safe past
+    # 9e18 docs (zd01 carries the same arithmetic via an interpolated
+    # variable, which is why only these literal spellings surface here).
+    "s_e * f_near": "product of 0/1 stage flags; addend <= 1",
+    "s_e * (1 - f_near)": "product of 0/1 stage flags; addend <= 1",
     # zc04 per-doc importance: n = gram occurrences per (doc, bucket)
     # (bounded by document length), |w| <= 1e6 (a ppm difference), so
     # the addend is <= doc_grams x 1e6 and the per-doc SUM stays
