@@ -121,8 +121,10 @@ STREAMING_SUITE = [
     "zd05_stream_dedup_funnel",
     "zd07_stream_rag_manifest",
     # round-9 late: streaming classifier-gate census (stream-static
-    # scoring against the batch-trained averaged perceptron)
+    # scoring against the batch-trained averaged perceptron) and the
+    # incremental five-stage curation lineage
     "ze03_stream_classifier_gate",
+    "zf02_stream_curation_lineage",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /

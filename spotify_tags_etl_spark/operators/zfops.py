@@ -266,3 +266,306 @@ def zf01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# zf02 — streaming twin of zf01: incremental curation lineage
+# ---------------------------------------------------------------------------
+
+
+def streaming_curation_lineage(
+    spark: SparkSession, sf_dir: str, stream_docs: DataFrame
+) -> DataFrame:
+    """Incremental lineage accounting. Per micro-batch the documents
+    reduce to the mergeable state each stage genuinely needs:
+
+    * EXACT: the (text_hash, source, n, min_doc) SUM/MIN census
+      (zd05's stage, verbatim);
+    * NEAR: idempotent per-batch MinHash-signature + shingle stores
+      (zd05's — signatures are per-doc aggregates, complete in-batch);
+    * OFF-TARGET: the (bucket, raw_n, tgt_n) importance census
+      SUM-merged + idempotent per-batch (doc_id, bucket, n) gram
+      histograms (zc04's stage, verbatim);
+    * CONTAMINATION: the train-side (doc_id, gram) store (hash-split
+      membership is a pure function of doc_id, so split assignment is
+      per-doc-complete in-batch) + the test-side DISTINCT-gram census
+      union-merged into versioned parquet;
+    * SEMANTIC: resolved post-ingest (zd05's documented stance —
+      zc03's candidate pairs need the full projected corpus, which is
+      not a census merge; production runs the semantic pass over the
+      accumulated corpus after ingest, which is exactly stream close).
+
+    At close each stage resolves from its own state and the flags fold
+    into zf01's first-drop attribution — counts and stores merge
+    associatively + commutatively, so the report is micro-batch-layout
+    invariant and equals batch zf01 exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+    from spotify_tags_etl_spark.operators.training import SPLIT_EDGES
+    from spotify_tags_etl_spark.functions.hashing import hash_frac
+    from spotify_tags_etl_spark.streaming.ops import (
+        record_batch_plan,
+        record_state_ops,
+    )
+
+    root = tempfile.mkdtemp(prefix="zf02_lineage_")
+    sig_dirs: list[str] = []
+    sh_dirs: list[str] = []
+    doc_dirs: list[str] = []   # per-batch importance gram histograms
+    tg_dirs: list[str] = []    # per-batch train-side (doc_id, gram)
+    exact_cur: list[str] = []  # exact-census version pointer
+    imp_cur: list[str] = []    # importance-census version pointer
+    test_cur: list[str] = []   # test-gram-census version pointer
+    train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
+
+    def _store(df: DataFrame, sub: str, batch_id: int, dirs: list[str], label: str) -> None:
+        record_batch_plan(df, label)
+        d = os.path.join(root, sub, f"b{batch_id}")
+        df.write.mode("overwrite").parquet(d)
+        if d not in dirs:
+            dirs.append(d)
+
+    def _merge(part: DataFrame, cur: list[str], sub: str, batch_id: int, keys: list[str], aggs, label: str) -> None:
+        if cur:
+            merged = spark.read.parquet(cur[0]).unionByName(part)
+            # aggs=[] is the DISTINCT-merge (set union of keys)
+            part = merged.groupBy(*keys).agg(*aggs) if aggs else merged.select(*keys).distinct()
+        record_batch_plan(part, label)
+        target = os.path.join(root, f"{sub}_v{batch_id}")
+        part.write.mode("overwrite").parquet(target)
+        cur[:] = [target]
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # exact census (zd05)
+        exact_part = batch.groupBy(
+            F.md5("text").alias("text_hash"), F.col("source")
+        ).agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+        _merge(
+            exact_part, exact_cur, "exact", batch_id,
+            ["text_hash", "source"],
+            [F.sum("n").alias("n"), F.min("min_doc").alias("min_doc")],
+            "zf02:exact_census_merge",
+        )
+        # near-dup stores (zd05)
+        sh = word_shingles(batch)
+        _store(minhash_signatures(sh), "signatures", batch_id, sig_dirs, "zf02:sig_partial")
+        _store(sh, "shingles", batch_id, sh_dirs, "zf02:shingle_partial")
+        # importance census + doc gram histograms (zc04)
+        grams = zb03_grams(batch)
+        _store(
+            grams.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n")),
+            "docgrams", batch_id, doc_dirs, "zf02:imp_doc_partial",
+        )
+        imp_part = grams.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("raw_n"),
+            F.count(F.when(F.col("lang") == ZB03_TARGET_LANG, 1)).alias("tgt_n"),
+        )
+        _merge(
+            imp_part, imp_cur, "impcensus", batch_id, ["bucket"],
+            [F.sum("raw_n").alias("raw_n"), F.sum("tgt_n").alias("tgt_n")],
+            "zf02:imp_census_merge",
+        )
+        # contamination: train-side gram store + test-side gram census
+        cg = batch.select(
+            "doc_id",
+            hash_frac(F.col("doc_id")).alias("frac"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {DECON_NGRAM - 1}, 0)),"
+                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {DECON_NGRAM})))"
+                )
+            ).alias("gram"),
+        )
+        _store(
+            cg.where(F.col("frac") < train_edge).select("doc_id", "gram").distinct(),
+            "traingrams", batch_id, tg_dirs, "zf02:train_gram_partial",
+        )
+        test_part = (
+            cg.where(F.col("frac") >= test_edge).select("gram").distinct()
+        )
+        _merge(
+            test_part, test_cur, "testgrams", batch_id, ["gram"],
+            [],  # distinct-merge: groupBy(gram) with no aggregates
+            "zf02:test_gram_merge",
+        )
+
+    q = (
+        stream_docs.select("doc_id", "lang", "text", "source")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not exact_cur:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, drop_exact bigint, drop_near bigint,"
+            " drop_sem bigint, drop_contam bigint, drop_offtarget bigint,"
+            " n_kept bigint, kept_ppm bigint",
+        )
+    # checkpoints only because rmtree deletes the backing files; a
+    # production run leaves censuses + stores as the parquet they are
+    census = spark.read.parquet(exact_cur[0]).localCheckpoint(eager=True)
+    sig_store = spark.read.parquet(*sig_dirs).localCheckpoint(eager=True)
+    sh_store = spark.read.parquet(*sh_dirs).localCheckpoint(eager=True)
+    doc_store = spark.read.parquet(*doc_dirs).localCheckpoint(eager=True)
+    imp_census = spark.read.parquet(imp_cur[0]).localCheckpoint(eager=True)
+    train_grams = spark.read.parquet(*tg_dirs).localCheckpoint(eager=True)
+    test_grams = spark.read.parquet(test_cur[0]).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+
+    # exact keeps, attributed to their own source (zd05)
+    keeps = (
+        census.groupBy("text_hash")
+        .agg(F.min(F.struct("min_doc", "source")).alias("m"))
+        .select(F.col("m.min_doc").alias("doc_id"), F.col("m.source").alias("source"))
+    )
+    near_drops = (
+        jaccard_verify(
+            lsh_candidate_pairs(sig_store), sh_store,
+            threshold_permille=_ZF01_NEAR_PERMILLE,
+        )
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("f_near", F.lit(1))
+    )
+    # semantic: post-ingest batch pass (zd05's documented stance)
+    sem_drops = (
+        zc03(spark, sf_dir)
+        .where(F.col("keep") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("f_sem", F.lit(1))
+    )
+    contam = (
+        train_grams.join(test_grams, "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("f_con", F.lit(1))
+    )
+    tot = imp_census.agg(
+        F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t")
+    )
+    wts = imp_census.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
+            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
+        ).alias("w"),
+    )
+    wts = wts.localCheckpoint(eager=True)
+    offtgt = (
+        doc_store.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            # addend n * w <= grams/doc x 1e6 — int64-safe (zc04's bound)
+            F.expr("CAST(SUM(n * w) AS BIGINT)").alias("importance")
+        )
+        .where(F.col("importance") <= 0)
+        .select("doc_id")
+        .withColumn("f_off", F.lit(1))
+    )
+    near_drops = near_drops.localCheckpoint(eager=True)
+    sem_drops = sem_drops.localCheckpoint(eager=True)
+    contam = contam.localCheckpoint(eager=True)
+    offtgt = offtgt.localCheckpoint(eager=True)
+    flags = (
+        keeps.join(near_drops, "doc_id", "left")
+        .join(sem_drops, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(offtgt, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("f_near", F.lit(0)).alias("f_near"),
+            F.coalesce("f_sem", F.lit(0)).alias("f_sem"),
+            F.coalesce("f_con", F.lit(0)).alias("f_con"),
+            F.coalesce("f_off", F.lit(0)).alias("f_off"),
+        )
+    )
+    per_source_docs = census.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
+    )
+    kept = "(1 - f_near) * (1 - f_sem) * (1 - f_con) * (1 - f_off)"
+    per_source_keeps = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_kept"),
+        F.expr("CAST(SUM(f_near) AS BIGINT)").alias("drop_near"),
+        F.expr("CAST(SUM((1 - f_near) * f_sem) AS BIGINT)").alias("drop_sem"),
+        F.expr(
+            "CAST(SUM((1 - f_near) * (1 - f_sem) * f_con) AS BIGINT)"
+        ).alias("drop_contam"),
+        F.expr(
+            "CAST(SUM((1 - f_near) * (1 - f_sem) * (1 - f_con) * f_off) AS BIGINT)"
+        ).alias("drop_offtarget"),
+        F.expr(f"CAST(SUM({kept}) AS BIGINT)").alias("n_kept"),
+    )
+    report = (
+        per_source_docs.join(per_source_keeps, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "n_docs - COALESCE(n_exact_kept, 0)"
+            ).alias("drop_exact"),
+            F.coalesce("drop_near", F.lit(0)).alias("drop_near"),
+            F.coalesce("drop_sem", F.lit(0)).alias("drop_sem"),
+            F.coalesce("drop_contam", F.lit(0)).alias("drop_contam"),
+            F.coalesce("drop_offtarget", F.lit(0)).alias("drop_offtarget"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.expr(
+                "CAST(COALESCE(n_kept, 0) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )
+    record_plan(report, "zf02:lineage_report")
+    return report
+
+
+def _zf02_register() -> None:
+    from spotify_tags_etl_spark.plans.registry import get
+
+    @register(
+        "zf02_stream_curation_lineage",
+        oracle=get("zf01_curation_lineage").oracle,
+        doc=(
+            "Streaming twin of zf01: per micro-batch the documents "
+            "reduce to exactly the mergeable state each stage needs — "
+            "the SUM/MIN exact census and MinHash signature/shingle "
+            "stores (zd05's stages), the SUM-merged importance census "
+            "+ idempotent per-doc gram histograms (zc04's), and the "
+            "train-gram store + DISTINCT-merged test-gram census "
+            "(hash-split membership is a pure function of doc_id, so "
+            "split assignment is per-doc-complete in-batch). The "
+            "SEMANTIC stage resolves post-ingest (zd05's documented "
+            "stance: zc03's candidate pairs need the full projected "
+            "corpus, not a census merge). At close each stage resolves "
+            "from its own state and the flags fold into zf01's "
+            "first-drop attribution — every merge is associative + "
+            "commutative, so the report is micro-batch-layout "
+            "invariant (pinned under a 3-file split) and equals batch "
+            "zf01 exactly. Oracle: zf01's SQL verbatim. Per-trigger "
+            "cost O(batch grams); the raw stream is never re-scanned; "
+            "no engine state store."
+        ),
+        tags=("streaming", "curation", "dedup", "report", "llm-pipeline"),
+    )
+    def zf02(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+        return streaming_curation_lineage(
+            spark, sf_dir, read_table_stream(spark, sf_dir, "documents")
+        )
+
+
+_zf02_register()

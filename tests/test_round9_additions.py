@@ -811,3 +811,71 @@ def test_zf01_first_drop_attribution(spark, sf_dir):
     # larger SFs, so per-stage non-vacuity stops there
     assert sum(r.drop_offtarget for r in rows) > 0
     assert sum(r.n_kept for r in rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# zf02 — micro-batch-layout invariance vs batch zf01
+# ---------------------------------------------------------------------------
+
+ZF02_EXPECTED_LOOP_PLANS = {
+    # close-time: semantic pass over the static embeddings + the
+    # five-way attribution join over checkpointed stores/censuses
+    "zc03:projected_corpus": [{}],
+    "zf02:lineage_report": [{"exchanges": 8, "sort_merge_joins": 5}],
+}
+
+ZF02_EXPECTED_SCANS = {
+    "zc03:projected_corpus": [["embedding,vec_id"]],
+    # the close-time report reads ONLY checkpointed state — the raw
+    # corpus is never re-scanned after ingest
+    "zf02:lineage_report": [[]],
+}
+
+
+def test_zf02_loop_stage_pins(spark, sf_dir):
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    _q("zf02_stream_curation_lineage")(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == ZF02_EXPECTED_SCANS
+    assert pm.observed_loop_plans() == ZF02_EXPECTED_LOOP_PLANS
+
+
+def test_zf02_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """Every per-stage merge is associative + commutative, so the
+    lineage must be identical whether the corpus arrives as 1
+    micro-batch or 3 — and equal batch zf01 exactly."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zfops import streaming_curation_lineage
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_lineage_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "lang", "text", "source"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_curation_lineage(spark, sf_dir, stream).collect()]
+    single = [
+        tuple(r) for r in _q("zf02_stream_curation_lineage")(spark, sf_dir).collect()
+    ]
+    batch = [tuple(r) for r in _q("zf01_curation_lineage")(spark, sf_dir).collect()]
+    assert multi == single == batch
+    assert len(batch) > 0

@@ -62,6 +62,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "zd05_stream_dedup_funnel": [("foreachBatch", ())],
     "zd07_stream_rag_manifest": [("foreachBatch", ())],
     "ze03_stream_classifier_gate": [("foreachBatch", ())],
+    "zf02_stream_curation_lineage": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -160,6 +161,19 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # batch design matrix + margins + source join + census groupBy —
         # all micro-batch-sized frames (plus the <= #sources state table)
         "ze03:census_merge": [{"exchanges": 4}],
+    },
+    "zf02_stream_curation_lineage": {
+        "engine:foreachBatch": [{}],
+        # every stage partial/merge is one keyed exchange on
+        # micro-batch-sized frames (shingles are per-doc projections:
+        # exchange-free); state = censuses + stores in versioned parquet
+        "zf02:exact_census_merge": [{"exchanges": 1}],
+        "zf02:sig_partial": [{"exchanges": 1}],
+        "zf02:shingle_partial": [{}],
+        "zf02:imp_doc_partial": [{"exchanges": 1}],
+        "zf02:imp_census_merge": [{"exchanges": 1}],
+        "zf02:train_gram_partial": [{"exchanges": 1}],
+        "zf02:test_gram_merge": [{"exchanges": 1}],
     },
 }
 

@@ -72,7 +72,7 @@ def audited_names() -> list[str]:
         "za04_stream_preference_pairs", "zb02_stream_quantile_drift",
         "zc04_stream_importance_weights", "zc07_stream_pack_efficiency",
         "zd05_stream_dedup_funnel", "zd07_stream_rag_manifest",
-        "ze03_stream_classifier_gate",
+        "ze03_stream_classifier_gate", "zf02_stream_curation_lineage",
     }
     return [n for n in out if n not in streaming]
 

@@ -85,6 +85,10 @@ ALLOWLIST = {
     # variable, which is why only these literal spellings surface here).
     "s_e * f_near": "product of 0/1 stage flags; addend <= 1",
     "s_e * (1 - f_near)": "product of 0/1 stage flags; addend <= 1",
+    # zf02's close-time attribution runs on the exact-keeps frame, so
+    # the s_e factor is implicit — same 0/1 flag algebra
+    "(1 - f_near) * f_sem": "product of 0/1 stage flags; addend <= 1",
+    "(1 - f_near) * (1 - f_sem)": "product of 0/1 stage flags; addend <= 1",
     # zc04 per-doc importance: n = gram occurrences per (doc, bucket)
     # (bounded by document length), |w| <= 1e6 (a ppm difference), so
     # the addend is <= doc_grams x 1e6 and the per-doc SUM stays
