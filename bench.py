@@ -94,6 +94,7 @@ LLM_SUITE = [
     "ze01_perceptron_filter",
     "ze02_classifier_gate",
     "ze04_gate_calibration",
+    "ze05_hard_examples",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the

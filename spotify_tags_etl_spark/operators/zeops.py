@@ -625,3 +625,84 @@ def ze04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     record_plan(report, "ze04:calibration")
     return report
+
+
+# ---------------------------------------------------------------------------
+# ze05 — hard-example / label-noise export (confidently-wrong docs)
+# ---------------------------------------------------------------------------
+
+#: Export size — the relabel-queue page a human audits per run.
+ZE05_TOPK = 20
+
+
+def _ze05_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
+    avg_union = " UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_ze01_ctes(rounds))
+        + f""",
+    wavg AS MATERIALIZED (
+      SELECT bucket, SUM(w) AS w FROM ({avg_union}) GROUP BY bucket
+    ),
+    sm AS MATERIALIZED (
+      SELECT f.doc_id, f.y, SUM(CAST(f.cnt AS HUGEINT) * w.w) AS m
+      FROM feats f JOIN wavg w ON w.bucket = f.bucket
+      GROUP BY f.doc_id, f.y
+    )
+    SELECT s.doc_id,
+           d.source,
+           d.lang,
+           CAST(s.y AS BIGINT) AS y,
+           CAST(s.m AS BIGINT) AS margin
+    FROM sm s JOIN documents d ON d.doc_id = s.doc_id
+    WHERE (s.m > 0) <> (s.y = 1)
+    ORDER BY ABS(s.m) DESC, s.doc_id ASC
+    LIMIT {ZE05_TOPK}
+    """
+    )
+
+
+@register(
+    "ze05_hard_examples",
+    oracle=_ze05_oracle_sql(),
+    doc=(
+        "Hard-example / label-noise export — the active-learning queue "
+        "a curation org reviews after ze04's calibration audit: the "
+        f"{ZE05_TOPK} documents the deployed averaged model gets wrong "
+        "MOST CONFIDENTLY (prediction sign disagrees with the lang "
+        "label, ranked by |margin| desc with doc_id tiebreak — a total "
+        "order, so the export is deterministic). High-|margin| errors "
+        "are where label noise and genuine hard examples concentrate; "
+        "relabeling or upweighting this queue is the standard "
+        "fit-audit-refit loop. Shape: re-runs ze01's bounded fit, ONE "
+        "scoring aggregate, a (doc_id, source, lang) corpus join, and "
+        "a TakeOrderedAndProject top-k (rank is filter-only, never a "
+        "global sort). Margin emitted as BIGINT (|m| <= doc_grams x "
+        "|w|; the 128-bit accumulator is the safe path, the export "
+        "cast is a report column). Oracle = ze02's CTE chain + the "
+        "same filter/order."
+    ),
+    tags=("curation", "quality", "eval", "llm-pipeline"),
+)
+def ze05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    scored = _margins(feats, wavg)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    out = (
+        scored.join(docs, "doc_id")
+        .where((F.col("m") > 0) != (F.col("y") == 1))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("y").cast("bigint").alias("y"),
+            F.col("m").cast("bigint").alias("margin"),
+        )
+        .orderBy(F.abs(F.col("margin")).desc(), F.col("doc_id").asc())
+        .limit(ZE05_TOPK)
+    )
+    record_plan(out, "ze05:hard_examples")
+    return out

@@ -531,6 +531,12 @@ ZE_EXPECTED_LOOP_PLANS = {
         "scalerank:layout": [{}],
         "ze04:calibration": [{"exchanges": 2}],
     },
+    # top-k compiles to TakeOrderedAndProject — one margins exchange,
+    # never a global sort
+    "ze05_hard_examples": {
+        **_ZE_FIT_PLANS,
+        "ze05:hard_examples": [{"exchanges": 1}],
+    },
 }
 
 ZE_EXPECTED_SCANS = {
@@ -547,6 +553,10 @@ ZE_EXPECTED_SCANS = {
         **_ZE_FIT_SCANS,
         "scalerank:layout": [[]],
         "ze04:calibration": [[]],
+    },
+    "ze05_hard_examples": {
+        **_ZE_FIT_SCANS,
+        "ze05:hard_examples": [["doc_id,lang,source"]],
     },
 }
 
@@ -879,3 +889,36 @@ def test_zf02_layout_invariant(spark, sf_dir, tmp_path_factory):
     batch = [tuple(r) for r in _q("zf01_curation_lineage")(spark, sf_dir).collect()]
     assert multi == single == batch
     assert len(batch) > 0
+
+
+def test_ze05_hard_examples_are_confidently_wrong(spark, sf_dir):
+    """Every exported doc must be misclassified by the averaged model,
+    and the export must be exactly the |margin|-top-k of the full
+    misclassified set (replicated in-process)."""
+    from spotify_tags_etl_spark.operators.zeops import (
+        ZE05_TOPK,
+        _margins,
+        ze01_fit,
+    )
+
+    rows = _q("ze05_hard_examples")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= ZE05_TOPK
+    feats, _nd, _curve, w_hist = ze01_fit(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    scored = {
+        r.doc_id: (r.y, int(r.m))
+        for r in _margins(feats, wavg).collect()
+    }
+    feats.unpersist()
+    wrong = [
+        (abs(m), -doc_id, doc_id, y, m)
+        for doc_id, (y, m) in scored.items()
+        if (m > 0) != (y == 1)
+    ]
+    wrong.sort(reverse=True)
+    want = [(d, y, m) for _, _, d, y, m in wrong[: ZE05_TOPK]]
+    # reverse-sorted on (-doc_id) gives doc_id ASC within equal |m|
+    assert [(r.doc_id, r.y, r.margin) for r in rows] == want
+    for r in rows:
+        assert (r.margin > 0) != (r.y == 1)
+        assert (r.y == 1) == (r.lang == "en")
