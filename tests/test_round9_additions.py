@@ -922,3 +922,60 @@ def test_ze05_hard_examples_are_confidently_wrong(spark, sf_dir):
     for r in rows:
         assert (r.margin > 0) != (r.y == 1)
         assert (r.y == 1) == (r.lang == "en")
+
+
+def test_ze01_python_reference_fit(spark, sf_dir):
+    """Third-engine check (yv17's closed-form-recompute discipline):
+    a pure-Python reimplementation of the hashed-bigram design matrix
+    and the 6 batch-perceptron rounds must reproduce ze01's learning
+    curve bit-for-bit — Spark, DuckDB, and Python all agree or the
+    operator is wrong."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from spotify_tags_etl_spark.operators.zeops import (
+        ZE01_BIAS,
+        ZE01_BUCKETS,
+        ZE01_ROUNDS,
+        ZE01_TARGET_LANG,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    feats: dict[int, tuple[int, Counter]] = {}
+    for r in docs:
+        ws = [w for w in re.split(r"[^a-z0-9]+", r.text.lower()) if w]
+        if len(ws) < 2:
+            continue
+        y = 1 if r.lang == ZE01_TARGET_LANG else -1
+        c: Counter = Counter(
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % ZE01_BUCKETS
+            for a, b in zip(ws, ws[1:])
+        )
+        c[ZE01_BIAS] = 1
+        feats[r.doc_id] = (y, c)
+    nd = len(feats)
+    w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
+    want = []
+    for rnd in range(1, ZE01_ROUNDS + 1):
+        mis = [
+            d for d, (y, c) in feats.items()
+            if y * sum(n * w[b] for b, n in c.items()) <= 0
+        ]
+        for d in mis:
+            y, c = feats[d]
+            for b, n in c.items():
+                w[b] += y * n
+        want.append(
+            (
+                rnd,
+                len(mis),
+                ((nd - len(mis)) * 10**6) // nd,
+                sum(abs(v) for v in w.values()),
+                sum(v * (b + 2) for b, v in w.items()),
+            )
+        )
+    got = [tuple(r) for r in _q("ze01_perceptron_filter")(spark, sf_dir).collect()]
+    assert got == want
