@@ -979,3 +979,106 @@ def test_ze01_python_reference_fit(spark, sf_dir):
         )
     got = [tuple(r) for r in _q("ze01_perceptron_filter")(spark, sf_dir).collect()]
     assert got == want
+
+
+def _py_ze_fit(spark, sf_dir):
+    """Shared pure-Python fit for the three-engine ze-band checks:
+    returns (feats: doc_id -> (y, bucket Counter), per-round
+    post-update weight dicts, doc source/lang maps)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from spotify_tags_etl_spark.operators.zeops import (
+        ZE01_BIAS,
+        ZE01_BUCKETS,
+        ZE01_ROUNDS,
+        ZE01_TARGET_LANG,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text", "source"
+    ).collect()
+    feats = {}
+    source = {}
+    for r in docs:
+        source[r.doc_id] = r.source
+        ws = [w for w in re.split(r"[^a-z0-9]+", r.text.lower()) if w]
+        if len(ws) < 2:
+            continue
+        y = 1 if r.lang == ZE01_TARGET_LANG else -1
+        c = Counter(
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % ZE01_BUCKETS
+            for a, b in zip(ws, ws[1:])
+        )
+        c[ZE01_BIAS] = 1
+        feats[r.doc_id] = (y, c)
+    w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
+    w_hist = []
+    for _ in range(ZE01_ROUNDS):
+        mis = [
+            d for d, (y, c) in feats.items()
+            if y * sum(n * w[b] for b, n in c.items()) <= 0
+        ]
+        for d in mis:
+            y, c = feats[d]
+            for b, n in c.items():
+                w[b] += y * n
+        w_hist.append(dict(w))
+    return feats, w_hist, source
+
+
+def test_ze_band_python_reference_gate_calibration_hard_examples(spark, sf_dir):
+    """Three-engine agreement for the APPLY/audit half of the ze band:
+    the Python fit's averaged weights must reproduce ze02's per-source
+    census, ze04's decile table, and ze05's export exactly."""
+    from collections import defaultdict
+
+    from spotify_tags_etl_spark.operators.zeops import ZE05_TOPK
+
+    feats, w_hist, source = _py_ze_fit(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    margins = {
+        d: (y, sum(n * wavg[b] for b, n in c.items()))
+        for d, (y, c) in feats.items()
+    }
+
+    # ze02 per-source census
+    want02 = defaultdict(lambda: [0, 0, 0])
+    for d, (y, m) in margins.items():
+        w = want02[source[d]]
+        w[0] += 1
+        w[1] += 1 if m > 0 else 0
+        w[2] += 1 if (m > 0) == (y == 1) else 0
+    got02 = {
+        r.source: [r.n_docs, r.n_kept, r.n_correct]
+        for r in _q("ze02_classifier_gate")(spark, sf_dir).collect()
+    }
+    assert got02 == dict(want02)
+
+    # ze04 decile table
+    order = sorted(margins, key=lambda d: (margins[d][1], d))
+    n = len(order)
+    want04 = defaultdict(lambda: [0, 0, 0])
+    for i, d in enumerate(order):
+        y, m = margins[d]
+        w = want04[i * 10 // n]
+        w[0] += 1
+        w[1] += 1 if m > 0 else 0
+        w[2] += 1 if y == 1 else 0
+    got04 = {
+        r.decile: [r.n_docs, r.n_kept, r.n_tgt]
+        for r in _q("ze04_gate_calibration")(spark, sf_dir).collect()
+    }
+    assert got04 == dict(want04)
+
+    # ze05 export
+    wrong = sorted(
+        ((d, y, m) for d, (y, m) in margins.items() if (m > 0) != (y == 1)),
+        key=lambda t: (-abs(t[2]), t[0]),
+    )[:ZE05_TOPK]
+    got05 = [
+        (r.doc_id, r.y, r.margin)
+        for r in _q("ze05_hard_examples")(spark, sf_dir).collect()
+    ]
+    assert got05 == wrong
