@@ -1082,3 +1082,37 @@ def test_ze_band_python_reference_gate_calibration_hard_examples(spark, sf_dir):
         for r in _q("ze05_hard_examples")(spark, sf_dir).collect()
     ]
     assert got05 == wrong
+
+
+def test_zf02_batch_order_permutation(spark, sf_dir, tmp_path_factory):
+    """Reversed arrival order (latestFirst) must not change the
+    lineage — the merges claim commutativity, so a true order
+    permutation is the direct falsifier (the 3-file split test only
+    varies the partitioning, not the order)."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zfops import streaming_curation_lineage
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_lineage_rev"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "lang", "text", "source"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "true")  # newest file first: reversed order
+        .parquet(root)
+    )
+    reversed_order = [
+        tuple(r) for r in streaming_curation_lineage(spark, sf_dir, stream).collect()
+    ]
+    batch = [tuple(r) for r in _q("zf01_curation_lineage")(spark, sf_dir).collect()]
+    assert reversed_order == batch
