@@ -367,6 +367,20 @@ VERIFIED = frozenset(
         "zc05_curriculum_schedule",
         "zc06_pack_efficiency",
         "zc07_stream_pack_efficiency",
+        "zd01_dedup_funnel",
+        "zd02_rag_index_manifest",
+        "zd03_semantic_dedup_planned",
+        "zd04_contamination_aware_packing",
+        "zd05_stream_dedup_funnel",
+        "zd06_semantic_dedup_keepset",
+        "zd07_stream_rag_manifest",
+        "ze01_perceptron_filter",
+        "ze02_classifier_gate",
+        "ze03_stream_classifier_gate",
+        "ze04_gate_calibration",
+        "ze05_hard_examples",
+        "zf01_curation_lineage",
+        "zf02_stream_curation_lineage",
     }
 )
 # 303 verified; registry window frees 7 new slots next round
