@@ -417,8 +417,10 @@ def streaming_classifier_gate(
     import tempfile
 
     from spotify_tags_etl_spark.streaming.ops import (
+        commit_versioned_state,
         record_batch_plan,
         record_state_ops,
+        versioned_state_source,
     )
 
     feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
@@ -452,9 +454,11 @@ def streaming_classifier_gate(
                 ).alias("n_correct"),
             )
         )
-        if current:
+        target = os.path.join(root, f"census_v{batch_id}")
+        src = versioned_state_source(current, target)  # replay-safe (r9 advice)
+        if src:
             part = (
-                spark.read.parquet(current[0])
+                spark.read.parquet(src)
                 .unionByName(part)
                 .groupBy("source")
                 .agg(
@@ -464,9 +468,7 @@ def streaming_classifier_gate(
                 )
             )
         record_batch_plan(part, "ze03:census_merge")
-        target = os.path.join(root, f"census_v{batch_id}")
-        part.write.mode("overwrite").parquet(target)
-        current[:] = [target]
+        commit_versioned_state(part, current, target, src)
 
     q = (
         stream_docs.select("doc_id", "lang", "text", "source")
@@ -679,10 +681,12 @@ def _ze05_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
         "fit-audit-refit loop. Shape: re-runs ze01's bounded fit, ONE "
         "scoring aggregate, a (doc_id, source, lang) corpus join, and "
         "a TakeOrderedAndProject top-k (rank is filter-only, never a "
-        "global sort). Margin emitted as BIGINT (|m| <= doc_grams x "
-        "|w|; the 128-bit accumulator is the safe path, the export "
-        "cast is a report column). Oracle = ze02's CTE chain + the "
-        "same filter/order."
+        "global sort). Filter + order run on the full-precision "
+        "DECIMAL(38,0) margin (cnt*w crosses int64 at the 100 TB "
+        "design point; an overflowing cast would NULL-blank the "
+        "top-k under non-ANSI); the BIGINT margin column is strictly "
+        "the export spelling. Oracle = ze02's CTE chain + the same "
+        "filter/order."
     ),
     tags=("curation", "quality", "eval", "llm-pipeline"),
 )
@@ -694,6 +698,13 @@ def ze05(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         scored.join(docs, "doc_id")
         .where((F.col("m") > 0) != (F.col("y") == 1))
+        # Order + limit on the FULL-PRECISION DECIMAL(38,0) margin
+        # (r9 advice): with ANSI off an overflowing BIGINT cast yields
+        # NULL and would silently blank/reorder the top-k — and ze01's
+        # own doc says cnt*w crosses int64 at the 100 TB design point.
+        # The BIGINT spelling below is strictly the report column.
+        .orderBy(F.abs(F.col("m")).desc(), F.col("doc_id").asc())
+        .limit(ZE05_TOPK)
         .select(
             "doc_id",
             "source",
@@ -701,8 +712,6 @@ def ze05(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y").cast("bigint").alias("y"),
             F.col("m").cast("bigint").alias("margin"),
         )
-        .orderBy(F.abs(F.col("margin")).desc(), F.col("doc_id").asc())
-        .limit(ZE05_TOPK)
     )
     record_plan(out, "ze05:hard_examples")
     return out

@@ -312,8 +312,10 @@ def streaming_curation_lineage(
     from spotify_tags_etl_spark.operators.training import SPLIT_EDGES
     from spotify_tags_etl_spark.functions.hashing import hash_frac
     from spotify_tags_etl_spark.streaming.ops import (
+        commit_versioned_state,
         record_batch_plan,
         record_state_ops,
+        versioned_state_source,
     )
 
     root = tempfile.mkdtemp(prefix="zf02_lineage_")
@@ -334,14 +336,14 @@ def streaming_curation_lineage(
             dirs.append(d)
 
     def _merge(part: DataFrame, cur: list[str], sub: str, batch_id: int, keys: list[str], aggs, label: str) -> None:
-        if cur:
-            merged = spark.read.parquet(cur[0]).unionByName(part)
+        target = os.path.join(root, f"{sub}_v{batch_id}")
+        src = versioned_state_source(cur, target)  # replay-safe (r9 advice)
+        if src:
+            merged = spark.read.parquet(src).unionByName(part)
             # aggs=[] is the DISTINCT-merge (set union of keys)
             part = merged.groupBy(*keys).agg(*aggs) if aggs else merged.select(*keys).distinct()
         record_batch_plan(part, label)
-        target = os.path.join(root, f"{sub}_v{batch_id}")
-        part.write.mode("overwrite").parquet(target)
-        cur[:] = [target]
+        commit_versioned_state(part, cur, target, src)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # exact census (zd05)
@@ -373,13 +375,24 @@ def streaming_curation_lineage(
             [F.sum("raw_n").alias("raw_n"), F.sum("tgt_n").alias("tgt_n")],
             "zf02:imp_census_merge",
         )
-        # contamination: train-side gram store + test-side gram census
-        cg = batch.select(
+        # contamination: train-side gram store + test-side gram census.
+        # The short-doc pre-filter is load-bearing (decontaminate()'s
+        # rule, training.py): sequence(1, 0) in Spark is the DESCENDING
+        # [1, 0] (step defaults to -1), so a batch containing any doc
+        # with < DECON_NGRAM space-split tokens would feed
+        # slice(..., 0, n) and kill the streaming query with
+        # INVALID_PARAMETER_VALUE — the greatest(..., 0) clamp does NOT
+        # prevent the [1, 0] sequence. The oracle's generate_series(1,
+        # greatest(len-4, 0)) is empty for the same doc, so filtering
+        # is semantically identical and total.
+        cg = batch.where(
+            F.size(F.split("text", " ")) >= DECON_NGRAM
+        ).select(
             "doc_id",
             hash_frac(F.col("doc_id")).alias("frac"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(split(text, ' ')) - {DECON_NGRAM - 1}, 0)),"
+                    f"transform(sequence(1, size(split(text, ' ')) - {DECON_NGRAM - 1}),"
                     f" i -> concat_ws(' ', slice(split(text, ' '), i, {DECON_NGRAM})))"
                 )
             ).alias("gram"),
@@ -555,8 +568,12 @@ def _zf02_register() -> None:
             "commutative, so the report is micro-batch-layout "
             "invariant (pinned under a 3-file split) and equals batch "
             "zf01 exactly. Oracle: zf01's SQL verbatim. Per-trigger "
-            "cost O(batch grams); the raw stream is never re-scanned; "
-            "no engine state store."
+            "cost is O(state + batch): the NEW work is O(batch grams), "
+            "but each trigger REWRITES the accumulated exact/test-gram/"
+            "importance censuses to a fresh parquet version (O(distinct "
+            "accumulated grams+hashes)), and the train-gram store "
+            "accumulates O(corpus grams) across the run. The raw stream "
+            "is never re-scanned; no engine state store."
         ),
         tags=("streaming", "curation", "dedup", "report", "llm-pipeline"),
     )

@@ -242,6 +242,45 @@ def record_state_ops(q, sink: str) -> None:
         pass
 
 
+def versioned_state_source(cur: list[str], target: str) -> str | None:
+    """Resolve the merge SOURCE for a versioned-census update (the
+    zf02/ze03 foreachBatch pattern: each batch writes the accumulated
+    census to a new batch-keyed parquet version and advances a
+    ``cur`` pointer list).
+
+    Replay safety (r9 advice): foreachBatch MAY re-deliver a batch_id
+    after a partial failure. On first delivery ``cur[0]`` (if any) is
+    the previous batch's version — merge against it. On a REPLAY the
+    pointer already names this batch's own target, and merging against
+    it would (a) double-count the batch and (b) lazily read the very
+    directory the write is about to clobber; the correct source is the
+    version that preceded the first attempt, kept as ``cur[1]``."""
+    if not cur:
+        return None
+    if cur[0] == target:  # replay: merge against the pre-attempt version
+        return cur[1] if len(cur) > 1 else None
+    return cur[0]
+
+
+def commit_versioned_state(df: DataFrame, cur: list[str], target: str, src: str | None) -> None:
+    """Materialize a merged census and advance the version pointer,
+    replay-safely: write to ``<target>.tmp`` FIRST (so the lazy merge
+    read in ``df`` never points at a directory being deleted — Spark's
+    overwrite removes the target before the read executes), then
+    rename whole onto ``target``. A half-written first attempt is
+    replaced atomically; ``cur`` keeps [current, previous] so a replay
+    can re-resolve its source via :func:`versioned_state_source`."""
+    import os
+    import shutil
+
+    tmp = target + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    os.rename(tmp, target)
+    cur[:] = [target] + ([src] if src else [])
+
+
 def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming frame to completion (AvailableNow) into a
     memory sink; return the materialized result as a batch DataFrame.

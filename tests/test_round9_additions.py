@@ -891,6 +891,107 @@ def test_zf02_layout_invariant(spark, sf_dir, tmp_path_factory):
     assert len(batch) > 0
 
 
+def test_versioned_state_replay_safe(spark, tmp_path):
+    """Regression (r9 advice): foreachBatch may RE-DELIVER a batch_id
+    after a partial failure. The old merge read cur[0] and overwrote
+    that same path on replay — Spark's overwrite deletes the directory
+    before the lazy read executes, corrupting the census (and merging
+    a batch into its own first attempt double-counts it). The helper
+    pair must (a) merge a replay against the PRE-attempt version and
+    (b) never clobber a directory a pending read points at."""
+    import os
+
+    from spotify_tags_etl_spark.streaming.ops import (
+        commit_versioned_state,
+        versioned_state_source,
+    )
+
+    root = str(tmp_path)
+    cur: list[str] = []
+
+    def merge(rows, batch_id):
+        part = spark.createDataFrame(rows, "k string, n long")
+        target = os.path.join(root, f"census_v{batch_id}")
+        src = versioned_state_source(cur, target)
+        assert src != target  # never self-read the write target
+        if src:
+            part = (
+                spark.read.parquet(src)
+                .unionByName(part)
+                .groupBy("k")
+                .agg(F.sum("n").alias("n"))
+            )
+        commit_versioned_state(part, cur, target, src)
+
+    merge([("a", 1)], 0)
+    merge([("a", 1)], 0)  # replay of the FIRST batch: src must be None
+    merge([("a", 2), ("b", 5)], 1)
+    merge([("a", 2), ("b", 5)], 1)  # replay: merge against v0, not v1
+    got = {(r.k, r.n) for r in spark.read.parquet(cur[0]).collect()}
+    assert got == {("a", 3), ("b", 5)}
+    merge([("b", 1)], 2)  # normal progress after a replay still chains
+    got = {(r.k, r.n) for r in spark.read.parquet(cur[0]).collect()}
+    assert got == {("a", 3), ("b", 6)}
+
+
+def test_zf02_short_doc_stream(spark, sf_dir, tmp_path_factory):
+    """Regression (r9 advice): a micro-batch containing a doc with
+    fewer than DECON_NGRAM space-split tokens must not kill the
+    contamination gram stage. sequence(1, 0) in Spark is the
+    DESCENDING [1, 0] (step defaults to -1) and greatest(..., 0) does
+    not prevent it, so without the short-doc pre-filter the streaming
+    query dies with INVALID_PARAMETER_VALUE on slice(..., 0, n) —
+    while the oracle's generate_series is simply empty. The fixture's
+    shortest doc has ~10 tokens, so this plants 1- and 4-token docs in
+    their own micro-batch and checks the stream completes AND still
+    equals batch zf01 on the same augmented corpus."""
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+
+    from spotify_tags_etl_spark.operators.zfops import streaming_curation_lineage
+
+    root = str(tmp_path_factory.mktemp("docs_shortdoc_sf"))
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(root, "embeddings.parquet"),
+    )
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    top = int(docs.doc_id.max())
+    short = pd.DataFrame(
+        [
+            {"doc_id": top + 1, "text": "tiny", "lang": "en",
+             "source": "web", "n_chars": 4},
+            {"doc_id": top + 2, "text": "four space split tokens",
+             "lang": "de", "source": "web", "n_chars": 23},
+        ]
+    ).astype(docs.dtypes.to_dict())
+    aug = pd.concat([docs, short], ignore_index=True)
+    aug.to_parquet(os.path.join(root, "documents.parquet"), index=False)
+
+    stream_root = str(tmp_path_factory.mktemp("docs_shortdoc_stream"))
+    cols = ["doc_id", "lang", "text", "source"]
+    parts = [docs[cols], short[cols]]  # short docs isolated in batch 2
+    for i, part in enumerate(parts):
+        p = os.path.join(stream_root, f"part-{i}.parquet")
+        part.to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(stream_root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(stream_root)
+    )
+    multi = [tuple(r) for r in streaming_curation_lineage(spark, root, stream).collect()]
+    batch = [tuple(r) for r in _q("zf01_curation_lineage")(spark, root).collect()]
+    assert multi == batch
+    assert len(batch) > 0
+
+
 def test_ze05_hard_examples_are_confidently_wrong(spark, sf_dir):
     """Every exported doc must be misclassified by the averaged model,
     and the export must be exactly the |margin|-top-k of the full
