@@ -255,8 +255,16 @@ def ze01_design_matrix(docs: DataFrame) -> DataFrame:
     tags=("curation", "quality", "training", "model-fit", "llm-pipeline"),
 )
 def ze01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats, _nd, rows, _w_hist = ze01_fit(spark, sf_dir)
+    import json
+
+    feats, nd, rows, w_hist = ze01_fit(spark, sf_dir)
     feats.unpersist()
+    # The nightly-fit PUBLISH step: ze01 is the one query that always
+    # exercises the live fit, and its run refreshes the artifact every
+    # consumer (ze02-ze05, zg band) reads via ze01_fit_artifact.
+    key = _fit_key(sf_dir)
+    _publish_fit(key, nd, rows, w_hist)
+    _FIT_MEMO[json.dumps(key, sort_keys=True)] = (nd, rows, w_hist)
     return spark.createDataFrame(
         rows, "round bigint, n_mis bigint, acc_ppm bigint, w_l1 bigint, w_dot bigint"
     )
@@ -279,13 +287,11 @@ def _margins(feats: DataFrame, w: dict[int, int]) -> DataFrame:
     )
 
 
-def ze01_fit(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, int, list[tuple[int, int, int, int, int]], list[dict[int, int]]]:
-    """The full batch-perceptron fit shared by ze01 (learning curve)
-    and ze02 (averaged-weight gate): returns (checkpointed feats, doc
-    count, per-round curve rows, per-round post-update weight dicts).
-    Caller unpersists feats when done with it."""
+def ze01_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (design matrix + bias) feature frame — the ONE
+    corpus-sized pass every ze consumer pays (scoring is inherently a
+    corpus read; only the FIT is amortizable via the artifact).
+    Caller unpersists when done."""
     docs = load_table(spark, sf_dir, "documents")
     gf = ze01_design_matrix(docs)
     record_plan(gf, "ze01:design_matrix")
@@ -301,6 +307,17 @@ def ze01_fit(
     record_plan(feats, "ze01:feats")
     feats = feats.localCheckpoint(eager=True)
     gf.unpersist()
+    return feats
+
+
+def ze01_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int, list[tuple[int, int, int, int, int]], list[dict[int, int]]]:
+    """The full batch-perceptron fit shared by ze01 (learning curve)
+    and the artifact publish path: returns (checkpointed feats, doc
+    count, per-round curve rows, per-round post-update weight dicts).
+    Caller unpersists feats when done with it."""
+    feats = ze01_feats(spark, sf_dir)
     nd = feats.select("doc_id").distinct().count()
     w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
     rows: list[tuple[int, int, int, int, int]] = []
@@ -333,6 +350,165 @@ def ze01_fit(
 
 
 # ---------------------------------------------------------------------------
+# ze01 fit artifact — publish-once weights read by every consumer
+# ---------------------------------------------------------------------------
+
+#: Bump when the FIT SEMANTICS change: a persisted artifact written by
+#: an older fit definition must read as stale, never as the model.
+ZE01_FIT_VERSION = 1
+
+#: In-process memo (bench/sweep runs hit this after the first read).
+#: Keyed by the same staleness key as the on-disk artifact, so a
+#: fixture regen mid-process cannot serve stale weights either.
+_FIT_MEMO: dict[str, tuple[int, list, list]] = {}
+
+
+def _fit_key(sf_dir: str) -> dict:
+    """Staleness key: corpus file identity (mtime_ns + size — the
+    sweep-record discipline) + every constant the fit depends on."""
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    st = os.stat(p)
+    return {
+        "corpus": p,
+        "mtime_ns": st.st_mtime_ns,
+        "size": st.st_size,
+        "buckets": ZE01_BUCKETS,
+        "rounds": ZE01_ROUNDS,
+        "target": ZE01_TARGET_LANG,
+        "fit_version": ZE01_FIT_VERSION,
+    }
+
+
+def _artifact_dir(key: dict) -> str:
+    import hashlib
+    import json
+    import os
+
+    digest = hashlib.md5(
+        json.dumps(key, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, "spark-warehouse", "ze01_fit", digest)
+
+
+def _publish_fit(
+    key: dict, nd: int, curve: list, w_hist: list[dict[int, int]]
+) -> None:
+    """Write the fit artifact atomically: weights.parquet (the
+    (round, bucket, w) weight TABLE, DECIMAL(38,0) — |w| crosses int64
+    at the 100 TB design point) + meta.json (key, nd, learning curve).
+    Built in a tmp dir and renamed whole, so concurrent sweep processes
+    publishing the same key race benignly: the loser's rename fails on
+    the existing complete dir and it just reads the winner's."""
+    import decimal
+    import json
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _artifact_dir(key)
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    tmp = f"{target}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    rounds, buckets, weights = [], [], []
+    for r, w in enumerate(w_hist, start=1):
+        for b in sorted(w):
+            rounds.append(r)
+            buckets.append(b)
+            weights.append(decimal.Decimal(w[b]))
+    pq.write_table(
+        pa.table(
+            {
+                "round": pa.array(rounds, pa.int64()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "w": pa.array(weights, pa.decimal128(38, 0)),
+            }
+        ),
+        os.path.join(tmp, "weights.parquet"),
+    )
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump({"key": key, "nd": nd, "curve": curve}, fh, indent=1)
+    try:
+        os.rename(tmp, target)
+    except OSError:  # concurrent publisher won; its artifact is complete
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _read_fit(key: dict) -> tuple[int, list, list[dict[int, int]]] | None:
+    """Load (nd, curve, w_hist) from the artifact, or None when absent
+    or stale (meta key mismatch — defense in depth on top of the
+    mtime-keyed directory digest). Driver-side pyarrow read: the model
+    is O(rounds x buckets) integers, the plan-feeding payload every
+    consumer embeds as a literal CASE — never a data-plane table."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    target = _artifact_dir(key)
+    meta_path = os.path.join(target, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("key") != key:
+            return None
+        tbl = pq.read_table(os.path.join(target, "weights.parquet"))
+    except (OSError, ValueError):  # half-written / unreadable => refit
+        return None
+    w_hist: list[dict[int, int]] = [
+        {} for _ in range(max(tbl.column("round").to_pylist(), default=0))
+    ]
+    for r, b, w in zip(
+        tbl.column("round").to_pylist(),
+        tbl.column("bucket").to_pylist(),
+        tbl.column("w").to_pylist(),
+    ):
+        w_hist[r - 1][b] = int(w)
+    curve = [tuple(row) for row in meta["curve"]]
+    return meta["nd"], curve, w_hist
+
+
+def ze01_fit_artifact(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, list[tuple[int, int, int, int, int]], list[dict[int, int]]]:
+    """The shared-fit-artifact primitive (r9 verdict): consumers of the
+    trained model (ze02/ze03/ze04/ze05, zg band) read the PUBLISHED
+    weights instead of re-running the 6-round fit — the nightly batch
+    fit publishes, everything downstream reads. Returns (nd, curve
+    rows, per-round weight dicts), bit-identical to a live
+    :func:`ze01_fit` (the fit is integer-deterministic, so hit and
+    miss paths are indistinguishable in output — only in cost).
+
+    Miss/stale path (artifact absent, corpus file changed, or
+    ZE01_FIT_VERSION bumped): runs the live fit and publishes. The
+    artifact lives in the gitignored spark-warehouse/ — machine-local
+    derived state keyed on corpus mtime+size, the sweep-record
+    staleness discipline."""
+    import json
+
+    key = _fit_key(sf_dir)
+    memo_k = json.dumps(key, sort_keys=True)
+    if memo_k in _FIT_MEMO:
+        return _FIT_MEMO[memo_k]
+    got = _read_fit(key)
+    if got is None:
+        feats, nd, curve, w_hist = ze01_fit(spark, sf_dir)
+        feats.unpersist()
+        _publish_fit(key, nd, curve, w_hist)
+        got = (nd, curve, w_hist)
+    _FIT_MEMO[memo_k] = got
+    return got
+
+
+# ---------------------------------------------------------------------------
 # ze02 — averaged-weight classifier gate (the APPLY step of ze01)
 # ---------------------------------------------------------------------------
 
@@ -354,8 +530,10 @@ def ze01_fit(
         "per-source census: n_docs, n_kept, kept_ppm, n_correct "
         "(prediction matches the actual lang label), acc_ppm — the "
         "per-source yield/accuracy table a data org reads before "
-        "committing the gate. Shape: re-runs ze01's bounded fit "
-        "(zc02's re-run discipline — inherent, documented), then ONE "
+        "committing the gate. Shape: reads the PUBLISHED ze01 fit "
+        "artifact (spark-warehouse weight table, staleness-pinned on "
+        "corpus mtime+size; live refit only when absent/stale — the "
+        "nightly fit publishes, consumers read), then ONE "
         "scoring aggregate over the checkpointed design matrix with "
         "the 65 averaged weights embedded as a literal CASE, joined "
         "to a (doc_id, source) corpus scan (pushdown pinned). Margins "
@@ -365,9 +543,9 @@ def ze01_fit(
     tags=("curation", "quality", "gate", "llm-pipeline"),
 )
 def ze02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
+    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
     wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
-    scored = _margins(feats, wavg)
+    scored = _margins(ze01_feats(spark, sf_dir), wavg)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     report = (
         scored.join(src, "doc_id")
@@ -423,8 +601,7 @@ def streaming_classifier_gate(
         versioned_state_source,
     )
 
-    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
-    feats.unpersist()
+    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
     wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
 
     root = tempfile.mkdtemp(prefix="ze03_gate_")
@@ -507,9 +684,10 @@ def streaming_classifier_gate(
     "ze03_stream_classifier_gate",
     oracle=_ze02_oracle_sql(),
     doc=(
-        "Streaming twin of ze02: ze01's fit runs batch-side on the "
-        "static corpus BEFORE the stream starts (stream-static — the "
-        "nightly fit publishes weights, ingest scores against them); "
+        "Streaming twin of ze02: the model comes from the PUBLISHED "
+        "ze01 fit artifact, fixed BEFORE the stream starts "
+        "(stream-static — the nightly fit publishes weights, ingest "
+        "scores against them; live refit only when absent/stale); "
         "each micro-batch builds its own docs' design matrix, scores "
         "with the 65 averaged weights embedded as a literal CASE, and "
         "reduces to a (source, n_docs, n_kept, n_correct) census "
@@ -584,8 +762,9 @@ def _ze04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
         "calibrated score shows tgt_ppm rising with the decile; a "
         "flat profile says margin magnitude carries no signal beyond "
         "the sign and the gate must stay hard, not soft-weighted. "
-        "Shape: re-runs ze01's bounded fit (no extra corpus scan — "
-        "the fit's pinned read is the only one), then ranks the "
+        "Shape: reads the published ze01 fit artifact (live refit "
+        "only when absent/stale), builds the design matrix (its "
+        "pinned read is the only corpus scan), then ranks the "
         "O(#docs) margin frame with scalerank.global_rank (range "
         "layout + O(#partitions) offsets — NO single-reducer window; "
         "the decile edge (r-1)*10 DIV n is plan-fed from the same "
@@ -597,8 +776,9 @@ def _ze04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
 def ze04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tags_etl_spark.operators.scalerank import global_rank
 
-    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
+    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
     wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    feats = ze01_feats(spark, sf_dir)
     margins = _margins(feats, wavg).localCheckpoint(eager=True)  # O(#docs)
     feats.unpersist()
     ranked, n = global_rank(
@@ -678,7 +858,8 @@ def _ze05_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
         "order, so the export is deterministic). High-|margin| errors "
         "are where label noise and genuine hard examples concentrate; "
         "relabeling or upweighting this queue is the standard "
-        "fit-audit-refit loop. Shape: re-runs ze01's bounded fit, ONE "
+        "fit-audit-refit loop. Shape: reads the published ze01 fit "
+        "artifact (live refit only when absent/stale), ONE "
         "scoring aggregate, a (doc_id, source, lang) corpus join, and "
         "a TakeOrderedAndProject top-k (rank is filter-only, never a "
         "global sort). Filter + order run on the full-precision "
@@ -691,9 +872,9 @@ def _ze05_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
     tags=("curation", "quality", "eval", "llm-pipeline"),
 )
 def ze05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats, _nd, _rows, w_hist = ze01_fit(spark, sf_dir)
+    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
     wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
-    scored = _margins(feats, wavg)
+    scored = _margins(ze01_feats(spark, sf_dir), wavg)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     out = (
         scored.join(docs, "doc_id")

@@ -510,31 +510,45 @@ _ZE_FIT_SCANS = {
     "ze01:weight_delta": [[]],
 }
 
+# scoring consumers pay the design-matrix pass (scoring is inherently
+# a corpus read) but — with the published fit artifact present — NOT
+# the per-round margins/weight_delta fit stages (r9 verdict #2)
+_ZE_FEATS_PLANS = {
+    "ze01:design_matrix": [{"exchanges": 1}],
+    "ze01:feats": [{"exchanges": 1}],
+}
+
+_ZE_FEATS_SCANS = {
+    "ze01:design_matrix": [["doc_id,lang,text"]],
+    "ze01:feats": [[]],
+}
+
 ZE_EXPECTED_LOOP_PLANS = {
+    # ze01 is the live-fit path (and the publish step)
     "ze01_perceptron_filter": _ZE_FIT_PLANS,
-    # the gate re-runs the fit, then scores in ONE aggregate joined to
-    # the (doc_id, source) scan — margins groupBy + source groupBy
+    # the gate reads the fit artifact, then scores in ONE aggregate
+    # joined to the (doc_id, source) scan
     "ze02_classifier_gate": {
-        **_ZE_FIT_PLANS,
+        **_ZE_FEATS_PLANS,
         "ze02:gate_report": [{"exchanges": 2}],
     },
-    # close-time report reads only the checkpointed census; the
-    # micro-batch scoring plan is pinned in test_stream_state_shape
+    # the model is artifact-read; per-batch design matrices live inside
+    # foreachBatch (pinned in test_stream_state_shape); close-time
+    # report reads only the checkpointed census — NO static-side plans
     "ze03_stream_classifier_gate": {
-        **_ZE_FIT_PLANS,
         "ze03:gate_report": [{}],
     },
     # decile table: range layout (scalerank, no SinglePartition) +
     # one banded aggregate over the checkpointed margin frame
     "ze04_gate_calibration": {
-        **_ZE_FIT_PLANS,
+        **_ZE_FEATS_PLANS,
         "scalerank:layout": [{}],
         "ze04:calibration": [{"exchanges": 2}],
     },
     # top-k compiles to TakeOrderedAndProject — one margins exchange,
     # never a global sort
     "ze05_hard_examples": {
-        **_ZE_FIT_PLANS,
+        **_ZE_FEATS_PLANS,
         "ze05:hard_examples": [{"exchanges": 1}],
     },
 }
@@ -542,20 +556,19 @@ ZE_EXPECTED_LOOP_PLANS = {
 ZE_EXPECTED_SCANS = {
     "ze01_perceptron_filter": _ZE_FIT_SCANS,
     "ze02_classifier_gate": {
-        **_ZE_FIT_SCANS,
+        **_ZE_FEATS_SCANS,
         "ze02:gate_report": [["doc_id,source"]],
     },
     "ze03_stream_classifier_gate": {
-        **_ZE_FIT_SCANS,
         "ze03:gate_report": [[]],
     },
     "ze04_gate_calibration": {
-        **_ZE_FIT_SCANS,
+        **_ZE_FEATS_SCANS,
         "scalerank:layout": [[]],
         "ze04:calibration": [[]],
     },
     "ze05_hard_examples": {
-        **_ZE_FIT_SCANS,
+        **_ZE_FEATS_SCANS,
         "ze05:hard_examples": [["doc_id,lang,source"]],
     },
 }
@@ -563,8 +576,13 @@ ZE_EXPECTED_SCANS = {
 
 @pytest.mark.parametrize("name", sorted(ZE_EXPECTED_LOOP_PLANS))
 def test_ze_loop_stage_pins(spark, sf_dir, name):
+    from spotify_tags_etl_spark.operators.zeops import ze01_fit_artifact
     from spotify_tags_etl_spark.plans import planmetrics as pm
 
+    # consumers are pinned on the artifact-HIT path (the steady state a
+    # production pipeline runs in); publish first so a cold warehouse
+    # can't flip these pins to the miss path
+    ze01_fit_artifact(spark, sf_dir)
     pm.LOOP_PLAN_LOG.clear()
     pm.SCAN_LOG.clear()
     _q(name)(spark, sf_dir).count()
@@ -574,6 +592,53 @@ def test_ze_loop_stage_pins(spark, sf_dir, name):
     observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
     assert observed_scans == ZE_EXPECTED_SCANS[name]
     assert pm.observed_loop_plans() == ZE_EXPECTED_LOOP_PLANS[name]
+
+
+def test_ze01_fit_artifact_staleness(spark, sf_dir, tmp_path, monkeypatch):
+    """The shared-fit-artifact primitive (r9 verdict #2): (a) first
+    use publishes, (b) repeat reads serve from the artifact with NO
+    refit, (c) a corpus-file change reads as stale and refits, and
+    (d) hit and miss paths are bit-identical to the live fit."""
+    import os
+    import shutil
+
+    from spotify_tags_etl_spark.operators import zeops
+
+    root = str(tmp_path)
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(root, "documents.parquet"),
+    )
+    feats, nd, rows, w_hist = zeops.ze01_fit(spark, root)
+    feats.unpersist()
+    expect = (nd, rows, w_hist)
+
+    calls: list[str] = []
+    real_fit = zeops.ze01_fit
+
+    def counting_fit(spark_, sf_):
+        calls.append(sf_)
+        return real_fit(spark_, sf_)
+
+    monkeypatch.setattr(zeops, "ze01_fit", counting_fit)
+
+    zeops._FIT_MEMO.clear()
+    assert zeops.ze01_fit_artifact(spark, root) == expect  # miss: fit+publish
+    assert len(calls) == 1
+    assert os.path.exists(
+        os.path.join(zeops._artifact_dir(zeops._fit_key(root)), "weights.parquet")
+    )
+
+    zeops._FIT_MEMO.clear()  # force the on-disk (not memo) read path
+    assert zeops.ze01_fit_artifact(spark, root) == expect  # hit: NO refit
+    assert len(calls) == 1
+
+    p = os.path.join(root, "documents.parquet")
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    zeops._FIT_MEMO.clear()
+    assert zeops.ze01_fit_artifact(spark, root) == expect  # stale: refit
+    assert len(calls) == 2
 
 
 def test_ze01_round1_all_misclassified_and_learns(spark, sf_dir):
