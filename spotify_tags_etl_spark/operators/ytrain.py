@@ -59,12 +59,15 @@ YV04_EPOCHS, YV04_SHARDS = 3, 8
 # ---------------------------------------------------------------------------
 
 
-#: yv01's largest-remainder quota chain as reusable CTE text — the
-#: final CTE ``quotas`` exposes (source, n_docs, chars, quota). Shared
-#: with zc05's per-source curriculum schedule (operators/zcops.py).
-YV01_QUOTA_CTES = f"""s AS (
+def quota_ctes(rel: str = "documents") -> str:
+    """yv01's largest-remainder quota chain as reusable CTE text over
+    any relation exposing (source, n_chars) — the final CTE ``quotas``
+    exposes (source, n_docs, chars, quota). Shared with zc05's
+    per-source curriculum (rel=documents) and zg02's curated
+    curriculum (rel=the zf01 survivor set)."""
+    return f"""s AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
-      FROM documents GROUP BY source
+      FROM {rel} GROUP BY source
     ),
     t AS (SELECT SUM(chars) AS total FROM s),
     fl AS (
@@ -83,6 +86,10 @@ YV01_QUOTA_CTES = f"""s AS (
              CAST(fl + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
       FROM r, e
     )"""
+
+
+#: The documents-relation instance (yv01's own oracle + zc05's).
+YV01_QUOTA_CTES = quota_ctes()
 
 
 @register(

@@ -772,16 +772,25 @@ def _zc05_oracle_sql() -> str:
     tags=("training", "planner", "ordering", "llm-pipeline"),
 )
 def zc05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return curriculum_schedule(docs, label="zc05")
+
+
+def curriculum_schedule(docs: DataFrame, label: str = "zc05") -> DataFrame:
+    """zc05's quota-mixed easy-to-hard schedule over any (doc_id,
+    source, n_chars) frame — zc05 feeds it the full corpus, zg02 the
+    zf01 survivor set (curation shifts the char-mass proportions, so
+    the Hamilton quotas are re-apportioned over the survivors, not
+    inherited from the uncurated mix)."""
     from spotify_tags_etl_spark.operators.ytrain import YV01_BLOCK
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     ranked, _n = grouped_rank(
         docs,
         ["source"],
         [F.col("n_chars").asc(), F.col("doc_id").asc()],
         rank_col="crank",
     )
-    record_plan(ranked, "zc05:source_curriculum")
+    record_plan(ranked, f"{label}:source_curriculum")
     # corpus-sized frame reused by the quota rollup AND the final
     # schedule join — checkpoint once instead of re-running the rank
     # window per consumer
@@ -790,7 +799,7 @@ def zc05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
-    record_plan(s, "zc05:source_rollup")  # O(#sources), off the checkpoint
+    record_plan(s, f"{label}:source_rollup")  # O(#sources), off the checkpoint
     s = s.localCheckpoint(eager=True)
     total = s.agg(F.sum("chars").cast("bigint").alias("total"))
     fl = s.crossJoin(F.broadcast(total)).select(

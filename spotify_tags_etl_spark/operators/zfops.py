@@ -127,16 +127,21 @@ def zf01_offtarget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "zf01_curation_lineage",
-    oracle=f"""
-    WITH {_minhash_ctes(_ZF01_NEAR_PERMILLE)},
+def _zf01_flags_ctes(extra_cols: str = "") -> str:
+    """The shared five-stage lineage WITH-body, through the ``flags``
+    CTE: one row per document carrying (doc_id, source[, extras],
+    s_e, f_near, f_sem, f_con, f_off). zf01 aggregates it into the
+    per-source report; the zg band composes the SURVIVOR set
+    (s_e = 1, every f_* = 0) with packing/curriculum/threshold
+    machinery. ``extra_cols`` is a SQL fragment appended to the flags
+    projection (e.g. ``", d.n_chars"``)."""
+    return f"""{_minhash_ctes(_ZF01_NEAR_PERMILLE)},
     ek AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
     {_zc03_ctes()},
     {_ZF01_IMPORTANCE_CTES},
     {_ZF01_CONTAM_CTES},
     flags AS (
-      SELECT d.source,
+      SELECT d.doc_id, d.source{extra_cols},
              CASE WHEN ek.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s_e,
              CASE WHEN nd.d2 IS NOT NULL THEN 1 ELSE 0 END AS f_near,
              CASE WHEN sd.d2 IS NOT NULL THEN 1 ELSE 0 END AS f_sem,
@@ -149,7 +154,13 @@ def zf01_offtarget(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN (SELECT DISTINCT d2 FROM dups) sd ON sd.d2 = d.doc_id
       LEFT JOIN contam ct ON ct.doc_id = d.doc_id
       LEFT JOIN iscore sc ON sc.doc_id = d.doc_id
-    )
+    )"""
+
+
+@register(
+    "zf01_curation_lineage",
+    oracle=f"""
+    WITH {_zf01_flags_ctes()}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(1 - s_e) AS BIGINT) AS drop_exact,
@@ -195,7 +206,46 @@ def zf01_offtarget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "dedup", "report", "llm-pipeline"),
 )
 def zf01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    flags = zf01_flags(spark, sf_dir)
+    kept = "s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con) * (1 - f_off)"
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(SUM(1 - s_e) AS BIGINT)").alias("drop_exact"),
+            F.expr("CAST(SUM(s_e * f_near) AS BIGINT)").alias("drop_near"),
+            F.expr("CAST(SUM(s_e * (1 - f_near) * f_sem) AS BIGINT)").alias(
+                "drop_sem"
+            ),
+            F.expr(
+                "CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * f_con) AS BIGINT)"
+            ).alias("drop_contam"),
+            F.expr(
+                "CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con)"
+                " * f_off) AS BIGINT)"
+            ).alias("drop_offtarget"),
+            F.expr(f"CAST(SUM({kept}) AS BIGINT)").alias("n_kept"),
+            F.expr(f"CAST(SUM({kept}) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+                "kept_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def zf01_flags(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Builder twin of :func:`_zf01_flags_ctes`: one row per document
+    with (doc_id, source, *extra_cols, s_e, f_near, f_sem, f_con,
+    f_off). Each stage list is computed by the stage's OWN builder and
+    localCheckpointed (the zd01 rule), so every consumer — zf01's
+    per-source rollup, zg01's banded packing manifest, zg02's curated
+    curriculum — joins materialized drop-lists against ONE corpus
+    projection scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", *extra_cols
+    )
     exact_keeps = dd01(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
     )
@@ -233,7 +283,9 @@ def zf01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(contam, "doc_id", "left")
         .join(offtgt, "doc_id", "left")
         .select(
+            "doc_id",
             "source",
+            *extra_cols,
             F.coalesce("s_e", F.lit(0)).alias("s_e"),
             F.coalesce("f_near", F.lit(0)).alias("f_near"),
             F.coalesce("f_sem", F.lit(0)).alias("f_sem"),
@@ -242,30 +294,7 @@ def zf01(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     record_plan(flags, "zf01:lineage_flags")
-    kept = "s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con) * (1 - f_off)"
-    return (
-        flags.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.expr("CAST(SUM(1 - s_e) AS BIGINT)").alias("drop_exact"),
-            F.expr("CAST(SUM(s_e * f_near) AS BIGINT)").alias("drop_near"),
-            F.expr("CAST(SUM(s_e * (1 - f_near) * f_sem) AS BIGINT)").alias(
-                "drop_sem"
-            ),
-            F.expr(
-                "CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * f_con) AS BIGINT)"
-            ).alias("drop_contam"),
-            F.expr(
-                "CAST(SUM(s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con)"
-                " * f_off) AS BIGINT)"
-            ).alias("drop_offtarget"),
-            F.expr(f"CAST(SUM({kept}) AS BIGINT)").alias("n_kept"),
-            F.expr(f"CAST(SUM({kept}) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
-                "kept_ppm"
-            ),
-        )
-        .orderBy("source")
-    )
+    return flags
 
 
 # ---------------------------------------------------------------------------
