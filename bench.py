@@ -217,6 +217,12 @@ CURATION_SUITE = [
     # DSIR selection
     "zd01_dedup_funnel",
     "zf01_curation_lineage",
+    # round-10: the curated-corpus packing manifest and curriculum
+    # (zf01 survivors through zc01/zc05 machinery) and the gate
+    # threshold sweep (PR curve over the published ze01 fit artifact)
+    "zg01_curated_pack_manifest",
+    "zg02_curated_curriculum",
+    "zg03_gate_threshold_sweep",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust
