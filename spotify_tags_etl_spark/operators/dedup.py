@@ -128,7 +128,14 @@ def lsh_candidate_pairs(sig: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame
     one reused exchange. Same candidate set (a pair matches iff some
     band matches), different physical cost — this is the difference
     between 1 and 8 passes over the corpus at 100 TB."""
-    banded = banded_frame(sig, band_rows)
+    return lsh_candidate_pairs_banded(banded_frame(sig, band_rows))
+
+
+def lsh_candidate_pairs_banded(banded: DataFrame) -> DataFrame:
+    """:func:`lsh_candidate_pairs` over an ALREADY-banded (doc_id,
+    band, bk) frame — for consumers that persist the banded form
+    directly (zf02's consolidated per-batch doc store stores banded
+    rows, not wide signatures, so every store row shares one schema)."""
     left = banded.alias("l")
     right = banded.alias("r")
     return (

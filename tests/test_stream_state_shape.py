@@ -164,16 +164,16 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
     },
     "zf02_stream_curation_lineage": {
         "engine:foreachBatch": [{}],
-        # every stage partial/merge is one keyed exchange on
-        # micro-batch-sized frames (shingles are per-doc projections:
-        # exchange-free); state = censuses + stores in versioned parquet
-        "zf02:exact_census_merge": [{"exchanges": 1}],
-        "zf02:sig_partial": [{"exchanges": 1}],
-        "zf02:shingle_partial": [{}],
-        "zf02:imp_doc_partial": [{"exchanges": 1}],
-        "zf02:imp_census_merge": [{"exchanges": 1}],
-        "zf02:train_gram_partial": [{"exchanges": 1}],
-        "zf02:test_gram_merge": [{"exchanges": 1}],
+        # r10 consolidation: the seven logical stores collapse into TWO
+        # writes per trigger. doc store = union of banded-sig groupBy +
+        # docgram groupBy + traingram distinct (3 keyed exchanges on
+        # micro-batch-sized frames; the shingle branch is a per-doc
+        # projection, exchange-free); census state = raw exact/imp/
+        # testgram rows + previous version folded by ONE
+        # groupBy(kind, k1, k2) — a single keyed exchange whose
+        # map-side partials do the in-batch compression.
+        "zf02:doc_store": [{"exchanges": 3}],
+        "zf02:state_merge": [{"exchanges": 1}],
     },
 }
 
