@@ -79,6 +79,17 @@ ALLOWLIST = {
     # zc01/zc06's kept-token sums).
     "(1 - con) * tok": "0/1 flag x window-clamped tokens, addend <= 4096",
     "con * tok": "0/1 flag x window-clamped tokens, addend <= 4096",
+    # zg01 per-band first-drop token attribution: every reason column
+    # (kept, r_exact, r_near, r_sem, r_con, r_off) is a mutually-
+    # exclusive 0/1 flag and tok is clamped to the 4096-token window —
+    # zd04's bound widened to the full lineage (addend <= 4096, per-band
+    # SUM int64-safe past 2e15 docs per band).
+    "kept * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
+    "r_exact * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
+    "r_near * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
+    "r_sem * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
+    "r_con * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
+    "r_off * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
     # zf01 first-drop attribution: every factor is a 0/1 stage flag, so
     # each addend is 0 or 1 — the SUM is a plain count, int64-safe past
     # 9e18 docs (zd01 carries the same arithmetic via an interpolated
