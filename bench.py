@@ -95,6 +95,9 @@ LLM_SUITE = [
     "ze02_classifier_gate",
     "ze04_gate_calibration",
     "ze05_hard_examples",
+    # round-10 late: curated windows snake-assigned to output shards
+    # (the packing -> filesystem writer-balance step)
+    "zg05_curated_shard_plan",
 ]
 
 #: Streaming suite: real streaming executions (AvailableNow through the
@@ -126,6 +129,9 @@ STREAMING_SUITE = [
     # incremental five-stage curation lineage
     "ze03_stream_classifier_gate",
     "zf02_stream_curation_lineage",
+    # round-10 late: incremental Gopher-style hard-rule census (rules
+    # are per-doc-local, so the census is a pure SUM-merge)
+    "zg07_stream_quality_rules",
 ]
 
 #: Classic decision-support suite: the TPC-H-shaped multi-way join /
@@ -223,6 +229,10 @@ CURATION_SUITE = [
     "zg01_curated_pack_manifest",
     "zg02_curated_curriculum",
     "zg03_gate_threshold_sweep",
+    # round-10 late: the per-source corpus datasheet (curation x gate
+    # intersection) and the Gopher-style first-fail hard-rule census
+    "zg04_corpus_datasheet",
+    "zg06_quality_rule_census",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

@@ -18,6 +18,24 @@ deploying the ze02 gate — per candidate threshold (the 9 decile edges
 of the averaged margin), the keep rate, precision, recall, and
 accuracy the gate would achieve at that cut.
 
+zg04 — corpus datasheet: the per-source one-page census a pretraining
+org publishes with a dataset — doc/token mass, curation survival
+(zf01's five-stage lineage), learned-gate yield (ze02's averaged
+perceptron), and the intersection that actually ships.
+
+zg05 — curated shard plan: zg01's curated windows assigned to output
+shards by token mass (boustrophedon/snake over the fill-ranked window
+list) — the writer-balance step between packing and the distributed
+filesystem.
+
+zg06 — heuristic quality-rule census: Gopher-style hard rules (length
+bounds, intra-doc repetition, stopword presence) with zf01's mutually-
+exclusive FIRST-failing-rule attribution, per source.
+
+zg07 — streaming twin of zg06: the rule census as a SUM-mergeable
+per-batch partial (rules are per-doc-complete), micro-batch-layout
+invariant and equal to batch zg06.
+
 Reference parity note: the reference ETL
 (/root/reference/src/spotify_tags_etl/) has no curation or training
 stage; these compose operators added in rounds 2-10 along SURVEY.md's
@@ -45,6 +63,7 @@ from spotify_tags_etl_spark.operators.zeops import (
 from spotify_tags_etl_spark.operators.zfops import _zf01_flags_ctes, zf01_flags
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.sources.tpch import load_table
 
 # ---------------------------------------------------------------------------
 # zg01 — curated-corpus packing manifest (zf01 survivors x zc01 FFD)
@@ -67,6 +86,11 @@ _ZG01_TOK = (
     f"LEAST(GREATEST(CAST(n_chars AS BIGINT) * {ZC01_TOK_PPM}"
     f" {{div}} 1000000, 1), {ZC01_WINDOW})"
 )
+
+#: The five-stage survivor predicate over the zf01 flag columns —
+#: shared by every zg consumer of the curated corpus (and identical in
+#: both dialects: the flags are 0/1 integers).
+ZG_SURVIVOR = "s_e = 1 AND f_near = 0 AND f_sem = 0 AND f_con = 0 AND f_off = 0"
 
 
 def _zg01_oracle_sql() -> str:
@@ -215,7 +239,7 @@ def _zg02_oracle_sql() -> str:
     WITH {_zf01_flags_ctes(", d.n_chars")},
     kdocs AS MATERIALIZED (
       SELECT doc_id, source, n_chars FROM flags
-      WHERE s_e = 1 AND f_near = 0 AND f_sem = 0 AND f_con = 0 AND f_off = 0
+      WHERE {ZG_SURVIVOR}
     ),
     {quota_ctes("kdocs")},
     rn AS (
@@ -264,9 +288,7 @@ def _zg02_oracle_sql() -> str:
 )
 def zg02(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
-    kept = flags.where(
-        "s_e = 1 AND f_near = 0 AND f_sem = 0 AND f_con = 0 AND f_off = 0"
-    ).select("doc_id", "source", "n_chars")
+    kept = flags.where(ZG_SURVIVOR).select("doc_id", "source", "n_chars")
     return curriculum_schedule(kept, label="zg02")
 
 
@@ -413,3 +435,542 @@ def zg03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     record_plan(report, "zg03:threshold_sweep")
     return report
+
+
+# ---------------------------------------------------------------------------
+# zg04 — corpus datasheet (per-source curation x classifier-gate census)
+# ---------------------------------------------------------------------------
+
+#: First-drop KEPT selector (zg01's kept column) as a bare expression.
+_ZG04_KEPT = "s_e * (1 - f_near) * (1 - f_sem) * (1 - f_con) * (1 - f_off)"
+
+
+def _zg04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
+    avg_union = " UNION ALL ".join(
+        f"SELECT * FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + _zf01_flags_ctes(", d.n_chars")
+        + ",\n    "
+        + ",\n    ".join(_ze01_ctes(rounds))
+        + f""",
+    wavg AS MATERIALIZED (
+      SELECT bucket, SUM(w) AS w FROM ({avg_union}) GROUP BY bucket
+    ),
+    sm AS MATERIALIZED (
+      SELECT f.doc_id, SUM(CAST(f.cnt AS HUGEINT) * w.w) AS m
+      FROM feats f JOIN wavg w ON w.bucket = f.bucket
+      GROUP BY f.doc_id
+    ),
+    ds AS (
+      SELECT f.source,
+             {_ZG01_TOK.format(div="//")} AS tok,
+             {_ZG04_KEPT} AS cur,
+             CASE WHEN s.m > 0 THEN 1 ELSE 0 END AS gk
+      FROM flags f LEFT JOIN sm s ON s.doc_id = f.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS tok_total,
+           CAST(SUM(cur) AS BIGINT) AS cur_kept,
+           CAST(SUM(cur) * 1000000 // COUNT(*) AS BIGINT) AS cur_ppm,
+           CAST(SUM(gk) AS BIGINT) AS gate_kept,
+           CAST(SUM(gk) * 1000000 // COUNT(*) AS BIGINT) AS gate_ppm,
+           CAST(SUM(cur * gk) AS BIGINT) AS final_kept,
+           CAST(SUM(cur * gk) * 1000000 // COUNT(*) AS BIGINT) AS final_ppm,
+           CAST(SUM(cur * gk * tok) AS BIGINT) AS final_tokens,
+           CAST(CAST(SUM(cur * gk * tok) AS HUGEINT) * 1000000
+                // NULLIF(SUM(tok), 0) AS BIGINT) AS final_tok_ppm
+    FROM ds GROUP BY source ORDER BY source
+    """
+    )
+
+
+@register(
+    "zg04_corpus_datasheet",
+    oracle=_zg04_oracle_sql(),
+    doc=(
+        "CORPUS DATASHEET — the per-source one-page census a "
+        "pretraining org publishes alongside a dataset (the 'datasheets "
+        "for datasets' table): raw doc and token mass, CURATION "
+        "survival under zf01's five-stage lineage (exact -> near -> "
+        "semantic -> decontamination -> DSIR), LEARNED-GATE yield under "
+        "ze02's averaged-perceptron gate (margin > 0 keeps; docs the "
+        "model cannot score — no bigram — drop, the conservative "
+        "twin of ze02's ties-drop rule), and the INTERSECTION that "
+        "actually ships: final_kept/final_tokens = docs passing BOTH "
+        "the rule-based curation funnel and the learned filter, with "
+        "final_tok_ppm the surviving fraction of the source's token "
+        "mass. The two selection systems overlap but do not nest — "
+        "this table is where their disagreement becomes visible per "
+        "source. Shape: zf01_flags (stage drop-lists via each stage's "
+        "OWN builder, localCheckpointed, ONE (doc_id, source, n_chars) "
+        "corpus projection scan) LEFT-joined with the O(#docs) margin "
+        "frame scored from the PUBLISHED ze01 fit artifact (ONE "
+        "aggregate over the checkpointed design matrix — scoring is "
+        "the only other corpus-sized pass, inherently so), then ONE "
+        "map-combined per-source rollup. Token sums are 0/1-flag x "
+        "window-clamped products (addend <= 4096 — zd04's bound); the "
+        "token ppm widens through DECIMAL(38,0)/HUGEINT. Oracle "
+        "composes the zf01 flags chain + ze02's fit/averaging CTEs "
+        "(verified disjoint CTE namespaces)."
+    ),
+    tags=("curation", "quality", "report", "llm-pipeline"),
+)
+def zg04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
+    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    feats = ze01_feats(spark, sf_dir)
+    scored = _margins(feats, wavg).select("doc_id", "m")
+    record_plan(scored, "zg04:margins")
+    scored = scored.localCheckpoint(eager=True)  # O(#docs) slim frame
+    feats.unpersist()
+    ds = flags.join(scored, "doc_id", "left").select(
+        "source",
+        F.expr(_ZG01_TOK.format(div="DIV")).alias("tok"),
+        F.expr(_ZG04_KEPT).alias("cur"),
+        F.when(F.col("m") > 0, 1).otherwise(0).alias("gk"),
+    )
+    report = (
+        ds.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.expr("CAST(SUM(tok) AS BIGINT)").alias("tok_total"),
+            F.expr("CAST(SUM(cur) AS BIGINT)").alias("cur_kept"),
+            F.expr("CAST(SUM(gk) AS BIGINT)").alias("gate_kept"),
+            F.expr("CAST(SUM(cur * gk) AS BIGINT)").alias("final_kept"),
+            F.expr("CAST(SUM(cur * gk * tok) AS BIGINT)").alias("final_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tok_total",
+            "cur_kept",
+            F.expr("cur_kept * 1000000 DIV n_docs").alias("cur_ppm"),
+            "gate_kept",
+            F.expr("gate_kept * 1000000 DIV n_docs").alias("gate_ppm"),
+            "final_kept",
+            F.expr("final_kept * 1000000 DIV n_docs").alias("final_ppm"),
+            "final_tokens",
+            F.expr(
+                "CAST(CAST(final_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV NULLIF(tok_total, 0) AS BIGINT)"
+            ).alias("final_tok_ppm"),
+        )
+        .orderBy("source")
+    )
+    record_plan(report, "zg04:datasheet")
+    return report
+
+
+# ---------------------------------------------------------------------------
+# zg05 — curated shard plan (zg01's windows snake-assigned to writers)
+# ---------------------------------------------------------------------------
+
+#: Output shard count. A planning constant like ZC01_WINDOW: production
+#: wires the writer count; the assignment arithmetic is S-agnostic.
+ZG05_SHARDS = 8
+
+
+def _zg05_oracle_sql() -> str:
+    s = ZG05_SHARDS
+    return (
+        "WITH "
+        + _zf01_flags_ctes(", d.n_chars")
+        + f""",
+    stoks AS (
+      SELECT doc_id, {_ZG01_TOK.format(div="//")} AS tok
+      FROM flags WHERE {ZG_SURVIVOR}
+    ),
+    sbanded AS (
+      SELECT doc_id, tok,
+             CASE WHEN tok <= 1 THEN 0 ELSE length(bin(tok - 1)) END AS band_exp
+      FROM stoks
+    ),
+    sranked AS (
+      SELECT doc_id, tok, band_exp,
+             ROW_NUMBER() OVER (PARTITION BY band_exp
+                                ORDER BY tok DESC, doc_id ASC) - 1 AS r
+      FROM sbanded
+    ),
+    wagg AS (
+      SELECT band_exp,
+             r // ({ZC01_WINDOW} // (CAST(1 AS BIGINT) << band_exp)) AS widx,
+             SUM(tok) AS w_tokens,
+             COUNT(*) AS w_docs
+      FROM sranked GROUP BY 1, 2
+    ),
+    wrk AS (
+      SELECT w_tokens, w_docs,
+             ROW_NUMBER() OVER (ORDER BY w_tokens DESC, band_exp ASC, widx ASC)
+               - 1 AS r0
+      FROM wagg
+    ),
+    snaked AS (
+      SELECT CASE WHEN (r0 // {s}) % 2 = 0 THEN r0 % {s}
+                  ELSE {s - 1} - r0 % {s} END AS shard,
+             w_tokens, w_docs
+      FROM wrk
+    ),
+    tot AS (SELECT SUM(w_tokens) AS t FROM wagg)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(w_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(w_tokens) AS BIGINT) AS shard_tokens,
+           CAST(CAST(SUM(w_tokens) AS HUGEINT) * 1000000 // tot.t AS BIGINT)
+             AS share_ppm
+    FROM snaked, tot GROUP BY shard, tot.t ORDER BY shard
+    """
+    )
+
+
+@register(
+    "zg05_curated_shard_plan",
+    oracle=_zg05_oracle_sql(),
+    doc=(
+        "CURATED SHARD PLAN — the writer-balance step between packing "
+        "and the distributed filesystem: zg01's curated windows (zf01 "
+        "survivors through zc01's banded-FFD arithmetic) assigned to "
+        f"{ZG05_SHARDS} output shards by BOUSTROPHEDON (snake) order "
+        "over the fill-ranked window list — windows sorted by token "
+        "mass descending, dealt 0..S-1 then S-1..0, so each shard "
+        "receives one window from every mass stratum and the heaviest "
+        "and lightest windows pair off (the deterministic, fully "
+        "relational sibling of greedy LPT — no sequential bin state, "
+        "same balance class for sorted inputs). Per shard: window "
+        "count, doc count, token mass, and share_ppm of the curated "
+        "corpus (ideal = 1e6/S; the spread IS the imbalance a trainer "
+        "sees as straggler writers). Shape: survivor windows via "
+        "scalerank.grouped_rank (zc01's per-band rank, no 13-reducer "
+        "band window) -> O(#windows) per-window rollup -> "
+        "scalerank.global_rank over the window frame (range layout + "
+        "broadcast offsets, no single-reducer sort) -> pure modular "
+        "snake arithmetic -> O(S)-row rollup, checkpointed, share "
+        "denominators via its own broadcast total (never a second "
+        "corpus scan). Token sums widen through DECIMAL(38,0)/HUGEINT "
+        "at the ppm step."
+    ),
+    tags=("curation", "packing", "planner", "llm-pipeline"),
+)
+def zg05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.scalerank import global_rank, grouped_rank
+
+    flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
+    surv = (
+        flags.where(ZG_SURVIVOR)
+        .select("doc_id", F.expr(_ZG01_TOK.format(div="DIV")).alias("tok"))
+        .withColumn(
+            "band_exp",
+            F.expr("CASE WHEN tok <= 1 THEN 0 ELSE length(bin(tok - 1)) END"),
+        )
+    )
+    ranked, _n = grouped_rank(
+        surv,
+        ["band_exp"],
+        [F.col("tok").desc(), F.col("doc_id").asc()],
+        rank_col="brk",
+    )
+    record_plan(ranked, "zg05:banded_rank")
+    wagg = (
+        ranked.selectExpr(
+            "band_exp",
+            "tok",
+            f"(brk - 1) DIV ({ZC01_WINDOW} DIV shiftleft(CAST(1 AS BIGINT),"
+            " band_exp)) AS widx",
+        )
+        .groupBy("band_exp", "widx")
+        .agg(
+            F.expr("CAST(SUM(tok) AS BIGINT)").alias("w_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("w_docs"),
+        )
+    )
+    record_plan(wagg, "zg05:window_rollup")
+    wrk, _nw = global_rank(
+        wagg,
+        [F.col("w_tokens").desc(), F.col("band_exp").asc(), F.col("widx").asc()],
+        rank_col="wr",
+    )
+    s = ZG05_SHARDS
+    sh = wrk.selectExpr(
+        f"CASE WHEN ((wr - 1) DIV {s}) % 2 = 0 THEN (wr - 1) % {s}"
+        f" ELSE {s - 1} - (wr - 1) % {s} END AS shard",
+        "w_tokens",
+        "w_docs",
+    )
+    rollup = sh.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("w_docs").cast("bigint").alias("n_docs"),
+        F.sum("w_tokens").cast("bigint").alias("shard_tokens"),
+    )
+    record_plan(rollup, "zg05:shard_rollup")
+    rollup = rollup.localCheckpoint(eager=True)  # O(S) rows
+    tot = rollup.agg(F.sum("shard_tokens").alias("t"))
+    return (
+        rollup.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_windows",
+            "n_docs",
+            "shard_tokens",
+            F.expr(
+                "CAST(CAST(shard_tokens AS DECIMAL(38,0)) * 1000000"
+                " DIV t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zg06 — heuristic quality-rule census (Gopher-style, first-fail attributed)
+# ---------------------------------------------------------------------------
+
+#: Hard-rule thresholds (Gopher/C4-lineage heuristics, scaled to the
+#: corpus at hand): word-count bounds, intra-doc duplicate-word mass,
+#: and stopword presence. All integer ppm arithmetic — no floats.
+ZG06_MIN_WORDS = 16
+ZG06_MAX_WORDS = 96
+ZG06_REP_PPM = 600_000
+ZG06_STOPWORDS = ("the", "and", "of", "to", "a")
+
+#: FIRST-failing-rule attribution selectors (zf01's discipline applied
+#: to heuristic rules): mutually exclusive and exhaustive, so the
+#: census telescopes to n_docs exactly. Identical in both dialects.
+_ZG06_DROPS = (
+    ("drop_short", "r_short"),
+    ("drop_long", "(1 - r_short) * r_long"),
+    ("drop_rep", "(1 - r_short) * (1 - r_long) * r_rep"),
+    ("drop_stop", "(1 - r_short) * (1 - r_long) * (1 - r_rep) * r_stop"),
+    ("n_kept", "(1 - r_short) * (1 - r_long) * (1 - r_rep) * (1 - r_stop)"),
+)
+
+_ZG06_KEPT = _ZG06_DROPS[-1][1]
+
+
+def _zg06_oracle_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in ZG06_STOPWORDS)
+    drops = ",\n           ".join(
+        f"CAST(SUM({expr}) AS BIGINT) AS {name}" for name, expr in _ZG06_DROPS
+    )
+    return f"""
+    WITH m AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndw,
+             list_has_any(string_split(lower(text), ' '), [{stoplist}]) AS has_stop
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             CASE WHEN nw < {ZG06_MIN_WORDS} THEN 1 ELSE 0 END AS r_short,
+             CASE WHEN nw > {ZG06_MAX_WORDS} THEN 1 ELSE 0 END AS r_long,
+             CASE WHEN (nw - ndw) * 1000000 > {ZG06_REP_PPM} * nw
+                  THEN 1 ELSE 0 END AS r_rep,
+             CASE WHEN has_stop THEN 0 ELSE 1 END AS r_stop
+      FROM m
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {drops},
+           CAST(SUM({_ZG06_KEPT}) * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm
+    FROM r GROUP BY source ORDER BY source
+    """
+
+
+def zg06_census_partial(docs: DataFrame) -> DataFrame:
+    """The mergeable half of zg06: per-source counts of docs dropped by
+    each FIRST-failing rule plus keeps. Every column is a SUM of 0/1
+    indicators, so partials over any doc partition SUM-merge to the
+    batch census — the property zg07 streams on. Expression-only (one
+    projection, one map-combined rollup); ppm finishing is the caller's
+    (it does not merge)."""
+    stoplist = ", ".join(f"'{w}'" for w in ZG06_STOPWORDS)
+    rules = docs.select(
+        "source",
+        F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("nw"),
+        F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
+            "ndw"
+        ),
+        F.expr(
+            f"arrays_overlap(split(lower(text), ' '), array({stoplist}))"
+        ).alias("has_stop"),
+    ).select(
+        "source",
+        F.expr(f"CASE WHEN nw < {ZG06_MIN_WORDS} THEN 1 ELSE 0 END").alias(
+            "r_short"
+        ),
+        F.expr(f"CASE WHEN nw > {ZG06_MAX_WORDS} THEN 1 ELSE 0 END").alias(
+            "r_long"
+        ),
+        F.expr(
+            f"CASE WHEN (nw - ndw) * 1000000 > {ZG06_REP_PPM} * nw"
+            " THEN 1 ELSE 0 END"
+        ).alias("r_rep"),
+        F.expr("CASE WHEN has_stop THEN 0 ELSE 1 END").alias("r_stop"),
+    )
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.expr(f"CAST(SUM({expr}) AS BIGINT)").alias(name)
+            for name, expr in _ZG06_DROPS
+        ],
+    )
+
+
+def _zg06_finish(census: DataFrame) -> DataFrame:
+    """ppm projection over a (merged) census — shared batch/stream."""
+    return census.select(
+        "source",
+        "n_docs",
+        "drop_short",
+        "drop_long",
+        "drop_rep",
+        "drop_stop",
+        "n_kept",
+        F.expr("n_kept * 1000000 DIV n_docs").alias("kept_ppm"),
+    ).orderBy("source")
+
+
+@register(
+    "zg06_quality_rule_census",
+    oracle=_zg06_oracle_sql(),
+    doc=(
+        "HEURISTIC QUALITY-RULE CENSUS — the Gopher/C4-style hard-rule "
+        "pass of a curation pipeline, with zf01's mutually-exclusive "
+        "FIRST-failing-rule attribution so the report says not just "
+        "how much each source loses but to WHICH rule first: too-short "
+        f"(< {ZG06_MIN_WORDS} words), too-long (> {ZG06_MAX_WORDS}), "
+        f"repetitive (duplicate-word mass > {ZG06_REP_PPM} ppm of the "
+        "doc — the intra-doc repetition signal, Rae et al.'s "
+        "duplicate-fraction family), and no-stopword (none of the "
+        f"{len(ZG06_STOPWORDS)} function words present — the classic "
+        "gibberish/boilerplate tell). Mass conserves exactly: n_docs = "
+        "drop_short + drop_long + drop_rep + drop_stop + n_kept per "
+        "source (pinned by test). Complements the engine's other two "
+        "selection systems — ze02's LEARNED gate and zf01's "
+        "corpus-level funnel — as the cheap per-doc-local first pass: "
+        "every rule reads ONLY the doc itself, so the census is one "
+        "expression-only projection + one map-combined rollup, no "
+        "joins, no state, embarrassingly partition-parallel at any "
+        "scale (and the partials SUM-merge — zg07 streams the same "
+        "census). Integer ppm arithmetic throughout; word counts cast "
+        "to BIGINT before the repetition cross-multiply so a 4 GB "
+        "pathological doc cannot overflow int32 ppm math."
+    ),
+    tags=("curation", "quality", "text", "report", "llm-pipeline"),
+)
+def zg06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    census = zg06_census_partial(docs)
+    record_plan(census, "zg06:rule_census")
+    report = _zg06_finish(census)
+    record_plan(report, "zg06:rule_report")
+    return report
+
+
+# ---------------------------------------------------------------------------
+# zg07 — streaming twin of zg06: incremental quality-rule census
+# ---------------------------------------------------------------------------
+
+
+def streaming_quality_rules(spark: SparkSession, stream_docs: DataFrame) -> DataFrame:
+    """Incremental rule census: every zg06 rule is per-doc-local, so
+    each micro-batch reduces to ONE per-source census partial (counts
+    of first-failing rules — complete within the arrival batch), and
+    partials SUM-merge into versioned parquet (replay-safe via
+    versioned_state_source/commit_versioned_state). Counts merge
+    associatively + commutatively, so the close-time ppm rollup is
+    micro-batch-layout invariant and equals batch zg06 exactly.
+    Per-trigger cost O(batch + sources); no engine state store; the
+    raw stream is never re-scanned."""
+    import os
+    import shutil
+    import tempfile
+
+    from spotify_tags_etl_spark.streaming.ops import (
+        commit_versioned_state,
+        record_batch_plan,
+        record_state_ops,
+        versioned_state_source,
+    )
+
+    root = tempfile.mkdtemp(prefix="zg07_rules_")
+    current: list[str] = []  # census version pointer
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        part = zg06_census_partial(batch)
+        target = os.path.join(root, f"census_v{batch_id}")
+        src = versioned_state_source(current, target)
+        if src:
+            part = (
+                spark.read.parquet(src)
+                .unionByName(part)
+                .groupBy("source")
+                .agg(
+                    F.sum("n_docs").alias("n_docs"),
+                    F.sum("drop_short").alias("drop_short"),
+                    F.sum("drop_long").alias("drop_long"),
+                    F.sum("drop_rep").alias("drop_rep"),
+                    F.sum("drop_stop").alias("drop_stop"),
+                    F.sum("n_kept").alias("n_kept"),
+                )
+            )
+        record_batch_plan(part, "zg07:census_merge")
+        commit_versioned_state(part, current, target, src)
+
+    q = (
+        stream_docs.select("source", "text")
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        record_state_ops(q, "foreachBatch")
+    finally:
+        q.stop()
+    if not current:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, drop_short bigint,"
+            " drop_long bigint, drop_rep bigint, drop_stop bigint,"
+            " n_kept bigint, kept_ppm bigint",
+        )
+    census = spark.read.parquet(current[0]).localCheckpoint(eager=True)
+    # checkpoint only because rmtree deletes the backing files; a
+    # production run leaves the census as the parquet it already is
+    shutil.rmtree(root, ignore_errors=True)
+    report = _zg06_finish(census)
+    record_plan(report, "zg07:rule_report")
+    return report
+
+
+@register(
+    "zg07_stream_quality_rules",
+    oracle=_zg06_oracle_sql(),
+    doc=(
+        "Streaming twin of zg06: each micro-batch computes its own "
+        "docs' first-failing-rule census partial (rules are "
+        "per-doc-local, so attribution is complete within the arrival "
+        "batch) and SUM-merges it into versioned parquet (replay-safe "
+        "versioned_state_source/commit_versioned_state — a replayed "
+        "batch_id merges against the pre-attempt version). Counts "
+        "merge associatively + commutatively => the close-time ppm "
+        "rollup is micro-batch-layout invariant (pinned under a 3-file "
+        "split) and equals batch zg06 exactly; oracle: zg06's SQL "
+        "verbatim. Per-trigger cost O(batch + sources); no engine "
+        "state store; the raw stream is never re-scanned. This is the "
+        "ingest-path shape: hard rules run AT ARRIVAL (they need no "
+        "corpus context), so the census is already current when the "
+        "batch funnel (zf02) and gate (ze03) run their passes."
+    ),
+    tags=("streaming", "curation", "quality", "text", "llm-pipeline"),
+)
+def zg07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+    return streaming_quality_rules(
+        spark, read_table_stream(spark, sf_dir, "documents")
+    )

@@ -160,3 +160,281 @@ def test_zg03_sweep_monotonicity(spark, sf_dir):
         assert 0 <= r.n_tgt_kept <= r.n_kept <= r.n_docs
         assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
         assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_docs
+
+
+# ---------------------------------------------------------------------------
+# zg04 — the datasheet telescopes against zf01 and ze02
+# ---------------------------------------------------------------------------
+
+
+def test_zg04_datasheet_consistency(spark, sf_dir):
+    rows = {r.source: r for r in _q("zg04_corpus_datasheet")(spark, sf_dir).collect()}
+    assert rows
+
+    # Curation column = zf01's per-source survivor census, verbatim.
+    zf = {r.source: r for r in _q("zf01_curation_lineage")(spark, sf_dir).collect()}
+    assert set(rows) == set(zf)
+    for s, r in rows.items():
+        assert r.n_docs == zf[s].n_docs
+        assert r.cur_kept == zf[s].n_kept
+        assert r.cur_ppm == zf[s].kept_ppm
+
+    # Gate column = ze02's per-source keeps: unscoreable docs (no
+    # bigram) cannot be kept by the gate, so widening the population
+    # from ze02's classifiable docs to ALL docs changes n_docs but not
+    # n_kept.
+    ze = {r.source: r for r in _q("ze02_classifier_gate")(spark, sf_dir).collect()}
+    for s, r in rows.items():
+        assert r.gate_kept == ze[s].n_kept
+
+    for r in rows.values():
+        # the shipped intersection nests inside both selectors
+        assert r.final_kept <= min(r.cur_kept, r.gate_kept)
+        assert r.final_tokens <= r.tok_total
+        assert r.final_ppm == r.final_kept * 1_000_000 // r.n_docs
+
+    # The two selection systems are genuinely different selectors on
+    # the fixture (different per-source yields) — the comparison is the
+    # reason the table exists. (Strict per-source non-nesting is NOT
+    # asserted: at sf0.001 the intersection happens to coincide with
+    # the smaller selector in every source.)
+    assert any(r.cur_kept != r.gate_kept for r in rows.values())
+
+
+# ---------------------------------------------------------------------------
+# zg05 — shard plan conserves the curated pack and deals windows evenly
+# ---------------------------------------------------------------------------
+
+
+def test_zg05_shard_conservation(spark, sf_dir):
+    rows = sorted(
+        _q("zg05_curated_shard_plan")(spark, sf_dir).collect(), key=lambda r: r.shard
+    )
+    assert rows
+
+    # Window and token totals telescope to zg01's curated manifest.
+    zg01 = _q("zg01_curated_pack_manifest")(spark, sf_dir).collect()
+    assert sum(r.n_windows for r in rows) == sum(r.n_windows for r in zg01)
+    assert sum(r.shard_tokens for r in rows) == sum(r.kept_tokens for r in zg01)
+    assert sum(r.n_docs for r in rows) == sum(r.n_kept for r in zg01)
+
+    # Snake dealing: window counts per shard differ by at most 1, and
+    # only the populated prefix/suffix of a partial lap is short.
+    counts = [r.n_windows for r in rows]
+    assert max(counts) - min(counts) <= 1
+
+    # share_ppm is the exact integer share of the curated token mass
+    total = sum(r.shard_tokens for r in rows)
+    for r in rows:
+        assert r.share_ppm == r.shard_tokens * 1_000_000 // total
+
+
+# ---------------------------------------------------------------------------
+# zg06/zg07 — rule census conserves mass; stream twin is layout-invariant
+# ---------------------------------------------------------------------------
+
+
+def test_zg06_rule_census_conserves(spark, sf_dir):
+    rows = _q("zg06_quality_rule_census")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.drop_short + r.drop_long + r.drop_rep + r.drop_stop + r.n_kept
+            == r.n_docs
+        )
+        assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
+    # every rule fires somewhere on the fixture (non-vacuous thresholds)
+    for col in ("drop_short", "drop_long", "drop_rep", "drop_stop"):
+        assert sum(getattr(r, col) for r in rows) > 0, col
+
+
+def test_zg07_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """The census SUM-merge must produce the identical report whether
+    the corpus arrives as 1 micro-batch or 3; both must equal batch
+    zg06 exactly."""
+    import os
+    import time
+
+    from spotify_tags_etl_spark.operators.zgops import streaming_quality_rules
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_rules_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "source", "text"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_quality_rules(spark, stream).collect()]
+    single = [
+        tuple(r) for r in _q("zg07_stream_quality_rules")(spark, sf_dir).collect()
+    ]
+    batch = [tuple(r) for r in _q("zg06_quality_rule_census")(spark, sf_dir).collect()]
+    assert multi == single == batch
+    assert len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Loop-stage plan + scan pins for the zg band (cf. test_round9_additions)
+# ---------------------------------------------------------------------------
+
+import pytest
+
+#: zf01_flags' stage fingerprints, shared by every zg consumer of the
+#: curated corpus (each stage list records pre-checkpoint; consumers
+#: then join materialized lists against ONE corpus projection scan).
+_ZF01_FLAGS_PLANS = {
+    "zc03:projected_corpus": [{}],
+    "zf01:exact_keeps": [{"exchanges": 1}],
+    "zf01:near_drops": [{"exchanges": 5}],
+    "zf01:sem_drops": [{"exchanges": 2}],
+    "zf01:contam": [{"exchanges": 3}],
+    "zf01:importance_census": [{"exchanges": 1}],
+    "zf01:offtarget": [{"exchanges": 1}],
+    "zf01:lineage_flags": [{"exchanges": 4, "sort_merge_joins": 3}],
+}
+
+_ZF01_FLAGS_SCANS = {
+    "zc03:projected_corpus": [["embedding,vec_id"]],
+    "zf01:exact_keeps": [["doc_id,text"]],
+    "zf01:near_drops": [["doc_id,text"] * 6],
+    "zf01:sem_drops": [[]],
+    "zf01:contam": [["doc_id,text"] * 2],
+    "zf01:importance_census": [["lang,text"]],
+    "zf01:offtarget": [["doc_id,text"]],
+    "zf01:lineage_flags": [["doc_id,n_chars,source"]],
+}
+
+#: ze01_feats' fingerprints (the one corpus-sized scoring pass every
+#: fit consumer pays) — artifact-HIT path, cf. test_round9_additions.
+_ZE_FEATS_PLANS = {
+    "ze01:design_matrix": [{"exchanges": 1}],
+    "ze01:feats": [{"exchanges": 1}],
+}
+
+_ZE_FEATS_SCANS = {
+    "ze01:design_matrix": [["doc_id,lang,text"]],
+    "ze01:feats": [[]],
+}
+
+ZG_EXPECTED_LOOP_PLANS = {
+    # banded first-drop rollup: flags chain + ONE map-combined band agg
+    # (the SMJs are the flags join, recorded pre-aggregation)
+    "zg01_curated_pack_manifest": {
+        **_ZF01_FLAGS_PLANS,
+        "zg01:band_reasons": [{"exchanges": 4, "sort_merge_joins": 3}],
+    },
+    # survivor filter -> zc05's machinery: grouped_rank layout + the
+    # checkpoint reused by quota rollup and schedule join
+    "zg02_curated_curriculum": {
+        **_ZF01_FLAGS_PLANS,
+        "scalerank:layout": [
+            {"exchanges": 4, "single_partition": 2, "sort_merge_joins": 3}
+        ],
+        "zg02:source_rollup": [{"exchanges": 1}],
+        "zg02:source_curriculum": [{"exchanges": 1}],
+    },
+    "zg03_gate_threshold_sweep": {
+        **_ZE_FEATS_PLANS,
+        "scalerank:layout": [{}],
+        "zg03:threshold_sweep": [{"exchanges": 1}],
+    },
+    # datasheet: flags chain + artifact-scored margins + ONE per-source
+    # rollup joining the two (the SMJs are the flags/margins joins)
+    "zg04_corpus_datasheet": {
+        **_ZF01_FLAGS_PLANS,
+        **_ZE_FEATS_PLANS,
+        "zg04:margins": [{"exchanges": 1}],
+        "zg04:datasheet": [{"exchanges": 5, "sort_merge_joins": 3}],
+    },
+    # two scalerank layouts: the per-band grouped_rank over survivors
+    # (flags chain upstream) and the O(#windows) global_rank
+    "zg05_curated_shard_plan": {
+        **_ZF01_FLAGS_PLANS,
+        "scalerank:layout": [
+            {"exchanges": 2},
+            {"exchanges": 4, "single_partition": 2, "sort_merge_joins": 3},
+        ],
+        "zg05:banded_rank": [{"exchanges": 1}],
+        "zg05:window_rollup": [{"exchanges": 2}],
+        "zg05:shard_rollup": [{"exchanges": 2}],
+    },
+    # per-doc-local rules: ONE keyed exchange end to end
+    "zg06_quality_rule_census": {
+        "zg06:rule_census": [{"exchanges": 1}],
+        "zg06:rule_report": [{"exchanges": 1}],
+    },
+    # close-time report reads only the checkpointed census
+    "zg07_stream_quality_rules": {
+        "zg07:rule_report": [{}],
+    },
+}
+
+ZG_EXPECTED_SCANS = {
+    "zg01_curated_pack_manifest": {
+        **_ZF01_FLAGS_SCANS,
+        # pushdown proof: the manifest reads exactly (doc_id, n_chars)
+        "zg01:band_reasons": [["doc_id,n_chars"]],
+    },
+    "zg02_curated_curriculum": {
+        **_ZF01_FLAGS_SCANS,
+        "scalerank:layout": [["doc_id,n_chars,source"]],
+        "zg02:source_rollup": [[]],
+        "zg02:source_curriculum": [[]],
+    },
+    "zg03_gate_threshold_sweep": {
+        **_ZE_FEATS_SCANS,
+        "scalerank:layout": [[]],
+        "zg03:threshold_sweep": [[]],
+    },
+    "zg04_corpus_datasheet": {
+        **_ZF01_FLAGS_SCANS,
+        **_ZE_FEATS_SCANS,
+        "zg04:margins": [[]],
+        # pushdown proof: the composed datasheet reads exactly
+        # (doc_id, n_chars, source), once
+        "zg04:datasheet": [["doc_id,n_chars,source"]],
+    },
+    "zg05_curated_shard_plan": {
+        **_ZF01_FLAGS_SCANS,
+        "scalerank:layout": [[], ["doc_id,n_chars"]],
+        "zg05:banded_rank": [[]],
+        "zg05:window_rollup": [[]],
+        "zg05:shard_rollup": [[]],
+    },
+    "zg06_quality_rule_census": {
+        "zg06:rule_census": [["source,text"]],
+        "zg06:rule_report": [["source,text"]],
+    },
+    "zg07_stream_quality_rules": {
+        "zg07:rule_report": [[]],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(ZG_EXPECTED_LOOP_PLANS))
+def test_zg_loop_stage_pins(spark, sf_dir, name):
+    from spotify_tags_etl_spark.operators.zeops import ze01_fit_artifact
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    # fit consumers are pinned on the artifact-HIT path (the steady
+    # state a production pipeline runs in) — cf. test_ze_loop_stage_pins
+    ze01_fit_artifact(spark, sf_dir)
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    _q(name)(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == ZG_EXPECTED_SCANS[name]
+    assert pm.observed_loop_plans() == ZG_EXPECTED_LOOP_PLANS[name]

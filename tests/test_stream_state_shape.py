@@ -63,6 +63,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "zd07_stream_rag_manifest": [("foreachBatch", ())],
     "ze03_stream_classifier_gate": [("foreachBatch", ())],
     "zf02_stream_curation_lineage": [("foreachBatch", ())],
+    "zg07_stream_quality_rules": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -174,6 +175,12 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # map-side partials do the in-batch compression.
         "zf02:doc_store": [{"exchanges": 3}],
         "zf02:state_merge": [{"exchanges": 1}],
+    },
+    "zg07_stream_quality_rules": {
+        "engine:foreachBatch": [{}],
+        # per-doc-local rules: one keyed exchange for the per-source
+        # census groupBy (merge adds only the <= #sources state table)
+        "zg07:census_merge": [{"exchanges": 1}],
     },
 }
 

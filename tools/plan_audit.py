@@ -73,6 +73,7 @@ def audited_names() -> list[str]:
         "zc04_stream_importance_weights", "zc07_stream_pack_efficiency",
         "zd05_stream_dedup_funnel", "zd07_stream_rag_manifest",
         "ze03_stream_classifier_gate", "zf02_stream_curation_lineage",
+        "zg07_stream_quality_rules",
     }
     return [n for n in out if n not in streaming]
 

@@ -90,6 +90,10 @@ ALLOWLIST = {
     "r_sem * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
     "r_con * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
     "r_off * tok": "0/1 first-drop flag x window-clamped tokens, addend <= 4096",
+    # zg04 datasheet intersection: cur and gk are 0/1 flags (curation
+    # survivor x gate keep), tok is window-clamped — addend <= 1 for
+    # the count, <= 4096 for the token mass (same bounds as above).
+    "cur * gk": "product of 0/1 flags (x window-clamped tok), addend <= 4096",
     # zf01 first-drop attribution: every factor is a 0/1 stage flag, so
     # each addend is 0 or 1 — the SUM is a plain count, int64-safe past
     # 9e18 docs (zd01 carries the same arithmetic via an interpolated
