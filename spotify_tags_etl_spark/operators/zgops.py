@@ -60,7 +60,10 @@ from spotify_tags_etl_spark.operators.zeops import (
     ze01_feats,
     ze01_fit_artifact,
 )
-from spotify_tags_etl_spark.operators.zfops import _zf01_flags_ctes, zf01_flags
+from spotify_tags_etl_spark.operators.zfops import (
+    _zf01_flags_ctes,
+    zf01_flags_artifact,
+)
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.tpch import load_table
@@ -154,12 +157,13 @@ def _zg01_oracle_sql() -> str:
         "mass (zc06's doc_tokens; pinned by test), and the per-stage "
         "split telescopes the same way — this is zd04's "
         "kept-vs-displaced accounting widened from one exclusion "
-        "(contamination) to the full curation lineage. Shape: the five "
-        "stage drop-lists come from zf01_flags (each stage's OWN "
-        "builder, localCheckpointed — the zd01 rule: one (doc_id, "
-        "source, n_chars) corpus projection scan joined against "
-        "materialized duplicate/contamination-fraction-sized lists, "
-        "AQE-broadcast), then ONE <= 13-row map-combined band rollup. "
+        "(contamination) to the full curation lineage. Shape: reads "
+        "the PUBLISHED zf01 flags artifact (spark-warehouse parquet, "
+        "staleness-pinned on input mtimes + stage constants; the live "
+        "five-stage funnel — each stage's OWN builder, the zd01 rule — "
+        "runs and publishes only when absent/stale, and is "
+        "bit-identical by integer determinism), then ONE <= 13-row "
+        "map-combined band rollup over the pruned artifact scan. "
         "No per-window state is materialized: window counts are pure "
         "rank arithmetic, so the manifest stays O(bands) however large "
         "the corpus — the 100 TB shape. All integer arithmetic "
@@ -169,7 +173,7 @@ def _zg01_oracle_sql() -> str:
     tags=("curation", "packing", "report", "llm-pipeline"),
 )
 def zg01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
+    flags = zf01_flags_artifact(spark, sf_dir)
     breason = flags.selectExpr(
         f"{_ZG01_TOK.format(div='DIV')} AS tok",
         "s_e", "f_near", "f_sem", "f_con", "f_off",
@@ -271,10 +275,10 @@ def _zg02_oracle_sql() -> str:
         "crank, block, slot): block b takes each surviving source's "
         "next quota_s docs, difficulty (n_chars) ramping monotonically "
         "within each source lane; zero-quota sources are excluded "
-        "(zc05's rule). Shape: the survivor set comes from zf01_flags "
-        "(stage drop-lists via each stage's own builder, "
-        "localCheckpointed, joined against one corpus projection "
-        "scan); the filtered frame then flows through zc05's own "
+        "(zc05's rule). Shape: survivors filtered from the PUBLISHED "
+        "zf01 flags artifact (staleness-pinned parquet; the live "
+        "five-stage funnel runs and publishes only when absent/"
+        "stale); the filtered frame then flows through zc05's own "
         "curriculum_schedule machinery — scalerank.grouped_rank for "
         "the per-source rank (sources are few and skewed; a keyed "
         "window would funnel the survivor corpus into #source "
@@ -287,7 +291,7 @@ def _zg02_oracle_sql() -> str:
     tags=("curation", "training", "planner", "ordering", "llm-pipeline"),
 )
 def zg02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
+    flags = zf01_flags_artifact(spark, sf_dir)
     kept = flags.where(ZG_SURVIVOR).select("doc_id", "source", "n_chars")
     return curriculum_schedule(kept, label="zg02")
 
@@ -504,9 +508,10 @@ def _zg04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
         "final_tok_ppm the surviving fraction of the source's token "
         "mass. The two selection systems overlap but do not nest — "
         "this table is where their disagreement becomes visible per "
-        "source. Shape: zf01_flags (stage drop-lists via each stage's "
-        "OWN builder, localCheckpointed, ONE (doc_id, source, n_chars) "
-        "corpus projection scan) LEFT-joined with the O(#docs) margin "
+        "source. Shape: the PUBLISHED zf01 flags artifact "
+        "(staleness-pinned parquet; the live five-stage funnel runs "
+        "and publishes only when absent/stale) LEFT-joined with the "
+        "O(#docs) margin "
         "frame scored from the PUBLISHED ze01 fit artifact (ONE "
         "aggregate over the checkpointed design matrix — scoring is "
         "the only other corpus-sized pass, inherently so), then ONE "
@@ -519,7 +524,7 @@ def _zg04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
     tags=("curation", "quality", "report", "llm-pipeline"),
 )
 def zg04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
+    flags = zf01_flags_artifact(spark, sf_dir)
     _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
     wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
     feats = ze01_feats(spark, sf_dir)
@@ -642,7 +647,9 @@ def _zg05_oracle_sql() -> str:
         "same balance class for sorted inputs). Per shard: window "
         "count, doc count, token mass, and share_ppm of the curated "
         "corpus (ideal = 1e6/S; the spread IS the imbalance a trainer "
-        "sees as straggler writers). Shape: survivor windows via "
+        "sees as straggler writers). Shape: survivors filtered from "
+        "the PUBLISHED zf01 flags artifact (staleness-pinned parquet; "
+        "live funnel only when absent/stale), windows via "
         "scalerank.grouped_rank (zc01's per-band rank, no 13-reducer "
         "band window) -> O(#windows) per-window rollup -> "
         "scalerank.global_rank over the window frame (range layout + "
@@ -657,7 +664,7 @@ def _zg05_oracle_sql() -> str:
 def zg05(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tags_etl_spark.operators.scalerank import global_rank, grouped_rank
 
-    flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
+    flags = zf01_flags_artifact(spark, sf_dir)
     surv = (
         flags.where(ZG_SURVIVOR)
         .select("doc_id", F.expr(_ZG01_TOK.format(div="DIV")).alias("tok"))

@@ -289,30 +289,12 @@ def test_zg07_layout_invariant(spark, sf_dir, tmp_path_factory):
 
 import pytest
 
-#: zf01_flags' stage fingerprints, shared by every zg consumer of the
-#: curated corpus (each stage list records pre-checkpoint; consumers
-#: then join materialized lists against ONE corpus projection scan).
-_ZF01_FLAGS_PLANS = {
-    "zc03:projected_corpus": [{}],
-    "zf01:exact_keeps": [{"exchanges": 1}],
-    "zf01:near_drops": [{"exchanges": 5}],
-    "zf01:sem_drops": [{"exchanges": 2}],
-    "zf01:contam": [{"exchanges": 3}],
-    "zf01:importance_census": [{"exchanges": 1}],
-    "zf01:offtarget": [{"exchanges": 1}],
-    "zf01:lineage_flags": [{"exchanges": 4, "sort_merge_joins": 3}],
-}
-
-_ZF01_FLAGS_SCANS = {
-    "zc03:projected_corpus": [["embedding,vec_id"]],
-    "zf01:exact_keeps": [["doc_id,text"]],
-    "zf01:near_drops": [["doc_id,text"] * 6],
-    "zf01:sem_drops": [[]],
-    "zf01:contam": [["doc_id,text"] * 2],
-    "zf01:importance_census": [["lang,text"]],
-    "zf01:offtarget": [["doc_id,text"]],
-    "zf01:lineage_flags": [["doc_id,n_chars,source"]],
-}
+#: The zg consumers are pinned on the flags-artifact HIT path (the
+#: steady state: the nightly funnel publishes, consumers read) — the
+#: zf01:* live-funnel stage labels appear only on the publish path,
+#: which zf01's own pins keep covering. Every consumer's scan set
+#: shows PRUNED artifact reads (column pruning reaches the artifact
+#: parquet), never a corpus re-scan.
 
 #: ze01_feats' fingerprints (the one corpus-sized scoring pass every
 #: fit consumer pays) — artifact-HIT path, cf. test_round9_additions.
@@ -327,19 +309,15 @@ _ZE_FEATS_SCANS = {
 }
 
 ZG_EXPECTED_LOOP_PLANS = {
-    # banded first-drop rollup: flags chain + ONE map-combined band agg
-    # (the SMJs are the flags join, recorded pre-aggregation)
+    # pruned artifact scan + ONE map-combined band agg (recorded
+    # pre-aggregation: exchange-free)
     "zg01_curated_pack_manifest": {
-        **_ZF01_FLAGS_PLANS,
-        "zg01:band_reasons": [{"exchanges": 4, "sort_merge_joins": 3}],
+        "zg01:band_reasons": [{}],
     },
     # survivor filter -> zc05's machinery: grouped_rank layout + the
     # checkpoint reused by quota rollup and schedule join
     "zg02_curated_curriculum": {
-        **_ZF01_FLAGS_PLANS,
-        "scalerank:layout": [
-            {"exchanges": 4, "single_partition": 2, "sort_merge_joins": 3}
-        ],
+        "scalerank:layout": [{}],
         "zg02:source_rollup": [{"exchanges": 1}],
         "zg02:source_curriculum": [{"exchanges": 1}],
     },
@@ -348,22 +326,17 @@ ZG_EXPECTED_LOOP_PLANS = {
         "scalerank:layout": [{}],
         "zg03:threshold_sweep": [{"exchanges": 1}],
     },
-    # datasheet: flags chain + artifact-scored margins + ONE per-source
-    # rollup joining the two (the SMJs are the flags/margins joins)
+    # datasheet: artifact flags x artifact-scored margins, ONE
+    # per-source rollup (the margins join AQE-broadcasts)
     "zg04_corpus_datasheet": {
-        **_ZF01_FLAGS_PLANS,
         **_ZE_FEATS_PLANS,
         "zg04:margins": [{"exchanges": 1}],
-        "zg04:datasheet": [{"exchanges": 5, "sort_merge_joins": 3}],
+        "zg04:datasheet": [{"exchanges": 1}],
     },
     # two scalerank layouts: the per-band grouped_rank over survivors
-    # (flags chain upstream) and the O(#windows) global_rank
+    # and the O(#windows) global_rank
     "zg05_curated_shard_plan": {
-        **_ZF01_FLAGS_PLANS,
-        "scalerank:layout": [
-            {"exchanges": 2},
-            {"exchanges": 4, "single_partition": 2, "sort_merge_joins": 3},
-        ],
+        "scalerank:layout": [{}, {"exchanges": 2}],
         "zg05:banded_rank": [{"exchanges": 1}],
         "zg05:window_rollup": [{"exchanges": 2}],
         "zg05:shard_rollup": [{"exchanges": 2}],
@@ -381,13 +354,12 @@ ZG_EXPECTED_LOOP_PLANS = {
 
 ZG_EXPECTED_SCANS = {
     "zg01_curated_pack_manifest": {
-        **_ZF01_FLAGS_SCANS,
-        # pushdown proof: the manifest reads exactly (doc_id, n_chars)
-        "zg01:band_reasons": [["doc_id,n_chars"]],
+        # pushdown proof: the manifest reads exactly the flag columns
+        # + n_chars from the artifact — no doc_id, no source
+        "zg01:band_reasons": [["f_con,f_near,f_off,f_sem,n_chars,s_e"]],
     },
     "zg02_curated_curriculum": {
-        **_ZF01_FLAGS_SCANS,
-        "scalerank:layout": [["doc_id,n_chars,source"]],
+        "scalerank:layout": [["doc_id,f_con,f_near,f_off,f_sem,n_chars,s_e,source"]],
         "zg02:source_rollup": [[]],
         "zg02:source_curriculum": [[]],
     },
@@ -397,16 +369,12 @@ ZG_EXPECTED_SCANS = {
         "zg03:threshold_sweep": [[]],
     },
     "zg04_corpus_datasheet": {
-        **_ZF01_FLAGS_SCANS,
         **_ZE_FEATS_SCANS,
         "zg04:margins": [[]],
-        # pushdown proof: the composed datasheet reads exactly
-        # (doc_id, n_chars, source), once
-        "zg04:datasheet": [["doc_id,n_chars,source"]],
+        "zg04:datasheet": [["doc_id,f_con,f_near,f_off,f_sem,n_chars,s_e,source"]],
     },
     "zg05_curated_shard_plan": {
-        **_ZF01_FLAGS_SCANS,
-        "scalerank:layout": [[], ["doc_id,n_chars"]],
+        "scalerank:layout": [[], ["doc_id,f_con,f_near,f_off,f_sem,n_chars,s_e"]],
         "zg05:banded_rank": [[]],
         "zg05:window_rollup": [[]],
         "zg05:shard_rollup": [[]],
@@ -426,9 +394,14 @@ def test_zg_loop_stage_pins(spark, sf_dir, name):
     from spotify_tags_etl_spark.operators.zeops import ze01_fit_artifact
     from spotify_tags_etl_spark.plans import planmetrics as pm
 
-    # fit consumers are pinned on the artifact-HIT path (the steady
-    # state a production pipeline runs in) — cf. test_ze_loop_stage_pins
+    from spotify_tags_etl_spark.operators.zfops import zf01_flags_artifact
+
+    # consumers are pinned on the artifact-HIT path for BOTH artifacts
+    # (the steady state a production pipeline runs in) — cf.
+    # test_ze_loop_stage_pins; publish first so a cold warehouse cannot
+    # flip these pins to the miss path
     ze01_fit_artifact(spark, sf_dir)
+    zf01_flags_artifact(spark, sf_dir).count()
     pm.LOOP_PLAN_LOG.clear()
     pm.SCAN_LOG.clear()
     _q(name)(spark, sf_dir).count()
@@ -438,3 +411,62 @@ def test_zg_loop_stage_pins(spark, sf_dir, name):
     observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
     assert observed_scans == ZG_EXPECTED_SCANS[name]
     assert pm.observed_loop_plans() == ZG_EXPECTED_LOOP_PLANS[name]
+
+
+def test_zf01_flags_artifact_staleness(spark, sf_dir, tmp_path, monkeypatch):
+    """The lineage-artifact primitive (ze01_fit_artifact's discipline
+    on the data plane): (a) first use computes the live funnel and
+    publishes, (b) repeat reads serve from the artifact with NO
+    recompute, (c) an input-file change reads as stale and recomputes,
+    and (d) the artifact is bit-identical to the live flags."""
+    import os
+    import shutil
+
+    from spotify_tags_etl_spark.operators import zfops
+
+    root = str(tmp_path)
+    for t in ("documents", "embeddings"):
+        shutil.copy(
+            os.path.join(sf_dir, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    live = sorted(
+        tuple(r)
+        for r in zfops.zf01_flags(spark, root, extra_cols=("n_chars",)).collect()
+    )
+
+    calls: list[str] = []
+    real = zfops.zf01_flags
+
+    def counting(spark_, sf_, extra_cols=()):
+        calls.append(sf_)
+        return real(spark_, sf_, extra_cols)
+
+    monkeypatch.setattr(zfops, "zf01_flags", counting)
+
+    zfops._FLAGS_MEMO.clear()
+    got = sorted(
+        tuple(r) for r in zfops.zf01_flags_artifact(spark, root).collect()
+    )
+    assert got == live  # miss: compute + publish, bit-identical
+    assert len(calls) == 1
+    assert os.path.exists(
+        os.path.join(
+            zfops._flags_artifact_dir(zfops._flags_key(root)), "meta.json"
+        )
+    )
+
+    zfops._FLAGS_MEMO.clear()  # force the on-disk (not memo) read path
+    got = sorted(
+        tuple(r) for r in zfops.zf01_flags_artifact(spark, root).collect()
+    )
+    assert got == live and len(calls) == 1  # hit: NO recompute
+
+    p = os.path.join(root, "embeddings.parquet")
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    zfops._FLAGS_MEMO.clear()
+    got = sorted(
+        tuple(r) for r in zfops.zf01_flags_artifact(spark, root).collect()
+    )
+    assert got == live and len(calls) == 2  # stale: recompute + republish
