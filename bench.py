@@ -230,9 +230,11 @@ CURATION_SUITE = [
     "zg02_curated_curriculum",
     "zg03_gate_threshold_sweep",
     # round-10 late: the per-source corpus datasheet (curation x gate
-    # intersection) and the Gopher-style first-fail hard-rule census
+    # intersection), the Gopher-style first-fail hard-rule census, and
+    # the stage-overlap redundancy matrix over the flags artifact
     "zg04_corpus_datasheet",
     "zg06_quality_rule_census",
+    "zg08_stage_overlap",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

@@ -36,6 +36,11 @@ zg07 — streaming twin of zg06: the rule census as a SUM-mergeable
 per-batch partial (rules are per-doc-complete), micro-batch-layout
 invariant and equal to batch zg06.
 
+zg08 — curation stage-overlap matrix: pairwise unconditional-drop
+intersections + Jaccard across the five stages — the counterfactual
+redundancy census the first-fail attribution hides ("if I cut stage X,
+what would Y still catch?"), one global fold over the flags artifact.
+
 Reference parity note: the reference ETL
 (/root/reference/src/spotify_tags_etl/) has no curation or training
 stage; these compose operators added in rounds 2-10 along SURVEY.md's
@@ -980,4 +985,124 @@ def zg07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return streaming_quality_rules(
         spark, read_table_stream(spark, sf_dir, "documents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zg08 — curation stage-overlap (redundancy) matrix
+# ---------------------------------------------------------------------------
+
+#: Stage name -> unconditional drop-flag expression over the zf01 flag
+#: columns (NOT first-fail attributed: each stage's own verdict,
+#: independent of order — the artifact stores exactly these).
+_ZG08_STAGES = (
+    ("exact", "(1 - s_e)"),
+    ("near", "f_near"),
+    ("sem", "f_sem"),
+    ("con", "f_con"),
+    ("off", "f_off"),
+)
+
+
+def _zg08_pairs() -> list[tuple[int, int]]:
+    n = len(_ZG08_STAGES)
+    return [(i, j) for i in range(n) for j in range(i, n)]
+
+
+def _zg08_oracle_sql() -> str:
+    sums = ",\n             ".join(
+        f"CAST(SUM({_ZG08_STAGES[i][1]} * {_ZG08_STAGES[j][1]}) AS BIGINT)"
+        f" AS b_{i}_{j}"
+        for i, j in _zg08_pairs()
+    )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS ia, CAST({j} AS BIGINT) AS ib,"
+        f" '{_ZG08_STAGES[i][0]}' AS stage_a, '{_ZG08_STAGES[j][0]}' AS stage_b,"
+        f" b_{i}_{i} AS n_a, b_{j}_{j} AS n_b, b_{i}_{j} AS n_both FROM t"
+        for i, j in _zg08_pairs()
+    )
+    return (
+        "WITH "
+        + _zf01_flags_ctes()
+        + f""",
+    t AS (
+      SELECT {sums}
+      FROM flags
+    ),
+    m AS (
+      {rows}
+    )
+    SELECT ia, ib, stage_a, stage_b, n_a, n_b, n_both,
+           CAST(n_both * 1000000 // NULLIF(n_a + n_b - n_both, 0) AS BIGINT)
+             AS jaccard_ppm
+    FROM m ORDER BY ia, ib
+    """
+    )
+
+
+@register(
+    "zg08_stage_overlap",
+    oracle=_zg08_oracle_sql(),
+    doc=(
+        "CURATION STAGE-OVERLAP MATRIX — the counterfactual census the "
+        "first-fail attribution (zf01/zg01) deliberately hides: for "
+        "every pair of the five curation stages, how many docs BOTH "
+        "stages flag under their own UNCONDITIONAL verdicts (each "
+        "stage judged independently — exactly the flag columns the "
+        "artifact stores), with the pairwise Jaccard ppm. This is the "
+        "table that answers 'if I dropped stage X, how much of its "
+        "catch would stage Y still remove?' — the redundancy evidence "
+        "an org reads before cutting a pipeline stage's cost, and the "
+        "disagreement evidence before trusting one. Diagonal rows are "
+        "the per-stage unconditional drop counts (for the funnel's "
+        "FIRST stage, unconditional = first-fail, so the exact "
+        "diagonal equals zf01's drop_exact — pinned). Shape: reads the "
+        "PUBLISHED zf01 flags artifact (staleness-pinned parquet; live "
+        "funnel only when absent/stale), folds ALL 15 pair sums + 5 "
+        "totals in ONE map-combined aggregate over the pruned flag "
+        "scan (0/1 x 0/1 products, addend <= 1), then unpivots the "
+        "single result row into the 15-row matrix with stack() — "
+        "O(stages^2) output at any corpus size, one pass, no joins. "
+        "Oracle: the flags chain + the same sums UNION-ALL'd into the "
+        "matrix."
+    ),
+    tags=("curation", "dedup", "report", "llm-pipeline"),
+)
+def zg08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = zf01_flags_artifact(spark, sf_dir)
+    t = flags.agg(
+        *[
+            F.expr(
+                f"CAST(SUM({_ZG08_STAGES[i][1]} * {_ZG08_STAGES[j][1]})"
+                f" AS BIGINT)"
+            ).alias(f"b_{i}_{j}")
+            for i, j in _zg08_pairs()
+        ]
+    )
+    record_plan(t, "zg08:pair_sums")
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), CAST({j} AS BIGINT),"
+        f" '{_ZG08_STAGES[i][0]}', '{_ZG08_STAGES[j][0]}',"
+        f" b_{i}_{i}, b_{j}_{j}, b_{i}_{j}"
+        for i, j in _zg08_pairs()
+    )
+    return (
+        t.selectExpr(
+            f"stack({len(_zg08_pairs())}, {stack_args})"
+            " AS (ia, ib, stage_a, stage_b, n_a, n_b, n_both)"
+        )
+        .select(
+            "ia",
+            "ib",
+            "stage_a",
+            "stage_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr(
+                "CAST(n_both * 1000000 DIV NULLIF(n_a + n_b - n_both, 0)"
+                " AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("ia", "ib")
     )

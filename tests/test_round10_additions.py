@@ -341,6 +341,11 @@ ZG_EXPECTED_LOOP_PLANS = {
         "zg05:window_rollup": [{"exchanges": 2}],
         "zg05:shard_rollup": [{"exchanges": 2}],
     },
+    # ONE global fold to a single 20-column row (bounded by
+    # construction: O(stages^2) output), then stack() — no joins
+    "zg08_stage_overlap": {
+        "zg08:pair_sums": [{"single_partition": 1}],
+    },
     # per-doc-local rules: ONE keyed exchange end to end
     "zg06_quality_rule_census": {
         "zg06:rule_census": [{"exchanges": 1}],
@@ -382,6 +387,10 @@ ZG_EXPECTED_SCANS = {
     "zg06_quality_rule_census": {
         "zg06:rule_census": [["source,text"]],
         "zg06:rule_report": [["source,text"]],
+    },
+    "zg08_stage_overlap": {
+        # pruned artifact read: the five flag columns only
+        "zg08:pair_sums": [["f_con,f_near,f_off,f_sem,s_e"]],
     },
     "zg07_stream_quality_rules": {
         "zg07:rule_report": [[]],
@@ -470,3 +479,41 @@ def test_zf01_flags_artifact_staleness(spark, sf_dir, tmp_path, monkeypatch):
         tuple(r) for r in zfops.zf01_flags_artifact(spark, root).collect()
     )
     assert got == live and len(calls) == 2  # stale: recompute + republish
+
+
+# ---------------------------------------------------------------------------
+# zg08 — overlap matrix is consistent with the first-fail lineage
+# ---------------------------------------------------------------------------
+
+
+def test_zg08_overlap_consistency(spark, sf_dir):
+    rows = {
+        (r.stage_a, r.stage_b): r
+        for r in _q("zg08_stage_overlap")(spark, sf_dir).collect()
+    }
+    stages = ["exact", "near", "sem", "con", "off"]
+    assert set(rows) == {
+        (a, b) for i, a in enumerate(stages) for b in stages[i:]
+    }
+
+    # Diagonal = unconditional per-stage counts; intersections nest.
+    for (a, b), r in rows.items():
+        if a == b:
+            assert r.n_a == r.n_b == r.n_both
+            if r.n_a:
+                assert r.jaccard_ppm == 1_000_000
+        else:
+            assert r.n_both <= min(r.n_a, r.n_b)
+            union = r.n_a + r.n_b - r.n_both
+            assert r.jaccard_ppm == (
+                r.n_both * 1_000_000 // union if union else None
+            )
+
+    zf = _q("zf01_curation_lineage")(spark, sf_dir).collect()
+    # The funnel's FIRST stage: unconditional == first-fail, exactly.
+    assert rows[("exact", "exact")].n_a == sum(r.drop_exact for r in zf)
+    # Later stages: unconditional verdicts dominate first-fail counts.
+    assert rows[("near", "near")].n_a >= sum(r.drop_near for r in zf)
+    assert rows[("sem", "sem")].n_a >= sum(r.drop_sem for r in zf)
+    assert rows[("con", "con")].n_a >= sum(r.drop_contam for r in zf)
+    assert rows[("off", "off")].n_a >= sum(r.drop_offtarget for r in zf)
