@@ -235,6 +235,8 @@ CURATION_SUITE = [
     "zg04_corpus_datasheet",
     "zg06_quality_rule_census",
     "zg08_stage_overlap",
+    "zg09_rule_threshold_sweep",
+    "zg10_curation_mix_shift",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

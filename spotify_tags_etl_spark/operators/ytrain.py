@@ -59,32 +59,36 @@ YV04_EPOCHS, YV04_SHARDS = 3, 8
 # ---------------------------------------------------------------------------
 
 
-def quota_ctes(rel: str = "documents") -> str:
+def quota_ctes(rel: str = "documents", prefix: str = "") -> str:
     """yv01's largest-remainder quota chain as reusable CTE text over
-    any relation exposing (source, n_chars) — the final CTE ``quotas``
-    exposes (source, n_docs, chars, quota). Shared with zc05's
-    per-source curriculum (rel=documents) and zg02's curated
-    curriculum (rel=the zf01 survivor set)."""
-    return f"""s AS (
+    any relation exposing (source, n_chars) — the final CTE
+    ``{prefix}quotas`` exposes (source, n_docs, chars, quota). Shared
+    with zc05's per-source curriculum (rel=documents), zg02's curated
+    curriculum (rel=the zf01 survivor set), and zg10's mix-shift
+    report (which instantiates the chain TWICE — full corpus and
+    survivors — so ``prefix`` keeps the CTE namespaces disjoint;
+    the default empty prefix reproduces the historical text)."""
+    p = prefix
+    return f"""{p}s AS (
       SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS chars
       FROM {rel} GROUP BY source
     ),
-    t AS (SELECT SUM(chars) AS total FROM s),
-    fl AS (
+    {p}t AS (SELECT SUM(chars) AS total FROM {p}s),
+    {p}fl AS (
       SELECT source, n_docs, chars,
-             CAST(CAST(chars AS HUGEINT) * {YV01_BLOCK} // t.total AS BIGINT) AS fl,
-             CAST(CAST(chars AS HUGEINT) * {YV01_BLOCK} % t.total AS BIGINT) AS rem
-      FROM s, t
+             CAST(CAST(chars AS HUGEINT) * {YV01_BLOCK} // {p}t.total AS BIGINT) AS fl,
+             CAST(CAST(chars AS HUGEINT) * {YV01_BLOCK} % {p}t.total AS BIGINT) AS rem
+      FROM {p}s, {p}t
     ),
-    e AS (SELECT CAST({YV01_BLOCK} - SUM(fl) AS BIGINT) AS extra FROM fl),
-    r AS (
-      SELECT fl.*, ROW_NUMBER() OVER (ORDER BY rem DESC, chars DESC, source ASC) AS rk
-      FROM fl
+    {p}e AS (SELECT CAST({YV01_BLOCK} - SUM(fl) AS BIGINT) AS extra FROM {p}fl),
+    {p}r AS (
+      SELECT {p}fl.*, ROW_NUMBER() OVER (ORDER BY rem DESC, chars DESC, source ASC) AS rk
+      FROM {p}fl
     ),
-    quotas AS (
+    {p}quotas AS (
       SELECT source, n_docs, chars,
-             CAST(fl + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
-      FROM r, e
+             CAST(fl + CASE WHEN rk <= {p}e.extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM {p}r, {p}e
     )"""
 
 

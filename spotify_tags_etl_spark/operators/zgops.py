@@ -41,6 +41,15 @@ intersections + Jaccard across the five stages — the counterfactual
 redundancy census the first-fail attribution hides ("if I cut stage X,
 what would Y still catch?"), one global fold over the flags artifact.
 
+zg09 — repetition-threshold sweep: the yv21/zg03 tuning-table pattern
+applied to zg06's hard-rule gate — the full first-fail census at each
+candidate duplicate-word-mass threshold, one global fold, no joins.
+
+zg10 — curation mix-shift report: Hamilton dataloader quotas over the
+full corpus vs the zf01 survivors side by side, with seat deltas and
+char-share shifts — the quota-diff evidence behind zg02's
+re-apportionment.
+
 Reference parity note: the reference ETL
 (/root/reference/src/spotify_tags_etl/) has no curation or training
 stage; these compose operators added in rounds 2-10 along SURVEY.md's
@@ -791,15 +800,13 @@ def _zg06_oracle_sql() -> str:
     """
 
 
-def zg06_census_partial(docs: DataFrame) -> DataFrame:
-    """The mergeable half of zg06: per-source counts of docs dropped by
-    each FIRST-failing rule plus keeps. Every column is a SUM of 0/1
-    indicators, so partials over any doc partition SUM-merge to the
-    batch census — the property zg07 streams on. Expression-only (one
-    projection, one map-combined rollup); ppm finishing is the caller's
-    (it does not merge)."""
+def _zg06_base(docs: DataFrame) -> DataFrame:
+    """The per-doc rule measurements (word count, distinct-word count,
+    stopword presence) — shared by zg06's fixed-threshold census and
+    zg09's repetition-threshold sweep. BIGINT word counts: the ppm
+    cross-multiplies overflow int32 at ~3.6k words otherwise."""
     stoplist = ", ".join(f"'{w}'" for w in ZG06_STOPWORDS)
-    rules = docs.select(
+    return docs.select(
         "source",
         F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("nw"),
         F.expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").alias(
@@ -808,7 +815,17 @@ def zg06_census_partial(docs: DataFrame) -> DataFrame:
         F.expr(
             f"arrays_overlap(split(lower(text), ' '), array({stoplist}))"
         ).alias("has_stop"),
-    ).select(
+    )
+
+
+def zg06_census_partial(docs: DataFrame) -> DataFrame:
+    """The mergeable half of zg06: per-source counts of docs dropped by
+    each FIRST-failing rule plus keeps. Every column is a SUM of 0/1
+    indicators, so partials over any doc partition SUM-merge to the
+    batch census — the property zg07 streams on. Expression-only (one
+    projection, one map-combined rollup); ppm finishing is the caller's
+    (it does not merge)."""
+    rules = _zg06_base(docs).select(
         "source",
         F.expr(f"CASE WHEN nw < {ZG06_MIN_WORDS} THEN 1 ELSE 0 END").alias(
             "r_short"
@@ -1106,3 +1123,335 @@ def zg08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ia", "ib")
     )
+
+
+# ---------------------------------------------------------------------------
+# zg09 — repetition-threshold sweep for the hard-rule census
+# ---------------------------------------------------------------------------
+
+#: Candidate repetition thresholds (duplicate-word mass, ppm of the
+#: doc): the tuning grid around zg06's deployed 600000.
+ZG09_THRESHOLDS = tuple(range(350_000, 800_000, 50_000))
+
+
+def _zg09_terms(t: int) -> dict[str, str]:
+    """First-fail census terms with the repetition rule at threshold
+    ``t`` — shared spelling between the Spark aggregate and the
+    oracle (pure integer arithmetic in both dialects)."""
+    rep = f"CASE WHEN (nw - ndw) * 1000000 > {t} * nw THEN 1 ELSE 0 END"
+    pre = "(1 - r_short) * (1 - r_long)"
+    return {
+        "rep": f"{pre} * {rep}",
+        "stop": f"{pre} * (1 - {rep}) * r_stop",
+        "kept": f"{pre} * (1 - {rep}) * (1 - r_stop)",
+    }
+
+
+def _zg09_oracle_sql() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in ZG06_STOPWORDS)
+    sums = []
+    for i, t in enumerate(ZG09_THRESHOLDS):
+        terms = _zg09_terms(t)
+        sums += [
+            f"CAST(SUM({terms['rep']}) AS BIGINT) AS rep_{i}",
+            f"CAST(SUM({terms['stop']}) AS BIGINT) AS stop_{i}",
+            f"CAST(SUM({terms['kept']}) AS BIGINT) AS kept_{i}",
+        ]
+    sums += [
+        "CAST(COUNT(*) AS BIGINT) AS n_docs",
+        "CAST(SUM(r_short) AS BIGINT) AS n_short",
+        "CAST(SUM((1 - r_short) * r_long) AS BIGINT) AS n_long",
+    ]
+    rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS thr_ppm, n_docs,"
+        f" n_short AS drop_short, n_long AS drop_long,"
+        f" rep_{i} AS drop_rep, stop_{i} AS drop_stop, kept_{i} AS n_kept"
+        " FROM agg"
+        for i, t in enumerate(ZG09_THRESHOLDS)
+    )
+    return f"""
+    WITH m AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndw,
+             list_has_any(string_split(lower(text), ' '), [{stoplist}]) AS has_stop
+      FROM documents
+    ),
+    r AS (
+      SELECT nw, ndw,
+             CASE WHEN nw < {ZG06_MIN_WORDS} THEN 1 ELSE 0 END AS r_short,
+             CASE WHEN nw > {ZG06_MAX_WORDS} THEN 1 ELSE 0 END AS r_long,
+             CASE WHEN has_stop THEN 0 ELSE 1 END AS r_stop
+      FROM m
+    ),
+    agg AS (
+      SELECT {", ".join(sums)}
+      FROM r
+    ),
+    sw AS (
+      {rows}
+    )
+    SELECT thr_ppm, n_docs, drop_short, drop_long, drop_rep, drop_stop,
+           n_kept,
+           CAST(n_kept * 1000000 // n_docs AS BIGINT) AS kept_ppm
+    FROM sw ORDER BY thr_ppm
+    """
+
+
+@register(
+    "zg09_rule_threshold_sweep",
+    oracle=_zg09_oracle_sql(),
+    doc=(
+        "REPETITION-THRESHOLD SWEEP for the hard-rule census — the "
+        "yv21/zg03 tuning-table pattern applied to zg06's heuristic "
+        "gate: for each candidate duplicate-word-mass threshold (the "
+        f"{len(ZG09_THRESHOLDS)}-point grid around the deployed "
+        f"{ZG06_REP_PPM} ppm), the FULL first-fail census the rule set "
+        "would produce at that cut — drop_rep AND the downstream "
+        "drop_stop/n_kept (first-fail attribution means moving one "
+        "stage's threshold re-routes mass through every later stage; "
+        "the sweep shows the whole budget, not just the one rule's "
+        "count). Mass conserves per row (n_docs = drops + kept, "
+        "pinned); the deployed-threshold row equals zg06's totals "
+        "(pinned). Shape: one expression-only corpus projection, ALL "
+        f"{3 * len(ZG09_THRESHOLDS) + 3} conditional sums folded in "
+        "ONE map-combined global aggregate (0/1 indicator addends), "
+        "stack()'d into the grid — O(grid) output, one scan, no "
+        "joins, no row amplification. Integer ppm arithmetic "
+        "throughout (BIGINT word counts before the cross-multiply)."
+    ),
+    tags=("curation", "quality", "text", "report", "llm-pipeline"),
+)
+def zg09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    rules = _zg06_base(docs).select(
+        "nw",
+        "ndw",
+        F.expr(f"CASE WHEN nw < {ZG06_MIN_WORDS} THEN 1 ELSE 0 END").alias(
+            "r_short"
+        ),
+        F.expr(f"CASE WHEN nw > {ZG06_MAX_WORDS} THEN 1 ELSE 0 END").alias(
+            "r_long"
+        ),
+        F.expr("CASE WHEN has_stop THEN 0 ELSE 1 END").alias("r_stop"),
+    )
+    aggs = []
+    for i, t in enumerate(ZG09_THRESHOLDS):
+        terms = _zg09_terms(t)
+        aggs += [
+            F.expr(f"CAST(SUM({terms['rep']}) AS BIGINT)").alias(f"rep_{i}"),
+            F.expr(f"CAST(SUM({terms['stop']}) AS BIGINT)").alias(f"stop_{i}"),
+            F.expr(f"CAST(SUM({terms['kept']}) AS BIGINT)").alias(f"kept_{i}"),
+        ]
+    aggs += [
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(SUM(r_short) AS BIGINT)").alias("n_short"),
+        F.expr("CAST(SUM((1 - r_short) * r_long) AS BIGINT)").alias("n_long"),
+    ]
+    agg = rules.agg(*aggs)
+    record_plan(agg, "zg09:sweep_sums")
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), n_docs, n_short, n_long,"
+        f" rep_{i}, stop_{i}, kept_{i}"
+        for i, t in enumerate(ZG09_THRESHOLDS)
+    )
+    return (
+        agg.selectExpr(
+            f"stack({len(ZG09_THRESHOLDS)}, {stack_args})"
+            " AS (thr_ppm, n_docs, drop_short, drop_long, drop_rep,"
+            " drop_stop, n_kept)"
+        )
+        .select(
+            "thr_ppm",
+            "n_docs",
+            "drop_short",
+            "drop_long",
+            "drop_rep",
+            "drop_stop",
+            "n_kept",
+            F.expr("CAST(n_kept * 1000000 DIV n_docs AS BIGINT)").alias(
+                "kept_ppm"
+            ),
+        )
+        .orderBy("thr_ppm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# zg10 — curation mix-shift report (quota re-apportionment evidence)
+# ---------------------------------------------------------------------------
+
+
+def _zg10_oracle_sql() -> str:
+    from spotify_tags_etl_spark.operators.ytrain import YV01_BLOCK, quota_ctes
+
+    return (
+        "WITH "
+        + _zf01_flags_ctes(", d.n_chars")
+        + f""",
+    surv AS MATERIALIZED (
+      SELECT source, n_chars FROM flags WHERE {ZG_SURVIVOR}
+    ),
+    {quota_ctes("documents", "a_")},
+    {quota_ctes("surv", "b_")}
+    SELECT a.source,
+           CAST(a.n_docs AS BIGINT) AS n_docs_full,
+           CAST(a.chars AS BIGINT) AS chars_full,
+           a.quota AS quota_full,
+           CAST(COALESCE(b.n_docs, 0) AS BIGINT) AS n_docs_surv,
+           CAST(COALESCE(b.chars, 0) AS BIGINT) AS chars_surv,
+           CAST(COALESCE(b.quota, 0) AS BIGINT) AS quota_surv,
+           CAST(COALESCE(b.quota, 0) - a.quota AS BIGINT) AS dquota,
+           CAST(CAST(a.chars AS HUGEINT) * 1000000
+                // (SELECT SUM(chars) FROM a_quotas) AS BIGINT)
+             AS share_full_ppm,
+           CAST(CAST(COALESCE(b.chars, 0) AS HUGEINT) * 1000000
+                // (SELECT SUM(chars) FROM b_quotas) AS BIGINT)
+             AS share_surv_ppm,
+           CAST(CAST(COALESCE(b.chars, 0) AS HUGEINT) * 1000000
+                // (SELECT SUM(chars) FROM b_quotas)
+                - CAST(a.chars AS HUGEINT) * 1000000
+                // (SELECT SUM(chars) FROM a_quotas) AS BIGINT)
+             AS shift_ppm
+    FROM a_quotas a LEFT JOIN b_quotas b ON b.source = a.source
+    ORDER BY a.source
+    """
+    )
+
+
+@register(
+    "zg10_curation_mix_shift",
+    oracle=_zg10_oracle_sql(),
+    doc=(
+        "CURATION MIX-SHIFT REPORT — the quota re-apportionment "
+        "evidence behind zg02's claim that 'curation shifts the mix': "
+        "per source, the Hamilton largest-remainder dataloader quota "
+        "(yv01's arithmetic, 1024-seat block) computed over the FULL "
+        "corpus and over the zf01 SURVIVOR corpus side by side, with "
+        "the seat delta and the char-mass share shift in ppm. A source "
+        "whose docs duplicate heavily or fail decontamination LOSES "
+        "seats to cleaner sources — this table is what a data-mixture "
+        "owner reviews before accepting a curation change (the "
+        "quota-diff the zg02 schedule silently bakes in). Both quota "
+        "columns sum to the full 1024 block (Hamilton exactness — "
+        "pinned); the full-corpus side equals yv01's own output "
+        "(pinned). Shape: reads the PUBLISHED zf01 flags artifact "
+        "(live funnel only when absent/stale); both sides are "
+        "O(#sources) rollups (one over a (source, n_chars) corpus "
+        "projection scan, one over the pruned artifact scan) flowing "
+        "through driver-light broadcast quota arithmetic — the "
+        "O(#sources) remainder window is the xr03 bounded-frame "
+        "class. Oracle: yv01's quota chain instantiated twice via "
+        "the prefix-parameterized quota_ctes (namespaces disjoint)."
+    ),
+    tags=("curation", "training", "planner", "report", "llm-pipeline"),
+)
+def zg10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from spotify_tags_etl_spark.operators.ytrain import YV01_BLOCK
+
+    def rollup(frame: DataFrame, label: str) -> DataFrame:
+        s = frame.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        record_plan(s, label)
+        return s.localCheckpoint(eager=True)  # O(#sources)
+
+    def quotas(s: DataFrame) -> DataFrame:
+        """yv01's largest-remainder arithmetic over an O(#sources)
+        checkpointed rollup (zc05's builder, minus the quota>0 filter
+        — the mix-shift report keeps zero-seat sources visible)."""
+        total = s.agg(F.sum("chars").cast("bigint").alias("total"))
+        fl = s.crossJoin(F.broadcast(total)).select(
+            "source",
+            "n_docs",
+            "chars",
+            F.expr(
+                f"CAST(CAST(chars AS DECIMAL(38,0)) * {YV01_BLOCK} DIV total"
+                " AS BIGINT)"
+            ).alias("fl"),
+            F.expr(
+                f"CAST(CAST(chars AS DECIMAL(38,0)) * {YV01_BLOCK} % total"
+                " AS BIGINT)"
+            ).alias("rem"),
+        )
+        extra = fl.agg(
+            (F.lit(YV01_BLOCK) - F.sum("fl")).cast("bigint").alias("extra")
+        )
+        rk = F.row_number().over(
+            # O(#sources) frame — the xr03 documented bounded-frame window
+            Window.orderBy(F.desc("rem"), F.desc("chars"), F.asc("source"))
+        )
+        return (
+            fl.withColumn("rk", rk)
+            .crossJoin(F.broadcast(extra))
+            .select(
+                "source",
+                "n_docs",
+                "chars",
+                F.expr(
+                    "CAST(fl + CASE WHEN rk <= extra THEN 1 ELSE 0 END"
+                    " AS BIGINT)"
+                ).alias("quota"),
+            )
+        )
+
+    full = rollup(
+        load_table(spark, sf_dir, "documents").select("source", "n_chars"),
+        "zg10:full_rollup",
+    )
+    surv = rollup(
+        zf01_flags_artifact(spark, sf_dir)
+        .where(ZG_SURVIVOR)
+        .select("source", "n_chars"),
+        "zg10:surv_rollup",
+    )
+    qf = quotas(full).localCheckpoint(eager=True)
+    qs_ = quotas(surv).localCheckpoint(eager=True)
+    tf = qf.agg(F.sum("chars").cast("bigint").alias("tf"))
+    ts = qs_.agg(F.sum("chars").cast("bigint").alias("ts"))
+    report = (
+        qf.alias("a")
+        .join(
+            F.broadcast(
+                qs_.select(
+                    F.col("source").alias("b_source"),
+                    F.col("n_docs").alias("b_n_docs"),
+                    F.col("chars").alias("b_chars"),
+                    F.col("quota").alias("b_quota"),
+                )
+            ),
+            F.expr("source = b_source"),
+            "left",
+        )
+        .crossJoin(F.broadcast(tf))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "source",
+            F.col("n_docs").alias("n_docs_full"),
+            F.col("chars").alias("chars_full"),
+            F.col("quota").alias("quota_full"),
+            F.expr("CAST(COALESCE(b_n_docs, 0) AS BIGINT)").alias("n_docs_surv"),
+            F.expr("CAST(COALESCE(b_chars, 0) AS BIGINT)").alias("chars_surv"),
+            F.expr("CAST(COALESCE(b_quota, 0) AS BIGINT)").alias("quota_surv"),
+            F.expr("CAST(COALESCE(b_quota, 0) - quota AS BIGINT)").alias(
+                "dquota"
+            ),
+            F.expr(
+                "CAST(CAST(chars AS DECIMAL(38,0)) * 1000000 DIV tf AS BIGINT)"
+            ).alias("share_full_ppm"),
+            F.expr(
+                "CAST(CAST(COALESCE(b_chars, 0) AS DECIMAL(38,0)) * 1000000"
+                " DIV ts AS BIGINT)"
+            ).alias("share_surv_ppm"),
+            F.expr(
+                "CAST(CAST(COALESCE(b_chars, 0) AS DECIMAL(38,0)) * 1000000"
+                " DIV ts - CAST(chars AS DECIMAL(38,0)) * 1000000 DIV tf"
+                " AS BIGINT)"
+            ).alias("shift_ppm"),
+        )
+        .orderBy("source")
+    )
+    record_plan(report, "zg10:mix_shift")
+    return report

@@ -383,8 +383,8 @@ VERIFIED = frozenset(
         "zf02_stream_curation_lineage",
     }
 )
-# 317 verified after the r10 rotation; 8 zg names live this round
-#   (window = 8 new + 42 zv_ re-checks)
+# 317 verified after the r10 rotation; 10 zg names live this round
+#   (window = 10 new + 40 zv_ re-checks)
 # 303 verified; registry window frees 7 new slots next round
 # 296 verified; registry window frees 37 new slots next round
 # 259 verified after the r7 rotation; the r7 window is the 29

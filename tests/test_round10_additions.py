@@ -346,6 +346,18 @@ ZG_EXPECTED_LOOP_PLANS = {
     "zg08_stage_overlap": {
         "zg08:pair_sums": [{"single_partition": 1}],
     },
+    # the whole grid in ONE global fold (30 indicator sums, 1 row)
+    "zg09_rule_threshold_sweep": {
+        "zg09:sweep_sums": [{"single_partition": 1}],
+    },
+    # two O(#sources) rollups -> driver-light broadcast quota
+    # arithmetic; the SinglePartitions are the bounded #sources
+    # remainder window + report sort
+    "zg10_curation_mix_shift": {
+        "zg10:full_rollup": [{"exchanges": 1}],
+        "zg10:surv_rollup": [{"exchanges": 1}],
+        "zg10:mix_shift": [{"single_partition": 2}],
+    },
     # per-doc-local rules: ONE keyed exchange end to end
     "zg06_quality_rule_census": {
         "zg06:rule_census": [{"exchanges": 1}],
@@ -391,6 +403,15 @@ ZG_EXPECTED_SCANS = {
     "zg08_stage_overlap": {
         # pruned artifact read: the five flag columns only
         "zg08:pair_sums": [["f_con,f_near,f_off,f_sem,s_e"]],
+    },
+    "zg09_rule_threshold_sweep": {
+        # pushdown proof: the sweep reads ONLY text (source pruned)
+        "zg09:sweep_sums": [["text"]],
+    },
+    "zg10_curation_mix_shift": {
+        "zg10:full_rollup": [["n_chars,source"]],
+        "zg10:surv_rollup": [["f_con,f_near,f_off,f_sem,n_chars,s_e,source"]],
+        "zg10:mix_shift": [[]],
     },
     "zg07_stream_quality_rules": {
         "zg07:rule_report": [[]],
@@ -517,3 +538,75 @@ def test_zg08_overlap_consistency(spark, sf_dir):
     assert rows[("sem", "sem")].n_a >= sum(r.drop_sem for r in zf)
     assert rows[("con", "con")].n_a >= sum(r.drop_contam for r in zf)
     assert rows[("off", "off")].n_a >= sum(r.drop_offtarget for r in zf)
+
+
+# ---------------------------------------------------------------------------
+# zg09 — the rule sweep is monotone and anchors to zg06's deployment
+# ---------------------------------------------------------------------------
+
+
+def test_zg09_sweep_monotone_and_anchored(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.zgops import ZG06_REP_PPM
+
+    rows = sorted(
+        _q("zg09_rule_threshold_sweep")(spark, sf_dir).collect(),
+        key=lambda r: r.thr_ppm,
+    )
+    assert len(rows) == 9
+    for r in rows:
+        assert (
+            r.drop_short + r.drop_long + r.drop_rep + r.drop_stop + r.n_kept
+            == r.n_docs
+        )
+        assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
+    for a, b in zip(rows, rows[1:]):
+        # raising the repetition bar frees docs DOWNSTREAM: rep drops
+        # fall, stop drops and keeps (weakly) absorb them
+        assert b.drop_rep <= a.drop_rep
+        assert b.drop_stop >= a.drop_stop
+        assert b.n_kept >= a.n_kept
+        assert b.drop_short == a.drop_short and b.drop_long == a.drop_long
+
+    # the deployed-threshold row IS zg06's census, totalled
+    zg06 = _q("zg06_quality_rule_census")(spark, sf_dir).collect()
+    at = {r.thr_ppm: r for r in rows}[ZG06_REP_PPM]
+    for col in ("n_docs", "drop_short", "drop_long", "drop_rep", "drop_stop", "n_kept"):
+        assert getattr(at, col) == sum(getattr(r, col) for r in zg06), col
+
+
+# ---------------------------------------------------------------------------
+# zg10 — both quota columns are exact Hamilton apportionments
+# ---------------------------------------------------------------------------
+
+
+def test_zg10_mix_shift_consistency(spark, sf_dir):
+    from spotify_tags_etl_spark.operators.ytrain import YV01_BLOCK
+
+    rows = {r.source: r for r in _q("zg10_curation_mix_shift")(spark, sf_dir).collect()}
+    assert rows
+
+    # Hamilton exactness: both sides apportion the full block.
+    assert sum(r.quota_full for r in rows.values()) == YV01_BLOCK
+    assert sum(r.quota_surv for r in rows.values()) == YV01_BLOCK
+    assert sum(r.dquota for r in rows.values()) == 0
+
+    # The full-corpus side is yv01's own mixing schedule, verbatim.
+    yv01 = {r.source: r for r in _q("yv01_mixing_schedule")(spark, sf_dir).collect()}
+    assert set(rows) == set(yv01)
+    for s, r in rows.items():
+        assert (r.n_docs_full, r.chars_full, r.quota_full) == (
+            yv01[s].n_docs,
+            yv01[s].chars,
+            yv01[s].quota,
+        )
+        assert r.n_docs_surv <= r.n_docs_full
+        assert r.chars_surv <= r.chars_full
+        assert r.dquota == r.quota_surv - r.quota_full
+
+    # The survivor side covers exactly zf01's keeps.
+    zf = {r.source: r.n_kept for r in _q("zf01_curation_lineage")(spark, sf_dir).collect()}
+    for s, r in rows.items():
+        assert r.n_docs_surv == zf.get(s, 0)
+
+    # Curation genuinely moves seats somewhere on the fixture.
+    assert any(r.dquota != 0 for r in rows.values())

@@ -94,6 +94,9 @@ ALLOWLIST = {
     # survivor x gate keep), tok is window-clamped — addend <= 1 for
     # the count, <= 4096 for the token mass (same bounds as above).
     "cur * gk": "product of 0/1 flags (x window-clamped tok), addend <= 4096",
+    # zg09's fixed drop_long term (the threshold-varying terms are
+    # interpolated and don't surface): product of 0/1 rule flags.
+    "(1 - r_short) * r_long": "product of 0/1 rule flags; addend <= 1",
     # zf01 first-drop attribution: every factor is a 0/1 stage flag, so
     # each addend is 0 or 1 — the SUM is a plain count, int64-safe past
     # 9e18 docs (zd01 carries the same arithmetic via an interpolated
