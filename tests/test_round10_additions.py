@@ -610,3 +610,57 @@ def test_zg10_mix_shift_consistency(spark, sf_dir):
 
     # Curation genuinely moves seats somewhere on the fixture.
     assert any(r.dquota != 0 for r in rows.values())
+
+
+def test_zg07_degenerate_docs_stream(spark, sf_dir, tmp_path_factory):
+    """Planted degenerate docs — 1-token, all-stopword, and empty-string
+    text — in their OWN micro-batch: the rule census must classify them
+    (r_short fires: split('') yields one empty token, nw=1) and the
+    stream must still equal the batch census on the augmented corpus."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from spotify_tags_etl_spark.operators.zgops import (
+        streaming_quality_rules,
+        zg06_census_partial,
+        _zg06_finish,
+    )
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    root = str(tmp_path_factory.mktemp("docs_rules_degenerate"))
+    docs.toPandas().to_parquet(os.path.join(root, "part-0.parquet"), index=False)
+    weird = pd.DataFrame(
+        {
+            "source": ["srcX", "srcX", "srcX"],
+            "text": ["x", "the", ""],
+        }
+    )
+    weird.to_parquet(os.path.join(root, "part-1.parquet"), index=False)
+    now = time.time()
+    os.utime(os.path.join(root, "part-0.parquet"), (now, now))
+    os.utime(os.path.join(root, "part-1.parquet"), (now + 1, now + 1))
+
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    streamed = [
+        tuple(r) for r in streaming_quality_rules(spark, stream).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in _zg06_finish(
+            zg06_census_partial(spark.read.parquet(root))
+        ).collect()
+    ]
+    assert streamed == batch
+    srcx = [r for r in streamed if r[0] == "srcX"]
+    assert len(srcx) == 1
+    # all three degenerate docs fail the too-short rule first
+    assert srcx[0][1] == 3 and srcx[0][2] == 3 and srcx[0][6] == 0
