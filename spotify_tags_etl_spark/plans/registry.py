@@ -381,6 +381,16 @@ VERIFIED = frozenset(
         "ze05_hard_examples",
         "zf01_curation_lineage",
         "zf02_stream_curation_lineage",
+        "zg01_curated_pack_manifest",
+        "zg02_curated_curriculum",
+        "zg03_gate_threshold_sweep",
+        "zg04_corpus_datasheet",
+        "zg05_curated_shard_plan",
+        "zg06_quality_rule_census",
+        "zg07_stream_quality_rules",
+        "zg08_stage_overlap",
+        "zg09_rule_threshold_sweep",
+        "zg10_curation_mix_shift",
     }
 )
 # 317 verified after the r10 rotation; 10 zg names live this round
