@@ -36,8 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from spotify_tags_etl_spark.operators.dedup import _minhash_ctes, dd01, dd02
-from spotify_tags_etl_spark.operators.zcops import _zc03_ctes, zc03
+from spotify_tags_etl_spark.operators.dedup import _minhash_ctes
+from spotify_tags_etl_spark.operators.zcops import _zc03_ctes
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
 from spotify_tags_etl_spark.sources.tpch import load_table
@@ -105,60 +105,28 @@ def _ppm(num: str, den: str) -> str:
         "space is embedded) pass the semantic stage trivially — a "
         "LEFT join, absence of evidence. Keep-ppm columns are exact "
         "integral division (count-valued numerators, int64-safe past "
-        "1e11 docs). Scale shape: the three stage plans are unchanged "
-        "(hash-groupBy / banded LSH / bucketed sign-LSH — never "
-        "all-pairs); the funnel adds three keyed LEFT joins of "
-        "drop-lists onto the (doc_id, source) projection and one "
-        "per-source rollup with map-side partials. Drop-lists are "
-        "corpus-fraction-sized (duplicates only), so AQE broadcasts "
-        "them against the corpus scan at any skew."
+        "1e11 docs). Scale shape (r11): the report READS the PUBLISHED "
+        "zf01 flags artifact (staleness-pinned spark-warehouse "
+        "parquet), which stores exactly these three stages' "
+        "unconditional verdicts (s_e, f_near, f_sem) — the live "
+        "stage builders (hash-groupBy / banded LSH / bucketed "
+        "sign-LSH, never all-pairs) run only when the artifact is "
+        "absent/stale, under zf01's own publish path. Steady state is "
+        "ONE pruned 4-column artifact scan + one map-combined "
+        "per-source rollup — the ~5 s three-stage re-derivation this "
+        "query paid before the artifact existed is now zf01's "
+        "publish-once cost."
     ),
     tags=("dedup", "report", "llm-pipeline"),
 )
 def zd01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    exact_keeps = dd01(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
-    )
-    near_drops = (
-        dd02(spark, sf_dir)
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
-        .withColumn("near_drop", F.lit(1))
-    )
-    sem_drops = (
-        zc03(spark, sf_dir)
-        .where(F.col("keep") == 0)
-        .select("vec_id")
-        .withColumnRenamed("vec_id", "doc_id")
-        .withColumn("sem_drop", F.lit(1))
-    )
-    # Each stage list is tiny (keeps ~ distinct hashes, drops ~ dup
-    # fraction) but its LINEAGE re-derives the corpus scan — composed
-    # naively the funnel plan scans documents 8x (dd02's shingle
-    # pipeline alone re-reads it 6x). Checkpoint the three lists so the
-    # report joins materialized stage OUTPUTS against ONE corpus scan —
-    # the r7 scan-audit discipline; each stage's own plan stays pinned
-    # under its own registry name.
-    for label, frame in (
-        ("zd01:exact_keeps", exact_keeps),
-        ("zd01:near_drops", near_drops),
-        ("zd01:sem_drops", sem_drops),
-    ):
-        record_plan(frame, label)
-    exact_keeps = exact_keeps.localCheckpoint(eager=True)
-    near_drops = near_drops.localCheckpoint(eager=True)
-    sem_drops = sem_drops.localCheckpoint(eager=True)
-    flags = (
-        docs.join(exact_keeps, "doc_id", "left")
-        .join(near_drops, "doc_id", "left")
-        .join(sem_drops, "doc_id", "left")
-        .select(
-            "source",
-            F.coalesce("s_e", F.lit(0)).alias("s_e"),
-            F.coalesce("near_drop", F.lit(0)).alias("near_drop"),
-            F.coalesce("sem_drop", F.lit(0)).alias("sem_drop"),
-        )
+    from spotify_tags_etl_spark.operators.zfops import zf01_flags_artifact
+
+    flags = zf01_flags_artifact(spark, sf_dir).select(
+        "source",
+        "s_e",
+        F.col("f_near").alias("near_drop"),
+        F.col("f_sem").alias("sem_drop"),
     )
     record_plan(flags, "zd01:funnel_flags")
     kept_near = "s_e * (1 - near_drop)"

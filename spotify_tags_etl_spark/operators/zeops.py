@@ -402,17 +402,22 @@ def _publish_fit(
     (round, bucket, w) weight TABLE, DECIMAL(38,0) — |w| crosses int64
     at the 100 TB design point) + meta.json (key, nd, learning curve).
     Built in a tmp dir and renamed whole, so concurrent sweep processes
-    publishing the same key race benignly: the loser's rename fails on
-    the existing complete dir and it just reads the winner's."""
+    publishing the same key race benignly — with the winner VERIFIED
+    on a lost race (artifactio's discipline; a corrupt/tampered target
+    is removed and the rename retried rather than silently trusted).
+    After publishing, sibling digests superseded by this key (same
+    corpus path, older identity — the fixture-regen leak) are GC'd."""
     import decimal
     import json
     import os
-    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from spotify_tags_etl_spark.functions import artifactio
+
     target = _artifact_dir(key)
+    artifactio.remove_unservable_target(target, key)
     os.makedirs(os.path.dirname(target), exist_ok=True)
     tmp = f"{target}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
@@ -434,10 +439,11 @@ def _publish_fit(
     )
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
         json.dump({"key": key, "nd": nd, "curve": curve}, fh, indent=1)
-    try:
-        os.rename(tmp, target)
-    except OSError:  # concurrent publisher won; its artifact is complete
-        shutil.rmtree(tmp, ignore_errors=True)
+    artifactio.publish_atomic(tmp, target, key)
+    artifactio.gc_superseded(
+        target,
+        lambda k: isinstance(k, dict) and k.get("corpus") == key["corpus"],
+    )
 
 
 def _read_fit(key: dict) -> tuple[int, list, list[dict[int, int]]] | None:

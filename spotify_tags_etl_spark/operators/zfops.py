@@ -234,18 +234,66 @@ def zf01(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zf01_flags(
-    spark: SparkSession, sf_dir: str, extra_cols: tuple[str, ...] = ()
+    spark: SparkSession,
+    sf_dir: str,
+    extra_cols: tuple[str, ...] = (),
+    with_rules: bool = False,
 ) -> DataFrame:
     """Builder twin of :func:`_zf01_flags_ctes`: one row per document
     with (doc_id, source, *extra_cols, s_e, f_near, f_sem, f_con,
-    f_off). Each stage list is computed by the stage's OWN builder and
-    localCheckpointed (the zd01 rule), so every consumer — zf01's
-    per-source rollup, zg01's banded packing manifest, zg02's curated
-    curriculum — joins materialized drop-lists against ONE corpus
-    projection scan."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", *extra_cols
-    )
+    f_off[, r_short, r_long, r_rep, r_stop]). Each stage list is
+    computed by the stage's OWN builder and localCheckpointed (the
+    zd01 rule), so every consumer — zf01's per-source rollup, zg01's
+    banded packing manifest, zg02's curated curriculum — joins
+    materialized drop-lists against ONE corpus projection scan.
+
+    ``with_rules=True`` (the artifact-publish path, v2) additionally
+    carries zg06's four per-doc-local hard-rule verdicts, computed in
+    the same corpus projection (rules read only the doc itself, so
+    they ride the scan the lineage already pays — no extra pass);
+    spelling is zg06_census_partial's verbatim, so the artifact's rule
+    columns are bit-identical to the live census."""
+    if with_rules:
+        # lazy: zgops imports this module at top level (consumer side)
+        from spotify_tags_etl_spark.operators import zgops as _zg
+
+        stoplist = ", ".join(f"'{w}'" for w in _zg.ZG06_STOPWORDS)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "source",
+                *extra_cols,
+                F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("_nw"),
+                F.expr(
+                    "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+                ).alias("_ndw"),
+                F.expr(
+                    f"arrays_overlap(split(lower(text), ' '), array({stoplist}))"
+                ).alias("_has_stop"),
+            )
+            .select(
+                "doc_id",
+                "source",
+                *extra_cols,
+                F.expr(
+                    f"CASE WHEN _nw < {_zg.ZG06_MIN_WORDS} THEN 1 ELSE 0 END"
+                ).alias("r_short"),
+                F.expr(
+                    f"CASE WHEN _nw > {_zg.ZG06_MAX_WORDS} THEN 1 ELSE 0 END"
+                ).alias("r_long"),
+                F.expr(
+                    f"CASE WHEN (_nw - _ndw) * 1000000 > {_zg.ZG06_REP_PPM} * _nw"
+                    " THEN 1 ELSE 0 END"
+                ).alias("r_rep"),
+                F.expr("CASE WHEN _has_stop THEN 0 ELSE 1 END").alias("r_stop"),
+            )
+        )
+    else:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", *extra_cols
+        )
+    rule_cols = ("r_short", "r_long", "r_rep", "r_stop") if with_rules else ()
     exact_keeps = dd01(spark, sf_dir).select(
         F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
     )
@@ -291,6 +339,7 @@ def zf01_flags(
             F.coalesce("f_sem", F.lit(0)).alias("f_sem"),
             F.coalesce("f_con", F.lit(0)).alias("f_con"),
             F.coalesce("f_off", F.lit(0)).alias("f_off"),
+            *rule_cols,
         )
     )
     record_plan(flags, "zf01:lineage_flags")
@@ -303,7 +352,11 @@ def zf01_flags(
 
 #: Bump when the LINEAGE SEMANTICS change: an artifact written by an
 #: older stage definition must read as stale, never as the lineage.
-ZF01_FLAGS_VERSION = 1
+#: v2 (r11): the artifact additionally carries zg06's four hard-rule
+#: verdicts (r_short, r_long, r_rep, r_stop) so rule consumers (zg06,
+#: the zh unified keep-set) read ONE pruned artifact scan instead of
+#: re-parsing the corpus text.
+ZF01_FLAGS_VERSION = 2
 
 #: In-process memo: key -> artifact dir (bench/sweep runs hit this
 #: after the first read; keyed identically to the on-disk artifact so
@@ -313,9 +366,21 @@ _FLAGS_MEMO: dict[str, str] = {}
 
 def _flags_key(sf_dir: str) -> dict:
     """Staleness key: identity (mtime_ns + size) of EVERY input the
-    five stages read — documents (dd01/dd02/tz06/zb03) AND embeddings
-    (zc03) — plus every constant the lineage depends on."""
+    stages read — documents (dd01/dd02/tz06/zb03/rules) AND embeddings
+    (zc03) — plus every constant the lineage depends on: dd02's
+    shingle/MinHash/LSH shape, zc03's sign-LSH sizing and cosine
+    threshold, tz06's hash-split edges and n-gram width, zb03's
+    importance census shape, and zg06's rule thresholds (r11: the
+    ADVICE gap — previously only near_permille/DECON_NGRAM/ZB03_* were
+    keyed, so changing e.g. ZC03_T_PPM served a stale artifact until
+    a manual version bump)."""
     import os
+
+    # lazy: zgops/zcops import this module at top level (consumer side)
+    from spotify_tags_etl_spark.operators import dedup as _dd
+    from spotify_tags_etl_spark.operators import zcops as _zc
+    from spotify_tags_etl_spark.operators import zgops as _zg
+    from spotify_tags_etl_spark.operators.training import SPLIT_EDGES
 
     inputs = {}
     for t in ("documents", "embeddings"):
@@ -325,9 +390,18 @@ def _flags_key(sf_dir: str) -> dict:
     return {
         "inputs": inputs,
         "near_permille": _ZF01_NEAR_PERMILLE,
+        "minhash": {"n_hashes": _dd.N_HASHES, "band_rows": _dd.BAND_ROWS,
+                    "shingle_n": 3},
+        "semantic": {"bits": _zc.ZC03_BITS, "tables": _zc.ZC03_TABLES,
+                     "t_ppm": _zc.ZC03_T_PPM},
         "decon_ngram": DECON_NGRAM,
+        "split_edges": [list(e) for e in SPLIT_EDGES],
         "imp_buckets": ZB03_BUCKETS,
         "target_lang": ZB03_TARGET_LANG,
+        "rules": {"min_words": _zg.ZG06_MIN_WORDS,
+                  "max_words": _zg.ZG06_MAX_WORDS,
+                  "rep_ppm": _zg.ZG06_REP_PPM,
+                  "stopwords": list(_zg.ZG06_STOPWORDS)},
         "flags_version": ZF01_FLAGS_VERSION,
     }
 
@@ -350,11 +424,13 @@ def zf01_flags_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared-lineage-artifact primitive (ze01_fit_artifact's
     pattern applied to the data plane): the nightly curation run
     publishes the per-doc flag table ONCE — (doc_id, source, n_chars,
-    s_e, f_near, f_sem, f_con, f_off) parquet in the gitignored
-    spark-warehouse, staleness-keyed on input mtimes+sizes and every
-    stage constant — and every zg consumer (packing manifest,
-    curriculum, datasheet, shard plan) READS it instead of re-running
-    the five-stage funnel. The lineage is integer-deterministic, so
+    s_e, f_near, f_sem, f_con, f_off, r_short, r_long, r_rep, r_stop)
+    parquet in the gitignored spark-warehouse, staleness-keyed on
+    input mtimes+sizes and every stage constant — and every consumer
+    (zg packing manifest, curriculum, datasheet, shard plan; zg06's
+    rule census; zd01's dedup funnel; the zh unified keep-set) READS
+    it instead of re-running the five-stage funnel or re-parsing the
+    corpus text. The lineage is integer-deterministic, so
     hit and miss paths are bit-identical in output — only in cost
     (the funnel is the most expensive composition in the repo; four
     consumers re-deriving it per run was the r10 analog of the ze
@@ -364,28 +440,30 @@ def zf01_flags_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the artifact scan (pinned), never the driver.
 
     Miss/stale path (absent, input changed, or ZF01_FLAGS_VERSION
-    bumped): computes :func:`zf01_flags` live and publishes atomically
-    (tmp dir + whole rename; a concurrent publisher losing the rename
-    race just reads the winner's). zf01 itself keeps exercising the
-    live path — the publisher's own correctness gate."""
+    bumped): computes :func:`zf01_flags` live (v2: with the zg06 rule
+    verdicts folded in — they ride the corpus scan the lineage already
+    pays) and publishes atomically (tmp dir + whole rename, the winner
+    VERIFIED on a lost race — artifactio's discipline), then GCs
+    sibling digests superseded by this publish (same input paths,
+    older identity — the fixture-regen leak). zf01 itself keeps
+    exercising the live path — the publisher's own correctness gate."""
     import json
     import os
-    import shutil
+
+    from spotify_tags_etl_spark.functions import artifactio
 
     key = _flags_key(sf_dir)
     memo_k = json.dumps(key, sort_keys=True)
     if memo_k not in _FLAGS_MEMO:
         target = _flags_artifact_dir(key)
-        meta_path = os.path.join(target, "meta.json")
-        fresh = False
-        if os.path.exists(meta_path):
-            try:
-                with open(meta_path) as fh:
-                    fresh = json.load(fh).get("key") == key
-            except (OSError, ValueError):
-                fresh = False
+        fresh = artifactio.read_meta_key(target) == key
         if not fresh:
-            flags = zf01_flags(spark, sf_dir, extra_cols=("n_chars",))
+            # a mismatched/corrupt dir AT the target path would make
+            # every rename fail (the silently-stops-caching bug)
+            artifactio.remove_unservable_target(target, key)
+            flags = zf01_flags(
+                spark, sf_dir, extra_cols=("n_chars",), with_rules=True
+            )
             os.makedirs(os.path.dirname(target), exist_ok=True)
             tmp = f"{target}.tmp.{os.getpid()}"
             flags.write.mode("overwrite").parquet(
@@ -393,10 +471,17 @@ def zf01_flags_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             with open(os.path.join(tmp, "meta.json"), "w") as fh:
                 json.dump({"key": key}, fh, indent=1)
-            try:
-                os.rename(tmp, target)
-            except OSError:  # concurrent publisher won; its copy is complete
-                shutil.rmtree(tmp, ignore_errors=True)
+            artifactio.publish_atomic(tmp, target, key)
+            my_paths = {t: v["path"] for t, v in key["inputs"].items()}
+            artifactio.gc_superseded(
+                target,
+                lambda k: isinstance(k, dict)
+                and {
+                    t: (v or {}).get("path")
+                    for t, v in (k.get("inputs") or {}).items()
+                }
+                == my_paths,
+            )
         _FLAGS_MEMO[memo_k] = target
     return spark.read.parquet(
         os.path.join(_FLAGS_MEMO[memo_k], "flags.parquet")

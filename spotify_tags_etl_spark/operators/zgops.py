@@ -676,16 +676,23 @@ def _zg05_oracle_sql() -> str:
     tags=("curation", "packing", "planner", "llm-pipeline"),
 )
 def zg05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = zf01_flags_artifact(spark, sf_dir)
+    surv = flags.where(ZG_SURVIVOR).select(
+        "doc_id", F.expr(_ZG01_TOK.format(div="DIV")).alias("tok")
+    )
+    return shard_plan(surv, label="zg05")
+
+
+def shard_plan(surv: DataFrame, label: str) -> DataFrame:
+    """zg05's boustrophedon writer balance over any (doc_id, tok)
+    survivor frame — zg05 feeds it the zf01 five-stage survivors, zh03
+    the unified triple-gated keep-set. Same machinery, same output
+    schema (shard, n_windows, n_docs, shard_tokens, share_ppm)."""
     from spotify_tags_etl_spark.operators.scalerank import global_rank, grouped_rank
 
-    flags = zf01_flags_artifact(spark, sf_dir)
-    surv = (
-        flags.where(ZG_SURVIVOR)
-        .select("doc_id", F.expr(_ZG01_TOK.format(div="DIV")).alias("tok"))
-        .withColumn(
-            "band_exp",
-            F.expr("CASE WHEN tok <= 1 THEN 0 ELSE length(bin(tok - 1)) END"),
-        )
+    surv = surv.withColumn(
+        "band_exp",
+        F.expr("CASE WHEN tok <= 1 THEN 0 ELSE length(bin(tok - 1)) END"),
     )
     ranked, _n = grouped_rank(
         surv,
@@ -693,7 +700,7 @@ def zg05(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("tok").desc(), F.col("doc_id").asc()],
         rank_col="brk",
     )
-    record_plan(ranked, "zg05:banded_rank")
+    record_plan(ranked, f"{label}:banded_rank")
     wagg = (
         ranked.selectExpr(
             "band_exp",
@@ -707,7 +714,7 @@ def zg05(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("w_docs"),
         )
     )
-    record_plan(wagg, "zg05:window_rollup")
+    record_plan(wagg, f"{label}:window_rollup")
     wrk, _nw = global_rank(
         wagg,
         [F.col("w_tokens").desc(), F.col("band_exp").asc(), F.col("widx").asc()],
@@ -725,7 +732,7 @@ def zg05(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w_docs").cast("bigint").alias("n_docs"),
         F.sum("w_tokens").cast("bigint").alias("shard_tokens"),
     )
-    record_plan(rollup, "zg05:shard_rollup")
+    record_plan(rollup, f"{label}:shard_rollup")
     rollup = rollup.localCheckpoint(eager=True)  # O(S) rows
     tot = rollup.agg(F.sum("shard_tokens").alias("t"))
     return (
@@ -886,13 +893,28 @@ def _zg06_finish(census: DataFrame) -> DataFrame:
         "scale (and the partials SUM-merge — zg07 streams the same "
         "census). Integer ppm arithmetic throughout; word counts cast "
         "to BIGINT before the repetition cross-multiply so a 4 GB "
-        "pathological doc cannot overflow int32 ppm math."
+        "pathological doc cannot overflow int32 ppm math. Batch path "
+        "(r11): the per-doc verdicts are STORED in the v2 zf01 flags "
+        "artifact (computed there by zg06_census_partial's exact "
+        "spelling, riding the scan the lineage already pays), so the "
+        "census is one pruned 5-column artifact scan + the same "
+        "map-combined rollup — no text re-parse; the live-text path "
+        "remains zg07's per-batch partial and the artifact publish "
+        "itself."
     ),
     tags=("curation", "quality", "text", "report", "llm-pipeline"),
 )
 def zg06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    census = zg06_census_partial(docs)
+    rules = zf01_flags_artifact(spark, sf_dir).select(
+        "source", "r_short", "r_long", "r_rep", "r_stop"
+    )
+    census = rules.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.expr(f"CAST(SUM({expr}) AS BIGINT)").alias(name)
+            for name, expr in _ZG06_DROPS
+        ],
+    )
     record_plan(census, "zg06:rule_census")
     report = _zg06_finish(census)
     record_plan(report, "zg06:rule_report")

@@ -462,15 +462,17 @@ def test_zf01_flags_artifact_staleness(spark, sf_dir, tmp_path, monkeypatch):
         )
     live = sorted(
         tuple(r)
-        for r in zfops.zf01_flags(spark, root, extra_cols=("n_chars",)).collect()
+        for r in zfops.zf01_flags(
+            spark, root, extra_cols=("n_chars",), with_rules=True
+        ).collect()
     )
 
     calls: list[str] = []
     real = zfops.zf01_flags
 
-    def counting(spark_, sf_, extra_cols=()):
+    def counting(spark_, sf_, extra_cols=(), with_rules=False):
         calls.append(sf_)
-        return real(spark_, sf_, extra_cols)
+        return real(spark_, sf_, extra_cols, with_rules)
 
     monkeypatch.setattr(zfops, "zf01_flags", counting)
 

@@ -316,13 +316,10 @@ def test_zd05_layout_invariant(spark, sf_dir, tmp_path_factory):
 
 EXPECTED_LOOP_PLANS = {
     "zd01_dedup_funnel": {
-        # each stage list records pre-checkpoint; the report then joins
-        # materialized lists against ONE corpus scan
-        "zc03:projected_corpus": [{}],
-        "zd01:exact_keeps": [{"exchanges": 1}],
-        "zd01:near_drops": [{"exchanges": 5}],
-        "zd01:sem_drops": [{"exchanges": 2}],
-        "zd01:funnel_flags": [{"exchanges": 3, "sort_merge_joins": 2}],
+        # r11: the funnel reads the PUBLISHED flags artifact (HIT path
+        # — pre-published below); the three stage builders run only on
+        # zf01's own publish path
+        "zd01:funnel_flags": [{}],
     },
     "zd02_rag_index_manifest": {
         "zd02:projected_corpus": [{}],
@@ -360,15 +357,9 @@ EXPECTED_LOOP_PLANS = {
 
 EXPECTED_SCANS = {
     "zd01_dedup_funnel": {
-        "zc03:projected_corpus": [["embedding,vec_id"]],
-        "zd01:exact_keeps": [["doc_id,text"]],
-        # dd02's shingle pipeline re-reads (doc_id, text) — its own
-        # pinned/dispositioned shape, recorded here pre-checkpoint
-        "zd01:near_drops": [["doc_id,text"] * 6],
-        "zd01:sem_drops": [[]],
-        # pushdown proof: the composed report reads exactly (doc_id,
-        # source), once
-        "zd01:funnel_flags": [["doc_id,source"]],
+        # pushdown proof: ONE pruned 4-column artifact read — never a
+        # corpus re-scan (column pruning reaches the artifact parquet)
+        "zd01:funnel_flags": [["f_near,f_sem,s_e,source"]],
     },
     "zd02_rag_index_manifest": {
         "zd02:projected_corpus": [["embedding,vec_id"]],
@@ -401,8 +392,12 @@ EXPECTED_SCANS = {
 
 @pytest.mark.parametrize("name", sorted(EXPECTED_LOOP_PLANS))
 def test_zd_loop_stage_pins(spark, sf_dir, name):
+    from spotify_tags_etl_spark.operators.zfops import zf01_flags_artifact
     from spotify_tags_etl_spark.plans import planmetrics as pm
 
+    # zd01 is pinned on the flags-artifact HIT path (the steady state);
+    # publish first so a cold warehouse cannot flip it to the miss path
+    zf01_flags_artifact(spark, sf_dir).count()
     pm.LOOP_PLAN_LOG.clear()
     pm.SCAN_LOG.clear()
     _q(name)(spark, sf_dir).count()
