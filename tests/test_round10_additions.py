@@ -397,8 +397,9 @@ ZG_EXPECTED_SCANS = {
         "zg05:shard_rollup": [[]],
     },
     "zg06_quality_rule_census": {
-        "zg06:rule_census": [["source,text"]],
-        "zg06:rule_report": [["source,text"]],
+        # r11: pruned 5-column artifact read — no text re-parse
+        "zg06:rule_census": [["r_long,r_rep,r_short,r_stop,source"]],
+        "zg06:rule_report": [["r_long,r_rep,r_short,r_stop,source"]],
     },
     "zg08_stage_overlap": {
         # pruned artifact read: the five flag columns only
