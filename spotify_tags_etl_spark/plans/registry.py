@@ -458,6 +458,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.zeops",
         "spotify_tags_etl_spark.operators.zfops",
         "spotify_tags_etl_spark.operators.zgops",
+        "spotify_tags_etl_spark.operators.zhops",
         "spotify_tags_etl_spark.sources.paged_api",
         "spotify_tags_etl_spark.streaming.ops",
     ):
