@@ -237,6 +237,16 @@ CURATION_SUITE = [
     "zg08_stage_overlap",
     "zg09_rule_threshold_sweep",
     "zg10_curation_mix_shift",
+    # round-11: the unified three-system keep-set (rules -> funnel ->
+    # gate at its tuned operating point) with its packed/sharded
+    # manifests, the seven-system redundancy matrix, and the unified
+    # curriculum — plus the streaming twin of the keep-set
+    "zh01_unified_keepset",
+    "zh02_unified_pack_manifest",
+    "zh03_unified_shard_plan",
+    "zh04_stream_unified_keepset",
+    "zh05_system_overlap",
+    "zh06_unified_curriculum",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

@@ -533,20 +533,149 @@ def streaming_curation_lineage(
       batch rows union the previous version and the map-side partial
       aggregation does the in-batch compression, so the three old
       pre-aggregations + three merge writes become one exchange and
-      one write."""
-    import os
-    import shutil
-    import tempfile
+      one write.
 
+    r11 factoring: the per-batch reduction (lineage_batch_parts), the
+    ingest loop (run_lineage_ingest) and the close-time stage
+    resolution (lineage_close_frames) are shared with zh04's unified
+    keep-set stream, which unions its own per-doc verdict rows into
+    the same doc store — identical frames, identical labels-modulo-
+    prefix, so this factoring changes no zf02 plan or value."""
+    return _run_lineage_stream(spark, sf_dir, stream_docs, label="zf02")
+
+
+def lineage_batch_parts(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch reduced to zf02's two kind-keyed frames: the
+    idempotent per-doc STORE rows (banded MinHash signatures, shingles,
+    per-doc gram histograms, train-side grams — schema (kind, doc_id,
+    band, s, n)) and the mergeable CENSUS rows (exact/importance/
+    test-gram — schema (kind, k1, k2, n1, n2, m)). Shared by zf02 and
+    zh04 (which unions its own per-doc verdict rows into the store)."""
     from spotify_tags_etl_spark.operators.dedup import (
         banded_frame,
-        jaccard_verify,
-        lsh_candidate_pairs_banded,
         minhash_signatures,
         word_shingles,
     )
     from spotify_tags_etl_spark.operators.training import SPLIT_EDGES
     from spotify_tags_etl_spark.functions.hashing import hash_frac
+
+    train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
+    _null_s = F.lit(None).cast("string")
+    _null_n = F.lit(None).cast("bigint")
+
+    # ---- per-batch doc store: per-doc facts, complete in-batch ----
+    sh = word_shingles(batch)
+    sig_rows = banded_frame(minhash_signatures(sh)).select(
+        F.lit("sig").alias("kind"),
+        "doc_id",
+        F.col("band").cast("bigint").alias("band"),
+        F.col("bk").alias("s"),
+        _null_n.alias("n"),
+    )
+    shingle_rows = sh.select(
+        F.lit("shingle").alias("kind"),
+        "doc_id",
+        _null_n.alias("band"),
+        "s",
+        _null_n.alias("n"),
+    )
+    grams = zb03_grams(batch)
+    docgram_rows = (
+        grams.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("docgram").alias("kind"),
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("band"),
+            _null_s.alias("s"),
+            "n",
+        )
+    )
+    # contamination grams: the short-doc pre-filter is load-bearing
+    # (decontaminate()'s rule, training.py): sequence(1, 0) in
+    # Spark is the DESCENDING [1, 0] (step defaults to -1), so a
+    # batch containing any doc with < DECON_NGRAM space-split
+    # tokens would feed slice(..., 0, n) and kill the streaming
+    # query with INVALID_PARAMETER_VALUE — the greatest(..., 0)
+    # clamp does NOT prevent the [1, 0] sequence. The oracle's
+    # generate_series(1, greatest(len-4, 0)) is empty for the same
+    # doc, so filtering is semantically identical and total.
+    cg = batch.where(
+        F.size(F.split("text", " ")) >= DECON_NGRAM
+    ).select(
+        "doc_id",
+        hash_frac(F.col("doc_id")).alias("frac"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(split(text, ' ')) - {DECON_NGRAM - 1}),"
+                f" i -> concat_ws(' ', slice(split(text, ' '), i, {DECON_NGRAM})))"
+            )
+        ).alias("gram"),
+    )
+    traingram_rows = (
+        cg.where(F.col("frac") < train_edge)
+        .select("doc_id", "gram")
+        .distinct()
+        .select(
+            F.lit("traingram").alias("kind"),
+            "doc_id",
+            _null_n.alias("band"),
+            F.col("gram").alias("s"),
+            _null_n.alias("n"),
+        )
+    )
+    store = (
+        sig_rows.unionByName(shingle_rows)
+        .unionByName(docgram_rows)
+        .unionByName(traingram_rows)
+    )
+
+    # ---- census rows: SUM/MIN-mergeable state ----
+    exact_rows = batch.select(
+        F.lit("exact").alias("kind"),
+        F.md5("text").alias("k1"),
+        F.col("source").alias("k2"),
+        F.lit(1).cast("bigint").alias("n1"),
+        _null_n.alias("n2"),
+        F.col("doc_id").cast("bigint").alias("m"),
+    )
+    imp_rows = grams.select(
+        F.lit("imp").alias("kind"),
+        F.col("bucket").cast("string").alias("k1"),
+        _null_s.alias("k2"),
+        F.lit(1).cast("bigint").alias("n1"),
+        F.when(F.col("lang") == ZB03_TARGET_LANG, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("n2"),
+        _null_n.alias("m"),
+    )
+    test_rows = cg.where(F.col("frac") >= test_edge).select(
+        F.lit("testgram").alias("kind"),
+        F.col("gram").alias("k1"),
+        _null_s.alias("k2"),
+        _null_n.alias("n1"),
+        _null_n.alias("n2"),
+        _null_n.alias("m"),
+    )
+    part = exact_rows.unionByName(imp_rows).unionByName(test_rows)
+    return store, part
+
+
+def run_lineage_ingest(
+    spark: SparkSession,
+    stream_docs: DataFrame,
+    label: str,
+    extra_doc_rows=None,
+) -> tuple[str, list[str], list[str]]:
+    """Drive the availableNow ingest: per trigger, write the per-batch
+    doc store (plus ``extra_doc_rows(batch)`` unioned in, when given —
+    zh04's per-doc verdict rows) and merge the census state into
+    versioned parquet (replay-safe). Returns (root, store_dirs,
+    state_cur) for the caller's close-time resolution."""
+    import os
+    import tempfile
+
     from spotify_tags_etl_spark.streaming.ops import (
         commit_versioned_state,
         record_batch_plan,
@@ -554,115 +683,20 @@ def streaming_curation_lineage(
         versioned_state_source,
     )
 
-    root = tempfile.mkdtemp(prefix="zf02_lineage_")
+    root = tempfile.mkdtemp(prefix=f"{label}_lineage_")
     store_dirs: list[str] = []  # per-batch idempotent doc stores
     state_cur: list[str] = []   # merged-census version pointer
-    train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
-    _null_s = F.lit(None).cast("string")
-    _null_n = F.lit(None).cast("bigint")
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        # ---- per-batch doc store: per-doc facts, complete in-batch ----
-        sh = word_shingles(batch)
-        sig_rows = banded_frame(minhash_signatures(sh)).select(
-            F.lit("sig").alias("kind"),
-            "doc_id",
-            F.col("band").cast("bigint").alias("band"),
-            F.col("bk").alias("s"),
-            _null_n.alias("n"),
-        )
-        shingle_rows = sh.select(
-            F.lit("shingle").alias("kind"),
-            "doc_id",
-            _null_n.alias("band"),
-            "s",
-            _null_n.alias("n"),
-        )
-        grams = zb03_grams(batch)
-        docgram_rows = (
-            grams.groupBy("doc_id", "bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(
-                F.lit("docgram").alias("kind"),
-                "doc_id",
-                F.col("bucket").cast("bigint").alias("band"),
-                _null_s.alias("s"),
-                "n",
-            )
-        )
-        # contamination grams: the short-doc pre-filter is load-bearing
-        # (decontaminate()'s rule, training.py): sequence(1, 0) in
-        # Spark is the DESCENDING [1, 0] (step defaults to -1), so a
-        # batch containing any doc with < DECON_NGRAM space-split
-        # tokens would feed slice(..., 0, n) and kill the streaming
-        # query with INVALID_PARAMETER_VALUE — the greatest(..., 0)
-        # clamp does NOT prevent the [1, 0] sequence. The oracle's
-        # generate_series(1, greatest(len-4, 0)) is empty for the same
-        # doc, so filtering is semantically identical and total.
-        cg = batch.where(
-            F.size(F.split("text", " ")) >= DECON_NGRAM
-        ).select(
-            "doc_id",
-            hash_frac(F.col("doc_id")).alias("frac"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(split(text, ' ')) - {DECON_NGRAM - 1}),"
-                    f" i -> concat_ws(' ', slice(split(text, ' '), i, {DECON_NGRAM})))"
-                )
-            ).alias("gram"),
-        )
-        traingram_rows = (
-            cg.where(F.col("frac") < train_edge)
-            .select("doc_id", "gram")
-            .distinct()
-            .select(
-                F.lit("traingram").alias("kind"),
-                "doc_id",
-                _null_n.alias("band"),
-                F.col("gram").alias("s"),
-                _null_n.alias("n"),
-            )
-        )
-        store = (
-            sig_rows.unionByName(shingle_rows)
-            .unionByName(docgram_rows)
-            .unionByName(traingram_rows)
-        )
-        record_batch_plan(store, "zf02:doc_store")
+        store, part = lineage_batch_parts(batch)
+        if extra_doc_rows is not None:
+            store = store.unionByName(extra_doc_rows(batch))
+        record_batch_plan(store, f"{label}:doc_store")
         d = os.path.join(root, "docstore", f"b{batch_id}")
         store.write.mode("overwrite").parquet(d)
         if d not in store_dirs:
             store_dirs.append(d)
 
-        # ---- merged census state: raw rows -> ONE keyed merge ----
-        exact_rows = batch.select(
-            F.lit("exact").alias("kind"),
-            F.md5("text").alias("k1"),
-            F.col("source").alias("k2"),
-            F.lit(1).cast("bigint").alias("n1"),
-            _null_n.alias("n2"),
-            F.col("doc_id").cast("bigint").alias("m"),
-        )
-        imp_rows = grams.select(
-            F.lit("imp").alias("kind"),
-            F.col("bucket").cast("string").alias("k1"),
-            _null_s.alias("k2"),
-            F.lit(1).cast("bigint").alias("n1"),
-            F.when(F.col("lang") == ZB03_TARGET_LANG, 1)
-            .otherwise(0)
-            .cast("bigint")
-            .alias("n2"),
-            _null_n.alias("m"),
-        )
-        test_rows = cg.where(F.col("frac") >= test_edge).select(
-            F.lit("testgram").alias("kind"),
-            F.col("gram").alias("k1"),
-            _null_s.alias("k2"),
-            _null_n.alias("n1"),
-            _null_n.alias("n2"),
-            _null_n.alias("m"),
-        )
-        part = exact_rows.unionByName(imp_rows).unionByName(test_rows)
         target = os.path.join(root, f"state_v{batch_id}")
         src = versioned_state_source(state_cur, target)  # replay-safe
         if src:
@@ -672,7 +706,7 @@ def streaming_curation_lineage(
             F.sum("n2").alias("n2"),
             F.min("m").alias("m"),
         )
-        record_batch_plan(merged, "zf02:state_merge")
+        record_batch_plan(merged, f"{label}:state_merge")
         commit_versioned_state(merged, state_cur, target, src)
 
     q = (
@@ -686,18 +720,23 @@ def streaming_curation_lineage(
         record_state_ops(q, "foreachBatch")
     finally:
         q.stop()
-    if not state_cur:
-        return spark.createDataFrame(
-            [],
-            "source string, n_docs bigint, drop_exact bigint, drop_near bigint,"
-            " drop_sem bigint, drop_contam bigint, drop_offtarget bigint,"
-            " n_kept bigint, kept_ppm bigint",
-        )
-    # checkpoints only because rmtree deletes the backing files; a
-    # production run leaves censuses + stores as the parquet they are
-    state = spark.read.parquet(state_cur[0]).localCheckpoint(eager=True)
-    store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
+    return root, store_dirs, state_cur
+
+
+def lineage_close_frames(
+    spark: SparkSession, sf_dir: str, state: DataFrame, store: DataFrame
+) -> dict[str, DataFrame]:
+    """Resolve each funnel stage from its accumulated state at close:
+    returns {census, keeps, near_drops, sem_drops, contam, offtgt}
+    with the four drop frames localCheckpointed (keeps stays lazy —
+    callers join it). Shared by zf02's lineage report and zh04's
+    unified keep-set."""
+    from spotify_tags_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_candidate_pairs_banded,
+    )
+    from spotify_tags_etl_spark.operators.zcops import zc03
+
     census = state.where(F.col("kind") == "exact").select(
         F.col("k1").alias("text_hash"),
         F.col("k2").alias("source"),
@@ -773,10 +812,40 @@ def streaming_curation_lineage(
         .select("doc_id")
         .withColumn("f_off", F.lit(1))
     )
-    near_drops = near_drops.localCheckpoint(eager=True)
-    sem_drops = sem_drops.localCheckpoint(eager=True)
-    contam = contam.localCheckpoint(eager=True)
-    offtgt = offtgt.localCheckpoint(eager=True)
+    return {
+        "census": census,
+        "keeps": keeps,
+        "near_drops": near_drops.localCheckpoint(eager=True),
+        "sem_drops": sem_drops.localCheckpoint(eager=True),
+        "contam": contam.localCheckpoint(eager=True),
+        "offtgt": offtgt.localCheckpoint(eager=True),
+    }
+
+
+def _run_lineage_stream(
+    spark: SparkSession, sf_dir: str, stream_docs: DataFrame, label: str
+) -> DataFrame:
+    import shutil
+
+    root, store_dirs, state_cur = run_lineage_ingest(
+        spark, stream_docs, label=label
+    )
+    if not state_cur:
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs bigint, drop_exact bigint, drop_near bigint,"
+            " drop_sem bigint, drop_contam bigint, drop_offtarget bigint,"
+            " n_kept bigint, kept_ppm bigint",
+        )
+    # checkpoints only because rmtree deletes the backing files; a
+    # production run leaves censuses + stores as the parquet they are
+    state = spark.read.parquet(state_cur[0]).localCheckpoint(eager=True)
+    store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    fr = lineage_close_frames(spark, sf_dir, state, store)
+    census, keeps = fr["census"], fr["keeps"]
+    near_drops, sem_drops = fr["near_drops"], fr["sem_drops"]
+    contam, offtgt = fr["contam"], fr["offtgt"]
     flags = (
         keeps.join(near_drops, "doc_id", "left")
         .join(sem_drops, "doc_id", "left")
@@ -825,7 +894,7 @@ def streaming_curation_lineage(
         )
         .orderBy("source")
     )
-    record_plan(report, "zf02:lineage_report")
+    record_plan(report, f"{label}:lineage_report")
     return report
 
 

@@ -591,6 +591,273 @@ def zh03(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# zh04 — streaming twin of zh01: unified keep-set at ingest
+# ---------------------------------------------------------------------------
+
+
+def _zh04_verdict_rows(wavg: dict[int, int]):
+    """Per-batch builder of the zh verdict rows unioned into zf02's
+    consolidated doc store (schema (kind, doc_id, band, s, n)):
+
+    * ``vflag``  — (doc_id, band=first-failing-rule code 0..4,
+      s=source): rules are per-doc-local, complete at arrival;
+    * ``vmargin`` — (doc_id, s=margin as decimal string): the
+      stream-static averaged-perceptron score (ze03's discipline —
+      the PUBLISHED fit weights embedded as a literal CASE), per-doc-
+      complete; stored full-precision (DECIMAL(38,0) -> string, ze05's
+      rule) because the deployed threshold is resolved at CLOSE from
+      the accumulated margin distribution (a rank statistic, not a
+      census merge — same stance as the semantic stage).
+
+    Both row kinds are idempotent per batch — replay-safe by
+    overwrite, layout-invariant by construction."""
+    from spotify_tags_etl_spark.operators.zeops import (
+        ZE01_BIAS,
+        ze01_design_matrix,
+    )
+
+    _null_s = F.lit(None).cast("string")
+    _null_n = F.lit(None).cast("bigint")
+
+    def build(batch: DataFrame) -> DataFrame:
+        stoplist = ", ".join(f"'{w}'" for w in ZG06_STOPWORDS)
+        rule_code = (
+            f"CASE WHEN nw < {ZG06_MIN_WORDS} THEN 1"
+            f" WHEN nw > {ZG06_MAX_WORDS} THEN 2"
+            f" WHEN (nw - ndw) * 1000000 > {ZG06_REP_PPM} * nw THEN 3"
+            " WHEN NOT has_stop THEN 4 ELSE 0 END"
+        )
+        vflag = (
+            batch.select(
+                "doc_id",
+                "source",
+                F.expr("CAST(size(split(text, ' ')) AS BIGINT)").alias("nw"),
+                F.expr(
+                    "CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+                ).alias("ndw"),
+                F.expr(
+                    f"arrays_overlap(split(lower(text), ' '), array({stoplist}))"
+                ).alias("has_stop"),
+            )
+            .select(
+                F.lit("vflag").alias("kind"),
+                "doc_id",
+                F.expr(f"CAST(({rule_code}) AS BIGINT)").alias("band"),
+                F.col("source").alias("s"),
+                _null_n.alias("n"),
+            )
+        )
+        gf = ze01_design_matrix(batch)
+        bias = (
+            gf.select("doc_id", "y")
+            .distinct()
+            .select(
+                "doc_id",
+                "y",
+                F.lit(ZE01_BIAS).alias("bucket"),
+                F.lit(1).alias("cnt"),
+            )
+        )
+        vmargin = _margins(gf.unionByName(bias), wavg).select(
+            F.lit("vmargin").alias("kind"),
+            "doc_id",
+            _null_n.alias("band"),
+            F.expr("CAST(m AS STRING)").alias("s"),
+            _null_n.alias("n"),
+        )
+        return vflag.unionByName(vmargin)
+
+    return build
+
+
+def streaming_unified_keepset(
+    spark: SparkSession, sf_dir: str, stream_docs: DataFrame
+) -> DataFrame:
+    """Incremental unified keep-set: the ingest path already streams
+    all three systems — zg07's at-arrival rules, ze03's stream-static
+    scoring, zf02's funnel state — and this composes them into zh01's
+    close-time report. Per trigger: zf02's two kind-keyed writes, with
+    the per-doc rule codes and margins unioned into the doc store (one
+    extra union, no extra write). At close: the funnel resolves from
+    its state (lineage_close_frames — zf02's machinery verbatim), the
+    deployed gate threshold resolves as the ZH_GATE_DECILE rank edge
+    of the ACCUMULATED margin distribution (equal to batch zh01's by
+    determinism — margins are per-doc pure functions of the published
+    weights), and the first-fail rollup composes rules -> funnel ->
+    gate exactly as zh01 (rule verdicts are constant within an
+    exact-dup group, so attribution through the keep-first
+    representative is order-safe). Every store is idempotent-per-batch
+    or SUM/MIN-mergeable => micro-batch-layout invariant, equal to
+    batch zh01 (pinned under a 3-file split)."""
+    import shutil
+
+    from spotify_tags_etl_spark.operators.zfops import (
+        lineage_close_frames,
+        run_lineage_ingest,
+    )
+
+    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    root, store_dirs, state_cur = run_lineage_ingest(
+        spark, stream_docs, label="zh04", extra_doc_rows=_zh04_verdict_rows(wavg)
+    )
+    cols = ", ".join(
+        f"{name} bigint"
+        for name, _ in _ZH01_STAGES
+    )
+    if not state_cur:
+        return spark.createDataFrame(
+            [], f"source string, n_docs bigint, {cols}, kept_ppm bigint"
+        )
+    # checkpoints only because rmtree deletes the backing files
+    state = spark.read.parquet(state_cur[0]).localCheckpoint(eager=True)
+    store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    fr = lineage_close_frames(spark, sf_dir, state, store)
+
+    vflag = store.where(F.col("kind") == "vflag").select(
+        "doc_id",
+        F.col("band").alias("rule_code"),
+        F.col("s").alias("source"),
+    )
+    vmargin = store.where(F.col("kind") == "vmargin").select(
+        "doc_id", F.expr("CAST(s AS DECIMAL(38,0))").alias("m")
+    )
+    vmargin = vmargin.localCheckpoint(eager=True)  # O(#docs) slim frame
+    t = gate_threshold(vmargin)
+    gk = (
+        F.when(F.col("m") > F.lit(t), 1).otherwise(0)
+        if t is not None
+        else F.lit(0)
+    )
+
+    # all-docs rule census per source (first-fail codes, at-arrival)
+    rc = vflag.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.expr(f"CAST(SUM(CASE WHEN rule_code = {c} THEN 1 ELSE 0 END)"
+                   " AS BIGINT)").alias(name)
+            for c, name in (
+                (1, "drop_short"),
+                (2, "drop_long"),
+                (3, "drop_rep"),
+                (4, "drop_stop"),
+                (0, "n_rp"),
+            )
+        ],
+    )
+    record_plan(rc, "zh04:rule_census")
+    rc = rc.localCheckpoint(eager=True)  # O(#sources)
+
+    # rule-passing exact keeps, flagged through funnel + gate
+    rp_keeps = fr["keeps"].join(
+        vflag.where(F.col("rule_code") == 0).select("doc_id"), "doc_id"
+    )
+    flags = (
+        rp_keeps.join(fr["near_drops"], "doc_id", "left")
+        .join(fr["sem_drops"], "doc_id", "left")
+        .join(fr["contam"], "doc_id", "left")
+        .join(fr["offtgt"], "doc_id", "left")
+        .join(vmargin, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("f_near", F.lit(0)).alias("f_near"),
+            F.coalesce("f_sem", F.lit(0)).alias("f_sem"),
+            F.coalesce("f_con", F.lit(0)).alias("f_con"),
+            F.coalesce("f_off", F.lit(0)).alias("f_off"),
+            gk.alias("gk"),
+        )
+    )
+    fp = "(1 - f_near) * (1 - f_sem) * (1 - f_con) * (1 - f_off)"
+    ks = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rpk"),
+        F.expr("CAST(SUM(f_near) AS BIGINT)").alias("drop_near"),
+        F.expr("CAST(SUM((1 - f_near) * f_sem) AS BIGINT)").alias("drop_sem"),
+        F.expr(
+            "CAST(SUM((1 - f_near) * (1 - f_sem) * f_con) AS BIGINT)"
+        ).alias("drop_contam"),
+        F.expr(
+            "CAST(SUM((1 - f_near) * (1 - f_sem) * (1 - f_con) * f_off)"
+            " AS BIGINT)"
+        ).alias("drop_offtarget"),
+        F.expr(f"CAST(SUM({fp} * (1 - gk)) AS BIGINT)").alias("drop_gate"),
+        F.expr(f"CAST(SUM({fp} * gk) AS BIGINT)").alias("n_kept"),
+    )
+    report = (
+        rc.join(ks, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "drop_short",
+            "drop_long",
+            "drop_rep",
+            "drop_stop",
+            F.expr("CAST(n_rp - COALESCE(n_rpk, 0) AS BIGINT)").alias(
+                "drop_exact"
+            ),
+            F.coalesce("drop_near", F.lit(0)).alias("drop_near"),
+            F.coalesce("drop_sem", F.lit(0)).alias("drop_sem"),
+            F.coalesce("drop_contam", F.lit(0)).alias("drop_contam"),
+            F.coalesce("drop_offtarget", F.lit(0)).alias("drop_offtarget"),
+            F.coalesce("drop_gate", F.lit(0)).alias("drop_gate"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.expr(
+                "CAST(COALESCE(n_kept, 0) * 1000000 DIV n_docs AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )
+    record_plan(report, "zh04:unified_report")
+    return report
+
+
+def _zh04_register() -> None:
+    from spotify_tags_etl_spark.plans.registry import get
+
+    @register(
+        "zh04_stream_unified_keepset",
+        oracle=get("zh01_unified_keepset").oracle,
+        doc=(
+            "Streaming twin of zh01 — the full three-system keep-set "
+            "composed on the ingest path: per micro-batch, zf02's two "
+            "kind-keyed writes (exact/importance/test-gram census "
+            "merge + MinHash/shingle/gram doc store) with the zh "
+            "verdict rows UNIONED into the same doc store — the "
+            "first-failing-rule code (zg07's at-arrival rules, "
+            "per-doc-local) and the stream-static averaged-perceptron "
+            "margin (ze03's discipline: the PUBLISHED fit weights as "
+            "a literal CASE; stored full-precision as a DECIMAL(38,0) "
+            "string). At close the funnel resolves from its state "
+            "(zf02's lineage_close_frames verbatim), the gate "
+            "threshold resolves as the ZH_GATE_DECILE rank edge of "
+            "the accumulated margin distribution (a rank statistic "
+            "over per-doc-deterministic scores — equal to batch "
+            "zh01's edge), and the first-fail rollup composes rules "
+            "-> funnel -> gate exactly as zh01 (rule verdicts are "
+            "pure text functions, constant within an exact-dup group, "
+            "so attribution through the keep-first representative is "
+            "order-safe). Every store is idempotent-per-batch or "
+            "SUM/MIN-mergeable => micro-batch-layout invariant "
+            "(pinned under a 3-file split) and equal to batch zh01; "
+            "oracle: zh01's SQL verbatim. Per-trigger cost O(state + "
+            "batch), zf02's bound + one O(batch) union; no engine "
+            "state store; the raw stream is never re-scanned."
+        ),
+        tags=("streaming", "curation", "quality", "dedup", "report",
+              "llm-pipeline"),
+    )
+    def zh04(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spotify_tags_etl_spark.streaming.ops import read_table_stream
+
+        return streaming_unified_keepset(
+            spark, sf_dir, read_table_stream(spark, sf_dir, "documents")
+        )
+
+
+_zh04_register()
+
+
+# ---------------------------------------------------------------------------
 # zh05 — seven-system overlap (redundancy) matrix
 # ---------------------------------------------------------------------------
 

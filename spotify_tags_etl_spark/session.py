@@ -48,6 +48,11 @@ def get_spark(app_name: str = "spotify-tags-etl-spark", master: str | None = Non
         # sides exceed the threshold — AQE re-checks at runtime.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.ansi.enabled", "false")
+        # Plan-string render cap only (no planning effect): the v2
+        # flags artifact carries 12 columns, and the default 100-char
+        # ReadSchema elision would turn the scan-pushdown pins into
+        # '<truncated>' markers instead of auditable column lists.
+        .config("spark.sql.maxMetadataStringLength", "512")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -322,3 +322,353 @@ def test_zd01_matches_prior_live_composition(spark, sf_dir):
         for r in _q("zd01_dedup_funnel")(spark, sf_dir).collect()
     }
     assert got == {s: tuple(v) for s, v in agg.items()}
+
+
+# ---------------------------------------------------------------------------
+# zh01 — unified keep-set lineage: conservation + prefix consistency
+# ---------------------------------------------------------------------------
+
+
+def test_zh01_mass_conservation(spark, sf_dir):
+    rows = _q("zh01_unified_keepset")(spark, sf_dir).collect()
+    assert rows
+    drop_cols = [
+        "drop_short", "drop_long", "drop_rep", "drop_stop", "drop_exact",
+        "drop_near", "drop_sem", "drop_contam", "drop_offtarget", "drop_gate",
+    ]
+    for r in rows:
+        assert r.n_docs == sum(r[c] for c in drop_cols) + r.n_kept, r
+        assert r.kept_ppm == (r.n_kept * 1_000_000) // r.n_docs
+
+
+def test_zh01_rule_prefix_equals_zg06(spark, sf_dir):
+    """Rules run FIRST in both zh01 and zg06, so the four rule-drop
+    columns must match the standalone census exactly per source."""
+    zh = {r.source: r for r in _q("zh01_unified_keepset")(spark, sf_dir).collect()}
+    zg = {r.source: r for r in _q("zg06_quality_rule_census")(spark, sf_dir).collect()}
+    assert set(zh) == set(zg)
+    for s in zh:
+        for c in ("drop_short", "drop_long", "drop_rep", "drop_stop"):
+            assert zh[s][c] == zg[s][c], (s, c)
+        assert zh[s].n_docs == zg[s].n_docs
+
+
+def test_zh01_gate_threshold_is_median_edge(spark, sf_dir):
+    """The deployed operating point equals zg03's k=5 cut (the tuning
+    table and the deployed gate must agree on the same edge)."""
+    from spotify_tags_etl_spark.operators.zhops import ZH_GATE_DECILE
+
+    sweep = {r.k: r.thr for r in _q("zg03_gate_threshold_sweep")(spark, sf_dir).collect()}
+    from pyspark.sql import functions as F
+
+    from spotify_tags_etl_spark.operators.zeops import (
+        _margins,
+        ze01_feats,
+        ze01_fit_artifact,
+    )
+    from spotify_tags_etl_spark.operators.zhops import gate_threshold
+
+    _nd, _c, w_hist = ze01_fit_artifact(spark, sf_dir)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    feats = ze01_feats(spark, sf_dir)
+    scored = _margins(feats, wavg).select("doc_id", "m").localCheckpoint(eager=True)
+    feats.unpersist()
+    t = gate_threshold(scored)
+    assert int(t) == sweep[ZH_GATE_DECILE]
+
+
+# ---------------------------------------------------------------------------
+# zh02/zh03 — band mass conservation + manifest reconciliation
+# ---------------------------------------------------------------------------
+
+
+def test_zh02_band_mass_conserves_vs_zg01(spark, sf_dir):
+    """Per band: zh02's kept + three system displacements = the band's
+    full corpus token mass = zg01's kept + five stage displacements."""
+    zh = {r.band_exp: r for r in _q("zh02_unified_pack_manifest")(spark, sf_dir).collect()}
+    zg = {r.band_exp: r for r in _q("zg01_curated_pack_manifest")(spark, sf_dir).collect()}
+    assert set(zh) == set(zg)
+    for b in zh:
+        zh_total = zh[b].kept_tokens + zh[b].displaced_tokens
+        zg_total = zg[b].kept_tokens + zg[b].displaced_tokens
+        assert zh_total == zg_total, b
+        assert zh[b].n_kept + zh[b].n_displaced == zg[b].n_kept + zg[b].n_displaced
+        # the unified keep is a subset of the funnel keep per band
+        assert zh[b].n_kept <= zg[b].n_kept, b
+
+
+def test_zh03_reconciles_with_zh02(spark, sf_dir):
+    zh2 = _q("zh02_unified_pack_manifest")(spark, sf_dir).collect()
+    zh3 = _q("zh03_unified_shard_plan")(spark, sf_dir).collect()
+    assert sum(r.shard_tokens for r in zh3) == sum(r.kept_tokens for r in zh2)
+    assert sum(r.n_docs for r in zh3) == sum(r.n_kept for r in zh2)
+    assert sum(r.n_windows for r in zh3) == sum(r.n_windows for r in zh2)
+    assert sum(r.share_ppm for r in zh3) <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# zh05 — seven-system overlap consistency
+# ---------------------------------------------------------------------------
+
+
+def test_zh05_diagonals_and_symmetry(spark, sf_dir):
+    rows = _q("zh05_system_overlap")(spark, sf_dir).collect()
+    assert len(rows) == 28  # 7 systems, upper triangle incl. diagonal
+    by_pair = {(r.ia, r.ib): r for r in rows}
+    # diagonal: n_a == n_b == n_both, jaccard == 1e6 (or NULL when 0)
+    for i in range(7):
+        d = by_pair[(i, i)]
+        assert d.n_a == d.n_b == d.n_both
+        if d.n_a:
+            assert d.jaccard_ppm == 1_000_000
+    # overlap bounds
+    for (i, j), r in by_pair.items():
+        assert r.n_both <= min(r.n_a, r.n_b)
+    # rules diagonal == zg06's total drops
+    zg06 = _q("zg06_quality_rule_census")(spark, sf_dir).collect()
+    total_rule_drops = sum(r.n_docs - r.n_kept for r in zg06)
+    assert by_pair[(0, 0)].n_a == total_rule_drops
+    # exact..off diagonals == zg08's (the shared five funnel stages)
+    zg08 = {(r.ia, r.ib): r for r in _q("zg08_stage_overlap")(spark, sf_dir).collect()}
+    for zh_i, zg_i in ((1, 0), (2, 1), (3, 2), (4, 3), (5, 4)):
+        assert by_pair[(zh_i, zh_i)].n_a == zg08[(zg_i, zg_i)].n_a, zh_i
+        for zh_j, zg_j in ((1, 0), (2, 1), (3, 2), (4, 3), (5, 4)):
+            if zh_j >= zh_i:
+                assert by_pair[(zh_i, zh_j)].n_both == zg08[(zg_i, zg_j)].n_both
+
+
+# ---------------------------------------------------------------------------
+# zh06 — unified curriculum structure
+# ---------------------------------------------------------------------------
+
+
+def test_zh06_schedule_structure(spark, sf_dir):
+    """zc05/zg02's invariants over the unified survivor corpus: every
+    survivor scheduled exactly once per surviving source, difficulty
+    monotone within each source lane, block/slot = divmod(crank-1,
+    quota)."""
+    rows = _q("zh06_unified_curriculum")(spark, sf_dir).collect()
+    assert rows
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r)
+    for s, rs in per_source.items():
+        rs.sort(key=lambda r: r.crank)
+        assert [r.crank for r in rs] == list(range(1, len(rs) + 1)), s
+        quota = max(r.slot for r in rs) + 1
+        for r in rs:
+            assert (r.block, r.slot) == divmod(r.crank - 1, quota), (s, r)
+
+
+def test_zh06_survivors_match_zh01(spark, sf_dir):
+    """The curriculum schedules exactly zh01's kept mass (minus
+    zero-quota sources, zc05's rule)."""
+    zh1 = {r.source: r.n_kept for r in _q("zh01_unified_keepset")(spark, sf_dir).collect()}
+    rows = _q("zh06_unified_curriculum")(spark, sf_dir).collect()
+    sched: dict[str, int] = {}
+    for r in rows:
+        sched[r.source] = sched.get(r.source, 0) + 1
+    for s, n in sched.items():
+        assert n == zh1[s], s
+    # total scheduled mass == total survivors minus zero-quota lanes
+    assert sum(sched.values()) == sum(zh1[s] for s in sched)
+
+
+# ---------------------------------------------------------------------------
+# zh loop-stage plan + scan pins (artifact-HIT path, cf. round-10)
+# ---------------------------------------------------------------------------
+
+_ZE_FEATS_PLANS = {
+    "ze01:design_matrix": [{"exchanges": 1}],
+    "ze01:feats": [{"exchanges": 1}],
+}
+
+_ZE_FEATS_SCANS = {
+    "ze01:design_matrix": [["doc_id,lang,text"]],
+    "ze01:feats": [[]],
+}
+
+#: Pruned v2 artifact reads — the 11/12-column unified frame; the
+#: margins/rank stages run off checkpoints (empty scans).
+_UDS_SCAN = "doc_id,f_con,f_near,f_off,f_sem,r_long,r_rep,r_short,r_stop,s_e,source"
+_UDS_SCAN_NC = (
+    "doc_id,f_con,f_near,f_off,f_sem,n_chars,r_long,r_rep,r_short,r_stop,s_e,source"
+)
+_UDS_SCAN_NC_NOSRC = (
+    "doc_id,f_con,f_near,f_off,f_sem,n_chars,r_long,r_rep,r_short,r_stop,s_e"
+)
+
+ZH_EXPECTED_LOOP_PLANS = {
+    "zh01_unified_keepset": {
+        **_ZE_FEATS_PLANS,
+        "zh01:margins": [{"exchanges": 1}],
+        "scalerank:layout": [{}],
+        "zh01:unified_flags": [{}],
+        "zh01:unified_rollup": [{"exchanges": 1}],
+    },
+    "zh02_unified_pack_manifest": {
+        **_ZE_FEATS_PLANS,
+        "zh02:margins": [{"exchanges": 1}],
+        "scalerank:layout": [{}],
+        "zh02:unified_flags": [{}],
+        "zh02:band_reasons": [{}],
+    },
+    "zh03_unified_shard_plan": {
+        **_ZE_FEATS_PLANS,
+        "zh03:margins": [{"exchanges": 1}],
+        # three rank layouts: the gate-threshold edge, the per-band
+        # grouped_rank, the O(#windows) global_rank
+        "scalerank:layout": [{}, {"exchanges": 2}],
+        "zh03:unified_flags": [{}],
+        "zh03:banded_rank": [{"exchanges": 1}],
+        "zh03:window_rollup": [{"exchanges": 2}],
+        "zh03:shard_rollup": [{"exchanges": 2}],
+    },
+    "zh05_system_overlap": {
+        **_ZE_FEATS_PLANS,
+        "zh05:margins": [{"exchanges": 1}],
+        "scalerank:layout": [{}],
+        "zh05:unified_flags": [{}],
+        "zh05:pair_sums": [{"single_partition": 1}],
+    },
+    "zh06_unified_curriculum": {
+        **_ZE_FEATS_PLANS,
+        "zh06:margins": [{"exchanges": 1}],
+        "scalerank:layout": [{}],
+        "zh06:unified_flags": [{}],
+        "zh06:source_curriculum": [{"exchanges": 1}],
+        "zh06:source_rollup": [{"exchanges": 1}],
+    },
+}
+
+ZH_EXPECTED_SCANS = {
+    "zh01_unified_keepset": {
+        **_ZE_FEATS_SCANS,
+        "zh01:margins": [[]],
+        "scalerank:layout": [[]],
+        "zh01:unified_flags": [[_UDS_SCAN]],
+        "zh01:unified_rollup": [[_UDS_SCAN]],
+    },
+    "zh02_unified_pack_manifest": {
+        **_ZE_FEATS_SCANS,
+        "zh02:margins": [[]],
+        "scalerank:layout": [[]],
+        "zh02:unified_flags": [[_UDS_SCAN_NC]],
+        "zh02:band_reasons": [[_UDS_SCAN_NC_NOSRC]],
+    },
+    "zh03_unified_shard_plan": {
+        **_ZE_FEATS_SCANS,
+        "zh03:margins": [[]],
+        "scalerank:layout": [[], [_UDS_SCAN_NC_NOSRC]],
+        "zh03:unified_flags": [[_UDS_SCAN_NC]],
+        "zh03:banded_rank": [[]],
+        "zh03:window_rollup": [[]],
+        "zh03:shard_rollup": [[]],
+    },
+    "zh05_system_overlap": {
+        **_ZE_FEATS_SCANS,
+        "zh05:margins": [[]],
+        "scalerank:layout": [[]],
+        "zh05:unified_flags": [[_UDS_SCAN]],
+        "zh05:pair_sums": [["doc_id,f_con,f_near,f_off,f_sem,r_long,r_rep,r_short,r_stop,s_e"]],
+    },
+    "zh06_unified_curriculum": {
+        **_ZE_FEATS_SCANS,
+        "zh06:margins": [[]],
+        "scalerank:layout": [[], [_UDS_SCAN_NC]],
+        "zh06:unified_flags": [[_UDS_SCAN_NC]],
+        "zh06:source_curriculum": [[]],
+        "zh06:source_rollup": [[]],
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(ZH_EXPECTED_LOOP_PLANS))
+def test_zh_loop_stage_pins(spark, sf_dir, name):
+    from spotify_tags_etl_spark.operators.zeops import ze01_fit_artifact
+    from spotify_tags_etl_spark.operators.zfops import zf01_flags_artifact
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    # artifact-HIT path (the steady state) — publish both first
+    ze01_fit_artifact(spark, sf_dir)
+    zf01_flags_artifact(spark, sf_dir).count()
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    _q(name)(spark, sf_dir).count()
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == ZH_EXPECTED_SCANS[name]
+    assert pm.observed_loop_plans() == ZH_EXPECTED_LOOP_PLANS[name]
+
+
+# ---------------------------------------------------------------------------
+# zh04 — streaming twin: layout invariance + degenerate batches
+# ---------------------------------------------------------------------------
+
+
+def test_zh04_layout_invariant(spark, sf_dir, tmp_path_factory):
+    """stream(3-file split) == stream(single availableNow) == batch
+    zh01 — the associativity/commutativity pin."""
+    import time
+
+    from spotify_tags_etl_spark.operators.zhops import streaming_unified_keepset
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("docs_unified_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "source", "lang", "text"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    multi = [tuple(r) for r in streaming_unified_keepset(spark, sf_dir, stream).collect()]
+    single = [
+        tuple(r) for r in _q("zh04_stream_unified_keepset")(spark, sf_dir).collect()
+    ]
+    batch = [tuple(r) for r in _q("zh01_unified_keepset")(spark, sf_dir).collect()]
+    assert multi == single == batch
+    assert len(batch) > 0
+
+
+def test_zh04_degenerate_docs_stream(spark, tmp_path):
+    """A planted batch of pathological docs (1-token, 4-token — below
+    DECON_NGRAM; no stopwords; unclassifiable single-word) must stream
+    without error and match batch zh01 on the same fixture (the
+    sequence(1,0) regression class + the no-margin gate path)."""
+    import pandas as pd
+
+    root = str(tmp_path)
+    rows = [
+        # (doc_id, source, lang, text, n_chars)
+        (1, "srcA", "en", "word", 4),
+        (2, "srcA", "de", "a b c d", 7),
+        (3, "srcB", "en", "the " + " ".join(f"w{i}" for i in range(20)), 64),
+        (4, "srcB", "en", "the " + " ".join(f"w{i}" for i in range(20)), 64),
+        (5, "srcB", "fr", "x " * 200, 400),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "source", "lang", "text", "n_chars"]
+    ).to_parquet(os.path.join(root, "documents.parquet"), index=False)
+    # embeddings: none embedded — copy the schema with zero rows
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    pq.write_table(emb.slice(0, 0), os.path.join(root, "embeddings.parquet"))
+
+    batch = [tuple(r) for r in _q("zh01_unified_keepset")(spark, root).collect()]
+    stream = [
+        tuple(r) for r in _q("zh04_stream_unified_keepset")(spark, root).collect()
+    ]
+    assert stream == batch
+    assert sum(r[1] for r in batch) == 5  # all five docs accounted

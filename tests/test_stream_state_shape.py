@@ -64,6 +64,7 @@ EXPECTED_STATE_SHAPE: dict[str, list[tuple[str, tuple[str, ...]]]] = {
     "ze03_stream_classifier_gate": [("foreachBatch", ())],
     "zf02_stream_curation_lineage": [("foreachBatch", ())],
     "zg07_stream_quality_rules": [("foreachBatch", ())],
+    "zh04_stream_unified_keepset": [("foreachBatch", ())],
     # pure source drain: genuinely stateless
     "sz01_stream_paged_source": [("memory", ())],
 }
@@ -181,6 +182,17 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # per-doc-local rules: one keyed exchange for the per-source
         # census groupBy (merge adds only the <= #sources state table)
         "zg07:census_merge": [{"exchanges": 1}],
+    },
+    "zh04_stream_unified_keepset": {
+        "engine:foreachBatch": [{}],
+        # zf02's doc store (3 keyed exchanges) + the zh verdict rows:
+        # the stream-static margin scoring adds the batch design-matrix
+        # groupBy, the bias distinct, and the per-doc margin groupBy
+        # (3 more keyed exchanges on micro-batch-sized frames); the
+        # rule-code branch is a per-doc projection, exchange-free
+        "zh04:doc_store": [{"exchanges": 6}],
+        # census merge is zf02's verbatim: ONE groupBy(kind, k1, k2)
+        "zh04:state_merge": [{"exchanges": 1}],
     },
 }
 

@@ -74,6 +74,7 @@ def audited_names() -> list[str]:
         "zd05_stream_dedup_funnel", "zd07_stream_rag_manifest",
         "ze03_stream_classifier_gate", "zf02_stream_curation_lineage",
         "zg07_stream_quality_rules",
+        "zh04_stream_unified_keepset",
     }
     return [n for n in out if n not in streaming]
 

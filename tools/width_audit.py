@@ -107,6 +107,19 @@ ALLOWLIST = {
     # the s_e factor is implicit — same 0/1 flag algebra
     "(1 - f_near) * f_sem": "product of 0/1 stage flags; addend <= 1",
     "(1 - f_near) * (1 - f_sem)": "product of 0/1 stage flags; addend <= 1",
+    # zh02 per-band system-granularity token attribution: d_rules /
+    # d_funnel / d_gate are mutually-exclusive first-fail 0/1 flags
+    # (products of 0/1 rule+stage flags) and tok is window-clamped —
+    # zg01's bound at system granularity (addend <= 4096).
+    "d_rules * tok": "0/1 first-fail system flag x window-clamped tokens, addend <= 4096",
+    "d_funnel * tok": "0/1 first-fail system flag x window-clamped tokens, addend <= 4096",
+    "d_gate * tok": "0/1 first-fail system flag x window-clamped tokens, addend <= 4096",
+    # zh05 pairwise overlap sums: both factors are parenthesized 0/1
+    # system verdicts (products/complements of 0/1 flags), so each
+    # addend is 0 or 1 — plain counts, int64-safe past 9e18 docs
+    # (zg08's bound; surfaces here because the f-string interpolates
+    # whole parenthesized verdicts).
+    "({_ZH05_SYSTEMS[i][1]}) * ({_ZH05_SYSTEMS[j][1]})": "product of 0/1 system verdicts; addend <= 1",
     # zc04 per-doc importance: n = gram occurrences per (doc, bucket)
     # (bounded by document length), |w| <= 1e6 (a ppm difference), so
     # the addend is <= doc_grams x 1e6 and the per-doc SUM stays
