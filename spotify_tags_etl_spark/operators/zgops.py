@@ -68,11 +68,8 @@ from spotify_tags_etl_spark.operators.zcops import (
     curriculum_schedule,
 )
 from spotify_tags_etl_spark.operators.zeops import (
-    _margins,
     _ze01_ctes,
     ZE01_ROUNDS,
-    ze01_feats,
-    ze01_fit_artifact,
 )
 from spotify_tags_etl_spark.operators.zfops import (
     _zf01_flags_ctes,
@@ -386,9 +383,10 @@ def _zg03_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
         "fit). Reading the table: precision rises and recall falls "
         "with k; the deployed t = 0 gate (ze02) sits wherever its "
         "margin sign lands — this is the evidence for moving it. "
-        "Shape: reads the PUBLISHED ze01 fit artifact (live refit "
-        "only when absent/stale), ONE scoring aggregate over the "
-        "checkpointed design matrix, scalerank.global_rank for the "
+        "Shape (r11): reads the PUBLISHED ze02 margins artifact "
+        "(the scored corpus as a pruned (doc_id, y, m) parquet scan; "
+        "the corpus-sized scoring pass runs once, at the artifact "
+        "publish), scalerank.global_rank for the "
         "edge margins (range layout + O(#partitions) offsets, no "
         "single-reducer sort), then the O(#docs) margin frame "
         f"broadcast-cross-joined against the {ZG03_CUTS}-row threshold "
@@ -403,12 +401,13 @@ def _zg03_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
 )
 def zg03(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tags_etl_spark.operators.scalerank import global_rank
+    from spotify_tags_etl_spark.operators.zeops import ze02_margins_artifact
 
-    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
-    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
-    feats = ze01_feats(spark, sf_dir)
-    margins = _margins(feats, wavg).localCheckpoint(eager=True)  # O(#docs)
-    feats.unpersist()
+    # r11: the scored corpus is a published artifact — the fit
+    # artifact's discipline extended to the scoring pass (live scoring
+    # only on the artifact's own miss path)
+    margins = ze02_margins_artifact(spark, sf_dir)
+    record_plan(margins, "zg03:margins")
     ranked, n = global_rank(
         margins, [F.col("m").asc(), F.col("doc_id").asc()], rank_col="r"
     )
@@ -525,10 +524,9 @@ def _zg04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
         "source. Shape: the PUBLISHED zf01 flags artifact "
         "(staleness-pinned parquet; the live five-stage funnel runs "
         "and publishes only when absent/stale) LEFT-joined with the "
-        "O(#docs) margin "
-        "frame scored from the PUBLISHED ze01 fit artifact (ONE "
-        "aggregate over the checkpointed design matrix — scoring is "
-        "the only other corpus-sized pass, inherently so), then ONE "
+        "PUBLISHED ze02 margins artifact (r11: the scored corpus as "
+        "a pruned (doc_id, m) parquet read — the scoring pass runs "
+        "once, at the artifact publish), then ONE "
         "map-combined per-source rollup. Token sums are 0/1-flag x "
         "window-clamped products (addend <= 4096 — zd04's bound); the "
         "token ppm widens through DECIMAL(38,0)/HUGEINT. Oracle "
@@ -538,14 +536,12 @@ def _zg04_oracle_sql(rounds: int = ZE01_ROUNDS) -> str:
     tags=("curation", "quality", "report", "llm-pipeline"),
 )
 def zg04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spotify_tags_etl_spark.operators.zeops import ze02_margins_artifact
+
     flags = zf01_flags_artifact(spark, sf_dir)
-    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
-    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
-    feats = ze01_feats(spark, sf_dir)
-    scored = _margins(feats, wavg).select("doc_id", "m")
+    # r11: read the published margins artifact instead of re-scoring
+    scored = ze02_margins_artifact(spark, sf_dir).select("doc_id", "m")
     record_plan(scored, "zg04:margins")
-    scored = scored.localCheckpoint(eager=True)  # O(#docs) slim frame
-    feats.unpersist()
     ds = flags.join(scored, "doc_id", "left").select(
         "source",
         F.expr(_ZG01_TOK.format(div="DIV")).alias("tok"),

@@ -66,8 +66,8 @@ from spotify_tags_etl_spark.operators.zeops import (
     _margins,
     _ze01_ctes,
     ZE01_ROUNDS,
-    ze01_feats,
     ze01_fit_artifact,
+    ze02_margins_artifact,
 )
 from spotify_tags_etl_spark.operators.zfops import (
     _zf01_flags_ctes,
@@ -221,15 +221,11 @@ def unified_flags(
     plan-feeding collect, the bounded-fold class). Docs the model
     cannot score keep m NULL and drop at the gate (zg04's conservative
     rule). Scoring is the one corpus-sized pass every fit consumer
-    pays (ze01_feats); both artifacts publish only when absent/stale."""
+    pays once — at the margins-artifact publish; steady state is three
+    pruned artifact reads (flags, fit, margins)."""
     flags = zf01_flags_artifact(spark, sf_dir)
-    _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
-    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
-    feats = ze01_feats(spark, sf_dir)
-    scored = _margins(feats, wavg).select("doc_id", "m")
+    scored = ze02_margins_artifact(spark, sf_dir).select("doc_id", "m")
     record_plan(scored, f"{label}:margins")
-    scored = scored.localCheckpoint(eager=True)  # O(#docs) slim frame
-    feats.unpersist()
     t = gate_threshold(scored)
     gk = (
         F.when(F.col("m") > F.lit(t), 1).otherwise(0)

@@ -321,16 +321,17 @@ ZG_EXPECTED_LOOP_PLANS = {
         "zg02:source_rollup": [{"exchanges": 1}],
         "zg02:source_curriculum": [{"exchanges": 1}],
     },
+    # r11: the sweep reads the PUBLISHED margins artifact (pruned
+    # (doc_id, y, m) scan); scoring is the artifact publisher's cost
     "zg03_gate_threshold_sweep": {
-        **_ZE_FEATS_PLANS,
+        "zg03:margins": [{}],
         "scalerank:layout": [{}],
         "zg03:threshold_sweep": [{"exchanges": 1}],
     },
-    # datasheet: artifact flags x artifact-scored margins, ONE
+    # datasheet: artifact flags x margins-artifact read, ONE
     # per-source rollup (the margins join AQE-broadcasts)
     "zg04_corpus_datasheet": {
-        **_ZE_FEATS_PLANS,
-        "zg04:margins": [{"exchanges": 1}],
+        "zg04:margins": [{}],
         "zg04:datasheet": [{"exchanges": 1}],
     },
     # two scalerank layouts: the per-band grouped_rank over survivors
@@ -381,14 +382,15 @@ ZG_EXPECTED_SCANS = {
         "zg02:source_curriculum": [[]],
     },
     "zg03_gate_threshold_sweep": {
-        **_ZE_FEATS_SCANS,
-        "scalerank:layout": [[]],
-        "zg03:threshold_sweep": [[]],
+        "zg03:margins": [["doc_id,m,y"]],
+        "scalerank:layout": [["doc_id,m,y"]],
+        "zg03:threshold_sweep": [["m,y"]],
     },
     "zg04_corpus_datasheet": {
-        **_ZE_FEATS_SCANS,
-        "zg04:margins": [[]],
-        "zg04:datasheet": [["doc_id,f_con,f_near,f_off,f_sem,n_chars,s_e,source"]],
+        "zg04:margins": [["doc_id,m"]],
+        "zg04:datasheet": [
+            ["doc_id,f_con,f_near,f_off,f_sem,n_chars,s_e,source", "doc_id,m"]
+        ],
     },
     "zg05_curated_shard_plan": {
         "scalerank:layout": [[], ["doc_id,f_con,f_near,f_off,f_sem,n_chars,s_e"]],
@@ -431,8 +433,11 @@ def test_zg_loop_stage_pins(spark, sf_dir, name):
     # (the steady state a production pipeline runs in) — cf.
     # test_ze_loop_stage_pins; publish first so a cold warehouse cannot
     # flip these pins to the miss path
+    from spotify_tags_etl_spark.operators.zeops import ze02_margins_artifact
+
     ze01_fit_artifact(spark, sf_dir)
     zf01_flags_artifact(spark, sf_dir).count()
+    ze02_margins_artifact(spark, sf_dir).count()
     pm.LOOP_PLAN_LOG.clear()
     pm.SCAN_LOG.clear()
     _q(name)(spark, sf_dir).count()

@@ -478,18 +478,9 @@ def test_zh06_survivors_match_zh01(spark, sf_dir):
 # zh loop-stage plan + scan pins (artifact-HIT path, cf. round-10)
 # ---------------------------------------------------------------------------
 
-_ZE_FEATS_PLANS = {
-    "ze01:design_matrix": [{"exchanges": 1}],
-    "ze01:feats": [{"exchanges": 1}],
-}
-
-_ZE_FEATS_SCANS = {
-    "ze01:design_matrix": [["doc_id,lang,text"]],
-    "ze01:feats": [[]],
-}
-
-#: Pruned v2 artifact reads — the 11/12-column unified frame; the
-#: margins/rank stages run off checkpoints (empty scans).
+#: Pruned v2 flags-artifact reads (the 11/12-column unified frame) and
+#: the (doc_id[, y], m) margins-artifact read — both ride downstream
+#: plan lineages (no checkpoint between artifact scans and consumers).
 _UDS_SCAN = "doc_id,f_con,f_near,f_off,f_sem,r_long,r_rep,r_short,r_stop,s_e,source"
 _UDS_SCAN_NC = (
     "doc_id,f_con,f_near,f_off,f_sem,n_chars,r_long,r_rep,r_short,r_stop,s_e,source"
@@ -497,25 +488,23 @@ _UDS_SCAN_NC = (
 _UDS_SCAN_NC_NOSRC = (
     "doc_id,f_con,f_near,f_off,f_sem,n_chars,r_long,r_rep,r_short,r_stop,s_e"
 )
+_M_SCAN = "doc_id,m"
 
 ZH_EXPECTED_LOOP_PLANS = {
     "zh01_unified_keepset": {
-        **_ZE_FEATS_PLANS,
-        "zh01:margins": [{"exchanges": 1}],
+        "zh01:margins": [{}],
         "scalerank:layout": [{}],
         "zh01:unified_flags": [{}],
         "zh01:unified_rollup": [{"exchanges": 1}],
     },
     "zh02_unified_pack_manifest": {
-        **_ZE_FEATS_PLANS,
-        "zh02:margins": [{"exchanges": 1}],
+        "zh02:margins": [{}],
         "scalerank:layout": [{}],
         "zh02:unified_flags": [{}],
         "zh02:band_reasons": [{}],
     },
     "zh03_unified_shard_plan": {
-        **_ZE_FEATS_PLANS,
-        "zh03:margins": [{"exchanges": 1}],
+        "zh03:margins": [{}],
         # three rank layouts: the gate-threshold edge, the per-band
         # grouped_rank, the O(#windows) global_rank
         "scalerank:layout": [{}, {"exchanges": 2}],
@@ -525,15 +514,13 @@ ZH_EXPECTED_LOOP_PLANS = {
         "zh03:shard_rollup": [{"exchanges": 2}],
     },
     "zh05_system_overlap": {
-        **_ZE_FEATS_PLANS,
-        "zh05:margins": [{"exchanges": 1}],
+        "zh05:margins": [{}],
         "scalerank:layout": [{}],
         "zh05:unified_flags": [{}],
         "zh05:pair_sums": [{"single_partition": 1}],
     },
     "zh06_unified_curriculum": {
-        **_ZE_FEATS_PLANS,
-        "zh06:margins": [{"exchanges": 1}],
+        "zh06:margins": [{}],
         "scalerank:layout": [{}],
         "zh06:unified_flags": [{}],
         "zh06:source_curriculum": [{"exchanges": 1}],
@@ -543,40 +530,41 @@ ZH_EXPECTED_LOOP_PLANS = {
 
 ZH_EXPECTED_SCANS = {
     "zh01_unified_keepset": {
-        **_ZE_FEATS_SCANS,
-        "zh01:margins": [[]],
-        "scalerank:layout": [[]],
-        "zh01:unified_flags": [[_UDS_SCAN]],
-        "zh01:unified_rollup": [[_UDS_SCAN]],
+        "zh01:margins": [[_M_SCAN]],
+        "scalerank:layout": [[_M_SCAN]],
+        "zh01:unified_flags": [[_UDS_SCAN, _M_SCAN]],
+        "zh01:unified_rollup": [[_UDS_SCAN, _M_SCAN]],
     },
     "zh02_unified_pack_manifest": {
-        **_ZE_FEATS_SCANS,
-        "zh02:margins": [[]],
-        "scalerank:layout": [[]],
-        "zh02:unified_flags": [[_UDS_SCAN_NC]],
-        "zh02:band_reasons": [[_UDS_SCAN_NC_NOSRC]],
+        "zh02:margins": [[_M_SCAN]],
+        "scalerank:layout": [[_M_SCAN]],
+        "zh02:unified_flags": [[_UDS_SCAN_NC, _M_SCAN]],
+        "zh02:band_reasons": [[_UDS_SCAN_NC_NOSRC, _M_SCAN]],
     },
     "zh03_unified_shard_plan": {
-        **_ZE_FEATS_SCANS,
-        "zh03:margins": [[]],
-        "scalerank:layout": [[], [_UDS_SCAN_NC_NOSRC]],
-        "zh03:unified_flags": [[_UDS_SCAN_NC]],
+        "zh03:margins": [[_M_SCAN]],
+        "scalerank:layout": [
+            [],
+            [_UDS_SCAN_NC_NOSRC, _M_SCAN],
+            [_M_SCAN],
+        ],
+        "zh03:unified_flags": [[_UDS_SCAN_NC, _M_SCAN]],
         "zh03:banded_rank": [[]],
         "zh03:window_rollup": [[]],
         "zh03:shard_rollup": [[]],
     },
     "zh05_system_overlap": {
-        **_ZE_FEATS_SCANS,
-        "zh05:margins": [[]],
-        "scalerank:layout": [[]],
-        "zh05:unified_flags": [[_UDS_SCAN]],
-        "zh05:pair_sums": [["doc_id,f_con,f_near,f_off,f_sem,r_long,r_rep,r_short,r_stop,s_e"]],
+        "zh05:margins": [[_M_SCAN]],
+        "scalerank:layout": [[_M_SCAN]],
+        "zh05:unified_flags": [[_UDS_SCAN, _M_SCAN]],
+        "zh05:pair_sums": [
+            ["doc_id,f_con,f_near,f_off,f_sem,r_long,r_rep,r_short,r_stop,s_e", _M_SCAN]
+        ],
     },
     "zh06_unified_curriculum": {
-        **_ZE_FEATS_SCANS,
-        "zh06:margins": [[]],
-        "scalerank:layout": [[], [_UDS_SCAN_NC]],
-        "zh06:unified_flags": [[_UDS_SCAN_NC]],
+        "zh06:margins": [[_M_SCAN]],
+        "scalerank:layout": [[_UDS_SCAN_NC, _M_SCAN], [_M_SCAN]],
+        "zh06:unified_flags": [[_UDS_SCAN_NC, _M_SCAN]],
         "zh06:source_curriculum": [[]],
         "zh06:source_rollup": [[]],
     },
@@ -589,9 +577,12 @@ def test_zh_loop_stage_pins(spark, sf_dir, name):
     from spotify_tags_etl_spark.operators.zfops import zf01_flags_artifact
     from spotify_tags_etl_spark.plans import planmetrics as pm
 
-    # artifact-HIT path (the steady state) — publish both first
+    from spotify_tags_etl_spark.operators.zeops import ze02_margins_artifact
+
+    # artifact-HIT path (the steady state) — publish all three first
     ze01_fit_artifact(spark, sf_dir)
     zf01_flags_artifact(spark, sf_dir).count()
+    ze02_margins_artifact(spark, sf_dir).count()
     pm.LOOP_PLAN_LOG.clear()
     pm.SCAN_LOG.clear()
     _q(name)(spark, sf_dir).count()
@@ -672,3 +663,65 @@ def test_zh04_degenerate_docs_stream(spark, tmp_path):
     ]
     assert stream == batch
     assert sum(r[1] for r in batch) == 5  # all five docs accounted
+
+
+# ---------------------------------------------------------------------------
+# ze02 margins artifact — bit-identity, hit/miss discipline, GC
+# ---------------------------------------------------------------------------
+
+
+def test_margins_artifact_matches_live_scoring(spark, flags_sandbox, monkeypatch):
+    """(a) first use scores live and publishes, (b) repeat reads serve
+    from the artifact with NO rescoring, (c) a corpus change reads as
+    stale, (d) bit-identical to live scoring (integer determinism)."""
+    from pyspark.sql import functions as F
+
+    from spotify_tags_etl_spark.operators import zeops
+
+    root = flags_sandbox
+    # live twin
+    _nd, _c, w_hist = zeops.ze01_fit_artifact(spark, root)
+    wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
+    feats = zeops.ze01_feats(spark, root)
+    live = sorted(
+        (r.doc_id, r.y, int(r.m))
+        for r in zeops._margins(feats, wavg).collect()
+    )
+    feats.unpersist()
+
+    calls: list[str] = []
+    real = zeops.ze01_feats
+
+    def counting(spark_, sf_):
+        calls.append(sf_)
+        return real(spark_, sf_)
+
+    monkeypatch.setattr(zeops, "ze01_feats", counting)
+    zeops._MARGINS_MEMO.clear()
+    got = sorted(
+        (r.doc_id, r.y, int(r.m))
+        for r in zeops.ze02_margins_artifact(spark, root).collect()
+    )
+    assert got == live and len(calls) == 1  # miss: scored + published
+
+    zeops._MARGINS_MEMO.clear()  # force the on-disk read path
+    got = sorted(
+        (r.doc_id, r.y, int(r.m))
+        for r in zeops.ze02_margins_artifact(spark, root).collect()
+    )
+    assert got == live and len(calls) == 1  # hit: NO rescoring
+
+    # margin dtype survives the round trip at full precision
+    df = zeops.ze02_margins_artifact(spark, root)
+    assert dict(df.dtypes)["m"] == "decimal(38,0)"
+
+    p = os.path.join(root, "documents.parquet")
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    zeops._FIT_MEMO.clear()
+    zeops._MARGINS_MEMO.clear()
+    got = sorted(
+        (r.doc_id, r.y, int(r.m))
+        for r in zeops.ze02_margins_artifact(spark, root).collect()
+    )
+    assert got == live and len(calls) >= 2  # stale: rescored + republished

@@ -533,18 +533,19 @@ ZE_EXPECTED_LOOP_PLANS = {
     "ze03_stream_classifier_gate": {
         "ze03:gate_report": [{}],
     },
-    # decile table: range layout (scalerank, no SinglePartition) +
-    # one banded aggregate over the checkpointed margin frame
+    # r11: decile table reads the PUBLISHED margins artifact (pruned
+    # (doc_id, y, m) scan) — the corpus-sized scoring pass is the
+    # artifact publisher's, paid once; range layout + banded aggregate
     "ze04_gate_calibration": {
-        **_ZE_FEATS_PLANS,
+        "ze04:margins": [{}],
         "scalerank:layout": [{}],
         "ze04:calibration": [{"exchanges": 2}],
     },
-    # top-k compiles to TakeOrderedAndProject — one margins exchange,
-    # never a global sort
+    # r11: top-k over the margins-artifact read joined to the corpus
+    # projection — TakeOrderedAndProject, exchange-free (both sides
+    # are scans; AQE broadcasts), never a global sort
     "ze05_hard_examples": {
-        **_ZE_FEATS_PLANS,
-        "ze05:hard_examples": [{"exchanges": 1}],
+        "ze05:hard_examples": [{}],
     },
 }
 
@@ -558,13 +559,12 @@ ZE_EXPECTED_SCANS = {
         "ze03:gate_report": [[]],
     },
     "ze04_gate_calibration": {
-        **_ZE_FEATS_SCANS,
-        "scalerank:layout": [[]],
+        "ze04:margins": [["doc_id,m,y"]],
+        "scalerank:layout": [["doc_id,m,y"]],
         "ze04:calibration": [[]],
     },
     "ze05_hard_examples": {
-        **_ZE_FEATS_SCANS,
-        "ze05:hard_examples": [["doc_id,lang,source"]],
+        "ze05:hard_examples": [["doc_id,lang,source", "doc_id,m,y"]],
     },
 }
 
@@ -574,10 +574,13 @@ def test_ze_loop_stage_pins(spark, sf_dir, name):
     from spotify_tags_etl_spark.operators.zeops import ze01_fit_artifact
     from spotify_tags_etl_spark.plans import planmetrics as pm
 
+    from spotify_tags_etl_spark.operators.zeops import ze02_margins_artifact
+
     # consumers are pinned on the artifact-HIT path (the steady state a
     # production pipeline runs in); publish first so a cold warehouse
     # can't flip these pins to the miss path
     ze01_fit_artifact(spark, sf_dir)
+    ze02_margins_artifact(spark, sf_dir).count()
     pm.LOOP_PLAN_LOG.clear()
     pm.SCAN_LOG.clear()
     _q(name)(spark, sf_dir).count()
