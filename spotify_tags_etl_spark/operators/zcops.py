@@ -489,9 +489,26 @@ def zc03_corpus_and_edges(spark: SparkSession, sf_dir: str):
     duplicate-edge relation ``edges(d1 < d2)`` — the shared substrate of
     the transitive drop rule (zc03: drop d2 iff any edge) and the
     keep-set greedy variant (zd06: iterate over the edge graph)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = zc03_project(emb)
+    # ONE corpus scan: the quantized/bucketed frame feeds the candidate
+    # explode and BOTH pair sides — checkpoint instead of re-deriving
+    # (r7 scan-audit class; at 100 TB this is the persisted projection
+    # table a production dedup job writes anyway).
+    record_plan(b, "zc03:projected_corpus")
+    b = b.localCheckpoint(eager=True)
+    return b, zc03_edges_from_b(b)
+
+
+def zc03_project(emb: DataFrame) -> DataFrame:
+    """zc03's per-vector extraction — quantize to int8, project through
+    the md5-derived random matrix, sign-bucket into the LSH tables:
+    (vec_id, q, na, bk1..bkT). Per-vector-LOCAL (no cross-row term), so
+    it is also the partition-granular partial the incremental artifact
+    layer caches per input file (functions/partials.py); callers that
+    fan it out (zc03_corpus_and_edges) checkpoint the result."""
     dims = ZC03_BITS * ZC03_TABLES
     wrows = [[_zc03_w(i, j) for i in range(1, 65)] for j in range(1, dims + 1)]
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = emb.select(
         "vec_id",
         F.expr(
@@ -520,13 +537,17 @@ def zc03_corpus_and_edges(spark: SparkSession, sf_dir: str):
         ).alias(f"bk{t}")
         for t in range(1, ZC03_TABLES + 1)
     ]
-    b = p.select("vec_id", "q", "na", *bks)
-    # ONE corpus scan: the quantized/bucketed frame feeds the candidate
-    # explode and BOTH pair sides — checkpoint instead of re-deriving
-    # (r7 scan-audit class; at 100 TB this is the persisted projection
-    # table a production dedup job writes anyway).
-    record_plan(b, "zc03:projected_corpus")
-    b = b.localCheckpoint(eager=True)
+    return p.select("vec_id", "q", "na", *bks)
+
+
+def zc03_edges_from_b(b: DataFrame) -> DataFrame:
+    """zc03's cross-row merge over an already-materialized projected
+    corpus ``b``: per-table bucket join -> candidate pairs -> exact
+    integer-cosine verify -> edges(d1 < d2). The bucket join is the
+    documented cross-partition merge rule of the incremental artifact
+    layer — LSH buckets are unions of per-partition partials, so this
+    step always runs over the full (compact) partial union while the
+    expensive projection is cached per input file."""
     c = b.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(1, ZC03_TABLES + 1)])).alias(
@@ -565,7 +586,7 @@ def zc03_corpus_and_edges(spark: SparkSession, sf_dir: str):
             >= F.expr(f"{t2} * (CAST(na1 AS DECIMAL(38,0)) * na2)")
         )
     ).select("d1", "d2")
-    return b, edges
+    return edges
 
 
 # ---------------------------------------------------------------------------

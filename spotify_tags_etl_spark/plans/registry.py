@@ -391,9 +391,19 @@ VERIFIED = frozenset(
         "zg08_stage_overlap",
         "zg09_rule_threshold_sweep",
         "zg10_curation_mix_shift",
+        "zh01_unified_keepset",
+        "zh02_unified_pack_manifest",
+        "zh03_unified_shard_plan",
+        "zh04_stream_unified_keepset",
+        "zh05_system_overlap",
+        "zh06_unified_curriculum",
     }
 )
-# 317 verified after the r10 rotation; 10 zg names live this round
+# 333 verified after the r11 rotation; zi* names are the live window
+#   this round (window = new zi* + zv_ re-checks up to 50)
+# 327 verified after the r10 rotation; 6 zh names live in round 11
+#   (window = 6 new + 44 zv_ re-checks)
+# 317 verified after the r9 rotation; 10 zg names live in round 10
 #   (window = 10 new + 40 zv_ re-checks)
 # 303 verified; registry window frees 7 new slots next round
 # 296 verified; registry window frees 37 new slots next round
