@@ -100,8 +100,10 @@ def identity_strictly_older(sib: dict | None, fresh: dict) -> bool:
             return False
         if s.get("mtime_ns") is None or s["mtime_ns"] > ident["mtime_ns"]:
             return False
-        if s["mtime_ns"] < ident["mtime_ns"] or s.get("size") != ident["size"]:
+        if s["mtime_ns"] < ident["mtime_ns"]:
             older = True
+        elif s.get("size") != ident["size"]:
+            return False  # same mtime, different size: incomparable
     return older
 
 

@@ -365,8 +365,13 @@ _FIT_MEMO: dict[str, tuple[int, list, list]] = {}
 
 def _fit_key(sf_dir: str) -> dict:
     """Staleness key: corpus file identity (mtime_ns + size — the
-    sweep-record discipline) + every constant the fit depends on."""
+    sweep-record discipline; r12 adds PER-FILE identity so an in-place
+    part rewrite inside a directory-shaped corpus — which does not move
+    the directory's own mtime — still reads as stale) + every constant
+    the fit depends on."""
     import os
+
+    from spotify_tags_etl_spark.functions import partials as _pt
 
     p = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
     st = os.stat(p)
@@ -374,6 +379,7 @@ def _fit_key(sf_dir: str) -> dict:
         "corpus": p,
         "mtime_ns": st.st_mtime_ns,
         "size": st.st_size,
+        "files": _pt.input_files(p),
         "buckets": ZE01_BUCKETS,
         "rounds": ZE01_ROUNDS,
         "target": ZE01_TARGET_LANG,
@@ -440,9 +446,22 @@ def _publish_fit(
     with open(os.path.join(tmp, "meta.json"), "w") as fh:
         json.dump({"key": key, "nd": nd, "curve": curve}, fh, indent=1)
     artifactio.publish_atomic(tmp, target, key)
+    # strict ordering (r11 ADVICE): remove only same-corpus siblings
+    # whose identity is provably older (or an older fit version) — a
+    # publisher holding a stale mtime view must never GC a newer one
     artifactio.gc_superseded(
         target,
-        lambda k: isinstance(k, dict) and k.get("corpus") == key["corpus"],
+        lambda k: isinstance(k, dict)
+        and k.get("corpus") == key["corpus"]
+        and (
+            not isinstance(k.get("fit_version"), int)
+            or k["fit_version"] < key["fit_version"]
+            or (
+                k["fit_version"] == key["fit_version"]
+                and isinstance(k.get("mtime_ns"), int)
+                and k["mtime_ns"] < key["mtime_ns"]
+            )
+        ),
     )
 
 
@@ -521,7 +540,13 @@ def ze01_fit_artifact(
 #: Bump when the SCORING semantics change (feature extraction,
 #: averaging rule, margin arithmetic) — an artifact scored by an older
 #: definition must read as stale.
-ZE02_MARGINS_VERSION = 1
+#: v2 (r12): partition-granular — the artifact keys on per-input-file
+#: identity and the miss path scores PER FILE under the frozen
+#: averaged weights (a file's margin rows are cached keyed on
+#: (file identity, weights digest), so a corpus that grows under an
+#: unchanged model re-scores only the new/changed files — the
+#: production cadence where the model updates slower than the corpus).
+ZE02_MARGINS_VERSION = 2
 
 #: In-process memo: key -> artifact dir (same discipline as
 #: zf01's _FLAGS_MEMO — keyed identically to the on-disk artifact).
@@ -531,10 +556,117 @@ _MARGINS_MEMO: dict[str, str] = {}
 def _margins_key(sf_dir: str) -> dict:
     """Staleness key: the fit key (corpus identity + every fit
     constant — the averaged weights are a pure function of it) plus
-    the scoring version."""
+    the scoring version and the PER-FILE corpus identity (v2: the
+    partition-granular refresh unit — functions/partials.py)."""
+    from spotify_tags_etl_spark.functions import partials as _pt
+
     key = dict(_fit_key(sf_dir))
+    key["files"] = _pt.input_files(key["corpus"])
     key["margins_version"] = ZE02_MARGINS_VERSION
+    key["partials_version"] = _pt.PARTIALS_VERSION
     return key
+
+
+def weights_digest(wavg: dict[int, int]) -> str:
+    """Digest of the averaged weight VALUES — the score-part cache key
+    ingredient. Keying scores on the weights themselves (not the fit
+    key) means a corpus change that leaves the model numerically
+    identical — or any scoring under an explicitly frozen model —
+    reuses every unchanged file's cached margins."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps({str(b): int(w) for b, w in wavg.items()}, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def _score_part_dir(key: dict) -> str:
+    import hashlib
+    import json
+    import os
+
+    digest = hashlib.md5(
+        json.dumps(key, sort_keys=True).encode()
+    ).hexdigest()[:16]
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, "spark-warehouse", "ze02_margin_parts", digest)
+
+
+def ze02_score_parts(
+    spark: SparkSession, corpus_path: str, wavg: dict[int, int]
+) -> tuple[dict[str, str], list[str]]:
+    """Per-input-file margin scoring under FROZEN averaged weights —
+    the partition-granular unit of the v2 margins artifact.
+
+    For each corpus file: ensure its stage partials (functions/
+    partials.py — re-extracts only if the file changed), then score its
+    design-matrix partial + bias rows with the weight CASE literal
+    (ze01_feats/_margins spelled per file; doc_ids never span files, so
+    the per-file groupBy equals the global one row-for-row) into a
+    cached part keyed on (file identity, design constants, weights
+    digest, ZE02_MARGINS_VERSION). Returns (relname -> part dir,
+    relnames scored THIS call) — the incremental contract the
+    one-changed-partition test pins: under an unchanged model, only
+    changed files re-score."""
+    import json
+    import os
+
+    from spotify_tags_etl_spark.functions import artifactio
+    from spotify_tags_etl_spark.functions import partials as _pt
+
+    doc_dirs, _ = _pt.ensure_partials(spark, corpus_path, "doc")
+    files = _pt.input_files(corpus_path)
+    wdig = weights_digest(wavg)
+    design_constants = _pt.doc_constants()["design"]
+    dirs: dict[str, str] = {}
+    recomputed: list[str] = []
+    for relname, ident in files.items():
+        key = {
+            "file": _pt.file_path(corpus_path, relname),
+            "identity": dict(ident),
+            "design": design_constants,
+            "weights": wdig,
+            "margins_version": ZE02_MARGINS_VERSION,
+            "partials_version": _pt.PARTIALS_VERSION,
+        }
+        target = _score_part_dir(key)
+        if artifactio.read_meta_key(target) != key:
+            artifactio.remove_unservable_target(target, key)
+            gf = spark.read.parquet(
+                os.path.join(doc_dirs[relname], "design.parquet")
+            )
+            bias = (
+                gf.select("doc_id", "y")
+                .distinct()
+                .select(
+                    "doc_id",
+                    "y",
+                    F.lit(ZE01_BIAS).alias("bucket"),
+                    F.lit(1).alias("cnt"),
+                )
+            )
+            scored = _margins(gf.unionByName(bias), wavg)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            tmp = f"{target}.tmp.{os.getpid()}"
+            scored.write.mode("overwrite").parquet(os.path.join(tmp, "m.parquet"))
+            with open(os.path.join(tmp, "meta.json"), "w") as fh:
+                json.dump({"key": key}, fh, indent=1)
+            artifactio.publish_atomic(tmp, target, key)
+            artifactio.gc_superseded(
+                target,
+                lambda k, _p=key["file"], _i=ident, _w=wdig: isinstance(k, dict)
+                and k.get("file") == _p
+                and k.get("weights") == _w
+                and _pt.identity_strictly_older(
+                    {"f": k.get("identity")}, {"f": dict(_i)}
+                ),
+            )
+            recomputed.append(relname)
+        dirs[relname] = target
+    return dirs, recomputed
 
 
 def _margins_artifact_dir(key: dict) -> str:
@@ -568,38 +700,64 @@ def ze02_margins_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself keeps exercising the live scoring path — the publisher's
     own correctness gate (zf01's rule).
 
-    Miss/stale path: reads the fit artifact (refitting only if that
-    too is stale), scores the corpus live, publishes atomically with
-    winner verification, then GCs superseded same-corpus digests."""
+    Miss/stale path (v2, partition-granular): reads the fit artifact
+    (refitting only if that too is stale), then scores PER FILE via
+    :func:`ze02_score_parts` — under an unchanged model only
+    changed/new corpus files re-score; unchanged files' margin rows
+    carry forward from the score-part cache — and publishes the merged
+    (doc_id, y, m) table atomically with winner verification (the
+    merged copy is O(#docs) x 3 columns, compact at any corpus scale;
+    an extreme deployment could mount the parts directly instead).
+    GC removes superseded same-corpus digests with strict identity
+    ordering (r11 ADVICE: never delete a newer sibling)."""
     import json
     import os
 
     from spotify_tags_etl_spark.functions import artifactio
+    from spotify_tags_etl_spark.functions import partials as _pt
 
     key = _margins_key(sf_dir)
     memo_k = json.dumps(key, sort_keys=True)
-    if memo_k not in _MARGINS_MEMO:
+    # memo hit must re-verify the dir still exists: a same-process
+    # republish for a reverted input identity may have GC'd it (ADVICE)
+    if memo_k not in _MARGINS_MEMO or not os.path.isdir(_MARGINS_MEMO[memo_k]):
         target = _margins_artifact_dir(key)
         fresh = artifactio.read_meta_key(target) == key
         if not fresh:
             artifactio.remove_unservable_target(target, key)
             _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
             wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
-            feats = ze01_feats(spark, sf_dir)
-            scored = _margins(feats, wavg)
+            part_dirs, _ = ze02_score_parts(spark, key["corpus"], wavg)
+            scored = spark.read.parquet(
+                *[os.path.join(d, "m.parquet") for d in part_dirs.values()]
+            )
             os.makedirs(os.path.dirname(target), exist_ok=True)
             tmp = f"{target}.tmp.{os.getpid()}"
             scored.write.mode("overwrite").parquet(
                 os.path.join(tmp, "margins.parquet")
             )
-            feats.unpersist()
             with open(os.path.join(tmp, "meta.json"), "w") as fh:
                 json.dump({"key": key}, fh, indent=1)
             artifactio.publish_atomic(tmp, target, key)
+            my_files = {"f/" + n: i for n, i in key["files"].items()}
             artifactio.gc_superseded(
                 target,
                 lambda k: isinstance(k, dict)
-                and k.get("corpus") == key["corpus"],
+                and k.get("corpus") == key["corpus"]
+                and (
+                    not isinstance(k.get("margins_version"), int)
+                    or k["margins_version"] < ZE02_MARGINS_VERSION
+                    or (
+                        k["margins_version"] == ZE02_MARGINS_VERSION
+                        and _pt.identity_strictly_older(
+                            {
+                                "f/" + n: i
+                                for n, i in (k.get("files") or {}).items()
+                            },
+                            my_files,
+                        )
+                    )
+                ),
             )
         _MARGINS_MEMO[memo_k] = target
     return spark.read.parquet(

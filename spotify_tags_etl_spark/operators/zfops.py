@@ -356,7 +356,13 @@ def zf01_flags(
 #: verdicts (r_short, r_long, r_rep, r_stop) so rule consumers (zg06,
 #: the zh unified keep-set) read ONE pruned artifact scan instead of
 #: re-parsing the corpus text.
-ZF01_FLAGS_VERSION = 2
+#: v3 (r12): staleness keys on PER-INPUT-FILE identity and the miss
+#: path recomputes from partition-granular stage partials
+#: (functions/partials.py) — one changed corpus file re-extracts only
+#: that file; the cross-partition merge (hash groups, LSH buckets,
+#: gram joins — the documented bucket-granularity merge rule) re-runs
+#: over the compact cached partials, never the unchanged text.
+ZF01_FLAGS_VERSION = 3
 
 #: In-process memo: key -> artifact dir (bench/sweep runs hit this
 #: after the first read; keyed identically to the on-disk artifact so
@@ -365,18 +371,20 @@ _FLAGS_MEMO: dict[str, str] = {}
 
 
 def _flags_key(sf_dir: str) -> dict:
-    """Staleness key: identity (mtime_ns + size) of EVERY input the
-    stages read — documents (dd01/dd02/tz06/zb03/rules) AND embeddings
-    (zc03) — plus every constant the lineage depends on: dd02's
-    shingle/MinHash/LSH shape, zc03's sign-LSH sizing and cosine
-    threshold, tz06's hash-split edges and n-gram width, zb03's
-    importance census shape, and zg06's rule thresholds (r11: the
-    ADVICE gap — previously only near_permille/DECON_NGRAM/ZB03_* were
-    keyed, so changing e.g. ZC03_T_PPM served a stale artifact until
-    a manual version bump)."""
+    """Staleness key: PER-FILE identity (mtime_ns + size of every part
+    file — functions/partials.py's enumeration; v2 keyed one identity
+    per whole table) of EVERY input the stages read — documents
+    (dd01/dd02/tz06/zb03/rules) AND embeddings (zc03) — plus every
+    constant the lineage depends on: dd02's shingle/MinHash/LSH shape,
+    zc03's sign-LSH sizing and cosine threshold, tz06's hash-split
+    edges and n-gram width, zb03's importance census shape, and zg06's
+    rule thresholds (r11: the ADVICE gap — previously only
+    near_permille/DECON_NGRAM/ZB03_* were keyed, so changing e.g.
+    ZC03_T_PPM served a stale artifact until a manual version bump)."""
     import os
 
     # lazy: zgops/zcops import this module at top level (consumer side)
+    from spotify_tags_etl_spark.functions import partials as _pt
     from spotify_tags_etl_spark.operators import dedup as _dd
     from spotify_tags_etl_spark.operators import zcops as _zc
     from spotify_tags_etl_spark.operators import zgops as _zg
@@ -385,9 +393,9 @@ def _flags_key(sf_dir: str) -> dict:
     inputs = {}
     for t in ("documents", "embeddings"):
         p = os.path.abspath(os.path.join(sf_dir, f"{t}.parquet"))
-        st = os.stat(p)
-        inputs[t] = {"path": p, "mtime_ns": st.st_mtime_ns, "size": st.st_size}
+        inputs[t] = {"path": p, "files": _pt.input_files(p)}
     return {
+        "partials_version": _pt.PARTIALS_VERSION,
         "inputs": inputs,
         "near_permille": _ZF01_NEAR_PERMILLE,
         "minhash": {"n_hashes": _dd.N_HASHES, "band_rows": _dd.BAND_ROWS,
@@ -420,6 +428,173 @@ def _flags_artifact_dir(key: dict) -> str:
     return os.path.join(repo, "spark-warehouse", "zf01_flags", digest)
 
 
+def zf01_flags_from_partials(
+    spark: SparkSession, doc_dirs: dict[str, str], emb_dirs: dict[str, str]
+) -> DataFrame:
+    """The five-stage lineage assembled from partition-granular stage
+    partials (functions/partials.py) instead of the corpus text — the
+    v3 artifact's miss path. Bit-identical to
+    ``zf01_flags(spark, sf_dir, extra_cols=("n_chars",),
+    with_rules=True)`` (pinned by tests/test_round12_additions.py):
+    every per-doc row (rule verdicts, content hash, MinHash signature,
+    shingles, decon grams, importance bucket counts, sign-LSH keys)
+    was extracted by the stage's own builder at partial-publish time,
+    and this merge re-runs only the CROSS-PARTITION group structure —
+    the documented bucket-granularity merge rule:
+
+    * exact:    hash groups are unions of per-file partials — one
+                groupBy(text_hash) over the compact hash column;
+    * near:     LSH buckets union across files — banded self-join on
+                cached signatures, exact-jaccard verify on cached
+                shingles (dd02's own functions);
+    * semantic: sign-LSH buckets union across files — zc03's bucket
+                join + integer-cosine verify on cached projections;
+    * decon:    the train x eval gram join over cached distinct grams
+                (split side re-derived from doc_id hash — key-local);
+    * off-tgt:  the 256-bucket census SUM-merges per-doc bucket
+                counts; weights and per-doc importance re-derive from
+                the same compact frame.
+
+    No stage re-reads document text: the merge inputs are O(tokens)
+    derived columns at worst (shingles/grams), O(docs) elsewhere."""
+    from spotify_tags_etl_spark.functions import partials as _pt
+    from spotify_tags_etl_spark.functions.hashing import hash_frac as _hash_frac
+    from spotify_tags_etl_spark.operators.dedup import (
+        N_HASHES,
+        jaccard_verify,
+        lsh_candidate_pairs,
+    )
+    from spotify_tags_etl_spark.operators.training import SPLIT_EDGES
+    from spotify_tags_etl_spark.operators.zcops import zc03_edges_from_b
+
+    base = _pt.read_partial(spark, doc_dirs, "docs")
+    record_plan(base, "zf01p:doc_partials")
+    base = base.localCheckpoint(eager=True)  # feeds docs + exact + near sides
+
+    # exact dedup: dd01's hash-group keep-first over the cached hashes
+    exact_keeps = (
+        base.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("s_e"))
+    )
+
+    # near dedup: dd02's banded LSH join + exact-jaccard verify, fed the
+    # cached signatures and shingles (per-doc-local, so per-file partials
+    # equal the global frames row-for-row)
+    sig = base.where(F.col("m0").isNotNull()).select(
+        "doc_id", *[f"m{i}" for i in range(N_HASHES)]
+    )
+    sh = _pt.read_partial(spark, doc_dirs, "shingles")
+    near_drops = (
+        jaccard_verify(
+            lsh_candidate_pairs(sig), sh, threshold_permille=_ZF01_NEAR_PERMILLE
+        )
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("f_near", F.lit(1))
+    )
+
+    # semantic dedup: zc03's bucket join + integer-cosine verify over the
+    # cached quantized/projected/bucketed corpus
+    b = _pt.read_partial(spark, emb_dirs, "vecs")
+    record_plan(b, "zf01p:projected_corpus")
+    b = b.localCheckpoint(eager=True)  # feeds candidate explode + both pair sides
+    sem_drops = (
+        zc03_edges_from_b(b)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+        .withColumn("f_sem", F.lit(1))
+    )
+
+    # decontamination: tz06's train x eval gram join over cached grams;
+    # the split side is a pure doc_id-hash function, so it re-derives
+    # from the key without touching text
+    g5 = _pt.read_partial(spark, doc_dirs, "grams5")
+    frac = _hash_frac(F.col("doc_id"))
+    train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
+    train = g5.where(frac < train_edge).select("doc_id", "g")
+    test = g5.where(frac >= test_edge).select(F.col("g").alias("tg")).distinct()
+    contam = (
+        train.join(test, F.col("g") == F.col("tg"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("f_con", F.lit(1))
+    )
+
+    # off-target: zb03's two-pass census/weights over the cached per-doc
+    # bucket counts (census partials SUM-merge; count-of-rows becomes
+    # sum-of-cnt, count-when becomes coalesced conditional sum)
+    imp = _pt.read_partial(spark, doc_dirs, "imp")
+    record_plan(imp, "zf01p:imp_partials")
+    imp = imp.localCheckpoint(eager=True)  # census pass + scoring pass
+    census = imp.groupBy("bucket").agg(
+        F.sum("cnt").alias("raw_n"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == ZB03_TARGET_LANG, F.col("cnt"))),
+            F.lit(0),
+        ).alias("tgt_n"),
+    )
+    record_plan(census, "zf01p:importance_census")
+    census = census.localCheckpoint(eager=True)  # 256 rows, one partial pass
+    tot = census.agg(F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t"))
+    wts = census.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
+            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
+        ).alias("w"),
+    )
+    wts = wts.localCheckpoint(eager=True)  # 256 rows; pass 2 must not re-census
+    offtgt = (
+        imp.join(F.broadcast(wts), "bucket")
+        .groupBy("doc_id")
+        .agg(F.expr("SUM(CAST(cnt AS DECIMAL(38,0)) * w)").alias("importance"))
+        .where(F.col("importance") <= 0)
+        .select("doc_id")
+        .withColumn("f_off", F.lit(1))
+    )
+
+    for label, frame in (
+        ("zf01p:exact_keeps", exact_keeps),
+        ("zf01p:near_drops", near_drops),
+        ("zf01p:sem_drops", sem_drops),
+        ("zf01p:contam", contam),
+        ("zf01p:offtarget", offtgt),
+    ):
+        record_plan(frame, label)
+    exact_keeps = exact_keeps.localCheckpoint(eager=True)
+    near_drops = near_drops.localCheckpoint(eager=True)
+    sem_drops = sem_drops.localCheckpoint(eager=True)
+    contam = contam.localCheckpoint(eager=True)
+    offtgt = offtgt.localCheckpoint(eager=True)
+    flags = (
+        base.select(
+            "doc_id", "source", "n_chars", "r_short", "r_long", "r_rep", "r_stop"
+        )
+        .join(exact_keeps, "doc_id", "left")
+        .join(near_drops, "doc_id", "left")
+        .join(sem_drops, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(offtgt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("s_e", F.lit(0)).alias("s_e"),
+            F.coalesce("f_near", F.lit(0)).alias("f_near"),
+            F.coalesce("f_sem", F.lit(0)).alias("f_sem"),
+            F.coalesce("f_con", F.lit(0)).alias("f_con"),
+            F.coalesce("f_off", F.lit(0)).alias("f_off"),
+            "r_short",
+            "r_long",
+            "r_rep",
+            "r_stop",
+        )
+    )
+    record_plan(flags, "zf01p:lineage_flags")
+    return flags
+
+
 def zf01_flags_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared-lineage-artifact primitive (ze01_fit_artifact's
     pattern applied to the data plane): the nightly curation run
@@ -439,31 +614,44 @@ def zf01_flags_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-side parquet table end to end: consumers' column pruning
     reaches the artifact scan (pinned), never the driver.
 
-    Miss/stale path (absent, input changed, or ZF01_FLAGS_VERSION
-    bumped): computes :func:`zf01_flags` live (v2: with the zg06 rule
-    verdicts folded in — they ride the corpus scan the lineage already
-    pays) and publishes atomically (tmp dir + whole rename, the winner
-    VERIFIED on a lost race — artifactio's discipline), then GCs
-    sibling digests superseded by this publish (same input paths,
-    older identity — the fixture-regen leak). zf01 itself keeps
-    exercising the live path — the publisher's own correctness gate."""
+    Miss/stale path (absent, an input FILE changed, or
+    ZF01_FLAGS_VERSION bumped): v3 is PARTITION-GRANULAR — it ensures
+    the per-input-file stage partials (functions/partials.py; only
+    files whose identity changed re-extract, the rest carry forward),
+    assembles the lineage with :func:`zf01_flags_from_partials` (the
+    cross-partition merge over compact cached partials — text is never
+    re-read for an unchanged file), and publishes atomically (tmp dir
+    + whole rename, the winner VERIFIED on a lost race — artifactio's
+    discipline), then GCs sibling digests superseded by this publish —
+    same input paths AND strictly older identity or lower version
+    (r11 ADVICE: a stale-view publisher must never delete a newer
+    sibling). zf01 itself keeps exercising the live text-path funnel —
+    the publisher's own correctness gate — and the live/partials
+    equality is pinned."""
     import json
     import os
 
     from spotify_tags_etl_spark.functions import artifactio
+    from spotify_tags_etl_spark.functions import partials as _pt
 
     key = _flags_key(sf_dir)
     memo_k = json.dumps(key, sort_keys=True)
-    if memo_k not in _FLAGS_MEMO:
+    # memo hit must re-verify the dir still exists: a same-process
+    # republish for a reverted input identity may have GC'd it (ADVICE)
+    if memo_k not in _FLAGS_MEMO or not os.path.isdir(_FLAGS_MEMO[memo_k]):
         target = _flags_artifact_dir(key)
         fresh = artifactio.read_meta_key(target) == key
         if not fresh:
             # a mismatched/corrupt dir AT the target path would make
             # every rename fail (the silently-stops-caching bug)
             artifactio.remove_unservable_target(target, key)
-            flags = zf01_flags(
-                spark, sf_dir, extra_cols=("n_chars",), with_rules=True
+            doc_dirs, _ = _pt.ensure_partials(
+                spark, key["inputs"]["documents"]["path"], "doc"
             )
+            emb_dirs, _ = _pt.ensure_partials(
+                spark, key["inputs"]["embeddings"]["path"], "emb"
+            )
+            flags = zf01_flags_from_partials(spark, doc_dirs, emb_dirs)
             os.makedirs(os.path.dirname(target), exist_ok=True)
             tmp = f"{target}.tmp.{os.getpid()}"
             flags.write.mode("overwrite").parquet(
@@ -472,20 +660,55 @@ def zf01_flags_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(tmp, "meta.json"), "w") as fh:
                 json.dump({"key": key}, fh, indent=1)
             artifactio.publish_atomic(tmp, target, key)
-            my_paths = {t: v["path"] for t, v in key["inputs"].items()}
-            artifactio.gc_superseded(
-                target,
-                lambda k: isinstance(k, dict)
-                and {
-                    t: (v or {}).get("path")
-                    for t, v in (k.get("inputs") or {}).items()
-                }
-                == my_paths,
-            )
+            artifactio.gc_superseded(target, _flags_supersedes(key))
         _FLAGS_MEMO[memo_k] = target
     return spark.read.parquet(
         os.path.join(_FLAGS_MEMO[memo_k], "flags.parquet")
     )
+
+
+def _flags_supersedes(key: dict):
+    """Supersedes predicate for flags-artifact GC: a sibling is removed
+    only when it covers the SAME input paths and is provably stale —
+    its flags_version is lower, or (same version) every input file's
+    identity is <= the fresh key's with at least one strictly older
+    (functions/partials.py's ordering). Incomparable siblings — a newer
+    mtime anywhere, different file sets, unknown key shapes — are left
+    alone: the r11 ADVICE rule that stops a publisher holding a stale
+    view of the inputs from deleting a strictly newer sibling."""
+    from spotify_tags_etl_spark.functions import partials as _pt
+
+    my_paths = {t: v["path"] for t, v in key["inputs"].items()}
+    my_files = {
+        f"{t}/{name}": ident
+        for t, v in key["inputs"].items()
+        for name, ident in v["files"].items()
+    }
+    my_version = key["flags_version"]
+
+    def _sup(k: object) -> bool:
+        if not isinstance(k, dict):
+            return False
+        kin = k.get("inputs") or {}
+        if {
+            t: (v or {}).get("path") for t, v in kin.items()
+        } != my_paths:
+            return False
+        k_version = k.get("flags_version")
+        if not isinstance(k_version, int) or k_version < my_version:
+            # pre-v3 key shapes carry no per-file identity — same-path
+            # siblings of an older version are superseded by definition
+            return True
+        if k_version > my_version:
+            return False
+        k_files = {
+            f"{t}/{name}": ident
+            for t, v in kin.items()
+            for name, ident in ((v or {}).get("files") or {}).items()
+        }
+        return _pt.identity_strictly_older(k_files, my_files)
+
+    return _sup
 
 
 # ---------------------------------------------------------------------------

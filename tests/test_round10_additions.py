@@ -474,13 +474,14 @@ def test_zf01_flags_artifact_staleness(spark, sf_dir, tmp_path, monkeypatch):
     )
 
     calls: list[str] = []
-    real = zfops.zf01_flags
+    real = zfops.zf01_flags_from_partials
 
-    def counting(spark_, sf_, extra_cols=(), with_rules=False):
-        calls.append(sf_)
-        return real(spark_, sf_, extra_cols, with_rules)
+    def counting(spark_, doc_dirs, emb_dirs):
+        calls.append(doc_dirs)
+        return real(spark_, doc_dirs, emb_dirs)
 
-    monkeypatch.setattr(zfops, "zf01_flags", counting)
+    # v3: the miss path assembles from partition-granular partials
+    monkeypatch.setattr(zfops, "zf01_flags_from_partials", counting)
 
     zfops._FLAGS_MEMO.clear()
     got = sorted(

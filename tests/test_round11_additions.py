@@ -146,13 +146,14 @@ def test_flags_artifact_corrupt_target_recaches(spark, flags_sandbox, monkeypatc
 
     root = flags_sandbox
     calls: list[str] = []
-    real = zfops.zf01_flags
+    real = zfops.zf01_flags_from_partials
 
-    def counting(spark_, sf_, extra_cols=(), with_rules=False):
-        calls.append(sf_)
-        return real(spark_, sf_, extra_cols, with_rules)
+    def counting(spark_, doc_dirs, emb_dirs):
+        calls.append(doc_dirs)
+        return real(spark_, doc_dirs, emb_dirs)
 
-    monkeypatch.setattr(zfops, "zf01_flags", counting)
+    # v3: the miss path assembles from partition-granular partials
+    monkeypatch.setattr(zfops, "zf01_flags_from_partials", counting)
     zfops._FLAGS_MEMO.clear()
     first = sorted(
         tuple(r) for r in zfops.zf01_flags_artifact(spark, root).collect()
@@ -690,13 +691,14 @@ def test_margins_artifact_matches_live_scoring(spark, flags_sandbox, monkeypatch
     feats.unpersist()
 
     calls: list[str] = []
-    real = zeops.ze01_feats
+    real = zeops.ze02_score_parts
 
-    def counting(spark_, sf_):
-        calls.append(sf_)
-        return real(spark_, sf_)
+    def counting(spark_, corpus_path, wavg_):
+        calls.append(corpus_path)
+        return real(spark_, corpus_path, wavg_)
 
-    monkeypatch.setattr(zeops, "ze01_feats", counting)
+    # v2: the miss path scores per input file under the frozen weights
+    monkeypatch.setattr(zeops, "ze02_score_parts", counting)
     zeops._MARGINS_MEMO.clear()
     got = sorted(
         (r.doc_id, r.y, int(r.m))
