@@ -247,6 +247,10 @@ CURATION_SUITE = [
     "zh04_stream_unified_keepset",
     "zh05_system_overlap",
     "zh06_unified_curriculum",
+    # round-12: the digest-stamped corpus release manifest and the gate
+    # operating-point sensitivity sweep over the unified keep-set
+    "zi01_release_manifest",
+    "zi02_gate_sensitivity",
 ]
 
 #: Mining/analysis suite (round-3 batches 14-19): rule mining, robust

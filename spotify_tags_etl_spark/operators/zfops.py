@@ -157,9 +157,12 @@ def _zf01_flags_ctes(extra_cols: str = "") -> str:
     )"""
 
 
-@register(
-    "zf01_curation_lineage",
-    oracle=f"""
+#: zf01's oracle — module-level so zf02 (the streaming twin, same
+#: logical result) reuses it WITHOUT a registry lookup at import time:
+#: ``get()`` inside a module body re-enters the registry's import loop
+#: and crashes on partially-initialized downstream modules when an
+#: operator module is imported directly (the r12 ziops lesson).
+_ZF01_ORACLE = f"""
     WITH {_zf01_flags_ctes()}
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -176,7 +179,12 @@ def _zf01_flags_ctes(extra_cols: str = "") -> str:
                     * (1 - f_off)) * 1000000 // COUNT(*) AS BIGINT)
              AS kept_ppm
     FROM flags GROUP BY source ORDER BY source
-    """,
+    """
+
+
+@register(
+    "zf01_curation_lineage",
+    oracle=_ZF01_ORACLE,
     doc=(
         "CURATION LINEAGE REPORT, per source: one mutually-exclusive "
         "FIRST-failing-stage drop reason per document through the five "
@@ -885,6 +893,43 @@ def lineage_batch_parts(batch: DataFrame) -> tuple[DataFrame, DataFrame]:
     return store, part
 
 
+#: Census-log compaction cadence: fold the appended increments into
+#: the compacted view once this many accumulate past it. Per-trigger
+#: census bytes are O(batch) on every trigger except the compacting
+#: one (amortized O(batch + state/K) — the LSM shape); the r11
+#: verdict's O(state)-per-trigger full rewrite is gone.
+ZF02_COMPACT_EVERY = 4
+
+
+def _compacted_upto(state_cur: list[str]) -> int:
+    """The batch id the current compacted view covers (inclusive), or
+    -1 before any compaction. Encoded in the version dir name so a
+    replayed trigger can tell which appended increments the committed
+    view already folded in (they are simply left for the next
+    compaction horizon check — never double-merged)."""
+    import re
+
+    if not state_cur:
+        return -1
+    m = re.search(r"compact_v(\d+)$", state_cur[0])
+    return int(m.group(1)) if m else -1
+
+
+def resolve_census_state(spark: SparkSession, state_parts: list[str]) -> DataFrame:
+    """The close-time census: ONE SUM/SUM/MIN merge over the compacted
+    view (if any) plus the residual appended increments — the
+    merge-on-read resolve of the append-only census log."""
+    return (
+        spark.read.parquet(*state_parts)
+        .groupBy("kind", "k1", "k2")
+        .agg(
+            F.sum("n1").alias("n1"),
+            F.sum("n2").alias("n2"),
+            F.min("m").alias("m"),
+        )
+    )
+
+
 def run_lineage_ingest(
     spark: SparkSession,
     stream_docs: DataFrame,
@@ -893,9 +938,23 @@ def run_lineage_ingest(
 ) -> tuple[str, list[str], list[str]]:
     """Drive the availableNow ingest: per trigger, write the per-batch
     doc store (plus ``extra_doc_rows(batch)`` unioned in, when given —
-    zh04's per-doc verdict rows) and merge the census state into
-    versioned parquet (replay-safe). Returns (root, store_dirs,
-    state_cur) for the caller's close-time resolution."""
+    zh04's per-doc verdict rows) and APPEND the batch-local census
+    increment; increments compact into a versioned view every
+    ZF02_COMPACT_EVERY triggers (xw04's merge-on-read discipline
+    applied to the census log — r11 verdict #3: the old path re-read
+    and re-wrote the FULL accumulated census every trigger, honest but
+    O(state); now per-trigger census bytes are O(batch) and the
+    O(state) fold is paid 1/K of the time).
+
+    Replay safety: increments are per-batch-id overwrites (idempotent);
+    the compaction commits through the versioned pointer
+    (commit_versioned_state), and a replay AFTER a committed compaction
+    sees its own batch id <= the view's horizon, so the horizon check
+    re-folds nothing — increments are never double-merged.
+
+    Returns (root, store_dirs, state_parts): state_parts is the
+    compacted view (if any) + the residual increments past its
+    horizon; resolve with :func:`resolve_census_state`."""
     import os
     import tempfile
 
@@ -908,7 +967,8 @@ def run_lineage_ingest(
 
     root = tempfile.mkdtemp(prefix=f"{label}_lineage_")
     store_dirs: list[str] = []  # per-batch idempotent doc stores
-    state_cur: list[str] = []   # merged-census version pointer
+    state_cur: list[str] = []   # compacted-census version pointer
+    incr: list[tuple[int, str]] = []  # append-only census increments
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         store, part = lineage_batch_parts(batch)
@@ -920,17 +980,34 @@ def run_lineage_ingest(
         if d not in store_dirs:
             store_dirs.append(d)
 
-        target = os.path.join(root, f"state_v{batch_id}")
-        src = versioned_state_source(state_cur, target)  # replay-safe
-        if src:
-            part = spark.read.parquet(src).unionByName(part)
-        merged = part.groupBy("kind", "k1", "k2").agg(
+        # append-only census increment: the batch-LOCAL fold only —
+        # O(batch) bytes, and the plan reads NOTHING but the batch
+        inc = part.groupBy("kind", "k1", "k2").agg(
             F.sum("n1").alias("n1"),
             F.sum("n2").alias("n2"),
             F.min("m").alias("m"),
         )
-        record_batch_plan(merged, f"{label}:state_merge")
-        commit_versioned_state(merged, state_cur, target, src)
+        record_batch_plan(inc, f"{label}:census_increment")
+        cd = os.path.join(root, "census", f"b{batch_id}")
+        inc.write.mode("overwrite").parquet(cd)  # replay-idempotent
+        if (batch_id, cd) not in incr:
+            incr.append((batch_id, cd))
+
+        # periodic compaction: fold increments past the view's horizon
+        fresh = [p for i, p in incr if i > _compacted_upto(state_cur)]
+        if len(fresh) >= ZF02_COMPACT_EVERY:
+            target = os.path.join(root, f"compact_v{batch_id}")
+            src = versioned_state_source(state_cur, target)  # replay-safe
+            merged = spark.read.parquet(*fresh)
+            if src:
+                merged = spark.read.parquet(src).unionByName(merged)
+            merged = merged.groupBy("kind", "k1", "k2").agg(
+                F.sum("n1").alias("n1"),
+                F.sum("n2").alias("n2"),
+                F.min("m").alias("m"),
+            )
+            record_batch_plan(merged, f"{label}:census_compaction")
+            commit_versioned_state(merged, state_cur, target, src)
 
     q = (
         stream_docs.select("doc_id", "lang", "text", "source")
@@ -943,7 +1020,10 @@ def run_lineage_ingest(
         record_state_ops(q, "foreachBatch")
     finally:
         q.stop()
-    return root, store_dirs, state_cur
+    state_parts = (list(state_cur[:1]) if state_cur else []) + [
+        p for i, p in incr if i > _compacted_upto(state_cur)
+    ]
+    return root, store_dirs, state_parts
 
 
 def lineage_close_frames(
@@ -1050,10 +1130,10 @@ def _run_lineage_stream(
 ) -> DataFrame:
     import shutil
 
-    root, store_dirs, state_cur = run_lineage_ingest(
+    root, store_dirs, state_parts = run_lineage_ingest(
         spark, stream_docs, label=label
     )
-    if not state_cur:
+    if not state_parts:
         return spark.createDataFrame(
             [],
             "source string, n_docs bigint, drop_exact bigint, drop_near bigint,"
@@ -1062,7 +1142,7 @@ def _run_lineage_stream(
         )
     # checkpoints only because rmtree deletes the backing files; a
     # production run leaves censuses + stores as the parquet they are
-    state = spark.read.parquet(state_cur[0]).localCheckpoint(eager=True)
+    state = resolve_census_state(spark, state_parts).localCheckpoint(eager=True)
     store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     fr = lineage_close_frames(spark, sf_dir, state, store)
@@ -1122,11 +1202,9 @@ def _run_lineage_stream(
 
 
 def _zf02_register() -> None:
-    from spotify_tags_etl_spark.plans.registry import get
-
     @register(
         "zf02_stream_curation_lineage",
-        oracle=get("zf01_curation_lineage").oracle,
+        oracle=_ZF01_ORACLE,
         doc=(
             "Streaming twin of zf01: per micro-batch the documents "
             "reduce to exactly the mergeable state each stage needs — "

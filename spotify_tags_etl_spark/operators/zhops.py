@@ -689,24 +689,25 @@ def streaming_unified_keepset(
 
     from spotify_tags_etl_spark.operators.zfops import (
         lineage_close_frames,
+        resolve_census_state,
         run_lineage_ingest,
     )
 
     _nd, _curve, w_hist = ze01_fit_artifact(spark, sf_dir)
     wavg = {b: sum(w[b] for w in w_hist) for b in w_hist[0]}
-    root, store_dirs, state_cur = run_lineage_ingest(
+    root, store_dirs, state_parts = run_lineage_ingest(
         spark, stream_docs, label="zh04", extra_doc_rows=_zh04_verdict_rows(wavg)
     )
     cols = ", ".join(
         f"{name} bigint"
         for name, _ in _ZH01_STAGES
     )
-    if not state_cur:
+    if not state_parts:
         return spark.createDataFrame(
             [], f"source string, n_docs bigint, {cols}, kept_ppm bigint"
         )
     # checkpoints only because rmtree deletes the backing files
-    state = spark.read.parquet(state_cur[0]).localCheckpoint(eager=True)
+    state = resolve_census_state(spark, state_parts).localCheckpoint(eager=True)
     store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     fr = lineage_close_frames(spark, sf_dir, state, store)
@@ -808,11 +809,9 @@ def streaming_unified_keepset(
 
 
 def _zh04_register() -> None:
-    from spotify_tags_etl_spark.plans.registry import get
-
     @register(
         "zh04_stream_unified_keepset",
-        oracle=get("zh01_unified_keepset").oracle,
+        oracle=_zh01_oracle_sql(),
         doc=(
             "Streaming twin of zh01 — the full three-system keep-set "
             "composed on the ingest path: per micro-batch, zf02's two "

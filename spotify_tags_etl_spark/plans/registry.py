@@ -439,8 +439,33 @@ def resolve(name: str) -> str:
     return name
 
 
+_LOADING = False
+
+
 def _load_all() -> None:
-    """Import every operator module so registrations run."""
+    """Import every operator module so registrations run.
+
+    Re-entrancy guard: a module body may itself call ``get()`` while
+    being imported by this very loop (zfops's _zf02_register reuses
+    zf01's oracle), which used to recurse into the import list and hit
+    later modules (ziops) before their dependencies (zhops) finished
+    initializing — the classic partial-import crash, visible only when
+    a caller imported an operator module DIRECTLY instead of through
+    the registry. The outer call completes the loading; the inner one
+    must resolve against what's already registered and return."""
+    global _LOADING
+    if _LOADING:
+        return
+    _LOADING = True
+    try:
+        _load_all_inner()
+    finally:
+        # reset even on failure: a broken module must stay loud on the
+        # NEXT call too, never leave the registry silently partial
+        _LOADING = False
+
+
+def _load_all_inner() -> None:
     import spotify_tags_etl_spark.operators.relational  # noqa: F401
 
     for mod in (
@@ -469,6 +494,7 @@ def _load_all() -> None:
         "spotify_tags_etl_spark.operators.zfops",
         "spotify_tags_etl_spark.operators.zgops",
         "spotify_tags_etl_spark.operators.zhops",
+        "spotify_tags_etl_spark.operators.ziops",
         "spotify_tags_etl_spark.sources.paged_api",
         "spotify_tags_etl_spark.streaming.ops",
     ):

@@ -328,3 +328,243 @@ def test_flags_key_is_per_file(parted_corpus):
     st = os.stat(doc_parts[1])
     os.utime(doc_parts[1], ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
     assert zfops._flags_key(root) != key
+
+
+# ---------------------------------------------------------------------------
+# zi01 — release manifest: reconciliation, conservation, digest stability
+# ---------------------------------------------------------------------------
+
+
+def test_zi01_reconciles_with_zh_band(spark, sf_dir):
+    """The manifest's numbers are the zh band's, exactly: system census
+    = zh01 collapsed corpus-wide, window/token totals = zh02's rollup,
+    shard count = zh03's writer fan-out."""
+    row = _q("zi01_release_manifest")(spark, sf_dir).collect()[0]
+    zh01 = _q("zh01_unified_keepset")(spark, sf_dir).collect()
+    assert row.n_docs == sum(r.n_docs for r in zh01)
+    assert row.n_kept == sum(r.n_kept for r in zh01)
+    assert row.d_rules == sum(
+        r.drop_short + r.drop_long + r.drop_rep + r.drop_stop for r in zh01
+    )
+    assert row.d_funnel == sum(
+        r.drop_exact + r.drop_near + r.drop_sem + r.drop_contam
+        + r.drop_offtarget
+        for r in zh01
+    )
+    assert row.d_gate == sum(r.drop_gate for r in zh01)
+    assert row.conservation_ok == 1
+
+    zh02 = _q("zh02_unified_pack_manifest")(spark, sf_dir).collect()
+    assert row.kept_tokens == sum(r.kept_tokens for r in zh02)
+    assert row.n_windows == sum(r.n_windows for r in zh02)
+    assert row.n_bands == sum(1 for r in zh02 if r.n_kept > 0)
+
+    zh03 = _q("zh03_unified_shard_plan")(spark, sf_dir).collect()
+    assert row.n_shards == len(zh03)
+
+
+def test_zi01_digest_stability(spark, sf_dir):
+    """Same inputs => same manifest digest (the reproducibility stamp),
+    and the digest IS md5 of the documented canonical rendering."""
+    import hashlib
+
+    r1 = _q("zi01_release_manifest")(spark, sf_dir).collect()[0]
+    r2 = _q("zi01_release_manifest")(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    from spotify_tags_etl_spark.operators.ziops import _ZI01_FIELDS, ZI01_VERSION
+
+    preimage = f"v{ZI01_VERSION}|" + "|".join(
+        str(getattr(r1, f)) for f in _ZI01_FIELDS
+    )
+    assert r1.manifest_digest == hashlib.md5(preimage.encode()).hexdigest()
+
+
+def test_release_record_carries_artifact_identities(spark, sf_dir):
+    """The full release record = the SQL-checked manifest row + the
+    three machine-local artifact staleness digests, all of which exist
+    on disk after a publish."""
+    from spotify_tags_etl_spark.operators import zeops, zfops
+    from spotify_tags_etl_spark.operators.ziops import release_record
+
+    rec = release_record(spark, sf_dir)
+    assert rec["manifest"]["conservation_ok"] == 1
+    assert set(rec["artifacts"]) == {"flags", "fit", "margins"}
+    assert rec["artifacts"]["flags"] == os.path.basename(
+        zfops._flags_artifact_dir(zfops._flags_key(sf_dir))
+    )
+    assert os.path.isdir(zfops._flags_artifact_dir(zfops._flags_key(sf_dir)))
+    assert os.path.isdir(zeops._artifact_dir(zeops._fit_key(sf_dir)))
+    assert os.path.isdir(
+        zeops._margins_artifact_dir(zeops._margins_key(sf_dir))
+    )
+    # reproducible: a second record is byte-equal
+    assert release_record(spark, sf_dir) == rec
+
+
+# ---------------------------------------------------------------------------
+# zi02 — gate sensitivity: deployed-point pin, conservation, monotonicity
+# ---------------------------------------------------------------------------
+
+
+def test_zi02_deployed_point_reproduces_zh01(spark, sf_dir):
+    """The k = ZH_GATE_DECILE row IS the deployed operating point: its
+    keep count and gate displacement equal zh01's census (the pin that
+    turns the constant into evidence)."""
+    from spotify_tags_etl_spark.operators.zhops import ZH_GATE_DECILE
+
+    rows = {r.k: r for r in _q("zi02_gate_sensitivity")(spark, sf_dir).collect()}
+    zh01 = _q("zh01_unified_keepset")(spark, sf_dir).collect()
+    deployed = rows[ZH_GATE_DECILE]
+    assert deployed.n_kept == sum(r.n_kept for r in zh01)
+    assert deployed.d_gate == sum(r.drop_gate for r in zh01)
+
+
+def test_zi02_structure(spark, sf_dir):
+    """Nine rows; per-row mass conservation; d_rules/d_funnel are
+    k-invariant (they precede the gate); keep mass is nonincreasing in
+    k (a higher edge can only cut more)."""
+    rows = sorted(
+        _q("zi02_gate_sensitivity")(spark, sf_dir).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == list(range(1, 10))
+    assert len({r.d_rules for r in rows}) == 1
+    assert len({r.d_funnel for r in rows}) == 1
+    for r in rows:
+        assert r.n_docs == r.n_kept + r.d_rules + r.d_funnel + r.d_gate
+        assert r.kept_ppm == r.n_kept * 10**6 // r.n_docs
+    kept = [r.n_kept for r in rows]
+    assert all(a >= b for a, b in zip(kept, kept[1:]))
+
+
+# ---------------------------------------------------------------------------
+# zf02/zh04 census log — append-only increments + periodic compaction
+# ---------------------------------------------------------------------------
+
+
+def test_compacted_upto_parsing():
+    from spotify_tags_etl_spark.operators.zfops import _compacted_upto
+
+    assert _compacted_upto([]) == -1
+    assert _compacted_upto(["/tmp/x/compact_v7"]) == 7
+    assert _compacted_upto(["/tmp/x/compact_v12", "/tmp/x/compact_v7"]) == 12
+    assert _compacted_upto(["/tmp/x/state_v3"]) == -1  # legacy name: no horizon
+
+
+def test_census_log_compaction(spark, sf_dir, tmp_path_factory, monkeypatch):
+    """r11 verdict #3: per-trigger census writes are the batch-LOCAL
+    increment only (O(batch) bytes — pinned by comparing each
+    increment's exact-census rows to ITS batch's distinct groups, never
+    cumulative), increments compact every K triggers through the
+    versioned pointer, and the merge-on-read resolve equals the batch
+    census exactly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from spotify_tags_etl_spark.operators import zfops
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("census_log_stream"))
+    for i in range(5):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 5 == i).select(
+            "doc_id", "lang", "text", "source"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    monkeypatch.setattr(zfops, "ZF02_COMPACT_EVERY", 2)
+    r, _stores, state_parts = zfops.run_lineage_ingest(
+        spark, stream, label="zf02ct"
+    )
+    try:
+        # K=2 over 5 triggers: compactions at b1 (covers 0-1) and b3
+        # (covers 0-3); b4 is the residual increment past the horizon
+        assert "compact_v3" in state_parts[0]
+        assert [os.path.basename(p) for p in state_parts[1:]] == ["b4"]
+
+        # O(batch) pin: each increment carries exactly ITS batch's
+        # distinct (hash, source) groups — never the accumulated state
+        for i in range(5):
+            inc = spark.read.parquet(os.path.join(r, "census", f"b{i}"))
+            got = inc.where("kind = 'exact'").count()
+            want = (
+                docs.where(docs.doc_id % 5 == i)
+                .groupBy(F.md5("text"), "source")
+                .count()
+                .count()
+            )
+            assert got == want, f"batch {i}: increment not batch-local"
+
+        # merge-on-read resolve == the batch census, bit-for-bit
+        state = zfops.resolve_census_state(spark, state_parts)
+        got_exact = sorted(
+            (r_.k1, r_.k2, r_.n1, r_.m)
+            for r_ in state.where("kind = 'exact'").collect()
+        )
+        want_exact = sorted(
+            (r_.k1, r_.k2, r_.n1, r_.m)
+            for r_ in docs.groupBy(
+                F.md5("text").alias("k1"), F.col("source").alias("k2")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n1"),
+                F.min("doc_id").alias("m"),
+            )
+            .collect()
+        )
+        assert got_exact == want_exact
+    finally:
+        shutil.rmtree(r, ignore_errors=True)
+
+
+def test_zf02_report_unchanged_by_compaction(
+    spark, sf_dir, tmp_path_factory, monkeypatch
+):
+    """The close report is invariant to the compaction cadence: K=1
+    (compact every trigger), K=2, and the default all equal batch
+    zf01 on a 3-file split."""
+    import time
+
+    from spotify_tags_etl_spark.operators import zfops
+    from spotify_tags_etl_spark.sources.tpch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = str(tmp_path_factory.mktemp("compact_cadence_stream"))
+    for i in range(3):
+        p = os.path.join(root, f"part-{i}.parquet")
+        docs.where(docs.doc_id % 3 == i).select(
+            "doc_id", "lang", "text", "source"
+        ).toPandas().to_parquet(p, index=False)
+        now = time.time() + i
+        os.utime(p, (now, now))
+    schema = spark.read.parquet(root).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(root)
+        )
+        return [
+            tuple(r)
+            for r in zfops.streaming_curation_lineage(
+                spark, sf_dir, stream
+            ).collect()
+        ]
+
+    batch = [
+        tuple(r) for r in _q("zf01_curation_lineage")(spark, sf_dir).collect()
+    ]
+    for k in (1, 2):
+        monkeypatch.setattr(zfops, "ZF02_COMPACT_EVERY", k)
+        assert run() == batch, f"cadence K={k} changed the close report"

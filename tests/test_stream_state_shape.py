@@ -175,7 +175,13 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # groupBy(kind, k1, k2) — a single keyed exchange whose
         # map-side partials do the in-batch compression.
         "zf02:doc_store": [{"exchanges": 3}],
-        "zf02:state_merge": [{"exchanges": 1}],
+        # r12: the census is an APPEND-ONLY log — per trigger only the
+        # batch-LOCAL increment folds (one keyed exchange over the
+        # micro-batch; the plan reads nothing but the batch) and writes
+        # O(batch) bytes; increments compact every ZF02_COMPACT_EVERY
+        # triggers (label census_compaction — absent here: the pinned
+        # single-file run has one batch)
+        "zf02:census_increment": [{"exchanges": 1}],
     },
     "zg07_stream_quality_rules": {
         "engine:foreachBatch": [{}],
@@ -191,8 +197,9 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # (3 more keyed exchanges on micro-batch-sized frames); the
         # rule-code branch is a per-doc projection, exchange-free
         "zh04:doc_store": [{"exchanges": 6}],
-        # census merge is zf02's verbatim: ONE groupBy(kind, k1, k2)
-        "zh04:state_merge": [{"exchanges": 1}],
+        # census log is zf02's verbatim: the batch-local increment
+        # (r12 append-only shape; compaction label absent — one batch)
+        "zh04:census_increment": [{"exchanges": 1}],
     },
 }
 

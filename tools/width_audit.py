@@ -113,6 +113,14 @@ ALLOWLIST = {
     # zg01's bound at system granularity (addend <= 4096).
     "d_rules * tok": "0/1 first-fail system flag x window-clamped tokens, addend <= 4096",
     "d_funnel * tok": "0/1 first-fail system flag x window-clamped tokens, addend <= 4096",
+    # zi01/zi02 unified keep-set counting: _RP, _FP, and gk are each
+    # products of 0/1 rule/stage/gate flags, so every addend is 0 or 1
+    # — the SUM is a plain count, int64-safe past 9e18 docs (zh01
+    # carries the same selector algebra via interpolated _ZH01_STAGES
+    # exprs, which is why only zi's literal spellings surface here).
+    "({_RP}) * ({_FP}) * ({gk})": "product of 0/1 selector flags; addend <= 1",
+    "({_RP}) * (1 - ({_FP}))": "product of 0/1 selector flags; addend <= 1",
+    "({_RP}) * ({_FP}) * (1 - ({gk}))": "product of 0/1 selector flags; addend <= 1",
     "d_gate * tok": "0/1 first-fail system flag x window-clamped tokens, addend <= 4096",
     # zh05 pairwise overlap sums: both factors are parenthesized 0/1
     # system verdicts (products/complements of 0/1 flags), so each
