@@ -272,6 +272,29 @@ MINING_SUITE = [
 ]
 
 
+def _git_head() -> str | None:
+    """Short hash of the repo HEAD (``+dirty`` when the working tree
+    has modifications), or None outside a git checkout — provenance
+    for every bench record."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        if not head:
+            return None
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=repo, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return f"{head}+dirty" if dirty else head
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("spotify-tags-etl-spark-bench")
@@ -322,6 +345,10 @@ def main() -> None:
             "curation": curation_total,
             "mining": mining_total,
         },
+        # provenance: which commit this record measured (r11 verdict #6
+        # — a round must not close against an open record from the
+        # wrong commit; tests/test_sweep_records.py checks ancestry)
+        "git_head": _git_head(),
     }
     print(json.dumps(record))
     # Insurance against truncated stdout capture (the driver's BENCH_rN

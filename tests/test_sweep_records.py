@@ -49,3 +49,41 @@ def test_sweep_record_covers_current_registry(fname):
         k for k, v in record.items() if k != "_meta" and isinstance(v, dict) and not v.get("ok")
     ]
     assert not failures, f"{fname} records failures: {failures[:5]}"
+
+
+def test_cold_open_bench_record_is_from_this_lineage():
+    """r11 verdict #6: a round must not close against a cold-open bench
+    record taken on the wrong commit. Every bench record now stamps its
+    git head (bench.py _git_head); for cold-open records that carry
+    one, the recorded commit must be an ancestor of (or equal to) the
+    current HEAD — a record from an abandoned branch or foreign
+    checkout fails. Records predating the stamp are skipped."""
+    import re
+    import subprocess
+
+    checked = 0
+    for path in sorted((ROOT / "tools").glob("bench_cold_r*open.json")):
+        head = json.loads(path.read_text()).get("git_head")
+        if not head:
+            continue  # pre-r12 record: no provenance stamp
+        commit = re.sub(r"\+dirty$", "", head)
+        res = subprocess.run(
+            ["git", "merge-base", "--is-ancestor", commit, "HEAD"],
+            cwd=ROOT, capture_output=True, text=True,
+        )
+        assert res.returncode == 0, (
+            f"{path.name}: recorded head {head} is not an ancestor of the"
+            " current HEAD — the record was taken on a different lineage;"
+            " re-run the cold-open bench"
+        )
+        checked += 1
+    # the current round's record must carry the stamp (newest file)
+    newest = max(
+        (ROOT / "tools").glob("bench_cold_r*open.json"),
+        key=lambda p: int(re.search(r"_r(\d+)open", p.name).group(1)),
+    )
+    assert json.loads(newest.read_text()).get("git_head"), (
+        f"{newest.name} lacks a git_head stamp — re-record with the"
+        " current bench.py"
+    )
+    assert checked >= 1
