@@ -196,7 +196,10 @@ def _extract_doc_frames(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     from spotify_tags_etl_spark.operators.zaops import zb03_grams
     from spotify_tags_etl_spark.operators.zeops import ze01_design_matrix
 
-    docs = spark.read.parquet(path)
+    # ONE scan of the part file feeds all five frame extractions: a
+    # part file is the bounded partition unit (100 TB shape: a few
+    # hundred MB), so materializing it once beats five re-reads
+    docs = spark.read.parquet(path).localCheckpoint(eager=True)
     stoplist = ", ".join(f"'{w}'" for w in _zg.ZG06_STOPWORDS)
     # zf01_flags(with_rules=True)'s rule spelling, verbatim
     base = (

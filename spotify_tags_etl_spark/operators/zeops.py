@@ -319,12 +319,23 @@ def ze01_fit(
     Caller unpersists feats when done with it."""
     feats = ze01_feats(spark, sf_dir)
     nd = feats.select("doc_id").distinct().count()
+    rows, w_hist = _fit_from_feats(feats, nd, label="ze01")
+    return feats, nd, rows, w_hist
+
+
+def _fit_from_feats(
+    feats: DataFrame, nd: int, label: str
+) -> tuple[list[tuple[int, int, int, int, int]], list[dict[int, int]]]:
+    """The round loop of the batch-perceptron fit over an
+    already-checkpointed feats frame — shared by the live fit (ze01's
+    corpus-parse path) and the artifact publish's partials-fed path
+    (the r12 incremental layer: same rows, so bit-identical weights)."""
     w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
     rows: list[tuple[int, int, int, int, int]] = []
     w_hist: list[dict[int, int]] = []
     for r in range(1, ZE01_ROUNDS + 1):
         margins = _margins(feats, w)
-        record_plan(margins, "ze01:margins")
+        record_plan(margins, f"{label}:margins")
         margins = margins.localCheckpoint(eager=True)  # O(#docs) rows
         mis = margins.where(F.expr("y * m <= 0")).select("doc_id")
         n_mis = mis.count()
@@ -337,7 +348,7 @@ def ze01_fit(
                 )
             )
         )
-        record_plan(deltas, "ze01:weight_delta")
+        record_plan(deltas, f"{label}:weight_delta")
         for row in deltas.collect():
             w[row["bucket"]] += int(row["dw"])
         margins.unpersist()
@@ -346,7 +357,33 @@ def ze01_fit(
         w_dot = sum(v * (b + 2) for b, v in w.items())
         rows.append((r, n_mis, ((nd - n_mis) * 10**6) // nd, w_l1, w_dot))
         w_hist.append(dict(w))
-    return feats, nd, rows, w_hist
+    return rows, w_hist
+
+
+def ze01_feats_from_partials(spark: SparkSession, doc_dirs: dict[str, str]) -> DataFrame:
+    """ze01_feats assembled from the cached per-file design-matrix
+    partials (functions/partials.py) instead of a corpus text parse —
+    the fit-artifact miss path's input. Row-identical to
+    :func:`ze01_feats` by construction (each partial IS
+    ze01_design_matrix over its file; doc_ids never span files).
+    Caller unpersists."""
+    from spotify_tags_etl_spark.functions import partials as _pt
+
+    gf = _pt.read_partial(spark, doc_dirs, "design")
+    record_plan(gf, "ze01p:design_matrix")
+    gf = gf.localCheckpoint(eager=True)
+    bias = (
+        gf.select("doc_id", "y")
+        .distinct()
+        .select(
+            "doc_id", "y", F.lit(ZE01_BIAS).alias("bucket"), F.lit(1).alias("cnt")
+        )
+    )
+    feats = gf.unionByName(bias)
+    record_plan(feats, "ze01p:feats")
+    feats = feats.localCheckpoint(eager=True)
+    gf.unpersist()
+    return feats
 
 
 # ---------------------------------------------------------------------------
@@ -525,7 +562,17 @@ def ze01_fit_artifact(
         return _FIT_MEMO[memo_k]
     got = _read_fit(key)
     if got is None:
-        feats, nd, curve, w_hist = ze01_fit(spark, sf_dir)
+        # r12: the miss path fits from the cached per-file design
+        # partials (shared with the flags/margins publishes — one
+        # extraction pass per corpus state feeds all three artifacts)
+        # instead of re-parsing the corpus text; bit-identical weights
+        # (pinned), and ze01 itself keeps exercising the live parse
+        from spotify_tags_etl_spark.functions import partials as _pt
+
+        doc_dirs, _ = _pt.ensure_partials(spark, key["corpus"], "doc")
+        feats = ze01_feats_from_partials(spark, doc_dirs)
+        nd = feats.select("doc_id").distinct().count()
+        curve, w_hist = _fit_from_feats(feats, nd, label="ze01p")
         feats.unpersist()
         _publish_fit(key, nd, curve, w_hist)
         got = (nd, curve, w_hist)

@@ -568,3 +568,23 @@ def test_zf02_report_unchanged_by_compaction(
     for k in (1, 2):
         monkeypatch.setattr(zfops, "ZF02_COMPACT_EVERY", k)
         assert run() == batch, f"cadence K={k} changed the close report"
+
+
+# ---------------------------------------------------------------------------
+# ze01 fit from partials — the third artifact joins the shared extraction
+# ---------------------------------------------------------------------------
+
+
+def test_fit_artifact_from_partials_equals_live(spark, parted_corpus):
+    """The fit-artifact miss path now fits from the cached design
+    partials (one extraction pass per corpus state feeds flags,
+    margins AND the fit); the weights, curve, and doc count must be
+    bit-identical to the live corpus-parse fit."""
+    from spotify_tags_etl_spark.operators import zeops
+
+    root, _, _ = parted_corpus
+    zeops._FIT_MEMO.clear()
+    nd_a, curve_a, hist_a = zeops.ze01_fit_artifact(spark, root)
+    feats, nd_l, curve_l, hist_l = zeops.ze01_fit(spark, root)
+    feats.unpersist()
+    assert (nd_a, curve_a, hist_a) == (nd_l, curve_l, hist_l)
