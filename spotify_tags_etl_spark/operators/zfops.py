@@ -915,6 +915,63 @@ def _compacted_upto(state_cur: list[str]) -> int:
     return int(m.group(1)) if m else -1
 
 
+def census_log_step(
+    spark: SparkSession,
+    root: str,
+    incr: list[tuple[int, str]],
+    state_cur: list[str],
+    part: DataFrame,
+    batch_id: int,
+    label: str,
+) -> None:
+    """One trigger's census-log work (extracted from the foreachBatch
+    closure so replay scenarios are directly testable): append the
+    batch-LOCAL increment (O(batch) bytes; replay-idempotent per-batch
+    overwrite), then fold increments past the compacted view's horizon
+    once ZF02_COMPACT_EVERY have accumulated.
+
+    Replay after a COMMITTED compaction: the replayed batch's id is <=
+    the view's horizon, so the horizon filter excludes it and the
+    (K-sized) fold condition cannot re-fire — increments are never
+    double-merged. Replay after a FAILED compaction: the pointer never
+    advanced, so the identical fold recomputes and commits through
+    commit_versioned_state's tmp+rename."""
+    import os
+
+    from spotify_tags_etl_spark.streaming.ops import (
+        commit_versioned_state,
+        record_batch_plan,
+        versioned_state_source,
+    )
+
+    inc = part.groupBy("kind", "k1", "k2").agg(
+        F.sum("n1").alias("n1"),
+        F.sum("n2").alias("n2"),
+        F.min("m").alias("m"),
+    )
+    record_batch_plan(inc, f"{label}:census_increment")
+    cd = os.path.join(root, "census", f"b{batch_id}")
+    inc.write.mode("overwrite").parquet(cd)  # replay-idempotent
+    if (batch_id, cd) not in incr:
+        incr.append((batch_id, cd))
+
+    # periodic compaction: fold increments past the view's horizon
+    fresh = [p for i, p in incr if i > _compacted_upto(state_cur)]
+    if len(fresh) >= ZF02_COMPACT_EVERY:
+        target = os.path.join(root, f"compact_v{batch_id}")
+        src = versioned_state_source(state_cur, target)  # replay-safe
+        merged = spark.read.parquet(*fresh)
+        if src:
+            merged = spark.read.parquet(src).unionByName(merged)
+        merged = merged.groupBy("kind", "k1", "k2").agg(
+            F.sum("n1").alias("n1"),
+            F.sum("n2").alias("n2"),
+            F.min("m").alias("m"),
+        )
+        record_batch_plan(merged, f"{label}:census_compaction")
+        commit_versioned_state(merged, state_cur, target, src)
+
+
 def resolve_census_state(spark: SparkSession, state_parts: list[str]) -> DataFrame:
     """The close-time census: ONE SUM/SUM/MIN merge over the compacted
     view (if any) plus the residual appended increments — the
@@ -959,10 +1016,8 @@ def run_lineage_ingest(
     import tempfile
 
     from spotify_tags_etl_spark.streaming.ops import (
-        commit_versioned_state,
         record_batch_plan,
         record_state_ops,
-        versioned_state_source,
     )
 
     root = tempfile.mkdtemp(prefix=f"{label}_lineage_")
@@ -979,35 +1034,7 @@ def run_lineage_ingest(
         store.write.mode("overwrite").parquet(d)
         if d not in store_dirs:
             store_dirs.append(d)
-
-        # append-only census increment: the batch-LOCAL fold only —
-        # O(batch) bytes, and the plan reads NOTHING but the batch
-        inc = part.groupBy("kind", "k1", "k2").agg(
-            F.sum("n1").alias("n1"),
-            F.sum("n2").alias("n2"),
-            F.min("m").alias("m"),
-        )
-        record_batch_plan(inc, f"{label}:census_increment")
-        cd = os.path.join(root, "census", f"b{batch_id}")
-        inc.write.mode("overwrite").parquet(cd)  # replay-idempotent
-        if (batch_id, cd) not in incr:
-            incr.append((batch_id, cd))
-
-        # periodic compaction: fold increments past the view's horizon
-        fresh = [p for i, p in incr if i > _compacted_upto(state_cur)]
-        if len(fresh) >= ZF02_COMPACT_EVERY:
-            target = os.path.join(root, f"compact_v{batch_id}")
-            src = versioned_state_source(state_cur, target)  # replay-safe
-            merged = spark.read.parquet(*fresh)
-            if src:
-                merged = spark.read.parquet(src).unionByName(merged)
-            merged = merged.groupBy("kind", "k1", "k2").agg(
-                F.sum("n1").alias("n1"),
-                F.sum("n2").alias("n2"),
-                F.min("m").alias("m"),
-            )
-            record_batch_plan(merged, f"{label}:census_compaction")
-            commit_versioned_state(merged, state_cur, target, src)
+        census_log_step(spark, root, incr, state_cur, part, batch_id, label)
 
     q = (
         stream_docs.select("doc_id", "lang", "text", "source")

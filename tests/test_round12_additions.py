@@ -588,3 +588,70 @@ def test_fit_artifact_from_partials_equals_live(spark, parted_corpus):
     feats, nd_l, curve_l, hist_l = zeops.ze01_fit(spark, root)
     feats.unpersist()
     assert (nd_a, curve_a, hist_a) == (nd_l, curve_l, hist_l)
+
+
+def test_census_log_replay_after_committed_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """The horizon rule under foreachBatch re-delivery: a batch
+    replayed AFTER its compaction committed must neither double-merge
+    (its id sits at the horizon) nor re-fire the fold; a replay after
+    a FAILED commit recomputes the identical fold. Driven through the
+    extracted census_log_step with synthetic census rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from spotify_tags_etl_spark.operators import zfops
+
+    monkeypatch.setattr(zfops, "ZF02_COMPACT_EVERY", 2)
+    root = str(tmp_path)
+    incr: list = []
+    state_cur: list = []
+
+    def rows(pairs):
+        return spark.createDataFrame(
+            [("exact", k, "s", n, None, m) for k, n, m in pairs],
+            "kind string, k1 string, k2 string, n1 long, n2 long, m long",
+        )
+
+    def resolve():
+        parts = (list(state_cur[:1]) if state_cur else []) + [
+            p for i, p in incr if i > zfops._compacted_upto(state_cur)
+        ]
+        return {
+            (r.k1, r.n1, r.m)
+            for r in zfops.resolve_census_state(spark, parts).collect()
+        }
+
+    step = zfops.census_log_step
+    step(spark, root, incr, state_cur, rows([("a", 1, 10)]), 0, "ct")
+    step(spark, root, incr, state_cur, rows([("a", 2, 5)]), 1, "ct")
+    assert state_cur and "compact_v1" in state_cur[0]  # K=2 fold fired
+    assert resolve() == {("a", 3, 5)}
+
+    # replay batch 1 AFTER the committed compaction: id <= horizon
+    step(spark, root, incr, state_cur, rows([("a", 2, 5)]), 1, "ct")
+    assert "compact_v1" in state_cur[0]  # no re-fold
+    assert resolve() == {("a", 3, 5)}  # no double count
+
+    # normal progress chains past the replay
+    step(spark, root, incr, state_cur, rows([("b", 7, 2)]), 2, "ct")
+    assert resolve() == {("a", 3, 5), ("b", 7, 2)}
+    step(spark, root, incr, state_cur, rows([("a", 1, 1)]), 3, "ct")
+    assert "compact_v3" in state_cur[0]
+    assert resolve() == {("a", 4, 1), ("b", 7, 2)}
+
+    # replay of the SECOND compaction's batch after a SIMULATED failed
+    # commit: roll the pointer back to the pre-attempt view and re-step
+    failed_cur = [state_cur[1]] if len(state_cur) > 1 else []
+    step(spark, root, incr, failed_cur, rows([("a", 1, 1)]), 3, "ct")
+    assert "compact_v3" in failed_cur[0]  # fold recomputed + committed
+    parts = [failed_cur[0]] + [
+        p for i, p in incr if i > zfops._compacted_upto(failed_cur)
+    ]
+    got = {
+        (r.k1, r.n1, r.m)
+        for r in zfops.resolve_census_state(spark, parts).collect()
+    }
+    assert got == {("a", 4, 1), ("b", 7, 2)}
