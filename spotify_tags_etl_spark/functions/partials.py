@@ -310,12 +310,25 @@ def ensure_partials(
             with open(os.path.join(tmp, "meta.json"), "w") as fh:
                 json.dump({"key": key}, fh, indent=1)
             artifactio.publish_atomic(tmp, target, key)
+            # superseded = same file with provably older identity, OR a
+            # partial whose input file no longer exists at all (test
+            # sandboxes and retired corpus drops leave orphans behind —
+            # their paths never recur, so nothing else would sweep them;
+            # single-machine scope, self-healing via recompute)
             artifactio.gc_superseded(
                 target,
                 lambda k, _p=path, _i=ident: isinstance(k, dict)
-                and k.get("file") == _p
-                and identity_strictly_older(
-                    {"f": k.get("identity")}, {"f": dict(_i)}
+                and (
+                    (
+                        k.get("file") == _p
+                        and identity_strictly_older(
+                            {"f": k.get("identity")}, {"f": dict(_i)}
+                        )
+                    )
+                    or (
+                        isinstance(k.get("file"), str)
+                        and not os.path.exists(k["file"])
+                    )
                 ),
             )
             recomputed.append(relname)

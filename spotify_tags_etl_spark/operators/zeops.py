@@ -702,13 +702,23 @@ def ze02_score_parts(
             with open(os.path.join(tmp, "meta.json"), "w") as fh:
                 json.dump({"key": key}, fh, indent=1)
             artifactio.publish_atomic(tmp, target, key)
+            # same-file/same-weights older identity, or an orphan whose
+            # input file is gone (partials.ensure_partials' vacuum rule)
             artifactio.gc_superseded(
                 target,
                 lambda k, _p=key["file"], _i=ident, _w=wdig: isinstance(k, dict)
-                and k.get("file") == _p
-                and k.get("weights") == _w
-                and _pt.identity_strictly_older(
-                    {"f": k.get("identity")}, {"f": dict(_i)}
+                and (
+                    (
+                        k.get("file") == _p
+                        and k.get("weights") == _w
+                        and _pt.identity_strictly_older(
+                            {"f": k.get("identity")}, {"f": dict(_i)}
+                        )
+                    )
+                    or (
+                        isinstance(k.get("file"), str)
+                        and not os.path.exists(k["file"])
+                    )
                 ),
             )
             recomputed.append(relname)

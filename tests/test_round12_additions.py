@@ -655,3 +655,38 @@ def test_census_log_replay_after_committed_compaction(
         for r in zfops.resolve_census_state(spark, parts).collect()
     }
     assert got == {("a", 4, 1), ("b", 7, 2)}
+
+
+def test_orphaned_partials_are_vacuumed(spark, sf_dir, tmp_path):
+    """Partials for a corpus that no longer exists (test sandboxes,
+    retired drops) are swept at the next publish — their file paths
+    never recur, so nothing else would GC them."""
+    from spotify_tags_etl_spark.functions import partials
+
+    # a corpus that will disappear
+    gone_root = str(tmp_path / "gone")
+    os.makedirs(gone_root)
+    _split_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(gone_root, "documents.parquet"),
+        1,
+    )
+    gone_dirs, _ = partials.ensure_partials(
+        spark, os.path.join(gone_root, "documents.parquet"), "doc"
+    )
+    assert all(os.path.isdir(d) for d in gone_dirs.values())
+    shutil.rmtree(gone_root)
+
+    # a publish for a DIFFERENT corpus sweeps the orphans
+    live_root = str(tmp_path / "live")
+    os.makedirs(live_root)
+    _split_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(live_root, "documents.parquet"),
+        1,
+    )
+    live_dirs, _ = partials.ensure_partials(
+        spark, os.path.join(live_root, "documents.parquet"), "doc"
+    )
+    assert all(os.path.isdir(d) for d in live_dirs.values())
+    assert not any(os.path.isdir(d) for d in gone_dirs.values())
