@@ -690,3 +690,77 @@ def test_orphaned_partials_are_vacuumed(spark, sf_dir, tmp_path):
     )
     assert all(os.path.isdir(d) for d in live_dirs.values())
     assert not any(os.path.isdir(d) for d in gone_dirs.values())
+
+
+# ---------------------------------------------------------------------------
+# zf01p merge path — loop-stage plan + scan pins (the publisher's v3 shape)
+# ---------------------------------------------------------------------------
+
+#: The partials-merge publish path's stage plans. vs the live funnel
+#: (ZF01_EXPECTED_LOOP_PLANS in test_round9_additions): near_drops is
+#: one exchange CHEAPER (signatures come from the checkpointed docs
+#: partial instead of a shingle re-aggregation), and no stage re-reads
+#: document text — the partial scans below are the proof.
+ZF01P_EXPECTED_LOOP_PLANS = {
+    "zf01p:doc_partials": [{}],
+    "zf01p:projected_corpus": [{}],
+    "zf01p:imp_partials": [{}],
+    "zf01p:importance_census": [{"exchanges": 1}],
+    "zf01p:exact_keeps": [{"exchanges": 1}],
+    "zf01p:near_drops": [{"exchanges": 4}],
+    "zf01p:sem_drops": [{"exchanges": 2}],
+    "zf01p:contam": [{"exchanges": 2}],
+    "zf01p:offtarget": [{"exchanges": 1}],
+    "zf01p:lineage_flags": [{"exchanges": 4, "sort_merge_joins": 3}],
+}
+
+#: Pushdown proof: every stage reads ONLY its pruned partial columns —
+#: never `text` (the live path's scans are "doc_id,text" x 6 for the
+#: near stage alone; here the shingle partial serves sizes + both pair
+#: sides and the exact/rule columns ride the one checkpointed docs
+#: partial materialization).
+ZF01P_EXPECTED_SCANS = {
+    "zf01p:doc_partials": [
+        [
+            "doc_id,lang,m0,m1,m2,m3,m4,m5,m6,m7,n_chars,n_sh,"
+            "r_long,r_rep,r_short,r_stop,source,text_hash"
+        ]
+    ],
+    "zf01p:projected_corpus": [["bk1,bk2,bk3,bk4,na,q,vec_id"]],
+    "zf01p:imp_partials": [["bucket,cnt,doc_id,lang"]],
+    "zf01p:importance_census": [[]],
+    "zf01p:exact_keeps": [[]],
+    "zf01p:near_drops": [["doc_id", "doc_id", "doc_id,s", "doc_id,s"]],
+    "zf01p:sem_drops": [[]],
+    "zf01p:contam": [["doc_id,g", "doc_id,g"]],
+    "zf01p:offtarget": [[]],
+    "zf01p:lineage_flags": [[]],
+}
+
+
+def test_zf01p_merge_path_pins(spark, sf_dir, tmp_path):
+    from spotify_tags_etl_spark.operators import zfops
+    from spotify_tags_etl_spark.plans import planmetrics as pm
+
+    root = str(tmp_path)
+    for t in ("documents", "embeddings"):
+        shutil.copy(
+            os.path.join(sf_dir, f"{t}.parquet"),
+            os.path.join(root, f"{t}.parquet"),
+        )
+    zfops._FLAGS_MEMO.clear()
+    pm.LOOP_PLAN_LOG.clear()
+    pm.SCAN_LOG.clear()
+    zfops.zf01_flags_artifact(spark, root).count()  # forced republish
+    observed = {
+        l: v
+        for l, v in pm.observed_loop_plans().items()
+        if l.startswith("zf01p")
+    }
+    assert observed == ZF01P_EXPECTED_LOOP_PLANS
+    scans: dict[str, set] = {}
+    for label, sc in pm.SCAN_LOG:
+        if label.startswith("zf01p"):
+            scans.setdefault(label, set()).add(sc)
+    observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
+    assert observed_scans == ZF01P_EXPECTED_SCANS
