@@ -1061,11 +1061,14 @@ def lineage_close_frames(
     with the four drop frames localCheckpointed (keeps stays lazy —
     callers join it). Shared by zf02's lineage report and zh04's
     unified keep-set."""
+    import os
+
+    from spotify_tags_etl_spark.functions import partials as _pt
     from spotify_tags_etl_spark.operators.dedup import (
         jaccard_verify,
         lsh_candidate_pairs_banded,
     )
-    from spotify_tags_etl_spark.operators.zcops import zc03
+    from spotify_tags_etl_spark.operators.zcops import zc03_edges_from_b
 
     census = state.where(F.col("kind") == "exact").select(
         F.col("k1").alias("text_hash"),
@@ -1107,11 +1110,20 @@ def lineage_close_frames(
         .distinct()
         .withColumn("f_near", F.lit(1))
     )
-    # semantic: post-ingest batch pass (zd05's documented stance)
+    # semantic: post-ingest pass (zd05's documented stance), r12: over
+    # the CACHED per-file embedding projections (functions/partials.py)
+    # — quantize/project/bucket is paid once per embeddings state at
+    # partial publish; close pays only the bucket join + exact verify
+    emb_dirs, _ = _pt.ensure_partials(
+        spark, os.path.join(sf_dir, "embeddings.parquet"), "emb"
+    )
+    b = _pt.read_partial(spark, emb_dirs, "vecs")
+    record_plan(b, "lineage_close:projected_corpus")
+    b = b.localCheckpoint(eager=True)  # candidate explode + both pair sides
     sem_drops = (
-        zc03(spark, sf_dir)
-        .where(F.col("keep") == 0)
-        .select(F.col("vec_id").alias("doc_id"))
+        zc03_edges_from_b(b)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
         .withColumn("f_sem", F.lit(1))
     )
     contam = (

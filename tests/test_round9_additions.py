@@ -891,14 +891,18 @@ def test_zf01_first_drop_attribution(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 ZF02_EXPECTED_LOOP_PLANS = {
-    # close-time: semantic pass over the static embeddings + the
-    # five-way attribution join over checkpointed stores/censuses
-    "zc03:projected_corpus": [{}],
+    # close-time: semantic pass over the CACHED embedding projections
+    # (r12 partials layer — the quantize/project compute is paid at
+    # partial publish, not per close) + the five-way attribution join
+    # over checkpointed stores/censuses
+    "lineage_close:projected_corpus": [{}],
     "zf02:lineage_report": [{"exchanges": 8, "sort_merge_joins": 5}],
 }
 
 ZF02_EXPECTED_SCANS = {
-    "zc03:projected_corpus": [["embedding,vec_id"]],
+    # pruned partial columns — the raw embedding vectors are never
+    # re-projected at close
+    "lineage_close:projected_corpus": [["bk1,bk2,bk3,bk4,na,q,vec_id"]],
     # the close-time report reads ONLY checkpointed state — the raw
     # corpus is never re-scanned after ingest
     "zf02:lineage_report": [[]],
