@@ -612,13 +612,15 @@ def test_ze01_fit_artifact_staleness(spark, sf_dir, tmp_path, monkeypatch):
     expect = (nd, rows, w_hist)
 
     calls: list[str] = []
-    real_fit = zeops.ze01_fit
+    real_fit = zeops._fit_from_feats
 
-    def counting_fit(spark_, sf_):
-        calls.append(sf_)
-        return real_fit(spark_, sf_)
+    def counting_fit(feats_, nd_, label):
+        calls.append(label)
+        return real_fit(feats_, nd_, label)
 
-    monkeypatch.setattr(zeops, "ze01_fit", counting_fit)
+    # r12: the miss path fits from the cached design partials via the
+    # shared round loop — count THAT (bit-identical to the live fit)
+    monkeypatch.setattr(zeops, "_fit_from_feats", counting_fit)
 
     zeops._FIT_MEMO.clear()
     assert zeops.ze01_fit_artifact(spark, root) == expect  # miss: fit+publish
