@@ -764,3 +764,43 @@ def test_zf01p_merge_path_pins(spark, sf_dir, tmp_path):
             scans.setdefault(label, set()).add(sc)
     observed_scans = {l: sorted(list(t) for t in v) for l, v in scans.items()}
     assert observed_scans == ZF01P_EXPECTED_SCANS
+
+
+def test_margins_artifact_end_to_end_carry_forward(spark, parted_corpus):
+    """The REAL artifact path, incrementally: an mtime-only touch to
+    one part file re-keys the corpus (stale artifact), the refit
+    produces numerically identical weights (content unchanged), and
+    the republish re-scores ONLY the touched file — every other file's
+    margin rows carry forward from the score-part cache."""
+    from spotify_tags_etl_spark.operators import zeops
+
+    root, doc_parts, _ = parted_corpus
+    zeops._FIT_MEMO.clear()
+    zeops._MARGINS_MEMO.clear()
+    first = sorted(
+        (r.doc_id, r.y, int(r.m))
+        for r in zeops.ze02_margins_artifact(spark, root).collect()
+    )
+
+    p = doc_parts[1]
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    part_dirs_before = set()
+    root_parts = os.path.join(
+        os.path.dirname(os.path.dirname(zeops._margins_artifact_dir(
+            zeops._margins_key(root)))), "ze02_margin_parts")
+    if os.path.isdir(root_parts):
+        part_dirs_before = set(os.listdir(root_parts))
+
+    zeops._FIT_MEMO.clear()
+    zeops._MARGINS_MEMO.clear()
+    got = sorted(
+        (r.doc_id, r.y, int(r.m))
+        for r in zeops.ze02_margins_artifact(spark, root).collect()
+    )
+    assert got == first  # content unchanged => identical margins
+    # exactly ONE new score-part digest: the touched file under the
+    # (numerically identical) weights digest
+    part_dirs_after = set(os.listdir(root_parts))
+    new_parts = part_dirs_after - part_dirs_before
+    assert len(new_parts) == 1, (part_dirs_before, part_dirs_after)
