@@ -1,8 +1,10 @@
 """Atomic publish, verify, and GC for derived-artifact directories.
 
 The engine's shared-artifact pattern (ze01 fit weights, zf01 lineage
-flags) publishes derived state as a key-digest directory under the
-gitignored spark-warehouse: build everything in a tmp dir, write a
+flags) publishes derived state as a key-digest directory under
+:func:`warehouse_root` (per-process by default — see its docstring;
+``SPARK_GRAFT_WAREHOUSE`` selects a durable root): build everything in
+a tmp dir, write a
 ``meta.json`` carrying the full staleness key LAST, then rename the
 dir whole — so any directory that exists at a digest path is complete
 by construction, and readers validate the embedded key before
@@ -38,6 +40,42 @@ import json
 import os
 import shutil
 from typing import Callable
+
+_PROC_WAREHOUSE: str | None = None
+
+
+def warehouse_root() -> str:
+    """Root directory for every derived-artifact digest (stage partials,
+    the ze01 fit / zf01 flags / ze02 margins artifacts).
+
+    Default: one PER-PROCESS temp directory, created on first use and
+    removed at interpreter exit. Artifacts are shared freely WITHIN a
+    process — the publisher pays the corpus-sized pass once, every later
+    consumer reads the pruned parquet — but nothing survives the
+    process: a fresh bench or oracle invocation always recomputes from
+    the parquet inputs. (r12 optimization-round rule: cross-run reuse
+    would let a previous run's work masquerade as this run's speed, and
+    would poison any per-core-count scaling comparison, which must
+    measure each configuration's own compute. The previous fixed
+    ``<repo>/spark-warehouse`` root persisted digests across processes.)
+
+    ``SPARK_GRAFT_WAREHOUSE`` overrides the root for deployments that
+    want a durable machine-local cache (the production pattern: a
+    nightly publisher feeding many reader processes) and for tests that
+    pin cross-process staleness/GC behavior. All publish/verify/GC
+    machinery below is root-agnostic.
+    """
+    env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if env:
+        return env
+    global _PROC_WAREHOUSE
+    if _PROC_WAREHOUSE is None:
+        import atexit
+        import tempfile
+
+        _PROC_WAREHOUSE = tempfile.mkdtemp(prefix="spark_graft_warehouse_")
+        atexit.register(shutil.rmtree, _PROC_WAREHOUSE, True)
+    return _PROC_WAREHOUSE
 
 
 def read_meta_key(target: str) -> object | None:

@@ -165,8 +165,9 @@ def emb_constants() -> dict:
 
 
 def _partials_root(kind: str) -> str:
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(repo, "spark-warehouse", f"{kind}_partials")
+    from spotify_tags_etl_spark.functions.artifactio import warehouse_root
+
+    return os.path.join(warehouse_root(), f"{kind}_partials")
 
 
 def _partial_key(path: str, ident: dict, constants: dict) -> dict:

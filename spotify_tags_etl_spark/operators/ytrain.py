@@ -216,10 +216,12 @@ _Q8 = "CAST(floor(CAST({v} AS DOUBLE) * 127) AS BIGINT)"
         f"{YV02_STRIDE}th vector queries the full candidate set, "
         "scored by int8-quantized dot product (vx02/ye01's floor "
         "spelling — engine-exact); the first relevant hit's rank is "
-        "computed WITHOUT sorting anything: encode (score DESC, id "
+        "computed WITHOUT sorting by score: encode (score DESC, id "
         "ASC) into one int64 key, take the best relevant key per "
-        "query (one groupBy), then rank = 1 + count of strictly "
-        "better keys (second groupBy). Reciprocal ranks in truncated "
+        "query (window max over one partition-by-query pass), then "
+        "rank = 1 + count of strictly better keys (a groupBy reusing "
+        "the same partitioning — pairs are scored and shuffled ONCE). "
+        "Reciprocal ranks in truncated "
         "ppm — deterministic cross-engine, unlike float MRR. Shape: "
         "query side is O(n/stride) and BROADCASTS; candidates stream "
         "through one scan (ss01's quarantined-exact-baseline shape "
@@ -230,21 +232,38 @@ _Q8 = "CAST(floor(CAST({v} AS DOUBLE) * 127) AS BIGINT)"
     tags=("similarity", "eval", "llm-pipeline"),
 )
 def yv02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 shape: ONE pair-scoring pass instead of two, and the int8
+    # quantization hoisted out of the pair loop. The old form evaluated
+    # the candidate x broadcast-query join twice (once for the
+    # best-relevant key, once for the rank count) — two scans, two pair
+    # scorings, three exchanges — and re-ran floor(cast(x)*127) on BOTH
+    # vectors inside every pair's fold (O(pairs x dim) casts instead of
+    # O(rows x dim)). Now: quantize each SIDE once per row
+    # (vecexpr.quantize_long), score each pair with the minimal x*y
+    # fold, and derive BOTH the best-relevant key and the rank in a
+    # single partition-by-qid pass: bkey as a window max over relevant
+    # pairs, rank as the groupBy that reuses the window's partitioning
+    # (no extra exchange). Queries with no relevant candidate had no
+    # `rel` row and were dropped by the old inner join — the bkey IS
+    # NULL filter reproduces that exactly. (Unrolling the fold into a
+    # flat 64-term expression was measured too: the executed stage is
+    # faster but per-run planning over the 64x wider expression tree
+    # costs more than it saves — see OPTIMIZATION_r12.md.)
+    from spotify_tags_etl_spark.functions.vecexpr import quantize_long
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") % YV02_STRIDE == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qe"),
+        quantize_long("embedding").alias("qe8"),
     )
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
-        F.col("embedding").alias("ce"),
+        quantize_long("embedding").alias("ce8"),
     )
     score = F.expr(
-        "aggregate(zip_with(qe, ce, (a, b) -> "
-        "CAST(floor(CAST(a AS DOUBLE) * 127) AS BIGINT)"
-        " * CAST(floor(CAST(b AS DOUBLE) * 127) AS BIGINT)), 0L, (acc, x) -> acc + x)"
+        "aggregate(zip_with(qe8, ce8, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
     )
     pairs = (
         c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
@@ -256,15 +275,13 @@ def yv02(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score * YV02_KEY_SCALE - F.col("cid")).alias("key"),
         )
     )
-    rel = (
-        pairs.where(F.col("clabel") == F.col("qlabel"))
-        .groupBy("qid")
-        .agg(F.max("key").alias("bkey"))
-    )
+    w = Window.partitionBy("qid")
     rk = (
-        # rel is O(#queries) rows — broadcast, or the planner SMJs the
-        # data-sized pair frame against it.
-        pairs.join(F.broadcast(rel), "qid")
+        pairs.withColumn(
+            "bkey",
+            F.max(F.when(F.col("clabel") == F.col("qlabel"), F.col("key"))).over(w),
+        )
+        .where(F.col("bkey").isNotNull())
         .groupBy("qid")
         .agg((1 + F.sum(F.when(F.col("key") > F.col("bkey"), 1).otherwise(0))).alias("r"))
     )

@@ -429,13 +429,12 @@ def _artifact_dir(key: dict) -> str:
     import json
     import os
 
+    from spotify_tags_etl_spark.functions.artifactio import warehouse_root
+
     digest = hashlib.md5(
         json.dumps(key, sort_keys=True).encode()
     ).hexdigest()[:16]
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    return os.path.join(repo, "spark-warehouse", "ze01_fit", digest)
+    return os.path.join(warehouse_root(), "ze01_fit", digest)
 
 
 def _publish_fit(
@@ -633,13 +632,12 @@ def _score_part_dir(key: dict) -> str:
     import json
     import os
 
+    from spotify_tags_etl_spark.functions.artifactio import warehouse_root
+
     digest = hashlib.md5(
         json.dumps(key, sort_keys=True).encode()
     ).hexdigest()[:16]
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    return os.path.join(repo, "spark-warehouse", "ze02_margin_parts", digest)
+    return os.path.join(warehouse_root(), "ze02_margin_parts", digest)
 
 
 def ze02_score_parts(
@@ -731,13 +729,12 @@ def _margins_artifact_dir(key: dict) -> str:
     import json
     import os
 
+    from spotify_tags_etl_spark.functions.artifactio import warehouse_root
+
     digest = hashlib.md5(
         json.dumps(key, sort_keys=True).encode()
     ).hexdigest()[:16]
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    return os.path.join(repo, "spark-warehouse", "ze02_margins", digest)
+    return os.path.join(warehouse_root(), "ze02_margins", digest)
 
 
 def ze02_margins_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:

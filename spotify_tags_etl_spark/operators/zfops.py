@@ -427,13 +427,12 @@ def _flags_artifact_dir(key: dict) -> str:
     import json
     import os
 
+    from spotify_tags_etl_spark.functions.artifactio import warehouse_root
+
     digest = hashlib.md5(
         json.dumps(key, sort_keys=True).encode()
     ).hexdigest()[:16]
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    return os.path.join(repo, "spark-warehouse", "zf01_flags", digest)
+    return os.path.join(warehouse_root(), "zf01_flags", digest)
 
 
 def zf01_flags_from_partials(

@@ -804,3 +804,69 @@ def test_margins_artifact_end_to_end_carry_forward(spark, parted_corpus):
     part_dirs_after = set(os.listdir(root_parts))
     new_parts = part_dirs_after - part_dirs_before
     assert len(new_parts) == 1, (part_dirs_before, part_dirs_after)
+
+
+# ---------------------------------------------------------------------------
+# r12 OPTIMIZATION round: process-scoped artifact warehouse + unrolled
+# fixed-dim vector arithmetic (functions/vecexpr.py)
+# ---------------------------------------------------------------------------
+
+
+def test_warehouse_root_is_process_scoped(monkeypatch):
+    """The derived-artifact root must not persist work across runs: the
+    default root is a per-process temp dir OUTSIDE the repo (a fresh
+    bench/oracle invocation recomputes from the parquet inputs), stable
+    within the process (consumers share the publisher's digests), and
+    overridable via SPARK_GRAFT_WAREHOUSE for deployments that want a
+    durable machine-local cache."""
+    from spotify_tags_etl_spark.functions import artifactio
+    from spotify_tags_etl_spark.functions.partials import _partials_root
+    from spotify_tags_etl_spark.operators import zeops, zfops
+
+    monkeypatch.delenv("SPARK_GRAFT_WAREHOUSE", raising=False)
+    root = artifactio.warehouse_root()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert os.path.isdir(root)
+    assert not os.path.abspath(root).startswith(repo + os.sep)
+    assert artifactio.warehouse_root() == root  # stable within process
+    # every artifact family resolves beneath the shared root
+    key = {"probe": 1}
+    assert zfops._flags_artifact_dir(key).startswith(root + os.sep)
+    assert zeops._artifact_dir(key).startswith(root + os.sep)
+    assert zeops._margins_artifact_dir(key).startswith(root + os.sep)
+    assert zeops._score_part_dir(key).startswith(root + os.sep)
+    assert _partials_root("docs").startswith(root + os.sep)
+    # env override wins (tests pinning cross-process behavior use this)
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", "/tmp/wh_override_probe")
+    assert artifactio.warehouse_root() == "/tmp/wh_override_probe"
+
+
+def test_yv02_hoisted_quantize_matches_inline_fold(spark):
+    """yv02's r12 rewrite hoists floor(cast(x)*127) out of the pair
+    fold: quantize_long per SIDE then a bare x*y fold must equal the
+    old form that quantized both elements inside every pair's lambda
+    (covers negatives, zeros, fractional magnitudes)."""
+    from pyspark.sql import functions as F
+
+    from spotify_tags_etl_spark.functions.vecexpr import quantize_long
+
+    rows = [
+        ([0.5, -0.25, 0.0, 1.0], [0.999, -0.999, 0.123, -0.123]),
+        ([-1.0, 0.007874, -0.007874, 0.25], [0.5, 0.5, -0.5, -0.25]),
+    ]
+    df = spark.createDataFrame(rows, "a: array<float>, b: array<float>")
+    got = df.select(
+        quantize_long("a").alias("qa"), quantize_long("b").alias("qb"), "a", "b"
+    ).select(
+        F.expr(
+            "aggregate(zip_with(a, b, (x, y) -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 127) AS BIGINT)"
+            " * CAST(floor(CAST(y AS DOUBLE) * 127) AS BIGINT)), 0L,"
+            " (acc, v) -> acc + v)"
+        ).alias("ref"),
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+        ).alias("hoisted"),
+    ).collect()
+    for r in got:
+        assert r.ref == r.hoisted
