@@ -334,24 +334,36 @@ def _fit_from_feats(
     rows: list[tuple[int, int, int, int, int]] = []
     w_hist: list[dict[int, int]] = []
     for r in range(1, ZE01_ROUNDS + 1):
-        margins = _margins(feats, w)
-        record_plan(margins, f"{label}:margins")
-        margins = margins.localCheckpoint(eager=True)  # O(#docs) rows
-        mis = margins.where(F.expr("y * m <= 0")).select("doc_id")
-        n_mis = mis.count()
+        # r12: ONE action per round instead of three. The old loop
+        # localCheckpointed the margins (action 1), counted the
+        # misclassified docs (action 2), then collected the weight
+        # deltas (action 3). The margins frame was only ever consumed
+        # by the delta join's broadcast side, so it now lives inline in
+        # that build side (same math, same exchange count, two fewer
+        # job round-trips and no O(#docs) checkpoint per round), and
+        # n_mis rides along as the BIAS bucket's row count: every doc
+        # in feats carries exactly one bias row (bucket -1, cnt 1), so
+        # counting the bias group's joined rows IS the misclassified-
+        # doc count. F.broadcast pins the strategy the planner already
+        # chose for the checkpointed frame (mis is O(#docs ids) —
+        # za02's plan-feeding bound, unchanged).
+        mis = _margins(feats, w).where(F.expr("y * m <= 0")).select("doc_id")
         deltas = (
-            feats.join(mis, "doc_id")
+            feats.join(F.broadcast(mis), "doc_id")
             .groupBy("bucket")
             .agg(
                 F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))").alias(
                     "dw"
-                )
+                ),
+                F.count(F.lit(1)).alias("n_rows"),
             )
         )
         record_plan(deltas, f"{label}:weight_delta")
+        n_mis = 0
         for row in deltas.collect():
             w[row["bucket"]] += int(row["dw"])
-        margins.unpersist()
+            if row["bucket"] == ZE01_BIAS:
+                n_mis = int(row["n_rows"])
         # O(buckets) exact-integer driver folds mirror st{r} bit-for-bit
         w_l1 = sum(abs(v) for v in w.values())
         w_dot = sum(v * (b + 2) for b, v in w.items())

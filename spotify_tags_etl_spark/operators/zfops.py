@@ -1025,15 +1025,29 @@ def run_lineage_ingest(
     incr: list[tuple[int, str]] = []  # append-only census increments
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         store, part = lineage_batch_parts(batch)
         if extra_doc_rows is not None:
             store = store.unionByName(extra_doc_rows(batch))
         record_batch_plan(store, f"{label}:doc_store")
         d = os.path.join(root, "docstore", f"b{batch_id}")
-        store.write.mode("overwrite").parquet(d)
+        # r12 §2.6: the two per-trigger writes are independent sinks
+        # (both replay-idempotent on their own) — overlap them so the
+        # census job back-fills the doc-store job's tail. Frames,
+        # plans, and replay semantics are unchanged; a crash between
+        # the writes was already recoverable in either order.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fs = pool.submit(
+                store.write.mode("overwrite").parquet, d
+            )
+            fc = pool.submit(
+                census_log_step, spark, root, incr, state_cur, part, batch_id, label
+            )
+            fs.result()
+            fc.result()
         if d not in store_dirs:
             store_dirs.append(d)
-        census_log_step(spark, root, incr, state_cur, part, batch_id, label)
 
     q = (
         stream_docs.select("doc_id", "lang", "text", "source")
@@ -1052,14 +1066,38 @@ def run_lineage_ingest(
     return root, store_dirs, state_parts
 
 
+def checkpoint_parallel(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Eagerly localCheckpoint INDEPENDENT frames as concurrent jobs
+    from a small thread pool (optimization guide §2.6: actions are only
+    sequential because driver code calls them sequentially — none of
+    these small close-time jobs fills the cluster, so the next job's
+    tasks back-fill the current job's tail; FIFO scheduling keeps the
+    earlier job first). Same frames, same plans, same checkpoints —
+    only the driver-side submission overlaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(frames) <= 1:
+        return {k: df.localCheckpoint(eager=True) for k, df in frames.items()}
+    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+        futs = {k: pool.submit(df.localCheckpoint, True) for k, df in frames.items()}
+        return {k: f.result() for k, f in futs.items()}
+
+
 def lineage_close_frames(
-    spark: SparkSession, sf_dir: str, state: DataFrame, store: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    state: DataFrame,
+    store: DataFrame,
+    extra: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Resolve each funnel stage from its accumulated state at close:
     returns {census, keeps, near_drops, sem_drops, contam, offtgt}
     with the four drop frames localCheckpointed (keeps stays lazy —
     callers join it). Shared by zf02's lineage report and zh04's
-    unified keep-set."""
+    unified keep-set. ``extra`` frames (zh04's vmargin/rule-census)
+    are checkpointed IN THE SAME concurrent batch as the four drop
+    frames and returned under their keys — they only depend on the
+    already-checkpointed state/store, like the drop frames."""
     import os
 
     from spotify_tags_etl_spark.functions import partials as _pt
@@ -1118,7 +1156,21 @@ def lineage_close_frames(
     )
     b = _pt.read_partial(spark, emb_dirs, "vecs")
     record_plan(b, "lineage_close:projected_corpus")
-    b = b.localCheckpoint(eager=True)  # candidate explode + both pair sides
+    # r12 §2.6: the projected-corpus read and the importance-weight
+    # fold are independent — materialize them concurrently (wts built
+    # below, checkpointed here with b in one two-job batch)
+    tot = imp_census.agg(
+        F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t")
+    )
+    wts = imp_census.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
+            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
+        ).alias("w"),
+    )
+    pre = checkpoint_parallel({"b": b, "wts": wts})
+    b, wts = pre["b"], pre["wts"]  # candidate explode + both pair sides
     sem_drops = (
         zc03_edges_from_b(b)
         .select(F.col("d2").alias("doc_id"))
@@ -1131,17 +1183,6 @@ def lineage_close_frames(
         .distinct()
         .withColumn("f_con", F.lit(1))
     )
-    tot = imp_census.agg(
-        F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t")
-    )
-    wts = imp_census.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
-            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
-        ).alias("w"),
-    )
-    wts = wts.localCheckpoint(eager=True)
     offtgt = (
         doc_store.join(F.broadcast(wts), "bucket")
         .groupBy("doc_id")
@@ -1153,14 +1194,18 @@ def lineage_close_frames(
         .select("doc_id")
         .withColumn("f_off", F.lit(1))
     )
-    return {
-        "census": census,
-        "keeps": keeps,
-        "near_drops": near_drops.localCheckpoint(eager=True),
-        "sem_drops": sem_drops.localCheckpoint(eager=True),
-        "contam": contam.localCheckpoint(eager=True),
-        "offtgt": offtgt.localCheckpoint(eager=True),
-    }
+    # r12 §2.6: the four drop resolutions (and any caller extras) are
+    # independent jobs over the checkpointed state/store — overlap them
+    done = checkpoint_parallel(
+        {
+            "near_drops": near_drops,
+            "sem_drops": sem_drops,
+            "contam": contam,
+            "offtgt": offtgt,
+            **(extra or {}),
+        }
+    )
+    return {"census": census, "keeps": keeps, **done}
 
 
 def _run_lineage_stream(

@@ -710,7 +710,6 @@ def streaming_unified_keepset(
     state = resolve_census_state(spark, state_parts).localCheckpoint(eager=True)
     store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
-    fr = lineage_close_frames(spark, sf_dir, state, store)
 
     vflag = store.where(F.col("kind") == "vflag").select(
         "doc_id",
@@ -719,13 +718,6 @@ def streaming_unified_keepset(
     )
     vmargin = store.where(F.col("kind") == "vmargin").select(
         "doc_id", F.expr("CAST(s AS DECIMAL(38,0))").alias("m")
-    )
-    vmargin = vmargin.localCheckpoint(eager=True)  # O(#docs) slim frame
-    t = gate_threshold(vmargin)
-    gk = (
-        F.when(F.col("m") > F.lit(t), 1).otherwise(0)
-        if t is not None
-        else F.lit(0)
     )
 
     # all-docs rule census per source (first-fail codes, at-arrival)
@@ -744,7 +736,20 @@ def streaming_unified_keepset(
         ],
     )
     record_plan(rc, "zh04:rule_census")
-    rc = rc.localCheckpoint(eager=True)  # O(#sources)
+
+    # r12 §2.6: vmargin (O(#docs) slim frame) and the O(#sources) rule
+    # census depend only on the checkpointed store — materialize them
+    # in the SAME concurrent close batch as the four funnel drop frames
+    fr = lineage_close_frames(
+        spark, sf_dir, state, store, extra={"vmargin": vmargin, "rc": rc}
+    )
+    vmargin, rc = fr["vmargin"], fr["rc"]
+    t = gate_threshold(vmargin)
+    gk = (
+        F.when(F.col("m") > F.lit(t), 1).otherwise(0)
+        if t is not None
+        else F.lit(0)
+    )
 
     # rule-passing exact keeps, flagged through funnel + gate
     rp_keeps = fr["keeps"].join(

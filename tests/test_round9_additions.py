@@ -487,13 +487,15 @@ def test_zd07_layout_invariant(spark, sf_dir, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 # one keyed exchange per fit stage — design matrix (map-combined
-# groupBy), bias union, per-round margins, per-round weight deltas;
-# no SinglePartition, no Python boundary anywhere in the fit
+# groupBy), bias union; the round loop is ONE single-action stage per
+# round since r12 (margins live inline in the delta join's broadcast
+# build side — its keyed exchange now counts inside weight_delta, so
+# 2 exchanges there and no separate margins stage); no SinglePartition,
+# no Python boundary anywhere in the fit
 _ZE_FIT_PLANS = {
     "ze01:design_matrix": [{"exchanges": 1}],
     "ze01:feats": [{"exchanges": 1}],
-    "ze01:margins": [{"exchanges": 1}],
-    "ze01:weight_delta": [{"exchanges": 1}],
+    "ze01:weight_delta": [{"exchanges": 2}],
 }
 
 # pushdown proof: the ONLY corpus read in the fit is the design matrix
@@ -501,7 +503,6 @@ _ZE_FIT_PLANS = {
 _ZE_FIT_SCANS = {
     "ze01:design_matrix": [["doc_id,lang,text"]],
     "ze01:feats": [[]],
-    "ze01:margins": [[]],
     "ze01:weight_delta": [[]],
 }
 
