@@ -938,17 +938,13 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
     current: list[str] = []  # exact-census version pointer
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from spotify_tags_etl_spark.functions.concurrency import run_parallel
+
         sh = word_shingles(batch)
         sig = minhash_signatures(sh)
         record_batch_plan(sig, "zd05:sig_partial")
         sig_dir = os.path.join(sig_root, f"b{batch_id}")
-        sig.write.mode("overwrite").parquet(sig_dir)
-        if sig_dir not in sig_dirs:
-            sig_dirs.append(sig_dir)
         sh_dir = os.path.join(sh_root, f"b{batch_id}")
-        sh.write.mode("overwrite").parquet(sh_dir)
-        if sh_dir not in sh_dirs:
-            sh_dirs.append(sh_dir)
         part = batch.groupBy(
             F.md5("text").alias("text_hash"), F.col("source")
         ).agg(
@@ -965,8 +961,24 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
             merged = part
         record_batch_plan(merged, "zd05:exact_census_merge")
         target = os.path.join(root, f"census_v{batch_id}")
-        merged.write.mode("overwrite").parquet(target)
-        current[:] = [target]
+
+        # r12 §2.6: the three per-trigger writes are independent sinks
+        # (per-batch overwrites / a fresh census version) — overlap
+        # them. Frames, plans, and replay semantics are unchanged; the
+        # census version pointer advances only after ITS write returns.
+        def census_write() -> None:
+            merged.write.mode("overwrite").parquet(target)
+            current[:] = [target]
+
+        run_parallel(
+            lambda: sig.write.mode("overwrite").parquet(sig_dir),
+            lambda: sh.write.mode("overwrite").parquet(sh_dir),
+            census_write,
+        )
+        if sig_dir not in sig_dirs:
+            sig_dirs.append(sig_dir)
+        if sh_dir not in sh_dirs:
+            sh_dirs.append(sh_dir)
 
     q = (
         stream_docs.select("doc_id", "source", "text")
@@ -987,9 +999,17 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
         )
     # checkpoint only because rmtree below deletes the backing files; a
     # production run leaves census + stores as the parquet they are
-    census = spark.read.parquet(current[0]).localCheckpoint(eager=True)
-    sig_store = spark.read.parquet(*sig_dirs).localCheckpoint(eager=True)
-    sh_store = spark.read.parquet(*sh_dirs).localCheckpoint(eager=True)
+    # (r12 §2.6: three independent reads — materialize concurrently)
+    from spotify_tags_etl_spark.functions.concurrency import checkpoint_parallel
+
+    cps = checkpoint_parallel(
+        {
+            "census": spark.read.parquet(current[0]),
+            "sig_store": spark.read.parquet(*sig_dirs),
+            "sh_store": spark.read.parquet(*sh_dirs),
+        }
+    )
+    census, sig_store, sh_store = cps["census"], cps["sig_store"], cps["sh_store"]
     shutil.rmtree(root, ignore_errors=True)
 
     # Exact keeps: per-hash global min over the per-(hash, source)

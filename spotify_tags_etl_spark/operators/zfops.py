@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spotify_tags_etl_spark.functions.concurrency import (
+    checkpoint_parallel,
+    run_parallel,
+)
 from spotify_tags_etl_spark.functions.hashing import hash_frac_sql
 from spotify_tags_etl_spark.operators.dedup import _minhash_ctes, dd01, dd02
 from spotify_tags_etl_spark.operators.training import DECON_NGRAM, tz06
@@ -302,36 +306,50 @@ def zf01_flags(
             "doc_id", "source", *extra_cols
         )
     rule_cols = ("r_short", "r_long", "r_rep", "r_stop") if with_rules else ()
-    exact_keeps = dd01(spark, sf_dir).select(
-        F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
-    )
-    near_drops = (
-        dd02(spark, sf_dir)
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
-        .withColumn("f_near", F.lit(1))
-    )
-    sem_drops = (
-        zc03(spark, sf_dir)
-        .where(F.col("keep") == 0)
-        .select(F.col("vec_id").alias("doc_id"))
-        .withColumn("f_sem", F.lit(1))
-    )
-    contam = tz06(spark, sf_dir).select("doc_id").withColumn("f_con", F.lit(1))
-    offtgt = zf01_offtarget(spark, sf_dir).withColumn("f_off", F.lit(1))
-    for label, frame in (
-        ("zf01:exact_keeps", exact_keeps),
-        ("zf01:near_drops", near_drops),
-        ("zf01:sem_drops", sem_drops),
-        ("zf01:contam", contam),
-        ("zf01:offtarget", offtgt),
-    ):
+
+    # r12 §2.6: the five stage builders are INDEPENDENT (each computes
+    # its own drop-list from its own inputs) but ran strictly one after
+    # another — including their internal eager actions (zc03's corpus
+    # checkpoint, the off-target census/weights folds). Building AND
+    # checkpointing each stage in its own thread overlaps all of it;
+    # frames, plans, labels, and values are unchanged.
+    def _stage(label, build):
+        frame = build()
         record_plan(frame, label)
-    exact_keeps = exact_keeps.localCheckpoint(eager=True)
-    near_drops = near_drops.localCheckpoint(eager=True)
-    sem_drops = sem_drops.localCheckpoint(eager=True)
-    contam = contam.localCheckpoint(eager=True)
-    offtgt = offtgt.localCheckpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    exact_keeps, near_drops, sem_drops, contam, offtgt = run_parallel(
+        lambda: _stage(
+            "zf01:exact_keeps",
+            lambda: dd01(spark, sf_dir).select(
+                F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
+            ),
+        ),
+        lambda: _stage(
+            "zf01:near_drops",
+            lambda: dd02(spark, sf_dir)
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+            .withColumn("f_near", F.lit(1)),
+        ),
+        lambda: _stage(
+            "zf01:sem_drops",
+            lambda: zc03(spark, sf_dir)
+            .where(F.col("keep") == 0)
+            .select(F.col("vec_id").alias("doc_id"))
+            .withColumn("f_sem", F.lit(1)),
+        ),
+        lambda: _stage(
+            "zf01:contam",
+            lambda: tz06(spark, sf_dir).select("doc_id").withColumn(
+                "f_con", F.lit(1)
+            ),
+        ),
+        lambda: _stage(
+            "zf01:offtarget",
+            lambda: zf01_offtarget(spark, sf_dir).withColumn("f_off", F.lit(1)),
+        ),
+    )
     flags = (
         docs.join(exact_keeps, "doc_id", "left")
         .join(near_drops, "doc_id", "left")
@@ -476,10 +494,18 @@ def zf01_flags_from_partials(
 
     base = _pt.read_partial(spark, doc_dirs, "docs")
     record_plan(base, "zf01p:doc_partials")
-    base = base.localCheckpoint(eager=True)  # feeds docs + exact + near sides
+    b = _pt.read_partial(spark, emb_dirs, "vecs")
+    record_plan(b, "zf01p:projected_corpus")
+    imp = _pt.read_partial(spark, doc_dirs, "imp")
+    record_plan(imp, "zf01p:imp_partials")
+    # r12 §2.6: the three partial reads are independent — materialize
+    # them concurrently (base feeds docs+exact+near, b the candidate
+    # explode + both pair sides, imp the census + scoring passes)
+    pre = checkpoint_parallel({"base": base, "b": b, "imp": imp})
+    base, b, imp = pre["base"], pre["b"], pre["imp"]
 
     # exact dedup: dd01's hash-group keep-first over the cached hashes
-    exact_keeps = (
+    exact_lazy = (
         base.groupBy("text_hash")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("s_e"))
@@ -492,7 +518,7 @@ def zf01_flags_from_partials(
         "doc_id", *[f"m{i}" for i in range(N_HASHES)]
     )
     sh = _pt.read_partial(spark, doc_dirs, "shingles")
-    near_drops = (
+    near_lazy = (
         jaccard_verify(
             lsh_candidate_pairs(sig), sh, threshold_permille=_ZF01_NEAR_PERMILLE
         )
@@ -503,10 +529,7 @@ def zf01_flags_from_partials(
 
     # semantic dedup: zc03's bucket join + integer-cosine verify over the
     # cached quantized/projected/bucketed corpus
-    b = _pt.read_partial(spark, emb_dirs, "vecs")
-    record_plan(b, "zf01p:projected_corpus")
-    b = b.localCheckpoint(eager=True)  # feeds candidate explode + both pair sides
-    sem_drops = (
+    sem_lazy = (
         zc03_edges_from_b(b)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
@@ -521,7 +544,7 @@ def zf01_flags_from_partials(
     train_edge, test_edge = SPLIT_EDGES[0][1], SPLIT_EDGES[1][1]
     train = g5.where(frac < train_edge).select("doc_id", "g")
     test = g5.where(frac >= test_edge).select(F.col("g").alias("tg")).distinct()
-    contam = (
+    contam_lazy = (
         train.join(test, F.col("g") == F.col("tg"))
         .select("doc_id")
         .distinct()
@@ -530,50 +553,52 @@ def zf01_flags_from_partials(
 
     # off-target: zb03's two-pass census/weights over the cached per-doc
     # bucket counts (census partials SUM-merge; count-of-rows becomes
-    # sum-of-cnt, count-when becomes coalesced conditional sum)
-    imp = _pt.read_partial(spark, doc_dirs, "imp")
-    record_plan(imp, "zf01p:imp_partials")
-    imp = imp.localCheckpoint(eager=True)  # census pass + scoring pass
-    census = imp.groupBy("bucket").agg(
-        F.sum("cnt").alias("raw_n"),
-        F.coalesce(
-            F.sum(F.when(F.col("lang") == ZB03_TARGET_LANG, F.col("cnt"))),
-            F.lit(0),
-        ).alias("tgt_n"),
-    )
-    record_plan(census, "zf01p:importance_census")
-    census = census.localCheckpoint(eager=True)  # 256 rows, one partial pass
-    tot = census.agg(F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t"))
-    wts = census.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
-            - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
-        ).alias("w"),
-    )
-    wts = wts.localCheckpoint(eager=True)  # 256 rows; pass 2 must not re-census
-    offtgt = (
-        imp.join(F.broadcast(wts), "bucket")
-        .groupBy("doc_id")
-        .agg(F.expr("SUM(CAST(cnt AS DECIMAL(38,0)) * w)").alias("importance"))
-        .where(F.col("importance") <= 0)
-        .select("doc_id")
-        .withColumn("f_off", F.lit(1))
-    )
+    # sum-of-cnt, count-when becomes coalesced conditional sum). Built
+    # inside its own thread below — its internal census/weights folds
+    # are sequential WITHIN the stage but independent of the others.
+    def _build_offtgt() -> DataFrame:
+        census = imp.groupBy("bucket").agg(
+            F.sum("cnt").alias("raw_n"),
+            F.coalesce(
+                F.sum(F.when(F.col("lang") == ZB03_TARGET_LANG, F.col("cnt"))),
+                F.lit(0),
+            ).alias("tgt_n"),
+        )
+        record_plan(census, "zf01p:importance_census")
+        census = census.localCheckpoint(eager=True)  # 256 rows, one partial pass
+        tot = census.agg(F.sum("raw_n").alias("raw_t"), F.sum("tgt_n").alias("tgt_t"))
+        wts = census.crossJoin(F.broadcast(tot)).select(
+            "bucket",
+            (
+                F.expr("CAST(CAST(tgt_n AS DECIMAL(38,0)) * 1000000 DIV tgt_t AS BIGINT)")
+                - F.expr("CAST(CAST(raw_n AS DECIMAL(38,0)) * 1000000 DIV raw_t AS BIGINT)")
+            ).alias("w"),
+        )
+        wts = wts.localCheckpoint(eager=True)  # 256 rows; pass 2 must not re-census
+        return (
+            imp.join(F.broadcast(wts), "bucket")
+            .groupBy("doc_id")
+            .agg(F.expr("SUM(CAST(cnt AS DECIMAL(38,0)) * w)").alias("importance"))
+            .where(F.col("importance") <= 0)
+            .select("doc_id")
+            .withColumn("f_off", F.lit(1))
+        )
 
-    for label, frame in (
-        ("zf01p:exact_keeps", exact_keeps),
-        ("zf01p:near_drops", near_drops),
-        ("zf01p:sem_drops", sem_drops),
-        ("zf01p:contam", contam),
-        ("zf01p:offtarget", offtgt),
-    ):
+    # r12 §2.6: the five cross-partition stage merges are independent —
+    # build and checkpoint each in its own thread (same frames, plans,
+    # labels; only the driver-side submission overlaps)
+    def _stage(label, build):
+        frame = build()
         record_plan(frame, label)
-    exact_keeps = exact_keeps.localCheckpoint(eager=True)
-    near_drops = near_drops.localCheckpoint(eager=True)
-    sem_drops = sem_drops.localCheckpoint(eager=True)
-    contam = contam.localCheckpoint(eager=True)
-    offtgt = offtgt.localCheckpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    exact_keeps, near_drops, sem_drops, contam, offtgt = run_parallel(
+        lambda: _stage("zf01p:exact_keeps", lambda: exact_lazy),
+        lambda: _stage("zf01p:near_drops", lambda: near_lazy),
+        lambda: _stage("zf01p:sem_drops", lambda: sem_lazy),
+        lambda: _stage("zf01p:contam", lambda: contam_lazy),
+        lambda: _stage("zf01p:offtarget", _build_offtgt),
+    )
     flags = (
         base.select(
             "doc_id", "source", "n_chars", "r_short", "r_long", "r_rep", "r_stop"
@@ -1025,8 +1050,6 @@ def run_lineage_ingest(
     incr: list[tuple[int, str]] = []  # append-only census increments
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        from concurrent.futures import ThreadPoolExecutor
-
         store, part = lineage_batch_parts(batch)
         if extra_doc_rows is not None:
             store = store.unionByName(extra_doc_rows(batch))
@@ -1037,15 +1060,12 @@ def run_lineage_ingest(
         # census job back-fills the doc-store job's tail. Frames,
         # plans, and replay semantics are unchanged; a crash between
         # the writes was already recoverable in either order.
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fs = pool.submit(
-                store.write.mode("overwrite").parquet, d
-            )
-            fc = pool.submit(
-                census_log_step, spark, root, incr, state_cur, part, batch_id, label
-            )
-            fs.result()
-            fc.result()
+        run_parallel(
+            lambda: store.write.mode("overwrite").parquet(d),
+            lambda: census_log_step(
+                spark, root, incr, state_cur, part, batch_id, label
+            ),
+        )
         if d not in store_dirs:
             store_dirs.append(d)
 
@@ -1064,23 +1084,6 @@ def run_lineage_ingest(
         p for i, p in incr if i > _compacted_upto(state_cur)
     ]
     return root, store_dirs, state_parts
-
-
-def checkpoint_parallel(frames: dict[str, DataFrame]) -> dict[str, DataFrame]:
-    """Eagerly localCheckpoint INDEPENDENT frames as concurrent jobs
-    from a small thread pool (optimization guide §2.6: actions are only
-    sequential because driver code calls them sequentially — none of
-    these small close-time jobs fills the cluster, so the next job's
-    tasks back-fill the current job's tail; FIFO scheduling keeps the
-    earlier job first). Same frames, same plans, same checkpoints —
-    only the driver-side submission overlaps."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    if len(frames) <= 1:
-        return {k: df.localCheckpoint(eager=True) for k, df in frames.items()}
-    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
-        futs = {k: pool.submit(df.localCheckpoint, True) for k, df in frames.items()}
-        return {k: f.result() for k, f in futs.items()}
 
 
 def lineage_close_frames(

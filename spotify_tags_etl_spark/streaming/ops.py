@@ -992,10 +992,18 @@ def streaming_neardup(
             .distinct()
         )
         record_batch_plan(cand, "st09:candidates")
-        cand.write.mode("append").parquet(pairs_dir)
         target = os.path.join(root, f"sig_v{batch_id}")
         record_batch_plan(sig_all, "st09:signatures")
-        sig_all.write.mode("overwrite").parquet(target)
+        # r12 §2.6: the candidate append and the signature-store
+        # version write are independent sinks (append is retry-safe by
+        # the closing distinct; the version pointer advances only after
+        # its own write) — overlap them
+        from spotify_tags_etl_spark.functions.concurrency import run_parallel
+
+        run_parallel(
+            lambda: cand.write.mode("append").parquet(pairs_dir),
+            lambda: sig_all.write.mode("overwrite").parquet(target),
+        )
         current[:] = [target]
 
     q = (
