@@ -122,20 +122,30 @@ def lsh_bucketed_ann(corpus: DataFrame, planes: DataFrame, k: int) -> DataFrame:
     1-(1-p)^L), exact cosine re-rank over the candidate union.
 
     ``planes``: one row with columns p0..p{L*b-1} (array<float> each) —
-    broadcast; the corpus is scanned once, signatures for all tables are
-    computed in that pass, then one bucket-join per table (tiny keys).
+    broadcast; the corpus is scanned once, signatures for all tables AND
+    the re-rank norm are computed in that pass and materialized, then one
+    bucket self-join over the tiny (vec_id, t, bk) keys.
+
+    The candidate relation is symmetric (bucket-equality), so each
+    UNORDERED pair is joined and scored ONCE (``q_id < c_id``) and both
+    orientations are emitted afterwards: IEEE multiplication commutes
+    elementwise and the fold visits elements in the same order either
+    way, so cosine(q, c) is bit-identical to cosine(c, q) — half the
+    distinct shuffle, half the pair dot products. The signature+norm
+    frame is eagerly materialized (localCheckpoint) because it is read
+    three times (both self-join sides + the re-rank vector lookup);
+    without it each read re-pays the L × b signature dot products and
+    the parquet scan — at 100 TB this materialization is the written
+    ANN index itself.
     """
-    sig = corpus.crossJoin(F.broadcast(planes)).select(
+    base = corpus.crossJoin(F.broadcast(planes)).select(
         "vec_id",
         "embedding",
+        l2norm("embedding").alias("_norm"),
         *[_signature("embedding", t).alias(f"bucket_{t}") for t in range(N_TABLES)],
     )
-    # All L tables in ONE banded frame + one self-join on (table, bucket)
-    # — a join per table would recompute the signature projection (L × b
-    # dot products per row) 2 × L times; the posexplode form computes it
-    # once and shuffles once. Same candidate union (OR-amplification is
-    # "bucket-equal in ANY table" = "equal on (t, bk) for some t").
-    banded = sig.select(
+    base = base.localCheckpoint(eager=True)
+    banded = base.select(
         "vec_id",
         F.posexplode(F.array(*[F.col(f"bucket_{t}") for t in range(N_TABLES)])).alias(
             "t", "bk"
@@ -144,18 +154,46 @@ def lsh_bucketed_ann(corpus: DataFrame, planes: DataFrame, k: int) -> DataFrame:
     cand = (
         banded.select(F.col("vec_id").alias("q_id"), "t", "bk")
         .join(banded.select(F.col("vec_id").alias("c_id"), "t", "bk"), ["t", "bk"])
-        .where(F.col("q_id") != F.col("c_id"))
+        .where(F.col("q_id") < F.col("c_id"))
         .select("q_id", "c_id")
         .distinct()
     )
 
-    q = with_norm(corpus.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")), "q_vec").withColumnRenamed("_norm", "q_norm")
-    c = with_norm(corpus.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec")), "c_vec").withColumnRenamed("_norm", "c_norm")
-    scored = (
+    q = base.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    half = (
         cand.join(q, "q_id")
         .join(c, "c_id")
-        .withColumn("cosine", dot("q_vec", "c_vec") / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)))
+        .select(
+            "q_id",
+            "c_id",
+            (dot("q_vec", "c_vec") / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0))).alias("cosine"),
+        )
     )
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("q_id").alias("q_id"),
+                    F.col("c_id").alias("c_id"),
+                    F.col("cosine").alias("cosine"),
+                ),
+                F.struct(
+                    F.col("c_id").alias("q_id"),
+                    F.col("q_id").alias("c_id"),
+                    F.col("cosine").alias("cosine"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.q_id", "e.c_id", "e.cosine")
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
