@@ -203,12 +203,12 @@ def _za02_oracle_sql(iters: int = ZA02_ITERS) -> str:
         "compute identical iterates — no float fixed point to diverge "
         "in the last ulp. Shape: the corpus-sized work is the map-side "
         "battle derivation + ONE map-combined groupBy onto the "
-        "O(models^2) directed edge frame (<= 30 rows, localCheckpointed "
-        "once); each MM round is a Spark job over that tiny frame with "
-        "current strengths embedded as literals, feeding back one "
-        "O(#models)-row collect (xz10's plan-feeding pattern, "
-        "documented: the driver ferries 6-row literals, the engine does "
-        "the arithmetic). The oracle unrolls the same rounds as chained "
+        "O(models^2) directed edge frame (<= 30 rows); that bounded "
+        "edge list is collected ONCE and every MM round is an "
+        "exact-integer fold over it on the driver (xz10's plan-feeding "
+        "pattern: the engine does the one corpus-sized pass, the driver "
+        "iterates over O(models^2) integers — one round-trip instead of "
+        "one per round). The oracle unrolls the same rounds as chained "
         "HUGEINT CTEs; tests/test_round7_additions.py re-derives the "
         "fit in pure-Python integers and pins both."
     ),
@@ -252,46 +252,31 @@ def za02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("w2").alias("w2")
     )
     record_plan(edges, "za02:edges")
-    edges = edges.localCheckpoint(eager=True)
-    wt = {
-        r["i"]: (int(r["n"]), int(r["w2"]))
-        for r in edges.groupBy("i")
-        .agg(F.sum("n").alias("n"), F.sum("w2").alias("w2"))
-        .collect()
-    }
+    # The edge frame is O(models^2) <= 30 rows by construction: collect
+    # it ONCE and run every MM round as an exact-integer fold on the
+    # driver. (The previous shape re-planned + collected a Spark job per
+    # round over this same 30-row frame — 11 driver round-trips for
+    # arithmetic on ~30 integers; the folds below mirror the oracle's
+    # t{r}/p{r}/ps{r}/s{r+1} CTEs bit for bit, and positive-operand
+    # Python // is the same truncating division as DECIMAL DIV/HUGEINT //.)
+    edge_rows = [(int(r["i"]), int(r["j"]), int(r["n"]), int(r["w2"])) for r in edges.collect()]
+    wt: dict[int, tuple[int, int]] = {}
+    for i, _j, n, w2 in edge_rows:
+        pn, pw = wt.get(i, (0, 0))
+        wt[i] = (pn + n, pw + w2)
     models = sorted(wt)
     nmod = len(models)
     s = {i: 10**6 for i in models}
     for _ in range(ZA02_ITERS):
-        # strengths as a literal CASE map: the per-iteration frame is
-        # O(models^2); embedding 6 integers beats a 6-row broadcast join
-        s_case = lambda col: "CASE " + " ".join(  # noqa: E731
-            f"WHEN {col} = {i} THEN {s[i]}" for i in models
-        ) + " END"
-        t_frame = (
-            edges.select(
-                "i",
-                F.expr(
-                    f"CAST(2 * n AS DECIMAL(38,0)) * {ZA02_SCALE}"
-                    f" DIV ({s_case('i')} + {s_case('j')})"
-                ).alias("term"),
-            )
-            .groupBy("i")
-            .agg(F.sum("term").alias("t"))
-        )
-        record_plan(t_frame, "za02:mm_round")
-        t_rows = t_frame.collect()
-        t = {r["i"]: int(r["t"]) for r in t_rows}
-        # O(#models) exact-integer feedback (xz10 plan-feeding): the
-        # engine computed every term; these 6-int folds mirror the
-        # oracle's p{r}/ps{r}/s{r+1} CTEs bit for bit.
+        t = {i: 0 for i in models}
+        for i, j, n, _w2 in edge_rows:
+            t[i] += (2 * n * ZA02_SCALE) // (s[i] + s[j])
         p = {i: (wt[i][1] * ZA02_SCALE * 10**6) // t[i] for i in models}
         sp = sum(p.values())
         s = {i: max(1, (p[i] * nmod * 10**6) // sp) for i in models}
     ranked = sorted(models, key=lambda i: (-s[i], i))
     rank = {i: k + 1 for k, i in enumerate(ranked)}
     rows = [(i, wt[i][0], wt[i][1], s[i], rank[i]) for i in models]
-    edges.unpersist()
     return spark.createDataFrame(
         rows,
         "model bigint, n_battles bigint, w2 bigint, strength_ppm bigint,"

@@ -212,7 +212,8 @@ EXPECTED_LOOP_PLANS = {
     },
     "za02_bradley_terry": {
         "za02:edges": [{"exchanges": 1}],
-        "za02:mm_round": [{"exchanges": 1}],
+        # r12: the MM rounds fold the collected <=30-row edge list on
+        # the driver (one round-trip); no per-round engine stage remains.
     },
     "za03_quantile_drift": {
         "za03:shard_summaries": [{"exchanges": 1}],
@@ -286,7 +287,6 @@ EXPECTED_SCANS = {
     },
     "za02_bradley_terry": {
         "za02:edges": [["event_id"]],
-        "za02:mm_round": [[]],
     },
     "za03_quantile_drift": {
         "za03:shard_summaries": [["user_id,value"]],
