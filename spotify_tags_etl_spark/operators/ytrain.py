@@ -563,22 +563,24 @@ def _bpe_oracle_sql(rounds: int = YV10_ROUNDS) -> str:
     tags=("text", "tokenizer", "training", "llm-pipeline"),
 )
 def yv10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows, words = bpe_learn(spark, sf_dir, YV10_ROUNDS)
-    words.unpersist()
+    rows, _words = bpe_learn(spark, sf_dir, YV10_ROUNDS, materialize_words=False)
     return spark.createDataFrame(
         rows, "round int, pa string, pb string, pair_count long"
     )
 
 
 def bpe_learn(
-    spark: SparkSession, sf_dir: str, rounds: int
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    spark: SparkSession, sf_dir: str, rounds: int, materialize_words: bool = True
+) -> tuple[list[tuple[int, str, str, int]], DataFrame | None]:
     """Sennrich-BPE merge-rule learning (yv10's engine), shared with the
     za01 apply operator: returns ``(merge_table_rows, words)`` where
     ``words`` is the (seq, cnt) vocabulary AFTER applying all learned
     merges greedy-left round by round — i.e. the already-tokenized
     vocabulary a consumer censuses or maps back over the corpus. The
-    caller owns ``words`` (unpersist when done)."""
+    caller owns ``words`` (unpersist when done). A caller that only
+    needs the merge TABLE (yv10) passes ``materialize_words=False``:
+    the final round's fold — which no argmax ever consumes — is then
+    never computed and ``words`` comes back None."""
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
@@ -600,6 +602,15 @@ def bpe_learn(
     record_plan(words, "bpe:vocab")
     words = words.localCheckpoint(eager=True)
     rows: list[tuple[int, str, str, int]] = []
+    # Per round, ONE job: the pair-argmax action over the LAZILY
+    # checkpointed fold of the previous round materializes that fold's
+    # blocks as a side effect (localCheckpoint(eager=False) persists on
+    # first computation), so the separate eager-checkpoint job each
+    # round — half of the loop's driver round-trips — disappears. The
+    # previous round's blocks are released only AFTER the action that
+    # materializes the current round has returned (a checkpointed RDD
+    # has no lineage to recompute from).
+    pending_unpersist: DataFrame | None = None
     for r in range(1, rounds + 1):
         lcol = words.select(F.split("seq", "\\|").alias("l"), "cnt").where(F.size("l") >= 2)
         top = (
@@ -619,6 +630,9 @@ def bpe_learn(
         )
         record_plan(top, "bpe:pair_argmax")
         top = top.collect()
+        if pending_unpersist is not None:
+            pending_unpersist.unpersist()
+            pending_unpersist = None
         if not top:
             # Every word fused to one symbol. The oracle agrees on BOTH
             # outputs: the merge table truncates identically (empty b{r}
@@ -643,8 +657,20 @@ def bpe_learn(
             "cnt",
         )
         record_plan(words, "bpe:fold")
-        words = words.localCheckpoint(eager=True)
-        prev.unpersist()
+        words = words.localCheckpoint(eager=False)
+        pending_unpersist = prev
+    if pending_unpersist is not None:
+        if materialize_words:
+            # The final fold is still lazy: materialize it before
+            # releasing its input so the returned frame never depends
+            # on freed blocks.
+            words.write.format("noop").mode("overwrite").save()
+        else:
+            words = None
+        pending_unpersist.unpersist()
+    elif not materialize_words:
+        words.unpersist()
+        words = None
     return rows, words
 
 
