@@ -642,9 +642,23 @@ def streaming_importance_weights(spark: SparkSession, stream_docs: DataFrame) ->
         doc_part.write.mode("overwrite").parquet(doc_dir)
         if doc_dir not in doc_dirs:
             doc_dirs.append(doc_dir)
-        part = grams.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("raw_n"),
-            F.count(F.when(F.col("lang") == ZB03_TARGET_LANG, 1)).alias("tgt_n"),
+        # r12: the census partial is a rollup OF the doc partial just
+        # written — re-reading those few parquet rows replaces a second
+        # full gram pass over the batch (explode + md5 per bigram, the
+        # trigger's dominant cost, previously paid twice). raw_n =
+        # SUM(n) per bucket and tgt_n = SUM(n) over target-lang rows,
+        # exactly the gram-occurrence counts the direct aggregate made
+        # (each (doc, bucket) group's n IS its occurrence count).
+        part = (
+            spark.read.parquet(doc_dir)
+            .groupBy("bucket")
+            .agg(
+                F.sum("n").alias("raw_n"),
+                F.coalesce(
+                    F.sum(F.when(F.col("lang") == ZB03_TARGET_LANG, F.col("n"))),
+                    F.lit(0),
+                ).alias("tgt_n"),
+            )
         )
         if current:
             merged = (
