@@ -270,15 +270,19 @@ def ze01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _w_lookup(w: dict[int, int]) -> str:
+def _w_arr(w: dict[int, int]) -> str:
+    """The weight vector as a literal array (buckets are dense in
+    [BIAS, BUCKETS) by construction, so position b + 2 holds w[b])."""
+    return "array(" + ", ".join(str(w[b]) for b in sorted(w)) + ")"
+
+
+def _w_lookup(w: dict[int, int], bucket: str = "bucket") -> str:
     """Weights as a literal array indexed by bucket: O(buckets)
     integers embedded per round — plan-feeding (xz10/za02), never a
     per-round shuffle. element_at(array, bucket + 2) is an O(1) lookup
     per row where the previous 65-arm CASE chain evaluated up to 65
-    branch tests per row (r12: 0.75x on the margins stage, bit-equal —
-    buckets are dense in [BIAS, BUCKETS) by construction)."""
-    arr = ", ".join(str(w[b]) for b in sorted(w))
-    return f"element_at(array({arr}), CAST(bucket + {2 - ZE01_BIAS - 1} AS INT))"
+    branch tests per row (r12: 0.75x on the margins stage, bit-equal)."""
+    return f"element_at({_w_arr(w)}, CAST({bucket} + {2 - ZE01_BIAS - 1} AS INT))"
 
 
 def _margins(feats: DataFrame, w: dict[int, int]) -> DataFrame:
@@ -331,29 +335,36 @@ def _fit_from_feats(
     already-checkpointed feats frame — shared by the live fit (ze01's
     corpus-parse path) and the artifact publish's partials-fed path
     (the r12 incremental layer: same rows, so bit-identical weights)."""
+    # r12 (second pass): the per-round margins SHUFFLE is gone. feats is
+    # pre-grouped ONCE into per-doc feature vectors (doc_id, y,
+    # fx: array<struct<bucket, cnt>>); each round's margin is then a
+    # MAP-ONLY exact-integer fold over fx with the weights embedded as
+    # an array literal, and the delta aggregate explodes only the
+    # MISCLASSIFIED docs' vectors — one keyed exchange per round
+    # instead of two (and the exploded side shrinks as the fit
+    # converges). Identical integers: DECIMAL(38,0) sums are exact in
+    # any order, so grouping the fold per doc cannot move a bit.
+    # n_mis still rides along as the BIAS bucket's row count (every
+    # doc's fx carries exactly one bias entry).
+    docvec = feats.groupBy("doc_id", "y").agg(
+        F.collect_list(F.struct("bucket", "cnt")).alias("fx")
+    )
+    record_plan(docvec, f"{label}:doc_vectors")
+    docvec = docvec.localCheckpoint(eager=True)
     w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
     rows: list[tuple[int, int, int, int, int]] = []
     w_hist: list[dict[int, int]] = []
     for r in range(1, ZE01_ROUNDS + 1):
-        # r12: ONE action per round instead of three. The old loop
-        # localCheckpointed the margins (action 1), counted the
-        # misclassified docs (action 2), then collected the weight
-        # deltas (action 3). The margins frame was only ever consumed
-        # by the delta join's broadcast side, so it now lives inline in
-        # that build side (same math, same exchange count, two fewer
-        # job round-trips and no O(#docs) checkpoint per round), and
-        # n_mis rides along as the BIAS bucket's row count: every doc
-        # in feats carries exactly one bias row (bucket -1, cnt 1), so
-        # counting the bias group's joined rows IS the misclassified-
-        # doc count. F.broadcast pins the strategy the planner already
-        # chose for the checkpointed frame (mis is O(#docs ids) —
-        # za02's plan-feeding bound, unchanged).
-        mis = _margins(feats, w).where(F.expr("y * m <= 0")).select("doc_id")
+        m = F.expr(
+            "aggregate(fx, CAST(0 AS DECIMAL(38,0)), (acc, e) -> acc"
+            f" + CAST(e.cnt AS DECIMAL(38,0)) * {_w_lookup(w, 'e.bucket')})"
+        )
+        mis = docvec.select("y", "fx", m.alias("m")).where(F.expr("y * m <= 0"))
         deltas = (
-            feats.join(F.broadcast(mis), "doc_id")
-            .groupBy("bucket")
+            mis.select("y", F.explode("fx").alias("e"))
+            .groupBy("e.bucket")
             .agg(
-                F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))").alias(
+                F.expr("CAST(SUM(CAST(y AS DECIMAL(38,0)) * e.cnt) AS DECIMAL(38,0))").alias(
                     "dw"
                 ),
                 F.count(F.lit(1)).alias("n_rows"),
@@ -370,6 +381,7 @@ def _fit_from_feats(
         w_dot = sum(v * (b + 2) for b, v in w.items())
         rows.append((r, n_mis, ((nd - n_mis) * 10**6) // nd, w_l1, w_dot))
         w_hist.append(dict(w))
+    docvec.unpersist()
     return rows, w_hist
 
 

@@ -487,15 +487,17 @@ def test_zd07_layout_invariant(spark, sf_dir, tmp_path_factory):
 # ---------------------------------------------------------------------------
 
 # one keyed exchange per fit stage — design matrix (map-combined
-# groupBy), bias union; the round loop is ONE single-action stage per
-# round since r12 (margins live inline in the delta join's broadcast
-# build side — its keyed exchange now counts inside weight_delta, so
-# 2 exchanges there and no separate margins stage); no SinglePartition,
-# no Python boundary anywhere in the fit
+# groupBy), bias union, the once-per-fit per-doc vector grouping
+# (doc_vectors); the round loop is ONE single-action stage per round
+# since r12, and since the r12 optimization pass the margin is a
+# MAP-ONLY fold over the pre-grouped vectors, so weight_delta carries
+# exactly the one keyed exchange of the misclassified-docs explode
+# rollup; no SinglePartition, no Python boundary anywhere in the fit
 _ZE_FIT_PLANS = {
     "ze01:design_matrix": [{"exchanges": 1}],
     "ze01:feats": [{"exchanges": 1}],
-    "ze01:weight_delta": [{"exchanges": 2}],
+    "ze01:doc_vectors": [{"exchanges": 1}],
+    "ze01:weight_delta": [{"exchanges": 1}],
 }
 
 # pushdown proof: the ONLY corpus read in the fit is the design matrix
@@ -503,6 +505,7 @@ _ZE_FIT_PLANS = {
 _ZE_FIT_SCANS = {
     "ze01:design_matrix": [["doc_id,lang,text"]],
     "ze01:feats": [[]],
+    "ze01:doc_vectors": [[]],
     "ze01:weight_delta": [[]],
 }
 
