@@ -938,8 +938,15 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
     current: list[str] = []  # exact-census version pointer
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        from spotify_tags_etl_spark.functions.concurrency import run_parallel
+        from spotify_tags_etl_spark.functions.concurrency import (
+            fan_out_scan,
+            run_parallel,
+        )
 
+        # r12 §14: single-split fixture batches would run the per-doc
+        # shingle/MinHash map work as ONE task — fan out to the core
+        # count (scale-adaptive no-op once the batch has >= cores splits)
+        batch = fan_out_scan(batch, "doc_id")
         sh = word_shingles(batch)
         sig = minhash_signatures(sh)
         record_batch_plan(sig, "zd05:sig_partial")

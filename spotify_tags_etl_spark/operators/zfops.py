@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.functions.concurrency import (
     checkpoint_parallel,
+    fan_out_scan,
     run_parallel,
 )
 from spotify_tags_etl_spark.functions.hashing import hash_frac_sql
@@ -1050,6 +1051,12 @@ def run_lineage_ingest(
     incr: list[tuple[int, str]] = []  # append-only census increments
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # r12 §14: the fixture micro-batch arrives as ONE scan split, so
+        # the per-doc map work (shingles, MinHash, gram explodes) in
+        # BOTH per-trigger jobs would run single-task; fan the batch out
+        # to the core count first (scale-adaptive — a no-op whenever the
+        # batch already has >= cores partitions, i.e. at any real scale).
+        batch = fan_out_scan(batch, "doc_id")
         store, part = lineage_batch_parts(batch)
         if extra_doc_rows is not None:
             store = store.unionByName(extra_doc_rows(batch))

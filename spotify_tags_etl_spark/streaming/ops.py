@@ -972,6 +972,12 @@ def streaming_neardup(
     current: list[str] = []  # signature-store version pointer
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
+
+        # r12 §14: fan the single-split fixture batch out to the core
+        # count before the per-doc signature map work (scale-adaptive
+        # no-op once the batch already has >= cores partitions)
+        batch = fan_out_scan(batch, "doc_id")
         sig_b = minhash_signatures(word_shingles(batch))
         sig_all = (
             sig_b.unionByName(spark.read.parquet(current[0])) if current else sig_b

@@ -870,3 +870,28 @@ def test_yv02_hoisted_quantize_matches_inline_fold(spark):
     ).collect()
     for r in got:
         assert r.ref == r.hoisted
+
+
+# ---------------------------------------------------------------------------
+# r12 §14: scale-adaptive scan fan-out
+# ---------------------------------------------------------------------------
+
+
+def test_fan_out_scan_is_scale_adaptive(spark):
+    """fan_out_scan must (a) leave an already-parallel frame untouched
+    (the production-scale contract: no payload shuffle at >= cores
+    splits), (b) widen a single-split frame by its byte size / the
+    per-task floor, and (c) never change the rows."""
+    from spotify_tags_etl_spark.functions import concurrency as cc
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 1000).withColumnRenamed("id", "doc_id").repartition(cores)
+    assert cc.fan_out_scan(wide, "doc_id") is wide  # identity, no new plan
+
+    narrow = spark.range(0, 1000).withColumnRenamed("id", "doc_id").coalesce(1)
+    fanned = cc.fan_out_scan(narrow, "doc_id")
+    got = fanned.rdd.getNumPartitions()
+    size = int(narrow._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    want = min(cores, max(2, -(-size // cc.FAN_TASK_BYTES)))
+    assert got == want
+    assert sorted(r.doc_id for r in fanned.collect()) == list(range(1000))

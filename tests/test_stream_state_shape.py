@@ -148,8 +148,11 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
     },
     "zd05_stream_dedup_funnel": {
         "engine:foreachBatch": [{}],
+        # r12 §14: the fan-out repartition REPLACES the signature
+        # groupBy(doc_id)'s own exchange (same key, same count stays 1);
+        # the census merge gains the fan-out subtree under its fold
         "zd05:sig_partial": [{"exchanges": 1}],
-        "zd05:exact_census_merge": [{"exchanges": 1}],
+        "zd05:exact_census_merge": [{"exchanges": 2}],
     },
     "zd07_stream_rag_manifest": {
         "engine:foreachBatch": [{}],
@@ -174,14 +177,22 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # testgram rows + previous version folded by ONE
         # groupBy(kind, k1, k2) — a single keyed exchange whose
         # map-side partials do the in-batch compression.
-        "zf02:doc_store": [{"exchanges": 3}],
+        # r12 §14: + the scale-adaptive batch fan-out (fan_out_scan —
+        # the single-split fixture batch hash-repartitions on doc_id to
+        # the core count before the per-doc map work; a no-op at any
+        # scale where the batch has >= cores splits). The banded-sig
+        # groupBy(doc_id) is satisfied by the fan-out's partitioning
+        # (one exchange absorbed), so the net count is 3 + 1.
+        "zf02:doc_store": [{"exchanges": 4}],
         # r12: the census is an APPEND-ONLY log — per trigger only the
         # batch-LOCAL increment folds (one keyed exchange over the
         # micro-batch; the plan reads nothing but the batch) and writes
         # O(batch) bytes; increments compact every ZF02_COMPACT_EVERY
         # triggers (label census_compaction — absent here: the pinned
         # single-file run has one batch)
-        "zf02:census_increment": [{"exchanges": 1}],
+        # r12 §14: the increment's three union branches each render the
+        # fan-out repartition subtree (3) + the one keyed increment fold
+        "zf02:census_increment": [{"exchanges": 4}],
     },
     "zg07_stream_quality_rules": {
         "engine:foreachBatch": [{}],
@@ -196,10 +207,14 @@ EXPECTED_MICRO_PLANS: dict[str, dict[str, list[dict[str, int]]]] = {
         # groupBy, the bias distinct, and the per-doc margin groupBy
         # (3 more keyed exchanges on micro-batch-sized frames); the
         # rule-code branch is a per-doc projection, exchange-free
-        "zh04:doc_store": [{"exchanges": 6}],
+        # r12 §14: + the scale-adaptive batch fan-out (see zf02 note;
+        # two of the previous keyed exchanges are absorbed by the
+        # fan-out's doc_id partitioning, two fan-out subtrees render)
+        "zh04:doc_store": [{"exchanges": 7}],
         # census log is zf02's verbatim: the batch-local increment
-        # (r12 append-only shape; compaction label absent — one batch)
-        "zh04:census_increment": [{"exchanges": 1}],
+        # (r12 append-only shape; compaction label absent — one batch;
+        # §14 fan-out subtrees render in the three union branches)
+        "zh04:census_increment": [{"exchanges": 4}],
     },
 }
 
