@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 N_HASHES = 8
@@ -226,7 +227,9 @@ def _minhash_oracle(threshold_permille: int) -> str:
     tags=("dedup", "lsh"),
 )
 def dd02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 §14: fan the single-split corpus scan out before the per-doc
+    # shingle/MinHash map work (scale-adaptive no-op at >= cores splits)
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = word_shingles(docs)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return jaccard_verify(pairs, sh, threshold_permille=800)
@@ -366,7 +369,7 @@ def _simhash_oracle(max_hamming: int) -> str:
     tags=("dedup", "sketch"),
 )
 def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # r12 §14
     return simhash_pairs(simhash_fingerprints(word_shingles(docs)))
 
 
@@ -407,7 +410,7 @@ def dd03(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dd04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # r12 §14
     sh = word_shingles(docs)
     a = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
     b = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
@@ -451,7 +454,7 @@ _COS_THRESH = 0.30  # synthetic 64-dim cluster embeddings: within-label max ≈ 
     tags=("dedup", "similarity"),
 )
 def dd05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")  # r12 §14
     nrm = F.sqrt(F.expr(_COS_DOT.format(a="embedding", b="embedding")))
     e = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
     a = e.select(F.col("vec_id").alias("d1"), F.col("label").alias("lbl"), F.col("embedding").alias("v1"), F.col("nrm").alias("n1"))

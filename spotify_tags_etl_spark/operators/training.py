@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 #: Per-language sampling rates (stratified): lang → keep fraction.
@@ -372,7 +373,8 @@ def decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
     tags=("training", "quality"),
 )
 def tz06(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decontaminate(load_table(spark, sf_dir, "documents"))
+    # r12 §14: fan the single-split corpus out before the gram explode
+    return decontaminate(fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -898,7 +900,8 @@ def bloom_decontaminate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
     tags=("training", "quality", "sketch", "llm-pipeline"),
 )
 def xu02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bloom_decontaminate(load_table(spark, sf_dir, "documents"))
+    # r12 §14: fan the single-split corpus out before the gram explodes
+    return bloom_decontaminate(fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 # ---------------------------------------------------------------------------

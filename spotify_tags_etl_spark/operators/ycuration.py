@@ -43,6 +43,7 @@ from spotify_tags_etl_spark.operators.dedup import (
 )
 from spotify_tags_etl_spark.functions.hashing import hash_frac_sql
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 
@@ -173,7 +174,7 @@ def _containment_oracle(threshold_permille: int) -> str:
     tags=("dedup", "lsh", "containment", "llm-pipeline"),
 )
 def yt01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # r12 §14
     sh = word_shingles(docs)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -792,7 +793,7 @@ def _yp01_oracle() -> str:
     tags=("training", "pipeline", "dedup", "quality", "llm-pipeline"),
 )
 def yp01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # r12 §14
     sh = word_shingles(docs)
 
     # containment pairs (yt01's machinery, flags instead of ratios)

@@ -33,6 +33,7 @@ from spotify_tags_etl_spark.operators.ytrain import (
 )
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 # ---------------------------------------------------------------------------
@@ -1019,7 +1020,11 @@ ZB03_ORACLE = f"""
     tags=("curation", "quality", "sampling", "llm-pipeline"),
 )
 def zb03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 §14: fan the single-split corpus out before the two gram
+    # passes. The fan key is text — the one column BOTH passes read —
+    # so the census pass's ReadSchema stays (lang, text): keying on
+    # doc_id would force the pruned id column back into that scan.
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "text")
     # word-array projection filters empties exactly like the oracle
     grams = zb03_grams(docs)
     census = grams.groupBy("bucket").agg(

@@ -48,6 +48,7 @@ from spotify_tags_etl_spark.operators.ytrain import (
 )
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 # ---------------------------------------------------------------------------
@@ -489,7 +490,13 @@ def zc03_corpus_and_edges(spark: SparkSession, sf_dir: str):
     duplicate-edge relation ``edges(d1 < d2)`` — the shared substrate of
     the transitive drop rule (zc03: drop d2 iff any edge) and the
     keep-set greedy variant (zd06: iterate over the edge graph)."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r12 §14: fan the single-split embeddings scan out before the
+    # 16-table sign-LSH projection (the heaviest per-row map in the
+    # suite); scale-adaptive no-op at >= cores input splits
+    emb = fan_out_scan(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    )
     b = zc03_project(emb)
     # ONE corpus scan: the quantized/bucketed frame feeds the candidate
     # explode and BOTH pair sides — checkpoint instead of re-deriving

@@ -40,6 +40,7 @@ from spotify_tags_etl_spark.operators.dedup import _minhash_ctes
 from spotify_tags_etl_spark.operators.zcops import _zc03_ctes
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 # ---------------------------------------------------------------------------
@@ -882,7 +883,8 @@ def _zd04_oracle_sql() -> str:
 def zd04(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tags_etl_spark.operators.training import decontaminate
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 §14: fan the single-split corpus out before the gram explodes
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return contamination_aware_packing(docs, decontaminate(docs))
 
 

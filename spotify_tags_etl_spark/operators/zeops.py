@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 # ---------------------------------------------------------------------------
@@ -297,7 +298,8 @@ def ze01_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized pass every ze consumer pays (scoring is inherently a
     corpus read; only the FIT is amortizable via the artifact).
     Caller unpersists when done."""
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 §14: fan the single-split corpus out before the bigram explode
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     gf = ze01_design_matrix(docs)
     record_plan(gf, "ze01:design_matrix")
     gf = gf.localCheckpoint(eager=True)  # the ONLY corpus-sized pass

@@ -263,9 +263,13 @@ EXPECTED_LOOP_PLANS = {
     # census exchange, the 1-row totals fold (SP) on the checkpointed
     # 256-row census, then the per-doc scoring pass.
     "zb03_importance_weights": {
-        "zb03:census": [{"exchanges": 1}],
+        # r12 §14: both gram passes now read the corpus through the
+        # scale-adaptive fan-out (single-split fixture scan -> bytes-
+        # derived width; a no-op at >= cores input splits), which
+        # prints as one extra exchange under each stage
+        "zb03:census": [{"exchanges": 2}],
         "zb03:bucket_weights": [{"single_partition": 1}],
-        "zb03:doc_scores": [{"exchanges": 1}],
+        "zb03:doc_scores": [{"exchanges": 2}],
     },
 }
 

@@ -372,7 +372,8 @@ def test_zc05_schedule_semantics(spark, sf_dir):
 
 EXPECTED_LOOP_PLANS_2 = {
     "zc03_semantic_dedup": {
-        "zc03:projected_corpus": [{}],
+        # r12 §14: + the scale-adaptive embeddings fan-out exchange
+        "zc03:projected_corpus": [{"exchanges": 1}],
     },
     "zc05_curriculum_schedule": {
         "scalerank:layout": [{}],

@@ -331,13 +331,15 @@ EXPECTED_LOOP_PLANS = {
         "zd03:projected_corpus": [{"exchanges": 1, "single_partition": 3}],
     },
     "zd04_contamination_aware_packing": {
-        "zd04:flagged_bands": [{"exchanges": 3}],
+        # r12 §14: + the scale-adaptive corpus fan-out exchange
+        "zd04:flagged_bands": [{"exchanges": 4}],
     },
     "zd05_stream_dedup_funnel": {
         "zd05:funnel_report": [{"exchanges": 8, "sort_merge_joins": 2}],
     },
     "zd06_semantic_dedup_keepset": {
-        "zc03:projected_corpus": [{}],
+        # r12 §14: + the scale-adaptive embeddings fan-out exchange
+        "zc03:projected_corpus": [{"exchanges": 1}],
         "zd06:dup_edges": [{"exchanges": 1}],
         "zd06:round0": [{"exchanges": 2, "sort_merge_joins": 1}],
         # two round shapes: the steady-state round and the final
@@ -784,10 +786,15 @@ def test_ze04_calibration_accounting(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 ZF01_EXPECTED_LOOP_PLANS = {
-    "zc03:projected_corpus": [{}],
+    # r12 §14: + the scale-adaptive embeddings fan-out exchange
+    "zc03:projected_corpus": [{"exchanges": 1}],
     "zf01:importance_census": [{"exchanges": 1}],
     "zf01:exact_keeps": [{"exchanges": 1}],
-    "zf01:near_drops": [{"exchanges": 5}],
+    # r12 §14: dd02 fans its single-split corpus scan out before the
+    # shingle/MinHash map work; the fan subtree prints under both
+    # verify sides (5 + 2). Scale-adaptive — at >= cores input splits
+    # the fan is a no-op and the stage keeps its five exchanges.
+    "zf01:near_drops": [{"exchanges": 7}],
     "zf01:sem_drops": [{"exchanges": 2}],
     "zf01:contam": [{"exchanges": 3}],
     "zf01:offtarget": [{"exchanges": 1}],
