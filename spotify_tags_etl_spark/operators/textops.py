@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 #: language → marker words (padded match on ' word ').
@@ -795,7 +796,8 @@ def dup_span_detect(docs: DataFrame, n: int = _SPAN_N) -> DataFrame:
     tags=("text", "dedup", "spans"),
 )
 def xk01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dup_span_detect(load_table(spark, sf_dir, "documents"))
+    # r12 §14: fan the single-split corpus out before the span explode
+    return dup_span_detect(fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 #: xt02 phrase-detection parameters: discount + report size.

@@ -476,7 +476,8 @@ def contamination_rate(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
     tags=("training", "quality"),
 )
 def tz08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return contamination_rate(load_table(spark, sf_dir, "documents"))
+    # r12 §14: fan the single-split corpus out before the gram explodes
+    return contamination_rate(fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"))
 
 
 # ---------------------------------------------------------------------------

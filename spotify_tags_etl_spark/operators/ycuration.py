@@ -83,7 +83,8 @@ from spotify_tags_etl_spark.sources.tpch import load_table
     tags=("dedup", "text", "quality", "llm-pipeline"),
 )
 def ya01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = word_shingles(load_table(spark, sf_dir, "documents"))
+    # r12 §14: fan the single-split corpus out before shingling
+    sh = word_shingles(fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id"))
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df, "s")
@@ -1245,7 +1246,7 @@ _YV22_MOD = 10
     tags=("curation", "text", "eval", "llm-pipeline"),
 )
 def yv22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")  # r12 §14
     sh = word_shingles(docs, n=2)
     split = docs.select(
         "doc_id",

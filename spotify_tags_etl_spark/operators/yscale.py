@@ -34,6 +34,7 @@ from spotify_tags_etl_spark.operators.scalerank import (
     prefix_sum,
 )
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
 
@@ -505,7 +506,10 @@ def yc01(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality", "llm-pipeline"),
 )
 def yf01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r12 §14: fan the single-split corpus out before the gram explode
+    docs = fan_out_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
     grams = (
         "transform(sequence(1, size(t) - 2), "
         "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"
@@ -950,7 +954,8 @@ def yx01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from spotify_tags_etl_spark.operators.training import train_val_test_split
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r12 §14: fan the single-split corpus out before shingling
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     sh = word_shingles(docs)
     sig = minhash_signatures(sh)
     verified = jaccard_verify(lsh_candidate_pairs(sig), sh, YX01_PERMILLE)
