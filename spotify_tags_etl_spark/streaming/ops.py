@@ -292,6 +292,21 @@ def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     return out
 
 
+#: Shuffle/state-partition count frozen into engine-sink streaming
+#: queries at start. Two reasons this is NOT the batch-side number
+#: (r12 §15): AQE is disabled under Structured Streaming, so the
+#: static ``spark.sql.shuffle.partitions`` runs UNCOALESCED in every
+#: micro-batch; and each stateful operator materializes one state
+#: store per partition, each committing a delta file (+fsync) per
+#: trigger — at the fixture's KB-sized state, 32 stores cost ~0.5 s
+#: per query of pure commit overhead (measured: stateful floor 1.33 s
+#: at 32 partitions, 0.90 s at 8; 4 is no better than 8). Micro-batch
+#: volume is bounded by trigger sizing, so the right static number
+#: tracks per-trigger state/batch volume, not the batch-scan core
+#: count — production deployments size it via this env knob.
+STREAM_PARTITIONS = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+
+
 def run_to_memory_with_progress(stream: DataFrame, output_mode: str):
     """:func:`run_to_memory` plus the query's final watermark (epoch
     usec, or None before any advance) read from the engine's own
@@ -299,6 +314,14 @@ def run_to_memory_with_progress(stream: DataFrame, output_mode: str):
     re-scanning inputs to reconstruct event-time bookkeeping."""
     spark = stream.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
+    # The partition count is frozen into the query's state-store layout
+    # at start; restore the session value once the run has terminated
+    # (AvailableNow runs synchronously inside this function).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(min(int(prev_parts), STREAM_PARTITIONS)),
+    )
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -323,6 +346,9 @@ def run_to_memory_with_progress(stream: DataFrame, output_mode: str):
         record_state_ops(q, "memory")
     finally:
         q.stop()
+        # conf capture happens on the query thread, not at .start() —
+        # restore only once the (synchronous AvailableNow) run is over
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out, wm_us
