@@ -861,8 +861,15 @@ _Y_DUCK = "('0x' || substr(md5('y:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGIN
 )
 def yn02(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = YN02_R
-    pts = load_table(spark, sf_dir, "events").select(
-        "event_id", F.expr(_X_SPARK).alias("x"), F.expr(_Y_SPARK).alias("y")
+    # r12 §14: fan the single-split events scan out before the 9-cell
+    # explode + in-cell pair work (scale-adaptive no-op at >= cores
+    # splits). Every other events consumer measured WORSE with a fan
+    # (cheap per-row maps) and keeps the plain scan.
+    pts = fan_out_scan(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", F.expr(_X_SPARK).alias("x"), F.expr(_Y_SPARK).alias("y")
+        ),
+        "event_id",
     )
     a = pts.select(
         F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
