@@ -640,6 +640,8 @@ def streaming_importance_weights(spark: SparkSession, stream_docs: DataFrame) ->
     current: list[str] = []  # census version pointer
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # r12 §14: fan the single-split batch out before the gram explode
+        batch = fan_out_scan(batch, "doc_id")
         grams = zb03_grams(batch)
         doc_part = grams.groupBy("doc_id", "lang", "bucket").agg(
             F.count(F.lit(1)).alias("n")

@@ -946,6 +946,9 @@ def streaming_classifier_gate(
     current: list[str] = []  # census version pointer
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # r12 §14: fan the single-split batch out before the per-batch
+        # design-matrix bigram explode
+        batch = fan_out_scan(batch, "doc_id")
         gf = ze01_design_matrix(batch)
         bias = (
             gf.select("doc_id", "y")
