@@ -48,6 +48,7 @@ from spotify_tags_etl_spark.operators.ytrain import (
 )
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.arrowdot import pair_dot_int64
 from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
@@ -572,19 +573,17 @@ def zc03_edges_from_b(b: DataFrame) -> DataFrame:
     b1 = b.select(F.col("vec_id").alias("d1"), F.col("q").alias("q1"), F.col("na").alias("na1"))
     b2 = b.select(F.col("vec_id").alias("d2"), F.col("q").alias("q2"), F.col("na").alias("na2"))
     t2 = ZC03_T_PPM * ZC03_T_PPM
-    dots = (
-        pairs.join(b1, "d1")
-        .join(b2, "d2")
-        .select(
-            "d1",
-            "d2",
-            F.expr(
-                "aggregate(zip_with(q1, q2, (x, y) -> x * y), CAST(0 AS BIGINT),"
-                " (acc, v) -> acc + v)"
-            ).alias("dp"),
-            "na1",
-            "na2",
-        )
+    # r13: the exact-verify dot runs as ONE numpy einsum per Arrow
+    # batch instead of an interpreted per-element fold (guide §4.2;
+    # integer sums, so the result is bit-identical — see
+    # functions/arrowdot.py for the measured evidence).
+    dots = pair_dot_int64(
+        pairs.join(b1, "d1").join(b2, "d2").select(
+            "d1", "d2", "na1", "na2", "q1", "q2"
+        ),
+        "q1",
+        "q2",
+        "dp",
     )
     edges = dots.where(
         (F.col("dp") > 0)

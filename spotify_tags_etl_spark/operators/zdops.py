@@ -40,6 +40,7 @@ from spotify_tags_etl_spark.operators.dedup import _minhash_ctes
 from spotify_tags_etl_spark.operators.zcops import _zc03_ctes
 from spotify_tags_etl_spark.plans.planmetrics import record_plan
 from spotify_tags_etl_spark.plans.registry import register
+from spotify_tags_etl_spark.functions.arrowdot import pair_dot_int64
 from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 from spotify_tags_etl_spark.sources.tpch import load_table
 
@@ -707,17 +708,16 @@ def zd03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("d2"), F.col("q").alias("q2"), F.col("na").alias("na2")
     )
     t2 = _ZD03_T_PPM * _ZD03_T_PPM
+    # r13: exact-verify dot as one numpy einsum per Arrow batch (guide
+    # §4.2; integer sums — bit-identical; functions/arrowdot.py).
     dups = (
-        pairs.join(b1, "d1")
-        .join(b2, "d2")
-        .select(
-            "d2",
-            F.expr(
-                "aggregate(zip_with(q1, q2, (x, y) -> x * y), CAST(0 AS BIGINT),"
-                " (acc, v) -> acc + v)"
-            ).alias("dp"),
-            "na1",
-            "na2",
+        pair_dot_int64(
+            pairs.join(b1, "d1").join(b2, "d2").select(
+                "d2", "na1", "na2", "q1", "q2"
+            ),
+            "q1",
+            "q2",
+            "dp",
         )
         .where(
             (F.col("dp") > 0)

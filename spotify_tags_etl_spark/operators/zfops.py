@@ -22,8 +22,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from spotify_tags_etl_spark.functions.concurrency import (
+    bounded_shuffle,
     checkpoint_parallel,
     fan_out_scan,
+    input_file_bytes,
     run_parallel,
 )
 from spotify_tags_etl_spark.functions.hashing import hash_frac_sql
@@ -319,38 +321,53 @@ def zf01_flags(
         record_plan(frame, label)
         return frame.localCheckpoint(eager=True)
 
-    exact_keeps, near_drops, sem_drops, contam, offtgt = run_parallel(
-        lambda: _stage(
-            "zf01:exact_keeps",
-            lambda: dd01(spark, sf_dir).select(
-                F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
-            ),
-        ),
-        lambda: _stage(
-            "zf01:near_drops",
-            lambda: dd02(spark, sf_dir)
-            .select(F.col("d2").alias("doc_id"))
-            .distinct()
-            .withColumn("f_near", F.lit(1)),
-        ),
-        lambda: _stage(
-            "zf01:sem_drops",
-            lambda: zc03(spark, sf_dir)
-            .where(F.col("keep") == 0)
-            .select(F.col("vec_id").alias("doc_id"))
-            .withColumn("f_sem", F.lit(1)),
-        ),
-        lambda: _stage(
-            "zf01:contam",
-            lambda: tz06(spark, sf_dir).select("doc_id").withColumn(
-                "f_con", F.lit(1)
-            ),
-        ),
-        lambda: _stage(
-            "zf01:offtarget",
-            lambda: zf01_offtarget(spark, sf_dir).withColumn("f_off", F.lit(1)),
-        ),
+    # r13: freeze the initial shuffle width to the publisher's input
+    # volume for the duration of the five concurrent stage builds
+    # (guide §2.2 — at KB-MB volume, 32 initial partitions x every
+    # exchange x 5 concurrent jobs is pure scheduling/commit overhead;
+    # at production volume the bound computes >= the session value and
+    # is a no-op). AQE still coalesces below the bound at runtime.
+    import os as _os
+
+    _in_bytes = input_file_bytes(
+        _os.path.join(sf_dir, "documents.parquet"),
+        _os.path.join(sf_dir, "embeddings.parquet"),
     )
+    with bounded_shuffle(spark, _in_bytes):
+        exact_keeps, near_drops, sem_drops, contam, offtgt = run_parallel(
+            lambda: _stage(
+                "zf01:exact_keeps",
+                lambda: dd01(spark, sf_dir).select(
+                    F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("s_e")
+                ),
+            ),
+            lambda: _stage(
+                "zf01:near_drops",
+                lambda: dd02(spark, sf_dir)
+                .select(F.col("d2").alias("doc_id"))
+                .distinct()
+                .withColumn("f_near", F.lit(1)),
+            ),
+            lambda: _stage(
+                "zf01:sem_drops",
+                lambda: zc03(spark, sf_dir)
+                .where(F.col("keep") == 0)
+                .select(F.col("vec_id").alias("doc_id"))
+                .withColumn("f_sem", F.lit(1)),
+            ),
+            lambda: _stage(
+                "zf01:contam",
+                lambda: tz06(spark, sf_dir).select("doc_id").withColumn(
+                    "f_con", F.lit(1)
+                ),
+            ),
+            lambda: _stage(
+                "zf01:offtarget",
+                lambda: zf01_offtarget(spark, sf_dir).withColumn(
+                    "f_off", F.lit(1)
+                ),
+            ),
+        )
     flags = (
         docs.join(exact_keeps, "doc_id", "left")
         .join(near_drops, "doc_id", "left")

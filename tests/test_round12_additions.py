@@ -708,7 +708,8 @@ ZF01P_EXPECTED_LOOP_PLANS = {
     "zf01p:importance_census": [{"exchanges": 1}],
     "zf01p:exact_keeps": [{"exchanges": 1}],
     "zf01p:near_drops": [{"exchanges": 4}],
-    "zf01p:sem_drops": [{"exchanges": 2}],
+    # r13: exact-verify dot as one MapInArrow numpy pass (arrowdot.py)
+    "zf01p:sem_drops": [{"exchanges": 2, "map_in_arrow": 1}],
     "zf01p:contam": [{"exchanges": 2}],
     "zf01p:offtarget": [{"exchanges": 1}],
     "zf01p:lineage_flags": [{"exchanges": 4, "sort_merge_joins": 3}],

@@ -340,7 +340,8 @@ EXPECTED_LOOP_PLANS = {
     "zd06_semantic_dedup_keepset": {
         # r12 §14: + the scale-adaptive embeddings fan-out exchange
         "zc03:projected_corpus": [{"exchanges": 1}],
-        "zd06:dup_edges": [{"exchanges": 1}],
+        # r13: + the MapInArrow exact-verify dot (functions/arrowdot.py)
+        "zd06:dup_edges": [{"exchanges": 1, "map_in_arrow": 1}],
         "zd06:round0": [{"exchanges": 2, "sort_merge_joins": 1}],
         # two round shapes: the steady-state round and the final
         # (smaller) one AQE plans differently — both O(edges) keyed
@@ -795,7 +796,9 @@ ZF01_EXPECTED_LOOP_PLANS = {
     # verify sides (5 + 2). Scale-adaptive — at >= cores input splits
     # the fan is a no-op and the stage keeps its five exchanges.
     "zf01:near_drops": [{"exchanges": 7}],
-    "zf01:sem_drops": [{"exchanges": 2}],
+    # r13: the exact-verify dot is one MapInArrow numpy pass (guide
+    # §4.2, functions/arrowdot.py) instead of an interpreted fold
+    "zf01:sem_drops": [{"exchanges": 2, "map_in_arrow": 1}],
     "zf01:contam": [{"exchanges": 3}],
     "zf01:offtarget": [{"exchanges": 1}],
     # five LEFT joins of checkpointed drop-lists on one corpus scan;
