@@ -553,6 +553,7 @@ def streaming_preference_pairs(spark: SparkSession, stream: DataFrame) -> DataFr
         F.min("rkey").alias("rkey"),
     ]
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         keyed = batch.select(
             F.expr(f"doc_id DIV {YV05_GROUP}").alias("pid"),
@@ -578,7 +579,7 @@ def streaming_preference_pairs(spark: SparkSession, stream: DataFrame) -> DataFr
         else:
             merged = part
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(merged, "za04:pairs_merge")
+        record_batch_plan(merged, "za04:pairs_merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -814,6 +815,7 @@ def streaming_quantile_drift(spark: SparkSession, stream: DataFrame) -> DataFram
     root = tempfile.mkdtemp(prefix="zb02_hist_")
     current: list[str] = []
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         part = (
             batch.select(
@@ -833,7 +835,7 @@ def streaming_quantile_drift(spark: SparkSession, stream: DataFrame) -> DataFram
         else:
             merged = part
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(merged, "zb02:hist_merge")
+        record_batch_plan(merged, "zb02:hist_merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 

@@ -638,6 +638,7 @@ def streaming_importance_weights(spark: SparkSession, stream_docs: DataFrame) ->
     doc_dirs: list[str] = []  # per-batch doc-histogram dirs (idempotent)
     current: list[str] = []  # census version pointer
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # r12 §14: fan the single-split batch out before the gram explode
         batch = fan_out_scan(batch, "doc_id")
@@ -645,7 +646,7 @@ def streaming_importance_weights(spark: SparkSession, stream_docs: DataFrame) ->
         doc_part = grams.groupBy("doc_id", "lang", "bucket").agg(
             F.count(F.lit(1)).alias("n")
         )
-        record_batch_plan(doc_part, "zc04:doc_partial")
+        record_batch_plan(doc_part, "zc04:doc_partial", seen=plan_seen)
         doc_dir = os.path.join(docs_root, f"b{batch_id}")
         doc_part.write.mode("overwrite").parquet(doc_dir)
         if doc_dir not in doc_dirs:
@@ -678,7 +679,7 @@ def streaming_importance_weights(spark: SparkSession, stream_docs: DataFrame) ->
         else:
             merged = part
         target = os.path.join(root, f"census_v{batch_id}")
-        record_batch_plan(merged, "zc04:census_merge")
+        record_batch_plan(merged, "zc04:census_merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1012,6 +1013,7 @@ def streaming_pack_efficiency(spark: SparkSession, stream_docs: DataFrame) -> Da
     root = tempfile.mkdtemp(prefix="zc07_pack_")
     current: list[str] = []
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         part = (
             batch.select(
@@ -1039,7 +1041,7 @@ def streaming_pack_efficiency(spark: SparkSession, stream_docs: DataFrame) -> Da
         else:
             merged = part
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(merged, "zc07:band_merge")
+        record_batch_plan(merged, "zc07:band_merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 

@@ -939,6 +939,7 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
     sh_dirs: list[str] = []
     current: list[str] = []  # exact-census version pointer
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         from spotify_tags_etl_spark.functions.concurrency import (
             fan_out_scan,
@@ -951,7 +952,7 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
         batch = fan_out_scan(batch, "doc_id")
         sh = word_shingles(batch)
         sig = minhash_signatures(sh)
-        record_batch_plan(sig, "zd05:sig_partial")
+        record_batch_plan(sig, "zd05:sig_partial", seen=plan_seen)
         sig_dir = os.path.join(sig_root, f"b{batch_id}")
         sh_dir = os.path.join(sh_root, f"b{batch_id}")
         part = batch.groupBy(
@@ -968,7 +969,7 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
             )
         else:
             merged = part
-        record_batch_plan(merged, "zd05:exact_census_merge")
+        record_batch_plan(merged, "zd05:exact_census_merge", seen=plan_seen)
         target = os.path.join(root, f"census_v{batch_id}")
 
         # r12 §2.6: the three per-trigger writes are independent sinks
@@ -1019,7 +1020,13 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
         }
     )
     census, sig_store, sh_store = cps["census"], cps["sig_store"], cps["sh_store"]
-    shutil.rmtree(root, ignore_errors=True)
+    # r13: the delete needs nothing below and nothing below needs it —
+    # off the critical path (zf02's close change)
+    import threading
+
+    threading.Thread(
+        target=shutil.rmtree, args=(root,), kwargs={"ignore_errors": True}
+    ).start()
 
     # Exact keeps: per-hash global min over the per-(hash, source)
     # minima — each keep attributed to ITS OWN source via min(struct).
@@ -1289,6 +1296,7 @@ def streaming_rag_manifest(spark: SparkSession, sf_dir: str, stream_docs: DataFr
     root = tempfile.mkdtemp(prefix="zd07_manifest_")
     current: list[str] = []
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         chunks = chunk_tokens(batch).select("doc_id", "n_tokens")
         part = (
@@ -1317,7 +1325,7 @@ def streaming_rag_manifest(spark: SparkSession, sf_dir: str, stream_docs: DataFr
             )
         else:
             merged = part
-        record_batch_plan(merged, "zd07:census_merge")
+        record_batch_plan(merged, "zd07:census_merge", seen=plan_seen)
         target = os.path.join(root, f"census_v{batch_id}")
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]

@@ -945,6 +945,7 @@ def streaming_classifier_gate(
     root = tempfile.mkdtemp(prefix="ze03_gate_")
     current: list[str] = []  # census version pointer
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # r12 §14: fan the single-split batch out before the per-batch
         # design-matrix bigram explode
@@ -985,7 +986,7 @@ def streaming_classifier_gate(
                     F.sum("n_correct").alias("n_correct"),
                 )
             )
-        record_batch_plan(part, "ze03:census_merge")
+        record_batch_plan(part, "ze03:census_merge", seen=plan_seen)
         commit_versioned_state(part, current, target, src)
 
     q = (

@@ -965,6 +965,7 @@ def census_log_step(
     part: DataFrame,
     batch_id: int,
     label: str,
+    plan_seen: set | None = None,
 ) -> None:
     """One trigger's census-log work (extracted from the foreachBatch
     closure so replay scenarios are directly testable): append the
@@ -991,7 +992,7 @@ def census_log_step(
         F.sum("n2").alias("n2"),
         F.min("m").alias("m"),
     )
-    record_batch_plan(inc, f"{label}:census_increment")
+    record_batch_plan(inc, f"{label}:census_increment", seen=plan_seen)
     cd = os.path.join(root, "census", f"b{batch_id}")
     inc.write.mode("overwrite").parquet(cd)  # replay-idempotent
     if (batch_id, cd) not in incr:
@@ -1066,6 +1067,7 @@ def run_lineage_ingest(
     store_dirs: list[str] = []  # per-batch idempotent doc stores
     state_cur: list[str] = []   # compacted-census version pointer
     incr: list[tuple[int, str]] = []  # append-only census increments
+    plan_seen: set = set()  # r13: fingerprint each label once per run
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # r12 §14: the fixture micro-batch arrives as ONE scan split, so
@@ -1077,7 +1079,7 @@ def run_lineage_ingest(
         store, part = lineage_batch_parts(batch)
         if extra_doc_rows is not None:
             store = store.unionByName(extra_doc_rows(batch))
-        record_batch_plan(store, f"{label}:doc_store")
+        record_batch_plan(store, f"{label}:doc_store", seen=plan_seen)
         d = os.path.join(root, "docstore", f"b{batch_id}")
         # r12 §2.6: the two per-trigger writes are independent sinks
         # (both replay-idempotent on their own) — overlap them so the
@@ -1087,7 +1089,8 @@ def run_lineage_ingest(
         run_parallel(
             lambda: store.write.mode("overwrite").parquet(d),
             lambda: census_log_step(
-                spark, root, incr, state_cur, part, batch_id, label
+                spark, root, incr, state_cur, part, batch_id, label,
+                plan_seen=plan_seen,
             ),
         )
         if d not in store_dirs:
@@ -1239,6 +1242,7 @@ def _run_lineage_stream(
     spark: SparkSession, sf_dir: str, stream_docs: DataFrame, label: str
 ) -> DataFrame:
     import shutil
+    import threading
 
     root, store_dirs, state_parts = run_lineage_ingest(
         spark, stream_docs, label=label
@@ -1251,10 +1255,21 @@ def _run_lineage_stream(
             " n_kept bigint, kept_ppm bigint",
         )
     # checkpoints only because rmtree deletes the backing files; a
-    # production run leaves censuses + stores as the parquet they are
-    state = resolve_census_state(spark, state_parts).localCheckpoint(eager=True)
-    store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
+    # production run leaves censuses + stores as the parquet they are.
+    # r13: the two resolves are independent jobs — overlap them
+    # (guide §2.6), and push the tmp-dir delete off the critical path
+    # (its backing files are no longer needed once both checkpoints
+    # return, and nothing below reads `root`).
+    pre = checkpoint_parallel(
+        {
+            "state": resolve_census_state(spark, state_parts),
+            "store": spark.read.parquet(*store_dirs),
+        }
+    )
+    state, store = pre["state"], pre["store"]
+    threading.Thread(
+        target=shutil.rmtree, args=(root,), kwargs={"ignore_errors": True}
+    ).start()
     fr = lineage_close_frames(spark, sf_dir, state, store)
     census, keeps = fr["census"], fr["keeps"]
     near_drops, sem_drops = fr["near_drops"], fr["sem_drops"]

@@ -946,6 +946,7 @@ def streaming_quality_rules(spark: SparkSession, stream_docs: DataFrame) -> Data
     root = tempfile.mkdtemp(prefix="zg07_rules_")
     current: list[str] = []  # census version pointer
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         part = zg06_census_partial(batch)
         target = os.path.join(root, f"census_v{batch_id}")
@@ -964,7 +965,7 @@ def streaming_quality_rules(spark: SparkSession, stream_docs: DataFrame) -> Data
                     F.sum("n_kept").alias("n_kept"),
                 )
             )
-        record_batch_plan(part, "zg07:census_merge")
+        record_batch_plan(part, "zg07:census_merge", seen=plan_seen)
         commit_versioned_state(part, current, target, src)
 
     q = (

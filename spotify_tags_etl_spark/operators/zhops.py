@@ -706,10 +706,23 @@ def streaming_unified_keepset(
         return spark.createDataFrame(
             [], f"source string, n_docs bigint, {cols}, kept_ppm bigint"
         )
-    # checkpoints only because rmtree deletes the backing files
-    state = resolve_census_state(spark, state_parts).localCheckpoint(eager=True)
-    store = spark.read.parquet(*store_dirs).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
+    # checkpoints only because rmtree deletes the backing files.
+    # r13: overlap the two independent resolves (guide §2.6) and push
+    # the tmp-dir delete off the critical path (zf02's close change).
+    import threading
+
+    from spotify_tags_etl_spark.functions.concurrency import checkpoint_parallel
+
+    pre = checkpoint_parallel(
+        {
+            "state": resolve_census_state(spark, state_parts),
+            "store": spark.read.parquet(*store_dirs),
+        }
+    )
+    state, store = pre["state"], pre["store"]
+    threading.Thread(
+        target=shutil.rmtree, args=(root,), kwargs={"ignore_errors": True}
+    ).start()
 
     vflag = store.where(F.col("kind") == "vflag").select(
         "doc_id",

@@ -197,12 +197,27 @@ STATE_OPS_LOG: list[tuple[str, tuple[str, ...]]] = []
 MICRO_PLAN_LOG: list[tuple[str, tuple[tuple[str, int], ...]]] = []
 
 
-def record_batch_plan(df: DataFrame, label: str) -> None:
+def record_batch_plan(df: DataFrame, label: str, seen: set | None = None) -> None:
     """Fingerprint a foreachBatch inner frame's physical plan into
     :data:`MICRO_PLAN_LOG`. Uses the pre-execution physical plan
     (deterministic for a fixed query shape and config — AQE runtime
     re-planning is deliberately NOT awaited, so the pin tracks the
-    declared shape, not data-size-dependent runtime choices)."""
+    declared shape, not data-size-dependent runtime choices).
+
+    ``seen`` (r13): a caller-owned per-STREAM-RUN set; when given, each
+    label is fingerprinted only on its first batch of that run. The
+    render forces a full extra analysis/optimization/physical-planning
+    pass on the driver (~0.2 s per site per trigger at any data size —
+    the write job plans its own QueryExecution separately), and batch
+    plans are data-independent in shape BY THE PIN'S OWN CONTRACT (the
+    tests pin deduplicated fingerprint sets), so batches 1..n of a run
+    re-rendered the identical string. A fresh run (and every test that
+    clears MICRO_PLAN_LOG and re-invokes the operator) constructs a
+    fresh ``seen`` and still records every label."""
+    if seen is not None:
+        if label in seen:
+            return
+        seen.add(label)
     from spotify_tags_etl_spark.plans.planmetrics import count_metrics
 
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -881,6 +896,7 @@ def streaming_upsert(stream: DataFrame) -> DataFrame:
     root = tempfile.mkdtemp(prefix="st08_merge_")
     current: list[str] = []  # version POINTER, not state
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # Order on (usec, event_id): DuckDB reads the NANOS column at
         # microsecond precision, so the merge relation must not depend
@@ -899,7 +915,7 @@ def streaming_upsert(stream: DataFrame) -> DataFrame:
         else:
             merged = latest
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(merged, "st08:merge")
+        record_batch_plan(merged, "st08:merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -997,6 +1013,7 @@ def streaming_neardup(
     pairs_dir = os.path.join(root, "pairs")
     current: list[str] = []  # signature-store version pointer
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         from spotify_tags_etl_spark.functions.concurrency import fan_out_scan
 
@@ -1023,9 +1040,9 @@ def streaming_neardup(
             )
             .distinct()
         )
-        record_batch_plan(cand, "st09:candidates")
+        record_batch_plan(cand, "st09:candidates", seen=plan_seen)
         target = os.path.join(root, f"sig_v{batch_id}")
-        record_batch_plan(sig_all, "st09:signatures")
+        record_batch_plan(sig_all, "st09:signatures", seen=plan_seen)
         # r12 §2.6: the candidate append and the signature-store
         # version write are independent sinks (append is retry-safe by
         # the closing distinct; the version pointer advances only after
@@ -1118,6 +1135,7 @@ def streaming_funnel(stream_events: DataFrame) -> DataFrame:
     root = tempfile.mkdtemp(prefix="xw01_funnel_")
     current: list[str] = []
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         b = batch.select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
         state = (
@@ -1154,7 +1172,7 @@ def streaming_funnel(stream_events: DataFrame) -> DataFrame:
             "mp", F.coalesce("mp", "bp")
         ).drop("bp")
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(st, "xw01:funnel_state")
+        record_batch_plan(st, "xw01:funnel_state", seen=plan_seen)
         st.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1251,6 +1269,7 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
     root = tempfile.mkdtemp(prefix="xk03_hll_")
     current: list[str] = []  # version pointer, not state
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         daily = (
             batch.select(
@@ -1278,7 +1297,7 @@ def streaming_hll_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
         else:
             merged = daily
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(merged, "xk03:hll_merge")
+        record_batch_plan(merged, "xk03:hll_merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1474,6 +1493,7 @@ def streaming_cms_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
     root = tempfile.mkdtemp(prefix="xw06_cms_")
     current: list[str] = []  # version pointer, not state
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         part = cms_sketch(batch, "event_type")
         if current:
@@ -1482,7 +1502,7 @@ def streaming_cms_rollup(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
         else:
             merged = part
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(merged, "xw06:cms_merge")
+        record_batch_plan(merged, "xw06:cms_merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1598,6 +1618,7 @@ def stream_running_stats(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
     root = tempfile.mkdtemp(prefix="xw08_tws_")
     current: list[str] = []
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         latest = batch.dropDuplicates(["user_id"])
         if current:
@@ -1606,7 +1627,7 @@ def stream_running_stats(spark: SparkSession, sf_dir: str, stream: DataFrame) ->
         else:
             merged = latest
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(merged, "xw08:stats_merge")
+        record_batch_plan(merged, "xw08:stats_merge", seen=plan_seen)
         merged.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1780,6 +1801,7 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="xw10_chk_")
     current: list[str] = []
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         part = batch.agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -1795,7 +1817,7 @@ def xw10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(part, "xw10:checksum_part")
+        record_batch_plan(part, "xw10:checksum_part", seen=plan_seen)
         part.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
@@ -1858,6 +1880,7 @@ def yi03(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="yi03_manifest_")
     current: list[str] = []  # version pointer, not state
 
+    plan_seen: set = set()  # r13: fingerprint each label once per run
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         part = batch.groupBy(
             F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day")
@@ -1884,7 +1907,7 @@ def yi03(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         target = os.path.join(root, f"v{batch_id}")
-        record_batch_plan(part, "yi03:manifest_part")
+        record_batch_plan(part, "yi03:manifest_part", seen=plan_seen)
         part.write.mode("overwrite").parquet(target)
         current[:] = [target]
 
