@@ -1398,18 +1398,25 @@ def yv19(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rlhf", "composed", "monitoring", "llm-pipeline"),
 )
 def yv23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (guide §2.4): three report branches aggregate the SAME
+    # O(YV16_POLICIES)-row policy frame, and union branches cannot share
+    # a subtree — the events x policies explode (the report's heaviest
+    # pass) ran THREE times. Fold the three scalars into ONE aggregate
+    # over one pol subtree and stack them into the (metric, value) rows:
+    # still a single job (kappa/maj branches schedule concurrently with
+    # it inside that job), one corpus pass instead of three. A
+    # checkpoint-per-section variant (§2.6) was measured and rejected —
+    # 4 extra driver round-trips cost more than the saved passes at any
+    # size where the pass isn't minutes long; the stack form wins both
+    # locally and at scale.
     pol = yv16(spark, sf_dir)
-    best = pol.agg(
-        F.lit("best_policy").alias("metric"),
-        F.expr("CAST(max_by(policy, snips_ppm * 10 - policy) AS BIGINT)").alias("value"),
-    )
-    bestv = pol.agg(
-        F.lit("best_policy_snips_ppm").alias("metric"),
-        F.max("snips_ppm").cast("bigint").alias("value"),
-    )
-    ess = pol.agg(
-        F.lit("min_ess_ppm").alias("metric"),
-        F.min("ess_ppm").cast("bigint").alias("value"),
+    three = pol.agg(
+        F.expr("CAST(max_by(policy, snips_ppm * 10 - policy) AS BIGINT)").alias("_b"),
+        F.max("snips_ppm").cast("bigint").alias("_bv"),
+        F.min("ess_ppm").cast("bigint").alias("_e"),
+    ).selectExpr(
+        "stack(3, 'best_policy', _b, 'best_policy_snips_ppm', _bv,"
+        " 'min_ess_ppm', _e) AS (metric, value)"
     )
     kappa = yv17(spark, sf_dir).select(
         F.lit("fleiss_kappa_ppm").alias("metric"),
@@ -1421,4 +1428,4 @@ def yv23(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(n_majority) * 1000000 DIV SUM(n_items) AS BIGINT)"
         ).alias("value"),
     )
-    return best.unionByName(bestv).unionByName(ess).unionByName(kappa).unionByName(maj)
+    return three.unionByName(kappa).unionByName(maj)

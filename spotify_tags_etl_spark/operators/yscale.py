@@ -1395,14 +1395,21 @@ def yy01(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spotify_tags_etl_spark.operators.scalerank import prefix_max
 
     ev = load_table(spark, sf_dir, "events")
+    # r13 (guide §2.4): coverage and volume both aggregate the day
+    # census, and union branches cannot share a subtree — the events
+    # scan + day groupBy ran twice. Fold both scalars into ONE
+    # aggregate over one manifest subtree and stack them; still a
+    # single job (the other branches schedule concurrently inside it),
+    # one day-census pass instead of two. (A checkpoint-per-section
+    # §2.6 variant was measured and rejected — see yv23.)
     manifest = ev.groupBy(
         F.expr("CAST(unix_micros(ts) DIV 86400000000 AS BIGINT)").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
-    coverage = manifest.agg(
-        F.lit("days_covered").alias("metric"), F.count(F.lit(1)).alias("value")
-    )
-    volume = manifest.agg(
-        F.lit("total_events").alias("metric"), F.sum("n").cast("bigint").alias("value")
+    two = manifest.agg(
+        F.count(F.lit(1)).alias("_d"),
+        F.sum("n").cast("bigint").alias("_t"),
+    ).selectExpr(
+        "stack(2, 'days_covered', _d, 'total_events', _t) AS (metric, value)"
     )
     kc = (
         load_table(spark, sf_dir, "orders")
@@ -1427,7 +1434,7 @@ def yy01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = yd02(spark, sf_dir).select(
         F.lit("value_drift_ks_ppm").alias("metric"), F.col("ks_ppm").alias("value")
     )
-    return coverage.unionByName(volume).unionByName(skew).unionByName(lateness).unionByName(ks)
+    return two.unionByName(skew).unionByName(lateness).unionByName(ks)
 
 
 # ---------------------------------------------------------------------------
