@@ -1097,9 +1097,16 @@ def xz10(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = hit[0]
         picked.append(int(top.doc_id))
         rows.append((r, int(top.doc_id), int(top.gain)))
+        # r13 (guide §1.2): the covered set grows INCREMENTALLY — union
+        # the new pick's tokens into the previous checkpoint instead of
+        # re-deriving from all picked docs (one toks probe per round,
+        # not r of them), and checkpoint LAZILY so the next round's
+        # anti-join materializes it as a side effect (bpe_learn's fused
+        # one-job-per-round shape; 11 driver jobs -> 6).
+        new_toks = toks.where(F.col("doc_id") == int(top.doc_id)).select("tok")
         covered = (
-            toks.where(F.col("doc_id").isin(picked)).select("tok").distinct().localCheckpoint(eager=True)
-        )
+            new_toks if covered is None else covered.unionByName(new_toks)
+        ).distinct().localCheckpoint(eager=False)
     final_covered = covered.count()
     return spark.createDataFrame(
         [(r, d, g, final_covered) for r, d, g in rows],
