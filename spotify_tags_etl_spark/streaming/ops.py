@@ -327,43 +327,54 @@ def run_to_memory_with_progress(stream: DataFrame, output_mode: str):
     usec, or None before any advance) read from the engine's own
     progress metrics — the observability-driven alternative to
     re-scanning inputs to reconstruct event-time bookkeeping."""
+    from spotify_tags_etl_spark.functions.concurrency import _SHUFFLE_BOUND_LOCK
+
     spark = stream.sparkSession
     name = f"st_{uuid.uuid4().hex[:12]}"
     # The partition count is frozen into the query's state-store layout
     # at start; restore the session value once the run has terminated
-    # (AvailableNow runs synchronously inside this function).
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(min(int(prev_parts), STREAM_PARTITIONS)),
-    )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-        # Watermark advances at batch BOUNDARIES: the final (empty,
-        # state-flushing) batch of an AvailableNow run reports the
-        # post-data watermark. Take the max across recent progress to be
-        # robust to progress-array ordering.
-        wm_us = None
-        for prog in q.recentProgress:
-            wm = (prog.get("eventTime") or {}).get("watermark")
-            if wm:
-                ts = pd.Timestamp(wm.replace("Z", "+00:00"))
-                us = ts.value // 1000
-                if us > 0 and (wm_us is None or us > wm_us):
-                    wm_us = us
-        record_state_ops(q, "memory")
-    finally:
-        q.stop()
-        # conf capture happens on the query thread, not at .start() —
-        # restore only once the (synchronous AvailableNow) run is over
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # (AvailableNow runs synchronously inside this function). r13
+    # (ADVICE): the whole set/start/restore sequence sits inside ONE
+    # try/finally under the shared shuffle-bound lock — a start-time
+    # analysis error can no longer leave the session pinned, and a
+    # concurrent bounded_shuffle region cannot interleave its
+    # set/restore pair with this one.
+    q = None
+    wm_us = None
+    with _SHUFFLE_BOUND_LOCK:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(min(int(prev_parts), STREAM_PARTITIONS)),
+            )
+            q = (
+                stream.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # Watermark advances at batch BOUNDARIES: the final (empty,
+            # state-flushing) batch of an AvailableNow run reports the
+            # post-data watermark. Take the max across recent progress
+            # to be robust to progress-array ordering.
+            for prog in q.recentProgress:
+                wm = (prog.get("eventTime") or {}).get("watermark")
+                if wm:
+                    ts = pd.Timestamp(wm.replace("Z", "+00:00"))
+                    us = ts.value // 1000
+                    if us > 0 and (wm_us is None or us > wm_us):
+                        wm_us = us
+            record_state_ops(q, "memory")
+        finally:
+            if q is not None:
+                q.stop()
+            # conf capture happens on the query thread, not at .start()
+            # — restore only once the (synchronous AvailableNow) run is
+            # over, and on ANY exit including start-time failure
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out, wm_us
