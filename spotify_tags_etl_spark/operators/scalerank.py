@@ -134,6 +134,44 @@ def prefix_sum(
     )
 
 
+def prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    weights: dict[str, str],
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Several exact inclusive running sums over ONE total order in ONE
+    pass (r13, guide §1.2): :func:`prefix_sum` called k times re-lays
+    out, re-checkpoints, and re-collects subtotals for the same frame k
+    times; the sums are independent so one layout + one O(#partitions)
+    subtotal job + one window projection computes them all.
+    ``weights`` maps output column -> weight column. Returns
+    ``(frame + all sum columns, {output column -> total})`` — totals
+    and columns bit-identical to the chained single-column calls
+    (integer sums are order-free)."""
+    ranged, cols = _range_layout(df, order_cols, num_partitions)
+    aggs = [F.sum(w).alias(out) for out, w in weights.items()]
+    sub_rows = ranged.groupBy("_pid").agg(*aggs).collect()
+    out_frame = ranged
+    totals: dict[str, int] = {}
+    w = Window.partitionBy("_pid").orderBy(*cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for out, wcol in weights.items():
+        subtotals = {r["_pid"]: (r[out] or 0) for r in sub_rows}
+        totals[out] = sum(subtotals.values())
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(subtotals):
+            offsets[pid] = acc
+            acc += subtotals[pid]
+        offset_of = F.coalesce(_pid_map(offsets), F.lit(0))
+        out_frame = out_frame.withColumn(
+            out, F.sum(wcol).over(w) + offset_of
+        )
+    return out_frame.drop("_pid"), totals
+
+
 def prefix_max(
     df: DataFrame,
     order_cols: list,

@@ -196,8 +196,14 @@ def yd02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == YD02_A, 1)).alias("n1"),
         F.count(F.when(F.col("event_type") == YD02_B, 1)).alias("n2"),
     )
-    cum1, n = prefix_sum(per, [F.col("c").asc()], "n1", sum_col="cum1")
-    cum2, m = prefix_sum(cum1, [F.col("c").asc()], "n2", sum_col="cum2")
+    # r13: both running sums in ONE layout/subtotal/window pass (see
+    # yd03; scalerank.prefix_sums)
+    from spotify_tags_etl_spark.operators.scalerank import prefix_sums
+
+    cum2, tot = prefix_sums(
+        per, [F.col("c").asc()], {"cum1": "n1", "cum2": "n2"}
+    )
+    n, m = tot["cum1"], tot["cum2"]
     if not n or not m:
         # One sample empty: D is undefined and the oracle's GROUP BY
         # over an empty census emits ZERO rows — mirror that instead of
@@ -1257,40 +1263,59 @@ YE02_STRIDE, YE02_K = 25, 10
     tags=("similarity", "llm-pipeline", "evaluation"),
 )
 def ye02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (guide §2.3/§4.2): the dots were spelled RELATIONALLY — a
+    # per-(query, candidate, dimension) join exploding to
+    # O(queries x corpus x dim) rows (12.8M at sf0.1) shuffled through
+    # a groupBy — when both sides are fixed-width integer vectors. Now:
+    # quantize each side once per row (yv02's hoist), broadcast the
+    # query sample, and score each pair with one Arrow einsum
+    # (functions/arrowdot.py — integer sums, bit-identical). The
+    # shuffle carries O(queries x corpus) pair rows, dim never explodes.
+    from spotify_tags_etl_spark.functions.arrowdot import pair_dot_int64
+    from spotify_tags_etl_spark.functions.vecexpr import quantize_long
+
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    q = emb.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        (F.col("pos") + 1).alias("i"),
-        F.expr("CAST(floor(CAST(v AS DOUBLE) * 127) AS BIGINT)").alias("q"),
+    qv = emb.select("vec_id", quantize_long("embedding").alias("qe"))
+    tq = qv.where(F.col("vec_id") % YE02_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("qe").alias("qq")
     )
-    tq = q.where(F.col("vec_id") % YE02_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("i").alias("qi"), F.col("q").alias("qv")
-    )
+    cv = qv.select(F.col("vec_id").alias("c_id"), F.col("qe").alias("cq"))
     wnd = Window.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("c_id").asc())
     truth = (
-        tq.join(
-            q.select(F.col("vec_id").alias("c_id"), "i", F.col("q").alias("cv")),
-            (F.col("qi") == F.col("i")) & (F.col("q_id") != F.col("c_id")),
+        pair_dot_int64(
+            cv.join(F.broadcast(tq), F.col("q_id") != F.col("c_id")).select(
+                "q_id", "c_id", "qq", "cq"
+            ),
+            "qq",
+            "cq",
+            "dot",
         )
-        .groupBy("q_id", "c_id")
-        .agg(F.sum(F.col("qv") * F.col("cv")).alias("dot"))
         .withColumn("rk", F.row_number().over(wnd))
         .where(F.col("rk") <= YE02_K)
         .select("q_id", "c_id")
     )
-    proj = ye01(spark, sf_dir).select("vec_id", "out_dim", F.col("dot").alias("p"))
-    pq = proj.where(F.col("vec_id") % YE02_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("out_dim").alias("qj"), F.col("p").alias("qp")
+    # approx side: ye01's (vec_id, out_dim, dot) rows re-vectorized to
+    # the 8-d projection array (array_sort on the (out_dim, dot) struct
+    # orders by out_dim), then the same broadcast + Arrow pair dot.
+    proj = ye01(spark, sf_dir)
+    parr = proj.groupBy("vec_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(out_dim, dot))), e -> e.dot)"
+        ).alias("pe")
     )
+    pq = parr.where(F.col("vec_id") % YE02_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("pe").alias("qp")
+    )
+    pc = parr.select(F.col("vec_id").alias("c_id"), F.col("pe").alias("cp"))
     approx = (
-        pq.join(
-            proj.select(F.col("vec_id").alias("c_id"), "out_dim", F.col("p").alias("cp")),
-            (F.col("qj") == F.col("out_dim")) & (F.col("q_id") != F.col("c_id")),
+        pair_dot_int64(
+            pc.join(F.broadcast(pq), F.col("q_id") != F.col("c_id")).select(
+                "q_id", "c_id", "qp", "cp"
+            ),
+            "qp",
+            "cp",
+            "dot",
         )
-        .groupBy("q_id", "c_id")
-        .agg(F.sum(F.col("qp") * F.col("cp")).alias("dot"))
         .withColumn("rk", F.row_number().over(wnd))
         .where(F.col("rk") <= YE02_K)
         .select(F.col("q_id").alias("a_q"), F.col("c_id").alias("a_c"))
@@ -1512,10 +1537,18 @@ def yd03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == YD02_A, 1)).alias("cx"),
         F.count(F.when(F.col("event_type") == YD02_B, 1)).alias("cy"),
     ).withColumn("xv", F.col("cx") * F.col("v")).withColumn("yv", F.col("cy") * F.col("v"))
-    c1, n = prefix_sum(f, [F.col("v").asc()], "cx", sum_col="cum_cx")
-    c2, sx_tot = prefix_sum(c1, [F.col("v").asc()], "xv", sum_col="cum_sx")
-    c3, m = prefix_sum(c2, [F.col("v").asc()], "cy", sum_col="cum_cy")
-    c4, sy_tot = prefix_sum(c3, [F.col("v").asc()], "yv", sum_col="cum_sy")
+    # r13 (guide §1.2): the four running sums share one total order —
+    # one layout + one subtotal job + one window pass instead of four
+    # chained prefix_sum calls (4 checkpoints + 4 collects -> 1 + 1).
+    from spotify_tags_etl_spark.operators.scalerank import prefix_sums
+
+    c4, tot = prefix_sums(
+        f,
+        [F.col("v").asc()],
+        {"cum_cx": "cx", "cum_sx": "xv", "cum_cy": "cy", "cum_sy": "yv"},
+    )
+    n, sx_tot = tot["cum_cx"], tot["cum_sx"]
+    m, sy_tot = tot["cum_cy"], tot["cum_sy"]
     if not n or not m:
         # One sample empty: the statistic is undefined and the oracle's
         # grouped spelling emits zero rows — mirror it (no all-NULL row).
