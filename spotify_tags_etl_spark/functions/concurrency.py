@@ -71,11 +71,22 @@ def fan_out_scan(df: DataFrame, *keys: str) -> DataFrame:
 
     sc = df.sparkSession.sparkContext
     cores = sc.defaultParallelism
-    have = df.rdd.getNumPartitions()
+    # r12 ADVICE: both probes reach into internals (a plan build for
+    # .rdd, a py4j stats call) — degrade gracefully rather than fail
+    # the query if a Spark upgrade moves them: no partition count means
+    # no fan (the safe no-op), no size estimate means width = cores
+    # (the condition, not the width, is the contract).
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:
+        return df
     if have >= cores:
         return df
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    width = min(cores, max(2, -(-size // FAN_TASK_BYTES)))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        width = min(cores, max(2, -(-size // FAN_TASK_BYTES)))
+    except Exception:
+        width = cores
     if width <= have:
         return df
     if keys:

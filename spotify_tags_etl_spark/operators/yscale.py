@@ -1651,8 +1651,16 @@ def yw02(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = {"clean": orders, "dirty": orders.unionByName(bad)}
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     root = _pid_tmp_path("/tmp/spark_graft_yw02", tag)
-    out = None
-    for name, cand in sorted(candidates.items()):
+    # r13 (guide §2.6): the two candidates' stage-write + read-back
+    # audits are fully independent (separate staging dirs, separate
+    # publish markers) but ran back to back — each is a small write job
+    # plus a map-combined audit that never fills the cluster. Run each
+    # candidate's WAP sequence in its own thread; within a candidate the
+    # write -> read-back -> audit order (the protocol itself) is
+    # untouched.
+    from spotify_tags_etl_spark.functions.concurrency import run_parallel
+
+    def wap(name: str, cand: DataFrame) -> list[tuple]:
         staged_path = os.path.join(root, "staging", name)
         cand.write.mode("overwrite").parquet(staged_path)
         staged = spark.read.parquet(staged_path)  # audit the STAGED files
@@ -1674,12 +1682,16 @@ def yw02(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.makedirs(marker, exist_ok=True)
             with open(os.path.join(marker, "CURRENT"), "w") as fh:
                 fh.write(staged_path)
-        rows = spark.createDataFrame(
-            [(name, chk, int(n_bad), published) for chk, n_bad in sorted(checks.items())],
-            "candidate STRING, chk STRING, n_bad LONG, published BOOLEAN",
-        )
-        out = rows if out is None else out.unionByName(rows)
-    return out
+        return [
+            (name, chk, int(n_bad), published)
+            for chk, n_bad in sorted(checks.items())
+        ]
+    ordered = sorted(candidates.items())
+    results = run_parallel(*[lambda n=n, c=c: wap(n, c) for n, c in ordered])
+    return spark.createDataFrame(
+        [row for rows in results for row in rows],
+        "candidate STRING, chk STRING, n_bad LONG, published BOOLEAN",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -610,6 +610,7 @@ def bpe_learn(
     record_plan(words, "bpe:vocab")
     words = words.localCheckpoint(eager=True)
     rows: list[tuple[int, str, str, int]] = []
+    plan_seen: set = set()  # r13: fingerprint each loop label once per learn
     # Per round, ONE job: the pair-argmax action over the LAZILY
     # checkpointed fold of the previous round materializes that fold's
     # blocks as a side effect (localCheckpoint(eager=False) persists on
@@ -636,7 +637,7 @@ def bpe_learn(
             .orderBy(F.desc("c"), F.asc("pa"), F.asc("pb"))
             .limit(1)
         )
-        record_plan(top, "bpe:pair_argmax")
+        record_plan(top, "bpe:pair_argmax", seen=plan_seen)
         top = top.collect()
         if pending_unpersist is not None:
             pending_unpersist.unpersist()
@@ -664,7 +665,7 @@ def bpe_learn(
             ).alias("seq"),
             "cnt",
         )
-        record_plan(words, "bpe:fold")
+        record_plan(words, "bpe:fold", seen=plan_seen)
         words = words.localCheckpoint(eager=False)
         pending_unpersist = prev
     if pending_unpersist is not None:

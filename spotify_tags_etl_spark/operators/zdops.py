@@ -950,6 +950,13 @@ def streaming_dedup_funnel(spark: SparkSession, stream_docs: DataFrame) -> DataF
         # shingle/MinHash map work as ONE task — fan out to the core
         # count (scale-adaptive no-op once the batch has >= cores splits)
         batch = fan_out_scan(batch, "doc_id")
+        # r13: checkpointing the shared shingle explode here was
+        # measured WORSE (alternating-process A/B: plain medians
+        # 2.8-3.8 s vs checkpointed 3.5-5.7) — the two consumers run in
+        # CONCURRENT jobs, so the duplicate explode was already free on
+        # idle cores while the checkpoint serializes a job ahead of
+        # them. Contrast st09, where the same subtree fed three
+        # branches of ONE job and the checkpoint won 0.79x.
         sh = word_shingles(batch)
         sig = minhash_signatures(sh)
         record_batch_plan(sig, "zd05:sig_partial", seen=plan_seen)

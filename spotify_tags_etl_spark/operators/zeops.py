@@ -355,6 +355,7 @@ def _fit_from_feats(
     docvec = docvec.localCheckpoint(eager=True)
     w = {b: 0 for b in range(ZE01_BIAS, ZE01_BUCKETS)}
     rows: list[tuple[int, int, int, int, int]] = []
+    plan_seen: set = set()  # r13: fingerprint each loop label once per fit
     w_hist: list[dict[int, int]] = []
     for r in range(1, ZE01_ROUNDS + 1):
         m = F.expr(
@@ -372,7 +373,7 @@ def _fit_from_feats(
                 F.count(F.lit(1)).alias("n_rows"),
             )
         )
-        record_plan(deltas, f"{label}:weight_delta")
+        record_plan(deltas, f"{label}:weight_delta", seen=plan_seen)
         n_mis = 0
         for row in deltas.collect():
             w[row["bucket"]] += int(row["dw"])

@@ -1032,7 +1032,14 @@ def streaming_neardup(
         # count before the per-doc signature map work (scale-adaptive
         # no-op once the batch already has >= cores partitions)
         batch = fan_out_scan(batch, "doc_id")
-        sig_b = minhash_signatures(word_shingles(batch))
+        # r13 (guide §1.2): the batch signature subtree fed THREE plan
+        # branches (both candidate join sides + the store write), so the
+        # shingle explode + 8-perm MinHash ran three times per trigger.
+        # Materialize it once; the two overlapped write jobs below and
+        # the self-join both read the checkpoint.
+        sig_b = minhash_signatures(word_shingles(batch)).localCheckpoint(
+            eager=True
+        )
         sig_all = (
             sig_b.unionByName(spark.read.parquet(current[0])) if current else sig_b
         )
